@@ -1,0 +1,150 @@
+"""Join operators.
+
+The reference has **no dedicated join operator** — joins in the Beam model
+are CoGroupByKey (shuffle) or side-input lookups (broadcast); see SURVEY.md
+§2.3 and `/root/reference/ray_beam_runner/portability/ray_runner_test.py:163-361`
+(side inputs). This module exposes the full Spark join family plus the
+time-series joins Spark lacks as built-ins (as-of join, range-bucket join),
+implemented shuffle-minimally for 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "keyed_join", "range_bucket_join"]
+
+
+def keyed_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    broadcast_right: bool | None = None,
+) -> DataFrame:
+    """Keyed join helper. ``broadcast_right=None`` lets Catalyst/AQE decide
+    (autoBroadcastJoinThreshold + runtime stats); force ``True`` for small
+    dims the optimizer can't size (e.g. post-filter dimension tables)."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join: attach to each left row the right row with the greatest
+    ``right_time <= left_time`` (direction='backward'; 'forward' = smallest
+    ``right_time >= left_time``) within the same key group.
+
+    Implementation: union both sides with a side tag, single window pass
+    per key ordered by time filling the last (or next) non-null right
+    payload. Exactly ONE shuffle on the key — no O(|L|x|R|) range join, no
+    per-key collect. At 100 TB this is the same cost as a sort-merge join
+    on the key and is skew-tolerant via AQE.
+
+    Left columns are kept as-is; right payload columns (everything except
+    the keys) are appended, null when no match exists (left-outer
+    semantics). Right payload column names must not collide with left's.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    left_payload = [c for c in left.columns if c not in on_cols]
+    right_payload = [c for c in right.columns if c not in on_cols]
+    collisions = set(left_payload) & set(right_payload)
+    if collisions:
+        raise ValueError(f"column collision between sides: {sorted(collisions)}")
+
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+    left_types = {f.name: f.dataType for f in left.schema.fields}
+
+    # Tag and align both sides to one schema; right rows carry null left
+    # payload and vice versa.
+    l = left.select(
+        *on_cols,
+        *left_payload,
+        *[F.lit(None).cast(right_types[c]).alias(c) for c in right_payload],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+    )
+    r = right.select(
+        *on_cols,
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
+        *right_payload,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+    )
+    u = l.unionByName(r)
+
+    if direction == "backward":
+        # Right rows sort before left rows at equal time → "at or before".
+        order = [F.col("__t").asc(), F.col("__is_left").asc()]
+        frame = (W.unboundedPreceding, W.currentRow)
+    elif direction == "forward":
+        order = [F.col("__t").desc(), F.col("__is_left").asc()]
+        frame = (W.unboundedPreceding, W.currentRow)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    w = W.partitionBy(*on_cols).orderBy(*order).rowsBetween(*frame)
+    matched_t = F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True).over(w)
+    filled = u.select(
+        *on_cols,
+        *left_payload,
+        "__is_left",
+        matched_t.alias("__matched_t"),
+        *[F.last(F.when(F.col("__is_left") == 0, F.col(c)), ignorenulls=True).over(w).alias(c)
+          for c in right_payload],
+    ).filter(F.col("__is_left") == 1)
+
+    if tolerance_seconds is not None:
+        delta = F.abs(
+            F.col(left_time).cast("double") - F.col("__matched_t").cast("double")
+        )
+        within = delta <= F.lit(float(tolerance_seconds))
+        filled = filled.select(
+            *on_cols,
+            *left_payload,
+            *[F.when(within, F.col(c)).alias(c) for c in right_payload],
+        )
+    else:
+        filled = filled.select(*on_cols, *left_payload, *right_payload)
+    return filled
+
+
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval join (left.point in [right.start, right.end)) without a
+    nested-loop: both sides are exploded to coarse time buckets and
+    equi-joined on the bucket (+ optional extra keys), then the exact range
+    predicate filters. Turns an O(|L|x|R|) BroadcastNestedLoopJoin into a
+    shuffle hash join whose fan-out is bounded by interval/bucket ratio."""
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(left_point).cast("double") / bucket_seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "__buckets",
+        F.sequence(
+            F.floor(F.col(right_start).cast("double") / bucket_seconds).cast("long"),
+            F.floor(F.col(right_end).cast("double") / bucket_seconds).cast("long"),
+        ),
+    ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
+    joined = lb.join(rb, [*extra_on, "__bucket"]).drop("__bucket")
+    return joined.filter(
+        (F.col(left_point) >= F.col(right_start)) & (F.col(left_point) < F.col(right_end))
+    )

@@ -1,0 +1,95 @@
+"""DuckDB-oracle differential harness (SURVEY.md §5 'our strategy').
+
+Mirrors the driver's protocol (FIXTURES.md): run the Spark query and the
+DuckDB oracle over the same parquet tables, canonicalize (sort columns by
+name, sort rows, round doubles to 9 significant digits, timestamps as UTC
+ISO), and compare values. Used by tests/ to catch mismatches before the
+driver's CORRECTNESS gate does.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_connect(sf_dir: str):
+    """In-process DuckDB with the synthetic tables registered as views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _round_sig(x: float, sig: int = 9) -> float:
+    if x is None or (isinstance(x, float) and (math.isnan(x) or math.isinf(x))):
+        return x
+    if x == 0:
+        return 0.0
+    return float(f"{x:.{sig - 1}e}")
+
+
+def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    out = pdf.copy()
+    out = out[sorted(out.columns)]
+    for col in out.columns:
+        s = out[col]
+        if pd.api.types.is_float_dtype(s):
+            out[col] = s.map(lambda v: _round_sig(v) if pd.notna(v) else None)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            dt = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
+            out[col] = dt.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        else:
+            out[col] = s.map(_canon_cell)
+    out = out.astype(str)
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def _canon_cell(v):
+    if isinstance(v, float):
+        return _round_sig(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(str(_canon_cell(x)) for x in v) + "]"
+    return v
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    """Returns (match, message). Row count, column set, then value-frame."""
+    con = duckdb_connect(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle_sql).fetchdf()
+    finally:
+        con.close()
+    spark_pdf = spark_df.toPandas()
+
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return False, f"columns: spark={s_cols} oracle={o_cols}"
+
+    s_c, o_c = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    if s_c.equals(o_c):
+        return True, f"ok ({len(s_c)} rows)"
+    diff_mask = (s_c != o_c).any(axis=1)
+    n_diff = int(diff_mask.sum())
+    sample = pd.concat(
+        [s_c[diff_mask].head(3).add_prefix("spark_"), o_c[diff_mask].head(3).add_prefix("oracle_")],
+        axis=1,
+    )
+    return False, f"{n_diff}/{len(s_c)} rows differ; sample:\n{sample.to_string()}"

@@ -1,0 +1,595 @@
+"""Relational / Beam-model query coverage (SURVEY.md §2.2-§2.4, §2.6).
+
+The reference expresses all of these through ParDo + GroupByKey + Combine
+(`/root/reference/ray_beam_runner/portability/ray_runner_test.py`); here
+each is the idiomatic Catalyst-optimizable DataFrame plan. Oracles are
+DuckDB SQL over the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.queries import query, t
+
+# ---------------------------------------------------------------------------
+# Aggregation (GroupByKey / CombinePerKey / packed combiners —
+# ray_runner_test.py:821-829, 857-864, 1133-1185)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                        AS sum_qty,
+           sum(l_extendedprice)                   AS sum_base_price,
+           sum(l_extendedprice*(1-l_discount))    AS sum_disc_price,
+           avg(l_quantity)                        AS avg_qty,
+           count(*)                               AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-like: scan → filter (parquet-pushed) → partial/final hash agg
+    → sort. Combiner lifting is Catalyst-native (reference lifts combiners
+    manually: translations.lift_combiners @ ray_fn_runner.py:178)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_join",
+    oracle="""
+    SELECT n_name, count(*) AS cnt, sum(o_totalprice) AS rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY rev DESC
+    """,
+)
+def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join + agg. Beam has no join operator — CoGroupByKey /
+    side inputs only (SURVEY §2.3); here the small dims broadcast, and the
+    fact-side agg shuffles once on n_name."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("rev"))
+        .orderBy(F.col("rev").desc())
+    )
+
+
+@query(
+    "q_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function + top-k per group (absent in the Beam model —
+    SURVEY §2.4 'sort/limit/top-k absent'; free in Spark)."""
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@query(
+    "q_events_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start, event_type,
+           count(*) AS cnt, sum(value) AS sum_value
+    FROM events
+    GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+)
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window agg — batch equivalent of the reference's
+    fixed windows (WindowInto @ translator.py:393-416; test
+    ray_runner_test.py:880-890)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value")
+        .orderBy("w_start", "event_type")
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (Beam Distinct = GBK+first — SURVEY §2.3)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_gbk",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+           count(*) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupByKey → (key, Iterable[value]) (reference: overrides.py:84-90,
+    translator.py:341-390, test ray_runner_test.py:821-829). Spark:
+    groupBy + collect_list; list serialized sorted for order-insensitive
+    comparison (Beam iterables are unordered)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias("lines"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_combine_global",
+    oracle="""
+    SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           avg(l_discount) AS avg_disc, count(*) AS cnt,
+           sum(l_extendedprice) AS sum_price
+    FROM lineitem
+    """,
+)
+def q_combine_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombineGlobally + packed combiners in one pass (reference tests
+    ray_runner_test.py:1133-1185; packing = translations.pack_combiners).
+    Spark: a single .agg() with multiple exprs — packing is free."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@query(
+    "q_cogroup",
+    oracle="""
+    SELECT k, n_orders, n_lines FROM (
+      SELECT coalesce(o.k, l.k) AS k,
+             coalesce(o.n_orders, 0) AS n_orders,
+             coalesce(l.n_lines, 0)  AS n_lines
+      FROM (SELECT o_orderkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) o
+      FULL OUTER JOIN
+           (SELECT l_orderkey AS k, count(*) AS n_lines FROM lineitem GROUP BY 1) l
+      ON o.k = l.k)
+    """,
+)
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoGroupByKey (reference: expands to Flatten+GBK, SURVEY §2.3).
+    Spark: per-side pre-agg then full outer join on the key — the pre-agg
+    is map-side combinable so the shuffle carries one row per key."""
+    o = t(spark, sf_dir, "orders").groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    l = t(spark, sf_dir, "lineitem").groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        o.join(l, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / flatten / partition (SURVEY §2.4; reference translator.py:419-433)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_flatten",
+    oracle="""
+    SELECT src, count(*) AS cnt, count(DISTINCT id) AS n_ids FROM (
+      SELECT o_orderkey AS id, 'orders' AS src FROM orders
+      UNION ALL
+      SELECT l_orderkey AS id, 'lineitem' AS src FROM lineitem)
+    GROUP BY src
+    """,
+)
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten/union of N collections (reference translator.py:419-433,
+    test ray_runner_test.py:838-855). unionByName, no repartition(1) —
+    the reference's union+repartition(1) would serialize at scale."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("id"), F.lit("orders").alias("src"))
+    l = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("id"), F.lit("lineitem").alias("src"))
+    return (
+        o.unionByName(l)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("id").alias("n_ids"))
+    )
+
+
+@query(
+    "q_setops",
+    oracle="""
+    SELECT 'with_orders' AS grp, count(*) AS cnt FROM (
+      SELECT DISTINCT c_custkey FROM customer
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS grp, count(*) AS cnt FROM (
+      SELECT DISTINCT c_custkey FROM customer
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders)
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersect/except (SURVEY §2.4 — absent in reference, free here)."""
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k")).distinct()
+    ords = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    with_o = cust.intersect(ords).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("with_orders").alias("grp"), "cnt"
+    )
+    without_o = cust.exceptAll(ords).agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.lit("without_orders").alias("grp"), "cnt"
+    )
+    return with_o.unionByName(without_o)
+
+
+@query(
+    "q_semi_anti",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE has_order)     AS n_with_orders,
+           count(*) FILTER (WHERE NOT has_order) AS n_without_orders
+    FROM (
+      SELECT c_custkey, c_mktsegment,
+             EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+      FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS). The reference
+    expresses these as side-input membership checks
+    (ray_runner_test.py:285-335); Spark has native semi/anti join."""
+    cust = t(spark, sf_dir, "customer")
+    ords = t(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    semi = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    anti = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        semi.join(anti, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (orderBy+limit → Spark TakeOrderedAndProject: per-
+    partition heap + driver merge, no full sort at 100 TB)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / analytics (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS running_rev,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + lag + partition count in one window pass."""
+    orders = t(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("o_totalprice").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("running_rev"),
+        F.lag("o_orderkey").over(wo).alias("prev_order"),
+        F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("n_orders"),
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS cnt, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup grouping sets (grouping-sets passthrough, SURVEY §7 step 2)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_open,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / conditional aggregation (multi-output ParDo + per-tag combine
+    in the reference — one pass here)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+
+
+@query(
+    "q_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT avg(i.o_totalprice) * 1.8 FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    join — the reference would need a two-pipeline side-input pattern,
+    examples/tft_iris_example/preprocessing.py:100-141)."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q_subquery_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM q_subquery_orders o
+        WHERE o.o_totalprice > (SELECT avg(i.o_totalprice) * 1.8
+                                FROM q_subquery_orders i
+                                WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization & as-of (streaming-core semantics in batch, SURVEY §2.2
+# WindowInto sessions; test ray_runner_test.py:880-890)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks)
+    SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+           count(*) AS n_events, sum(value) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap (reference Sessions windowing,
+    ray_runner_test.py:880-890). Spark session_window merges per key;
+    window.end is exclusive (last_ts + gap) so s_end is taken as max(ts)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select("user_id", "s_start", "s_end", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it. Implemented via the union+window technique (one shuffle on
+    user_id, no O(n^2) range join) — see operators.joins.asof_join."""
+    from ray_beam_runner_spark.operators.joins import asof_join
+
+    events = t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select("event_id", "ts", "user_id")
+    right = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+    )
+    return asof_join(
+        left, right, on="user_id", left_time="ts", right_time="click_ts"
+    ).select("event_id", "ts", "user_id", F.col("click_ts").alias("last_click_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage (SURVEY §2.6 — reference has none; all user
+# Python inside DoFns. Spark built-ins supersede wholesale.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                         AS brand_up,
+           substr(p_name, 1, 8)                   AS name_pfx,
+           length(p_name)                         AS name_len,
+           concat(p_brand, ':', p_type)           AS brand_type,
+           replace(p_type, ' ', '_')              AS type_slug,
+           CASE WHEN p_size >= 30 THEN 'large'
+                WHEN p_size >= 10 THEN 'medium'
+                ELSE 'small' END                  AS size_class
+    FROM part
+    """,
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + conditional scalar functions (reference: opaque Python in
+    DoFns, e.g. examples/word_count_metrics.py:73-83)."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.when(F.col("p_size") >= 30, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@query(
+    "q_scalar_mathdate",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_totalprice - 1000.0)          AS abs_diff,
+           CAST(floor(o_totalprice / 100) AS BIGINT)  AS price_bucket,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT)  AS price_kbucket,
+           year(o_orderdate)                   AS y,
+           month(o_orderdate)                  AS m,
+           dayofmonth(o_orderdate)             AS d,
+           date_trunc('month', o_orderdate)    AS month_start
+    FROM orders
+    """,
+)
+def q_scalar_mathdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + datetime scalar functions."""
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 1000.0).alias("abs_diff"),
+        F.floor(F.col("o_totalprice") / 100).alias("price_bucket"),
+        F.ceil(F.col("o_totalprice") / 1000).alias("price_kbucket"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+@query(
+    "q_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.device')  AS device,
+           json_extract_string(props, '$.country') AS country
+    FROM events
+    """,
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props column (SURVEY §2.6)."""
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.device").alias("device"),
+        F.get_json_object("props", "$.country").alias("country"),
+    )

@@ -1,0 +1,120 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs ``local[N]`` in a single JVM; production targets a
+multi-executor cluster reading ~100 TB. All settings below are safe for
+both: AQE handles runtime partition coalescing and skew-join splitting,
+shuffle partitions default to a cluster-friendly count that AQE coalesces
+down on small inputs, and Arrow is enabled for every pandas-UDF exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale:
+# - AQE on: runtime re-planning (partition coalescing, skew-join split,
+#   dynamic broadcast) is the single biggest win at 100 TB where static
+#   stats are unreliable.
+# - shuffle.partitions: starting point only; AQE coalesces. On a real
+#   cluster this should be ~2-3x total cores; locally the env var
+#   SPARK_GRAFT_CPUS drives it.
+# - maxPartitionBytes 128m: keeps scan partitions executor-memory safe.
+# - timeZone UTC: deterministic timestamp semantics vs the DuckDB oracle.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # Parquet TIMESTAMP(NANOS) (e.g. events.ts) reads as LongType;
+    # read_parquet_normalized() converts to TimestampType (µs, truncating —
+    # same as the DuckDB oracle's ns→µs cast).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
+}
+
+
+def get_spark(
+    app_name: str = "ray_beam_runner_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``);
+    on a cluster, pass the real master URL or rely on spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_parquet_normalized(spark: SparkSession, path: str):
+    """Read parquet with nanosecond-timestamp columns normalized to Spark
+    TimestampType (µs, truncating). Spark has no ns timestamp; DuckDB
+    truncates ns→µs the same way, keeping the oracle comparable."""
+    from pyspark.sql import functions as F
+
+    # Runtime-settable SQL conf — required here (not only in get_spark())
+    # because callers (e.g. the verify driver) may hand us their own session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ns_cols = _nanos_timestamp_columns(path)
+    for c in ns_cols:
+        # Integer division — nanos exceed 2^53, float division would lose
+        # precision.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the driver's synthetic parquet tables as DataFrames and register
+    temp views. Returns a dict name → DataFrame.
+
+    Tables (TESTDATA.md): region nation customer supplier part orders
+    lineitem events documents embeddings.
+    """
+    names = names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_parquet_normalized(spark, path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

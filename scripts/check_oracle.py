@@ -1,0 +1,46 @@
+"""Run every declared query against its DuckDB oracle at a given sf.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ray_beam_runner_spark import get_spark
+from ray_beam_runner_spark.plans.differential import compare
+from ray_beam_runner_spark.queries import ORACLE, QUERIES
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    failures = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name in ORACLE:
+                ok, msg = compare(df, ORACLE[name], sf_dir)
+            else:
+                n = df.count()
+                ok, msg = n >= 0, f"rows-only: {n} rows"
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        status = "PASS" if ok else "FAIL"
+        print(f"[{status}] {name:28s} {dt:6.2f}s  {msg}")
+        failures += 0 if ok else 1
+    print(f"\n{len(QUERIES) if not only else len(only)} queries, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
