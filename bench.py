@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Protocol follows BASELINE.md: warm session, each query run once to warm
+(plan + page cache) and once timed; the headline metric is the sum of the
+timed runs over the declared bench set (the 5 BASELINE.md queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ray_beam_runner_spark import get_spark
+from ray_beam_runner_spark.queries import QUERIES
+
+# The BASELINE.md declared set (headline metric = sum of these).
+BENCH_SET = ("q_agg", "q_join", "q_window", "q_events_window", "q_distinct")
+# Extended set: timed and reported, not part of the headline sum.
+EXTRA_SET = (
+    "q_gbk",
+    "q_session_window",
+    "q_asof_join",
+    "q_dedup_minhash_lsh",
+    "q_similarity_topk",
+    "q_text_stats",
+)
+
+
+def run_query(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count() if "__count_only__" in df.columns else len(df.collect())
+    dt = time.perf_counter() - t0
+    assert n >= 0
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    names = [n for n in (*BENCH_SET, *EXTRA_SET) if n in QUERIES]
+    for name in names:
+        fn = QUERIES[name]
+        run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
+        timings[name] = round(run_query(fn, spark, sf_dir), 4)
+
+    total = round(sum(timings[n] for n in BENCH_SET if n in timings), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_declared_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

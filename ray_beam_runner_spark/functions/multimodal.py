@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
+
+The container has no image/audio codecs, so the decode kernels are STUBS:
+``decode_image_stub`` raises NotImplementedError unless
+``fake_features=True``, in which case it computes deterministic
+content-derived pseudo-features (byte length, first byte, md5 prefix) so
+the Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is fully real and oracle-testable. Swapping in PIL/librosa later only
+changes the per-batch kernel body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["MEDIA_SCHEMA", "attach_media", "extract_features", "decode_image_stub"]
+
+# Canonical multimodal envelope: opaque payload + typed metadata struct.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType(), False),  # image|audio|video
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("first_byte", T.IntegerType(), True),
+        T.StructField("content_md5_pfx", T.StringType(), True),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, fake_features: bool = False) -> dict:
+    """Decode kernel stub. Real decoders (PIL/ffmpeg) are not in this
+    container; with fake_features=True returns deterministic
+    content-derived values so the distributed plumbing is testable."""
+    if not fake_features:
+        raise NotImplementedError(
+            "image/audio decoding requires codec libraries not present in "
+            "this environment; pass fake_features=True for the "
+            "deterministic test kernel"
+        )
+    import hashlib
+
+    return {
+        "byte_len": len(payload),
+        "first_byte": payload[0] if payload else None,
+        "content_md5_pfx": hashlib.md5(payload).hexdigest()[:8],
+    }
+
+
+def attach_media(df: DataFrame, id_col: str, payload_col, modality: str = "image") -> DataFrame:
+    """Wrap a binary payload column into the canonical media envelope."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).cast("binary").alias("payload")
+        if isinstance(payload_col, str)
+        else payload_col.cast("binary").alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, fake_features: bool = True) -> DataFrame:
+    """Per-payload feature extraction via mapInPandas: Arrow batches in,
+    pandas out — the production shape for decode/resize/frame-sample
+    kernels. The iterator form amortizes per-task setup (model load,
+    codec init) across batches, mirroring the reference DoFn
+    setup/teardown lifecycle (translator.py:283-326)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # setup (once per task) would load codecs/models here
+        for pdf in batches:
+            feats = [decode_image_stub(p, fake_features=fake_features) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+        # teardown (once per task)
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)

@@ -1,0 +1,127 @@
+"""Text analysis operators: normalization, tokenization, n-gram shingling,
+statistics/quality scoring, language ID, token counting, fingerprinting.
+
+The reference hosts all text logic as opaque Python in DoFns (e.g. the
+word-split regex in
+`/root/reference/ray_beam_runner/examples/word_count_metrics.py:73-83`);
+here every operator is a Catalyst expression (codegen'd, no Python in the
+hot path). Each has an exact DuckDB-SQL analog used by the oracle queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword/marker lists (public, standard function words).
+STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[.,!?;:'\"()\\-]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Trim + lowercase + collapse whitespace runs to single spaces."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-gram shingles (array<string>) of the normalized text.
+
+    Built with slice + zip_with rather than indexed element_at: Spark's
+    higher-order functions are interpreted (not codegen'd) and re-evaluate
+    argument expressions on every element access, so an element_at(toks, i)
+    formulation re-tokenizes the whole document per gram (~100x slower
+    measured at sf0.001). Here each of the n shifted slices evaluates the
+    token array once per row; the zip_with lambdas only touch slice
+    elements. Empty array for docs shorter than n tokens."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    win = F.greatest(sz - (n - 1), F.lit(0))
+    parts = [F.slice(toks, F.lit(j + 1), win) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return grams
+
+
+def n_tokens(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish regex tokens (letter runs / digit runs / punct)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), F.lit(0)))
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1]: rewards moderate
+    length, low punctuation density, healthy stopword ratio. Linear so the
+    DuckDB oracle reproduces it bit-for-bit (after 6-decimal rounding)."""
+    nt = n_tokens(col).cast("double")
+    stop_ratio = stopword_count(col).cast("double") / F.greatest(nt, F.lit(1.0))
+    punct_ratio = punct_count(col).cast("double") / F.greatest(
+        F.length(col).cast("double"), F.lit(1.0)
+    )
+    len_component = F.least(nt, F.lit(100.0)) / F.lit(100.0)
+    return F.round(
+        F.lit(0.4) * len_component
+        + F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))),
+        6,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: CJK characters → zh; otherwise the language
+    with the greatest marker-stopword count, ties resolved in fixed
+    priority order en > de > fr > es. Expressible identically in DuckDB SQL
+    for the oracle."""
+    toks = tokens(col)
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        # Single-arg lambda: F.filter inspects the signature and would pass
+        # (element, index) to a two-parameter callable.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    score = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    has_cjk = F.size(F.regexp_extract_all(col, F.lit("[\\u4e00-\\u9fff]"), F.lit(0))) > 0
+    en, de, fr, es = score["en"], score["de"], score["fr"], score["es"]
+    return (
+        F.when(has_cjk, "zh")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Full-document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_min_shingle(col: Column, n: int = 5) -> Column:
+    """Winnowing-style fingerprint: the lexicographic minimum of the md5
+    hashes of the document's word n-gram shingles. Robust to local edits
+    (unlike the full-doc hash); null for docs shorter than n tokens."""
+    return F.array_min(F.transform(word_ngrams(col, n), F.md5))

@@ -1,6 +1,335 @@
 """LLM-data-pipeline query coverage (SURVEY.md §7 step 9): deduplication,
-similarity search, text analysis, multimodal plumbing. Filled in build
-order; each query gets a DuckDB oracle where SQL can express the same
-deterministic computation."""
+similarity search, text analysis, multimodal plumbing, over the
+``documents`` and ``embeddings`` tables.
+
+Each query has a DuckDB oracle computing the identical deterministic
+function (md5-based hashes, 6-decimal rounding) — the LSH-based operators
+are engineered so their verified output equals the exact computation the
+oracle runs (see functions.dedup docstrings), keeping them hash-checkable
+while the Spark path stays subquadratic.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.queries import query, t
+
+# Shared SQL fragments for the oracles (keep in lockstep with functions.text).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_G3 = (
+    "list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+_STOP_EN = "'the','a','an','and','of','to','in','is','it','for','on','with'"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+# Single quote doubled for embedding in a SQL string literal.
+_PUNCT_RE = "[.,!?;:''\"()\\-]"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY {_NORM}
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one hash-groupBy, min-id survivor."""
+    from ray_beam_runner_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_G3}) AS g FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2, jaccard FROM (
+      SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+    WHERE jaccard >= 0.5
+    """
+
+
+@query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 (postings join)."""
+    from ray_beam_runner_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("q_dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair set found via MinHash-LSH (128 hashes, 1-row bands →
+    candidate miss probability <= (1-J)^128, negligible at J>=0.5) with
+    exact-Jaccard verification of candidates only. The oracle is the exact
+    computation — LSH must find every qualifying pair."""
+    from ray_beam_runner_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=128, threshold=0.5
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, unnest({_TOKS}) AS t FROM documents)),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN generate_series(0, 31) js(j)
+      GROUP BY doc_id, j)
+    SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (md5-derived token hashes so
+    the oracle reproduces the exact value)."""
+    from ray_beam_runner_spark.functions.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"), "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS v1, b.vec_id AS v2, sim FROM (
+      SELECT a.vec_id, b.vec_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) s(vec_id, vec_id_b, sim)
+    JOIN embeddings a ON a.vec_id = s.vec_id
+    JOIN embeddings b ON b.vec_id = s.vec_id_b
+    WHERE sim >= 0.4
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim >= 0.4). Brute-force pair scan
+    here (exact, oracle-checkable); the subquadratic path is the LSH
+    bucketing in functions.similarity (recall-tested, not hash-checkable)."""
+    from ray_beam_runner_spark.functions.similarity import cosine_pandas
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", F.round(cosine_pandas(F.col("e1"), F.col("e2")), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 8),
+    s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+          FROM q CROSS JOIN c)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)::INT AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a bounded query set (vec_id < 8) over
+    the rest of the corpus: broadcast queries, one corpus scan, window
+    rank. Similarities rounded to 6 decimals before ranking for
+    cross-engine determinism."""
+    from ray_beam_runner_spark.functions.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return cosine_topk(queries, corpus, k=5)
+
+
+@query(
+    "q_embedding_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 6) AS avg_l2,
+           round(avg(embedding[1]::DOUBLE), 6) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage on the embedding column: per-label L2 norm
+    and first-component averages (pure Catalyst aggregate/transform)."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return (
+        emb.select("label", l2.alias("l2"), F.element_at(v, 1).alias("d0"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l2"), 6).alias("avg_l2"),
+            F.round(F.avg("d0"), 6).alias("avg_dim0"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             len({_TOKS}) AS n_tok,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
+             len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct,
+             len(list_filter({_TOKS}, t -> t IN ({_STOP_EN}))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars_raw, n_tok, n_bpe, n_punct, n_stop,
+           round(0.4 * (least(n_tok, 100) / 100.0)
+               + 0.4 * least((n_stop::DOUBLE / greatest(n_tok, 1)) * 4.0, 1.0)
+               + 0.2 * (1.0 - least((n_punct::DOUBLE / greatest(n_chars_raw, 1)) * 10.0, 1.0)),
+             6) AS quality
+    FROM s
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics + heuristic quality score — all
+    JVM-side expressions (functions.text), no Python in the hot path."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_raw"),
+        X.n_tokens(c).cast("long").alias("n_tok"),
+        X.bpe_token_count(c).cast("long").alias("n_bpe"),
+        X.punct_count(c).cast("long").alias("n_punct"),
+        X.stopword_count(c).cast("long").alias("n_stop"),
+        X.quality_score(c).alias("quality"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, t -> t IN ('the','and','of','is','with'))) AS s_en,
+             len(list_filter({_TOKS}, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter({_TOKS}, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+             len(list_filter({_TOKS}, t -> t IN ('el','los','las','y','es'))) AS s_es,
+             len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 AS cjk
+      FROM documents)
+    SELECT pred_lang, count(*) AS n FROM (
+      SELECT CASE WHEN cjk THEN 'zh'
+                  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM scored)
+    GROUP BY pred_lang
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-stopword language ID, aggregated to predicted-
+    language counts (the synthetic corpus is English-like regardless of
+    its lang label — the oracle computes the identical heuristic)."""
+    from ray_beam_runner_spark.functions.text import lang_id
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+    SELECT doc_id,
+           md5({_NORM}) AS fp_md5,
+           CASE WHEN len(w) >= 5 THEN
+             list_aggregate(list_transform(
+               list_transform(generate_series(1, len(w) - 4),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]),
+               s -> md5(s)), 'min')
+           ELSE NULL END AS fp_min_shingle
+    FROM toks
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full-text md5 + winnowing-style minimum
+    5-gram-shingle md5 (robust to local edits)."""
+    from ray_beam_runner_spark.functions.text import fingerprint_md5, fingerprint_min_shingle
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_min_shingle(F.col("text"), 5).alias("fp_min_shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           substr(md5(text), 1, 8) AS content_md5_pfx
+    FROM documents
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: wrap text bytes as an opaque binary
+    payload + typed metadata struct, then run the Arrow-batched
+    mapInPandas feature-extraction kernel (deterministic fake features —
+    real codecs are stubbed; see functions.multimodal). Proves the
+    full binary-column → pandas-UDF pipeline the image/audio path uses."""
+    from ray_beam_runner_spark.functions.multimodal import attach_media, extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "doc_id", "payload"
+    )
+    return extract_features(media, fake_features=True)

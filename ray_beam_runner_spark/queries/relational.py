@@ -156,11 +156,21 @@ def q_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupByKey → (key, Iterable[value]) (reference: overrides.py:84-90,
     translator.py:341-390, test ray_runner_test.py:821-829). Spark:
     groupBy + collect_list; list serialized sorted for order-insensitive
-    comparison (Beam iterables are unordered)."""
+    comparison (Beam iterables are unordered).
+
+    Perf note: the sort/concat/count all happen in a projection AFTER the
+    aggregate — mixing declarative aggs (count) with the imperative
+    collect_list in one .agg() forces ObjectHashAggregate into its
+    sort-based fallback (~9x slower at sf0.1)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias("lines"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list("l_linenumber").alias("vs"))
+        .select(
+            "l_orderkey",
+            F.concat_ws(",", F.sort_array("vs")).alias("lines"),
+            F.size("vs").cast("long").alias("n"),
+        )
     )
 
 
