@@ -1,0 +1,801 @@
+"""Beam-model pipeline API compiled to Spark DataFrames.
+
+Provides the reference's pipeline semantics (SURVEY.md §2) natively on
+Spark: ``Pipeline`` / ``PCollection`` with ParDo (multi-output, side
+inputs, lifecycle), GroupByKey, combiners, windowing (fixed / sliding /
+sessions / custom merging), Flatten (heterogeneous), Reshuffle, Distinct,
+and user metrics.
+
+Reference parity map (all in /root/reference/ray_beam_runner/):
+- ParDo family          translator.py:157-338; portability executes DoFns
+                        in an embedded Beam worker (execution.py:54-168)
+- Tagged outputs        translator.py:180-206, 559-576
+- Side input views      translator.py:506-524, execution.py:469-525
+- GroupByKey            overrides.py:84-90, translator.py:341-390
+- WindowInto            translator.py:393-416
+- Flatten (transcoding) translator.py:419-433
+- Reshuffle             translator.py:147-154
+- Metrics               ray_fn_runner.py:462-534
+
+Design (SURVEY.md §1.3): the element envelope is ordinary columns —
+``key`` (optional), ``value``, ``event_time`` (double, seconds),
+``win_start``/``win_end`` (double, null = global window). Values are
+typed Spark columns when a type is declared (Catalyst-visible fast path)
+and pickled ``binary`` otherwise (the Beam-coder-equivalent opaque path;
+the reference is *always* opaque bytes). Opaque user Python runs through
+``mapInPandas`` (Arrow batches); everything else is DataFrame expressions.
+
+Bounded scope (matches the reference's own rejections): default trigger
+only, event-time timers only (ray_fn_runner.py:92-100), no TestStream.
+Side-input views materialize to a broadcast (bounded size — same
+assumption as the reference's state-actor commit).
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ray_beam_runner_spark.metrics import MetricsRegistry
+from ray_beam_runner_spark.windowing import (
+    FixedWindows,
+    GlobalWindows,
+    Sessions,
+    SlidingWindows,
+)
+
+GLOBAL_TS = 0.0
+_PICKLE = pickle.HIGHEST_PROTOCOL
+
+
+def _dumps(v) -> bytes:
+    return pickle.dumps(v, protocol=_PICKLE)
+
+
+def _loads(b) -> Any:
+    return pickle.loads(bytes(b))
+
+
+class TaggedOutput:
+    """Marks a DoFn output for a named tag (Beam pvalue.TaggedOutput)."""
+
+    def __init__(self, tag: str, value: Any):
+        self.tag = tag
+        self.value = value
+
+
+class DoFn:
+    """User element-wise function with the Beam lifecycle.
+
+    ``process(element, timestamp=None, window=None, **side_inputs)`` yields
+    0..N outputs (plain values or TaggedOutput). setup/start_bundle run
+    before the first element of each task, finish_bundle/teardown after
+    the last — the pandas-UDF iterator form gives the exact hook points
+    the reference gets from DoFnInvoker (translator.py:283-326)."""
+
+    def setup(self):  # pragma: no cover - trivial default
+        pass
+
+    def start_bundle(self):  # pragma: no cover
+        pass
+
+    def process(self, element, timestamp=None, window=None, **side_inputs):
+        raise NotImplementedError
+
+    def finish_bundle(self) -> Iterable[Any]:  # pragma: no cover
+        return ()
+
+    def teardown(self):  # pragma: no cover
+        pass
+
+
+class _FnDoFn(DoFn):
+    def __init__(self, fn: Callable, mode: str):
+        self.fn = fn
+        self.mode = mode  # map | flat_map | filter
+
+    def process(self, element, timestamp=None, window=None, **side):
+        if self.mode == "map":
+            yield self.fn(element)
+        elif self.mode == "flat_map":
+            yield from self.fn(element)
+        else:
+            if self.fn(element):
+                yield element
+
+
+# ---------------------------------------------------------------------------
+# Side input views (reference: translator.py:506-524; tests 163-361)
+# ---------------------------------------------------------------------------
+
+
+class _View:
+    def __init__(self, pcoll: "PCollection"):
+        self.pcoll = pcoll
+
+    def _rows(self):
+        return self.pcoll._collect_windowed()
+
+    def build(self):
+        """→ dict window -> view value (window=None for global)."""
+        raise NotImplementedError
+
+
+class AsList(_View):
+    def build(self):
+        out: dict = {}
+        for elem, _ts, win in self._rows():
+            out.setdefault(win, []).append(elem)
+        return out
+
+
+class AsSingleton(_View):
+    def build(self):
+        out: dict = {}
+        for elem, _ts, win in self._rows():
+            if win in out:
+                raise ValueError("AsSingleton side input has multiple values")
+            out[win] = elem
+        return out
+
+
+class AsDict(_View):
+    def build(self):
+        out: dict = {}
+        for elem, _ts, win in self._rows():
+            k, v = elem
+            out.setdefault(win, {})[k] = v
+        return out
+
+
+class AsMultiMap(_View):
+    def build(self):
+        out: dict = {}
+        for elem, _ts, win in self._rows():
+            k, v = elem
+            out.setdefault(win, {}).setdefault(k, []).append(v)
+        return out
+
+
+def _lookup_side(view_by_window: dict, main_win, main_ts: float, default):
+    """Window-mapping: global side → its single view; windowed side → the
+    side window containing the main element's timestamp (reference
+    delivers views keyed (transform, tag, window), execution.py:493-523)."""
+    if set(view_by_window.keys()) == {None}:
+        return view_by_window[None]
+    probe = main_ts if main_win is None else main_win[0]
+    for win, view in view_by_window.items():
+        if win is not None and win[0] <= probe < win[1]:
+            return view
+    return default
+
+
+# ---------------------------------------------------------------------------
+# PCollection
+# ---------------------------------------------------------------------------
+
+_ENVELOPE_META = ("event_time", "win_start", "win_end")
+
+
+class PCollection:
+    """A distributed collection: DataFrame + envelope metadata.
+
+    ``df`` columns: [key?, value, event_time, win_start, win_end].
+    ``pickled``: whether value (and key) are opaque pickled bytes.
+    ``windowing``: the WindowFn in effect (merging fns apply at GBK)."""
+
+    def __init__(
+        self,
+        pipeline: "Pipeline",
+        df: DataFrame,
+        keyed: bool,
+        pickled: bool,
+        windowing=None,
+        grouped: bool = False,
+    ):
+        self.pipeline = pipeline
+        self.df = df
+        self.keyed = keyed
+        self.pickled = pickled
+        self.windowing = windowing or GlobalWindows()
+        self.grouped = grouped  # value is array<...> from GBK
+
+    # -- element-wise (ParDo family) ------------------------------------
+
+    def par_do(
+        self,
+        dofn: DoFn,
+        output_type: str | None = None,
+        outputs: tuple[str, ...] = (),
+        side_inputs: dict[str, _View] | None = None,
+        keyed_output: bool | None = None,
+    ):
+        """Run a DoFn over every element. Returns a PCollection, or a dict
+        {tag: PCollection} (main output under 'main') when ``outputs``
+        names side tags. ``output_type`` is a Spark DDL type for the value
+        column; None → opaque pickled values."""
+        side_views = {
+            name: self.pipeline.spark.sparkContext.broadcast(view.build())
+            for name, view in (side_inputs or {}).items()
+        }
+        keyed_in, pickled_in, grouped_in = self.keyed, self.pickled, self.grouped
+        out_pickled = output_type is None
+        value_type = T._parse_datatype_string(output_type) if output_type else T.BinaryType()
+        schema = T.StructType(
+            [
+                T.StructField("value", value_type),
+                T.StructField("event_time", T.DoubleType()),
+                T.StructField("win_start", T.DoubleType()),
+                T.StructField("win_end", T.DoubleType()),
+                T.StructField("tag", T.StringType()),
+            ]
+        )
+        def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            dofn.setup()
+            dofn.start_bundle()
+            sides = {name: bc.value for name, bc in side_views.items()}
+
+            def emit_rows(outs, ts, ws, we, rows):
+                for out in outs:
+                    tag, val = (
+                        (out.tag, out.value) if isinstance(out, TaggedOutput) else (None, out)
+                    )
+                    rows.append(
+                        (
+                            _dumps(val) if out_pickled else val,
+                            ts,
+                            ws,
+                            we,
+                            tag,
+                        )
+                    )
+
+            for pdf in batches:
+                rows: list = []
+                for row in pdf.itertuples(index=False):
+                    d = row._asdict()
+                    elem = _decode_element(d, keyed_in, pickled_in, grouped_in)
+                    ts = d["event_time"]
+                    win = None if pd.isna(d["win_start"]) else (d["win_start"], d["win_end"])
+                    bound_sides = {
+                        name: _lookup_side(view, win, ts, None) for name, view in sides.items()
+                    }
+                    outs = dofn.process(elem, timestamp=ts, window=win, **bound_sides)
+                    emit_rows(outs, ts, d["win_start"], d["win_end"], rows)
+                yield pd.DataFrame(rows, columns=["value", "event_time", "win_start", "win_end", "tag"])
+            final_rows: list = []
+            emit_rows(dofn.finish_bundle() or (), GLOBAL_TS, None, None, final_rows)
+            if final_rows:
+                yield pd.DataFrame(
+                    final_rows, columns=["value", "event_time", "win_start", "win_end", "tag"]
+                )
+            dofn.teardown()
+
+        out_df = self.df.mapInPandas(kernel, schema=schema)
+        out_keyed = bool(keyed_output)
+        if outputs:
+            out_df = out_df.persist()
+            result = {
+                "main": self._child(out_df.filter(F.col("tag").isNull()).drop("tag"), out_keyed, out_pickled)
+            }
+            for tag in outputs:
+                result[tag] = self._child(
+                    out_df.filter(F.col("tag") == tag).drop("tag"), out_keyed, out_pickled
+                )
+            return result
+        return self._child(out_df.drop("tag"), out_keyed, out_pickled)
+
+    def _child(self, df: DataFrame, keyed: bool, pickled: bool, grouped: bool = False):
+        return PCollection(self.pipeline, df, keyed, pickled, self.windowing, grouped)
+
+    def map(self, fn: Callable, output_type: str | None = None) -> "PCollection":
+        return self.par_do(_FnDoFn(fn, "map"), output_type)
+
+    def flat_map(self, fn: Callable, output_type: str | None = None) -> "PCollection":
+        return self.par_do(_FnDoFn(fn, "flat_map"), output_type)
+
+    def filter(self, fn: Callable) -> "PCollection":
+        # Identity output — preserve the input's typed-ness by re-declaring
+        # nothing: pickled in → pickled out; typed in → pandas passthrough.
+        if not self.pickled:
+            ddl = self.df.schema["value"].dataType.simpleString()
+            return self.par_do(_FnDoFn(fn, "filter"), ddl, keyed_output=self.keyed)
+        return self.par_do(_FnDoFn(fn, "filter"), None, keyed_output=self.keyed)
+
+    def select_expr(self, *exprs: str) -> "PCollection":
+        """Typed fast path: transform the value with SQL expressions over a
+        typed value column (stays fully inside Catalyst — zero Python).
+        The first expr must alias to ``value``."""
+        if self.pickled:
+            raise ValueError("select_expr requires a typed value column")
+        df = self.df.selectExpr(*exprs, *(c for c in _ENVELOPE_META))
+        return self._child(df, self.keyed, False)
+
+    # -- keying ----------------------------------------------------------
+
+    def map_to_kv(self, fn: Callable, key_type: str | None = None, value_type: str | None = None):
+        """fn(element) -> (key, value); None types → pickled."""
+        pc = self.map(fn)  # pickled tuples
+        return pc._split_kv(key_type, value_type)
+
+    def _split_kv(self, key_type: str | None, value_type: str | None) -> "PCollection":
+        assert self.pickled and not self.keyed
+        k_t = T._parse_datatype_string(key_type) if key_type else T.BinaryType()
+        v_t = T._parse_datatype_string(value_type) if value_type else T.BinaryType()
+        schema = T.StructType(
+            [
+                T.StructField("key", k_t),
+                T.StructField("value", v_t),
+                T.StructField("event_time", T.DoubleType()),
+                T.StructField("win_start", T.DoubleType()),
+                T.StructField("win_end", T.DoubleType()),
+            ]
+        )
+        kp, vp = key_type is None, value_type is None
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    d = row._asdict()
+                    k, v = _loads(d["value"])
+                    rows.append(
+                        (
+                            _dumps(k) if kp else k,
+                            _dumps(v) if vp else v,
+                            d["event_time"],
+                            d["win_start"],
+                            d["win_end"],
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=["key", "value", "event_time", "win_start", "win_end"])
+
+        df = self.df.mapInPandas(kernel, schema=schema)
+        out = self._child(df, True, vp)
+        out.key_pickled = kp
+        return out
+
+    # -- windowing --------------------------------------------------------
+
+    def window_into(self, windowfn) -> "PCollection":
+        """Assign windows from event_time (reference translator.py:393-416).
+        Non-merging fns materialize win_start/win_end now (sliding windows
+        fan out via explode); merging fns defer to grouping time."""
+        if isinstance(windowfn, GlobalWindows):
+            df = self.df.withColumn("win_start", F.lit(None).cast("double")).withColumn(
+                "win_end", F.lit(None).cast("double")
+            )
+        elif isinstance(windowfn, FixedWindows):
+            start = F.floor(F.col("event_time") / windowfn.size) * windowfn.size
+            df = self.df.withColumn("win_start", start.cast("double")).withColumn(
+                "win_end", (start + windowfn.size).cast("double")
+            )
+        elif isinstance(windowfn, SlidingWindows):
+            size, period = float(windowfn.size), float(windowfn.period)
+            first = F.floor(F.col("event_time") / period) * period
+            # Descending window starts: first = floor(ts/period); last = the
+            # smallest s with s*period + size > ts (strict) = floor((ts-size)/period)+1.
+            starts = F.sequence(
+                (first / period).cast("long"),
+                F.floor((F.col("event_time") - size) / period).cast("long") + 1,
+                F.lit(-1),
+            )
+            df = (
+                self.df.withColumn("__s", F.explode(starts))
+                .withColumn("win_start", (F.col("__s") * period).cast("double"))
+                .withColumn("win_end", (F.col("__s") * period + size).cast("double"))
+                .drop("__s")
+            )
+        else:
+            # Merging windowfn: keep proto-window assignment per element;
+            # merge happens per key at grouping (GroupAlsoByWindow).
+            df = self.df
+        return PCollection(self.pipeline, df, self.keyed, self.pickled, windowfn, self.grouped)
+
+    def with_timestamps(self, fn: Callable) -> "PCollection":
+        """Set event_time per element (Beam TimestampedValue)."""
+        keyed, pickled, grouped = self.keyed, self.pickled, self.grouped
+
+        def kernel(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                ts = [
+                    float(fn(_decode_element(row._asdict(), keyed, pickled, grouped)))
+                    for row in pdf.itertuples(index=False)
+                ]
+                out["event_time"] = ts
+                yield out
+
+        return self._child(self.df.mapInPandas(kernel, schema=self.df.schema), keyed, pickled, grouped)
+
+    # -- grouping ----------------------------------------------------------
+
+    def group_by_key(self) -> "PCollection":
+        """GBK: (key, window) → iterable of values. Non-merging windows:
+        a single groupBy — the shuffle IS the Exchange Catalyst plans.
+        Merging windows (sessions/custom): per-key applyInPandas merge
+        (GroupAlsoByWindow, reference overrides.py:72-79)."""
+        if not self.keyed:
+            raise ValueError("group_by_key requires a keyed PCollection")
+        wfn = self.windowing
+        if getattr(wfn, "merging", False):
+            return self._gbk_merging(wfn)
+        grouped = (
+            self.df.groupBy("key", "win_start", "win_end")
+            .agg(F.collect_list("value").alias("value"), F.max("event_time").alias("event_time"))
+            .select("key", "value", "event_time", "win_start", "win_end")
+        )
+        return PCollection(self.pipeline, grouped, True, self.pickled, wfn, grouped=True)
+
+    def _gbk_merging(self, wfn) -> "PCollection":
+        schema = T.StructType(
+            [
+                T.StructField("key", self.df.schema["key"].dataType),
+                T.StructField("value", T.ArrayType(self.df.schema["value"].dataType)),
+                T.StructField("event_time", T.DoubleType()),
+                T.StructField("win_start", T.DoubleType()),
+                T.StructField("win_end", T.DoubleType()),
+            ]
+        )
+
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            protos = []
+            for ts in pdf["event_time"]:
+                protos.extend(wfn.assign(float(ts)))
+            merged = wfn.merge(protos)
+
+            def locate(ts: float):
+                for s, e in merged:
+                    for ps, pe in wfn.assign(ts):
+                        if s <= ps and pe <= e:
+                            return (s, e)
+                raise AssertionError("window merge did not cover element")
+
+            buckets: dict = {}
+            for _, row in pdf.iterrows():
+                w = locate(float(row["event_time"]))
+                buckets.setdefault(w, []).append((row["value"], row["event_time"]))
+            rows = [
+                (pdf["key"].iloc[0], [v for v, _ in items], max(t for _, t in items), s, e)
+                for (s, e), items in buckets.items()
+            ]
+            return pd.DataFrame(rows, columns=["key", "value", "event_time", "win_start", "win_end"])
+
+        df = self.df.groupBy("key").applyInPandas(merge_group, schema=schema)
+        return PCollection(self.pipeline, df, True, self.pickled, wfn, grouped=True)
+
+    def combine_per_key(self, spec) -> "PCollection":
+        """Per-key combiner. ``spec`` ∈ {'sum','min','max','mean','count'}
+        (native partial/final hash agg — the lifting the reference does via
+        translations.lift_combiners is built into Spark) or a callable
+        list→value (runs after GBK)."""
+        if callable(spec):
+            gbk = self.group_by_key()
+            return gbk.map_kv_values(lambda vs: spec(list(vs)))
+        if self.pickled:
+            raise ValueError("named combiners require a typed value column")
+        wfn = self.windowing
+        if getattr(wfn, "merging", False):
+            gbk = self.group_by_key()
+            agg = {"sum": sum, "min": min, "max": max, "mean": lambda v: sum(v) / len(v), "count": len}[spec]
+            return gbk.map_kv_values(agg)
+        exprs = {
+            "sum": F.sum("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "mean": F.avg("value"),
+            "count": F.count(F.lit(1)),
+        }
+        df = (
+            self.df.groupBy("key", "win_start", "win_end")
+            .agg(exprs[spec].alias("value"), F.max("event_time").alias("event_time"))
+            .select("key", "value", "event_time", "win_start", "win_end")
+        )
+        return PCollection(self.pipeline, df, True, False, wfn)
+
+    def map_kv_values(self, fn: Callable, output_type: str | None = None) -> "PCollection":
+        """Map over values of a keyed PCollection, keeping keys."""
+        keyed, pickled, grouped = self.keyed, self.pickled, self.grouped
+        out_pickled = output_type is None
+        v_t = T._parse_datatype_string(output_type) if output_type else T.BinaryType()
+        schema = T.StructType(
+            [
+                T.StructField("key", self.df.schema["key"].dataType),
+                T.StructField("value", v_t),
+                T.StructField("event_time", T.DoubleType()),
+                T.StructField("win_start", T.DoubleType()),
+                T.StructField("win_end", T.DoubleType()),
+            ]
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    d = row._asdict()
+                    _, v = _decode_element(d, keyed, pickled, grouped)
+                    res = fn(v)
+                    rows.append(
+                        (
+                            d["key"],
+                            _dumps(res) if out_pickled else res,
+                            d["event_time"],
+                            d["win_start"],
+                            d["win_end"],
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=["key", "value", "event_time", "win_start", "win_end"])
+
+        out = PCollection(
+            self.pipeline, self.df.mapInPandas(kernel, schema=schema), True, out_pickled, self.windowing
+        )
+        out.key_pickled = getattr(self, "key_pickled", self.pickled)
+        return out
+
+    def combine_globally(self, spec) -> "PCollection":
+        """CombineGlobally (reference tests ray_runner_test.py:1133-1161).
+        Named specs run as a native global aggregate; callables fold the
+        collected iterable per window (single-key GBK)."""
+        if callable(spec):
+            keyed = self.map_to_kv(lambda v: (None, v))._fix_none_key()
+            combined = keyed.combine_per_key(spec)
+            return combined.values()
+        if self.pickled:
+            raise ValueError("named combiners require a typed value column")
+        exprs = {
+            "sum": F.sum("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "mean": F.avg("value"),
+            "count": F.count(F.lit(1)),
+        }
+        df = self.df.groupBy("win_start", "win_end").agg(
+            exprs[spec].alias("value"), F.max("event_time").alias("event_time")
+        )
+        return PCollection(self.pipeline, df, False, False, self.windowing)
+
+    def _fix_none_key(self):
+        return self
+
+    def count_globally(self) -> "PCollection":
+        df = self.df.groupBy("win_start", "win_end").agg(
+            F.count(F.lit(1)).alias("value"), F.max("event_time").alias("event_time")
+        )
+        return PCollection(self.pipeline, df, False, False, self.windowing)
+
+    def keys(self) -> "PCollection":
+        df = self.df.select(F.col("key").alias("value"), *_ENVELOPE_META)
+        out = self._child(df, False, getattr(self, "key_pickled", self.pickled))
+        return out
+
+    def values(self) -> "PCollection":
+        df = self.df.select("value", *_ENVELOPE_META)
+        return self._child(df, False, self.pickled, self.grouped)
+
+    # -- set ops / repartition ---------------------------------------------
+
+    def flatten_with(self, *others: "PCollection") -> "PCollection":
+        """Flatten/union; heterogeneous inputs transcode to the opaque
+        pickled representation (reference transcodes coders the same way,
+        translator.py:419-433, test ray_runner_test.py:838-855). No
+        repartition(1) — the reference's union+repartition(1) would
+        serialize at scale."""
+        pcs = [self, *others]
+        types = {pc.df.schema["value"].dataType.simpleString() for pc in pcs}
+        hetero = len(types) > 1 or any(pc.pickled for pc in pcs) != all(pc.pickled for pc in pcs)
+        if hetero:
+            pcs = [pc if pc.pickled else pc.map(lambda x: x) for pc in pcs]
+        df = pcs[0].df.select("value", *_ENVELOPE_META)
+        for pc in pcs[1:]:
+            df = df.unionByName(pc.df.select("value", *_ENVELOPE_META))
+        return PCollection(self.pipeline, df, False, pcs[0].pickled, self.windowing)
+
+    def reshuffle(self, num_partitions: int | None = None) -> "PCollection":
+        """Redistribute elements (reference translator.py:147-154 uses
+        random_shuffle; here a round-robin repartition — same fusion-break
+        and skew-fix effect without a data sort)."""
+        df = self.df.repartition(num_partitions) if num_partitions else self.df.repartition(
+            self.df.sparkSession.sparkContext.defaultParallelism
+        )
+        return self._child(df, self.keyed, self.pickled, self.grouped)
+
+    def distinct(self) -> "PCollection":
+        cols = (["key"] if self.keyed else []) + ["value", "win_start", "win_end"]
+        df = self.df.dropDuplicates(cols)
+        return self._child(df, self.keyed, self.pickled, self.grouped)
+
+    # -- sinks / testing -----------------------------------------------------
+
+    def write_text(self, path: str):
+        """Line-per-element text sink (reference WriteToText,
+        examples/word_count_metrics.py:130-134)."""
+        if self.pickled:
+            raise ValueError("write_text requires typed (string-castable) values")
+        self.df.select(F.col("value").cast("string")).write.mode("overwrite").text(path)
+
+    def to_dataframe(self) -> DataFrame:
+        return self.df
+
+    def _collect_windowed(self):
+        keyed, pickled, grouped = self.keyed, self.pickled, self.grouped
+        rows = []
+        for r in self.df.collect():
+            d = r.asDict(recursive=True)
+            elem = _decode_element(d, keyed, pickled, grouped, from_row=True)
+            win = None if d.get("win_start") is None else (d["win_start"], d["win_end"])
+            rows.append((elem, d["event_time"], win))
+        return rows
+
+    def collect(self) -> list:
+        """Decoded elements (KV pairs as tuples; GBK values as lists)."""
+        return [elem for elem, _ts, _win in self._collect_windowed()]
+
+    def assert_that(self, expected: Iterable[Any], msg: str = ""):
+        """Multiset equality on decoded elements (Beam assert_that/equal_to)."""
+        actual = self.collect()
+        ka = sorted((repr(_canon(e)) for e in actual))
+        ke = sorted((repr(_canon(e)) for e in expected))
+        if ka != ke:
+            raise AssertionError(
+                f"assert_that failed{': ' + msg if msg else ''}\n actual={sorted(map(repr, actual))}\n expected={sorted(map(repr, expected))}"
+            )
+        return True
+
+
+def _canon(e):
+    if isinstance(e, tuple):
+        return tuple(_canon(x) for x in e)
+    if isinstance(e, list):
+        return tuple(sorted((repr(_canon(x)) for x in e)))
+    return e
+
+
+def _decode_element(d: dict, keyed: bool, pickled: bool, grouped: bool, from_row: bool = False):
+    v = d["value"]
+    if grouped:
+        vals = list(v) if v is not None else []
+        v = [_loads(x) if pickled else _from_np(x) for x in vals]
+    elif pickled:
+        v = _loads(v)
+    else:
+        v = _from_np(v)
+    if keyed:
+        k = d["key"]
+        k = _loads(k) if isinstance(k, (bytes, bytearray)) else _from_np(k)
+        return (k, v)
+    return v
+
+
+def _from_np(v):
+    """numpy scalar/array → plain python (Arrow round-trip artifacts)."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_from_np(x) for x in v.tolist()]
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+class Pipeline:
+    """Entry point. Transforms build DataFrames eagerly (the lazy DAG is
+    Catalyst's — reference CollectionMap parity per SURVEY §1.3)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.metrics = MetricsRegistry(spark)
+
+    def create(
+        self,
+        values: Iterable[Any],
+        value_type: str | None = None,
+        timestamp_fn: Callable | None = None,
+    ) -> PCollection:
+        """Materialize an in-memory list (reference Create,
+        translator.py:105-119). ``value_type`` DDL → typed column; None →
+        opaque pickled values (any Python object)."""
+        values = list(values)
+        ts = [float(timestamp_fn(v)) if timestamp_fn else GLOBAL_TS for v in values]
+        if value_type is not None:
+            v_t = T._parse_datatype_string(value_type)
+            pickled = False
+            data = [(v, t, None, None) for v, t in zip(values, ts)]
+        else:
+            v_t = T.BinaryType()
+            pickled = True
+            data = [(_dumps(v), t, None, None) for v, t in zip(values, ts)]
+        schema = T.StructType(
+            [
+                T.StructField("value", v_t),
+                T.StructField("event_time", T.DoubleType()),
+                T.StructField("win_start", T.DoubleType()),
+                T.StructField("win_end", T.DoubleType()),
+            ]
+        )
+        df = self.spark.createDataFrame(data, schema=schema)
+        return PCollection(self, df, False, pickled)
+
+    def create_kv(
+        self,
+        pairs: Iterable[tuple],
+        key_type: str | None = None,
+        value_type: str | None = None,
+        timestamp_fn: Callable | None = None,
+    ) -> PCollection:
+        pairs = list(pairs)
+        ts = [float(timestamp_fn(p)) if timestamp_fn else GLOBAL_TS for p in pairs]
+        k_t = T._parse_datatype_string(key_type) if key_type else T.BinaryType()
+        v_t = T._parse_datatype_string(value_type) if value_type else T.BinaryType()
+        data = [
+            (
+                k if key_type else _dumps(k),
+                v if value_type else _dumps(v),
+                t,
+                None,
+                None,
+            )
+            for (k, v), t in zip(pairs, ts)
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("key", k_t),
+                T.StructField("value", v_t),
+                T.StructField("event_time", T.DoubleType()),
+                T.StructField("win_start", T.DoubleType()),
+                T.StructField("win_end", T.DoubleType()),
+            ]
+        )
+        df = self.spark.createDataFrame(data, schema=schema)
+        out = PCollection(self, df, True, value_type is None)
+        out.key_pickled = key_type is None
+        return out
+
+    def impulse(self) -> PCollection:
+        """Single seed element (reference translator.py:95-102)."""
+        df = self.spark.range(1).select(
+            F.lit(_dumps(None)).alias("value"),
+            F.lit(GLOBAL_TS).alias("event_time"),
+            F.lit(None).cast("double").alias("win_start"),
+            F.lit(None).cast("double").alias("win_end"),
+        )
+        return PCollection(self, df, False, True)
+
+    def read_text(self, path: str, skip_header_lines: int = 0) -> PCollection:
+        """Text source, one element per line (reference translator.py:122-144
+        including the header-skip at 138-140)."""
+        df = self.spark.read.text(path)
+        if skip_header_lines:
+            # Per-file line indices; zipWithIndex is only line-ordered within
+            # a single file — matches the reference's single-source semantics.
+            rdd = df.rdd.zipWithIndex().filter(lambda t: t[1] >= skip_header_lines).map(lambda t: t[0])
+            df = self.spark.createDataFrame(rdd, df.schema)
+        out = df.select(
+            F.col("value").cast("string").alias("value"),
+            F.lit(GLOBAL_TS).alias("event_time"),
+            F.lit(None).cast("double").alias("win_start"),
+            F.lit(None).cast("double").alias("win_end"),
+        )
+        return PCollection(self, out, False, False)
+
+    def from_dataframe(self, df: DataFrame, value_col: str, event_time_col: str | None = None):
+        """Bridge: wrap any DataFrame column as a PCollection."""
+        out = df.select(
+            F.col(value_col).alias("value"),
+            (F.col(event_time_col).cast("double") if event_time_col else F.lit(GLOBAL_TS)).alias(
+                "event_time"
+            ),
+            F.lit(None).cast("double").alias("win_start"),
+            F.lit(None).cast("double").alias("win_end"),
+        )
+        return PCollection(self, out, False, False)

@@ -1,0 +1,390 @@
+"""Beam-model conformance tests, mirroring the reference suite
+`/root/reference/ray_beam_runner/portability/ray_runner_test.py` scenario
+by scenario (cited per test). Inputs are the same inline literals
+(FIXTURES.md §B); assertions are multiset equality like Beam's
+assert_that/equal_to.
+"""
+
+import pytest
+
+from ray_beam_runner_spark.pipeline import AsDict, AsList, AsMultiMap, AsSingleton, DoFn, Pipeline, TaggedOutput
+from ray_beam_runner_spark.windowing import CustomMergingWindows, FixedWindows, Sessions, SlidingWindows
+
+
+@pytest.fixture()
+def p(spark):
+    return Pipeline(spark)
+
+
+# -- create / pardo / map / flatmap / filter (ray_runner_test.py:109-141) --
+
+
+def test_create(p):
+    p.create(["a", "b"]).assert_that(["a", "b"])
+
+
+def test_create_typed(p):
+    p.create([1, 2, 3], value_type="bigint").assert_that([1, 2, 3])
+
+
+def test_assert_that_fails(p):
+    with pytest.raises(AssertionError):
+        p.create(["a", "b"]).assert_that(["a"])
+
+
+def test_pardo(p):
+    # ray_runner_test.py:118-126: chained ParDo str concat
+    pc = p.create(["a", "b"])
+    pc.map(lambda x: x + "x").map(lambda x: x + "y").assert_that(["axy", "bxy"])
+
+
+def test_flat_map(p):
+    # ray_runner_test.py:128-141 style 1->N
+    p.create(["xy", "z"]).flat_map(list).assert_that(["x", "y", "z"])
+
+
+def test_filter(p):
+    p.create([1, 2, 3, 4]).filter(lambda x: x % 2 == 0).assert_that([2, 4])
+
+
+def test_filter_typed(p):
+    p.create([1, 2, 3, 4], value_type="bigint").filter(lambda x: x % 2 == 0).assert_that([2, 4])
+
+
+def test_select_expr_typed_fast_path(p):
+    p.create([1, 2, 3], value_type="bigint").select_expr("value * 10 AS value").assert_that(
+        [10, 20, 30]
+    )
+
+
+def test_pardo_heterogeneous_objects(p):
+    # arbitrary pickled python objects flow through
+    p.create([{"a": 1}, (1, 2), None, 3.5]).map(lambda x: x).assert_that(
+        [{"a": 1}, (1, 2), None, 3.5]
+    )
+
+
+def test_dofn_lifecycle(p):
+    # translator.py:283-326 lifecycle hooks; finish_bundle emissions counted
+    class LifecycleFn(DoFn):
+        def setup(self):
+            self.ready = True
+
+        def start_bundle(self):
+            self.n = 0
+
+        def process(self, element, timestamp=None, window=None, **side):
+            assert self.ready
+            self.n += 1
+            yield element * 2
+
+        def finish_bundle(self):
+            return [TaggedOutput("bundle_counts", self.n)] if self.n else []
+
+    out = p.create([1, 2, 3], value_type="bigint").par_do(
+        LifecycleFn(), output_type="bigint", outputs=("bundle_counts",)
+    )
+    out["main"].assert_that([2, 4, 6])
+    # bundle counts sum to the element count regardless of partitioning
+    assert sum(out["bundle_counts"].collect()) == 3
+
+
+# -- tagged outputs (ray_runner_test.py:128-161, 1285-1311) --
+
+
+def test_multi_output_pardo(p):
+    class SplitFn(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            if element % 2 == 0:
+                yield TaggedOutput("even", element)
+            else:
+                yield element
+
+    outs = p.create([1, 2, 3, 4], value_type="bigint").par_do(
+        SplitFn(), output_type="bigint", outputs=("even",)
+    )
+    outs["main"].assert_that([1, 3])
+    outs["even"].assert_that([2, 4])
+
+
+# -- side inputs (ray_runner_test.py:163-361) --
+
+
+def test_side_input_list(p):
+    side = p.create([1, 2, 3])
+    main = p.create([10, 20])
+
+    class AddAll(DoFn):
+        def process(self, element, timestamp=None, window=None, s=None):
+            yield element + sum(s)
+
+    main.par_do(AddAll(), side_inputs={"s": AsList(side)}).assert_that([16, 26])
+
+
+def test_side_input_singleton(p):
+    side = p.create([7])
+    p.create([1, 2]).par_do(
+        _add_side(), side_inputs={"s": AsSingleton(side)}
+    ).assert_that([8, 9])
+
+
+def test_side_input_dict(p):
+    side = p.create([("a", 1), ("b", 2)])
+    main = p.create(["a", "b", "a"])
+
+    class Lookup(DoFn):
+        def process(self, element, timestamp=None, window=None, d=None):
+            yield d[element]
+
+    main.par_do(Lookup(), side_inputs={"d": AsDict(side)}).assert_that([1, 2, 1])
+
+
+def test_side_input_multimap(p):
+    # ray_runner_test.py:285-335
+    side = p.create([("a", 1), ("a", 2), ("b", 3)])
+    main = p.create(["a", "b"])
+
+    class Lookup(DoFn):
+        def process(self, element, timestamp=None, window=None, mm=None):
+            yield (element, sorted(mm[element]))
+
+    main.par_do(Lookup(), side_inputs={"mm": AsMultiMap(side)}).assert_that(
+        [("a", [1, 2]), ("b", [3])]
+    )
+
+
+def test_windowed_side_input(p):
+    # ray_runner_test.py:220-251: side input matched per window
+    main = p.create(range(9), timestamp_fn=lambda v: v).window_into(FixedWindows(5))
+    side = p.create([10, 20], timestamp_fn=lambda v: 0 if v == 10 else 5).window_into(
+        FixedWindows(5)
+    )
+
+    class AddSide(DoFn):
+        def process(self, element, timestamp=None, window=None, s=None):
+            yield element + s[0]
+
+    main.par_do(AddSide(), side_inputs={"s": AsList(side)}).assert_that(
+        [10, 11, 12, 13, 14, 25, 26, 27, 28]
+    )
+
+
+def _add_side():
+    class AddS(DoFn):
+        def process(self, element, timestamp=None, window=None, s=None):
+            yield element + s
+
+    return AddS()
+
+
+# -- GBK / combine (ray_runner_test.py:821-829, 857-864, 1108-1185) --
+
+
+def test_group_by_key(p):
+    pc = p.create_kv([("a", 1), ("a", 2), ("b", 3)], key_type="string", value_type="bigint")
+    pc.group_by_key().assert_that([("a", [1, 2]), ("b", [3])])
+
+
+def test_group_by_key_pickled(p):
+    # tuple keys / arbitrary values, the KeyWrapper case (translator.py:353-361)
+    pc = p.create_kv([((1, "x"), "u"), ((1, "x"), "v"), (None, "w")])
+    pc.group_by_key().assert_that([((1, "x"), ["u", "v"]), (None, ["w"])])
+
+
+def test_combine_per_key_mean(p):
+    # ray_runner_test.py:857-864 (Combine.perKey(mean))
+    pc = p.create_kv(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], key_type="string", value_type="double"
+    )
+    pc.combine_per_key("mean").assert_that([("a", 2.0), ("b", 10.0)])
+
+
+def test_combine_per_key_callable(p):
+    pc = p.create_kv([("a", 1), ("a", 2), ("b", 3)], key_type="string", value_type="bigint")
+    pc.combine_per_key(lambda vs: max(vs)).assert_that([("a", 2), ("b", 3)])
+
+
+def test_combine_globally(p):
+    # ray_runner_test.py:1133-1161 (min / max packed)
+    pc = p.create(list(range(10)), value_type="bigint")
+    pc.combine_globally("min").assert_that([0])
+    pc.combine_globally("max").assert_that([9])
+    pc.combine_globally(lambda vs: sum(vs)).assert_that([45])
+
+
+def test_count_globally(p):
+    # ray_runner_test.py:1108-1115
+    p.create(list(range(7))).count_globally().assert_that([7])
+
+
+def test_wordcount(p):
+    # the reference's canonical e2e (examples/word_count_metrics.py:110-134)
+    lines = ["the cat", "the dog", "cat"]
+    counts = (
+        p.create(lines)
+        .flat_map(lambda l: l.split())
+        .map_to_kv(lambda w: (w, 1), key_type="string", value_type="bigint")
+        .combine_per_key("sum")
+    )
+    counts.assert_that([("the", 2), ("cat", 2), ("dog", 1)])
+
+
+# -- flatten / reshuffle / distinct (ray_runner_test.py:832-855) --
+
+
+def test_flatten(p):
+    a, b = p.create(["a"]), p.create(["b", "c"])
+    a.flatten_with(b).assert_that(["a", "b", "c"])
+
+
+def test_flatten_heterogeneous(p):
+    # ray_runner_test.py:838-855 flattens str with int (coder transcoding)
+    a = p.create(["a"], value_type="string")
+    b = p.create([100], value_type="bigint")
+    a.flatten_with(b).assert_that(["a", 100])
+
+
+def test_reshuffle(p):
+    # translator.py:147-154; content-preserving redistribution
+    p.create(list(range(20)), value_type="bigint").reshuffle(5).assert_that(list(range(20)))
+
+
+def test_distinct(p):
+    p.create([1, 2, 2, 3, 3, 3], value_type="bigint").distinct().assert_that([1, 2, 3])
+
+
+# -- windowing (ray_runner_test.py:880-908, 2028-2047) --
+
+
+def test_fixed_windows_gbk(p):
+    pc = p.create_kv(
+        [("k", 1), ("k", 2), ("k", 6)],
+        key_type="string",
+        value_type="bigint",
+        timestamp_fn=lambda kv: kv[1],
+    )
+    out = pc.window_into(FixedWindows(5)).group_by_key()
+    out.assert_that([("k", [1, 2]), ("k", [6])])
+
+
+def test_sliding_windows(p):
+    # size 4 period 2: t=3 belongs to [0,4) and [2,6)
+    pc = p.create_kv(
+        [("k", 3)], key_type="string", value_type="bigint", timestamp_fn=lambda kv: kv[1]
+    )
+    out = pc.window_into(SlidingWindows(4, 2)).group_by_key()
+    out.assert_that([("k", [3]), ("k", [3])])
+
+
+def test_session_windows(p):
+    # ray_runner_test.py:880-890: [1,2,100,101,102] gap 10 -> [1,2] + [100,101,102]
+    data = [1, 2, 100, 101, 102]
+    pc = p.create_kv(
+        [("k", t) for t in data], key_type="string", value_type="bigint", timestamp_fn=lambda kv: kv[1]
+    )
+    out = pc.window_into(Sessions(10)).group_by_key()
+    out.assert_that([("k", [1, 2]), ("k", [100, 101, 102])])
+
+
+def test_custom_merging_windows(p):
+    # ray_runner_test.py:892-908, 2028-2047: merge all even-timestamp
+    # elements into one window, odd ones stay alone.
+    def assign(ts):
+        return [(ts, ts + 1)]
+
+    def merge(windows):
+        evens = [w for w in windows if w[0] % 2 == 0]
+        odds = [w for w in windows if w[0] % 2 == 1]
+        out = list(odds)
+        if evens:
+            out.append((min(w[0] for w in evens), max(w[1] for w in evens)))
+        return out
+
+    data = [1, 2, 100, 101, 102]
+    pc = p.create_kv(
+        [("k", t) for t in data], key_type="string", value_type="bigint", timestamp_fn=lambda kv: kv[1]
+    )
+    out = pc.window_into(CustomMergingWindows(assign, merge)).group_by_key()
+    out.assert_that([("k", [1]), ("k", [101]), ("k", [2, 100, 102])])
+
+
+def test_windowed_combine(p):
+    pc = p.create_kv(
+        [("k", 1), ("k", 2), ("k", 6)],
+        key_type="string",
+        value_type="bigint",
+        timestamp_fn=lambda kv: kv[1],
+    )
+    pc.window_into(FixedWindows(5)).combine_per_key("sum").assert_that([("k", 3), ("k", 6)])
+
+
+def test_timestamp_and_window_params(p):
+    # reified timestamp/window access (ray_runner_test.py:422, 455, 493)
+    class ReifyFn(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            yield (element, timestamp, window)
+
+    out = (
+        p.create([5], value_type="bigint", timestamp_fn=lambda v: v)
+        .window_into(FixedWindows(10))
+        .par_do(ReifyFn())
+    )
+    out.assert_that([(5, 5.0, (0.0, 10.0))])
+
+
+# -- sources / sinks --
+
+
+def test_impulse(p):
+    p.impulse().map(lambda _: "seeded").assert_that(["seeded"])
+
+
+def test_read_text(p, tmp_path):
+    # ray_runner_test.py:866-878
+    f = tmp_path / "in.txt"
+    f.write_text("a\nb\nc\n")
+    p.read_text(str(f)).assert_that(["a", "b", "c"])
+
+
+def test_read_text_skip_header(p, tmp_path):
+    # legacy RayRead header skip (translator.py:138-140)
+    f = tmp_path / "in.txt"
+    f.write_text("header\na\nb\n")
+    p.read_text(str(f), skip_header_lines=1).assert_that(["a", "b"])
+
+
+def test_write_text(p, tmp_path, spark):
+    out = tmp_path / "out"
+    p.create(["x", "y"], value_type="string").write_text(str(out))
+    lines = sorted(r.value for r in spark.read.text(str(out)).collect())
+    assert lines == ["x", "y"]
+
+
+# -- metrics (ray_runner_test.py:985-1019) --
+
+
+def test_metrics(p):
+    counter = p.metrics.counter("chars")
+    dist = p.metrics.distribution("len")
+
+    class MetricFn(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            counter.inc(len(element))
+            dist.update(len(element))
+            yield element
+
+    p.create(["a", "zzz", "xy"]).par_do(MetricFn()).collect()
+    q = p.metrics.query()
+    assert q["counters"]["chars"] == 6
+    assert q["distributions"]["len"] == {"count": 3, "sum": 6, "min": 1, "max": 3}
+
+
+def test_error_propagates(p):
+    # ray_runner_test.py:951-973: user exceptions surface with traceback
+    class Boom(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            raise ValueError("boom")
+            yield element
+
+    with pytest.raises(Exception, match="boom"):
+        p.create([1]).par_do(Boom()).collect()
