@@ -1,0 +1,124 @@
+"""Streaming semantics tests: file-drop micro-batches (the TestStream
+replacement — the reference rejects TestStream, ray_fn_runner.py:92-93)
+driven with availableNow; expected outputs computed on the batch union
+(FIXTURES.md §B streaming variants).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.session import read_parquet_normalized
+from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory, windowed_agg_stream
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_parquet_normalized(spark, f"{sf_dir}/events.parquet").limit(500).cache()
+
+
+def test_windowed_agg_matches_batch(spark, events, tmp_path):
+    # streaming tumbling-window count == batch computation on the union
+    stream = (
+        FileDropStream(spark, str(tmp_path / "drop"))
+        .write_slices(events, "ts", n_slices=5)
+        .read_stream()
+    )
+    agg = windowed_agg_stream(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value")],
+        watermark_delay="10 minutes",
+    )
+    got = run_to_memory(agg, output_mode="append")
+    # Append mode emits a window only once the watermark passes its end, so
+    # windows still open at end-of-stream stay in state (documented
+    # divergence from batch — SURVEY §7 hard part #2). Compare the
+    # watermark-closed prefix.
+    import datetime as dt
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - dt.timedelta(minutes=10)
+    expected = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .filter(F.col("w_end") <= F.lit(final_wm))
+        .drop("w_end")
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, expected.collect()))
+    assert len(g) >= len(e) > 0
+    assert set(e) <= set(g), f"closed windows missing from stream output: {set(e) - set(g)}"
+    # and nothing extra beyond the still-open windows
+    extra = set(g) - set(e)
+    assert all(ws > final_wm - dt.timedelta(hours=1) for ws, *_ in extra), extra
+
+
+def test_foreach_batch_finalization(spark, events, tmp_path):
+    # bundle-finalization analog (reference execution.py:131-139, tests 1021-1081):
+    # the on_batch callback runs once per committed micro-batch.
+    stream = (
+        FileDropStream(spark, str(tmp_path / "drop2"))
+        .write_slices(events.limit(50), "ts", n_slices=3)
+        .read_stream()
+    )
+    seen: list[int] = []
+    out = run_to_memory(
+        stream.select("event_id"),
+        output_mode="append",
+        on_batch=lambda df, bid: seen.append(bid),
+    )
+    assert len(seen) >= 3  # one finalization per micro-batch (3 slices)
+    assert out.count() == 50
+
+
+def test_late_data_dropped(spark, tmp_path):
+    # Beam default-trigger parity: data later than watermark delay is
+    # dropped from its (already emitted) window in append mode.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, "a", 1.0),
+        (2, base + dt.timedelta(minutes=5), "a", 1.0),
+        # jump far ahead -> watermark advances past window [0:00,1:00)
+        (3, base + dt.timedelta(hours=5), "a", 1.0),
+        # one more batch so the first window's state is EVICTED (Spark
+        # evicts/emits at the end of the batch where the watermark passes
+        # the window end; a late row merging into still-live state is NOT
+        # dropped — observed semantics, append mode)
+        (5, base + dt.timedelta(hours=5, minutes=1), "a", 1.0),
+        # late element for the first window, beyond the 10m delay
+        (4, base + dt.timedelta(minutes=20), "a", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    # preserve arrival order: one slice per row, in the order above
+    drop_dir = str(tmp_path / "drop3")
+    import os
+
+    from ray_beam_runner_spark.streaming.fixtures import _stamp_mtime
+
+    os.makedirs(drop_dir)
+    for i, r in enumerate(rows):
+        path = f"{drop_dir}/s_{i:03d}.parquet"
+        spark.createDataFrame([r], df.schema).coalesce(1).write.parquet(path)
+        _stamp_mtime(path, i)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(drop_dir + "/*")
+    )
+    agg = windowed_agg_stream(
+        stream, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")],
+        watermark_delay="10 minutes",
+    )
+    got = {(r["w_start"], r["cnt"]) for r in run_to_memory(agg, "append").collect()}
+    first_window_counts = {c for (ws, c) in got if ws == base}
+    # the late row (event 4) must NOT be in the first window's count
+    assert first_window_counts == {2}, got
