@@ -52,6 +52,7 @@ def main() -> None:
         fn = QUERIES[name]
         run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
         timings[name] = round(run_query(fn, spark, sf_dir), 4)
+        spark.catalog.clearCache()  # isolate queries (no leaked persists)
 
     total = round(sum(timings[n] for n in BENCH_SET if n in timings), 4)
     print(

@@ -76,7 +76,9 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         hot = grams.groupBy("g").count().filter(F.col("count") > max_doc_freq).select("g")
         grams = grams.join(F.broadcast(hot), "g", "left_anti")
-    grams = grams.persist()
+    # No persist: grams is pure expression work over one scan; recomputing
+    # beats pinning executor memory (and in long sessions, leaked caches
+    # measurably degrade later queries).
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = grams.select(F.col("id").alias("d1"), "g")
@@ -162,7 +164,7 @@ def minhash_lsh_pairs(
     )
 
     # Verify candidates with exact Jaccard over shingle postings.
-    grams = shingle_postings(df, id_col, text_col, n).persist()
+    grams = shingle_postings(df, id_col, text_col, n)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     g1 = grams.select(F.col("id").alias("d1"), "g")
     g2 = grams.select(F.col("id").alias("d2"), "g")

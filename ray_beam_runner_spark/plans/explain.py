@@ -1,0 +1,83 @@
+"""Physical-plan inspection helpers: programmatic assertions that the
+plans Catalyst produces are the plans we want at 100 TB (SURVEY.md §4).
+
+The reference has no optimizer to inspect (opaque Python DoFns); for us
+the plan IS the product — these helpers let tests pin down predicate
+pushdown, column pruning, broadcast joins, partial aggregation, and
+whole-stage codegen, so regressions in plan shape fail CI rather than
+show up as 10x slowdowns on the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str):
+    """Assert parquet-level pushed filters mention every fragment."""
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    text = "\n".join(pushed)
+    missing = [f for f in fragments if f not in text]
+    assert not missing, f"filters not pushed to scan: {missing}\n{text or plan}"
+
+
+def assert_pruned_schema(df: DataFrame, max_cols: int, table_fragment: str = ""):
+    """Assert the parquet ReadSchema was pruned to at most max_cols columns."""
+    plan = formatted_plan(df)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln and (not table_fragment or table_fragment in plan):
+            struct = ln.split("struct<", 1)[-1]
+            ncols = struct.count(":")
+            assert ncols <= max_cols, f"scan reads {ncols} columns (> {max_cols}): {ln.strip()}"
+            return
+    raise AssertionError(f"no ReadSchema found in plan:\n{plan}")
+
+
+def assert_broadcast_join(df: DataFrame, expect: bool = True):
+    plan = formatted_plan(df)
+    has = "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert has == expect, f"broadcast join {'missing' if expect else 'unexpected'}:\n{plan[:4000]}"
+
+
+def assert_partial_aggregation(df: DataFrame):
+    """Partial (map-side) + final hash aggregation present — the combiner
+    lifting the reference implements manually (translations.lift_combiners,
+    ray_fn_runner.py:178) and Spark plans automatically."""
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan, (
+        f"no partial/final aggregate split:\n{plan[:4000]}"
+    )
+
+
+def assert_whole_stage_codegen(df: DataFrame):
+    # AQE reports 0 codegen subtrees until the adaptive plan is finalized —
+    # execute this exact plan once (collect, not count: count builds a
+    # separate queryExecution), then inspect the final *(N) markers.
+    df.collect()
+    plan = physical_plan(df)
+    assert "*(" in plan or "WholeStageCodegen" in plan, (
+        f"no whole-stage codegen span in final plan:\n{plan[:2000]}"
+    )
+
+
+import re as _re
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (lower = better;
+    every groupBy/join/repartition pays one). Counts the formatted-plan
+    details entries '(N) Exchange' once each; broadcast exchanges and
+    reused exchanges excluded."""
+    plan = formatted_plan(df)
+    return len(_re.findall(r"\(\d+\) Exchange$", plan, flags=_re.MULTILINE))

@@ -1,0 +1,68 @@
+"""Plan-quality tests: assert the physical plans carry the scale-critical
+properties (pushdown, pruning, broadcast, partial agg, codegen, bounded
+shuffle counts). These encode the '.explain and iterate' loop as CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_partial_aggregation,
+    assert_pruned_schema,
+    assert_pushed_filters,
+    assert_whole_stage_codegen,
+    count_exchanges,
+    formatted_plan,
+)
+from ray_beam_runner_spark.queries import QUERIES
+
+
+def test_qagg_pushdown_and_partial_agg(spark, sf_dir):
+    df = QUERIES["q_agg"](spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+    # scan must read only the 7 referenced columns, not all 11
+    assert_pruned_schema(df, 7)
+    assert_partial_aggregation(df)
+    assert_whole_stage_codegen(df)
+
+
+def test_qjoin_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q_join"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    # one shuffle for the final groupBy + sort; dims broadcast (no
+    # shuffle-on-key joins)
+    assert count_exchanges(df) <= 3, formatted_plan(df)
+
+
+def test_qtopk_no_global_sort(spark, sf_dir):
+    df = QUERIES["q_topk"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 10).select("l_orderkey", "l_quantity")
+    assert_pushed_filters(df, "l_quantity")
+    assert_pruned_schema(df, 2)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # the as-of join must not be a nested-loop range join
+    df = QUERIES["q_asof_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan, plan[:3000]
+    # union + one window pass = bounded exchanges
+    assert count_exchanges(df) <= 2, plan[:3000]
+
+
+def test_dedup_minhash_no_cartesian(spark, sf_dir):
+    df = QUERIES["q_dedup_minhash_lsh"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_gbk_single_exchange(spark, sf_dir):
+    df = QUERIES["q_gbk"](spark, sf_dir)
+    assert count_exchanges(df) <= 1, formatted_plan(df)[:3000]
