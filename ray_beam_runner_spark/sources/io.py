@@ -1,0 +1,53 @@
+"""Batch sources/sinks (SURVEY.md §2.1).
+
+Reference parity: Impulse (`translator.py:95-102`), Create
+(`translator.py:105-119`), Read(TextSource) with header skip
+(`translator.py:122-144`), WriteToText
+(`examples/word_count_metrics.py:130-134`). The Pipeline-level
+equivalents live on :class:`ray_beam_runner_spark.pipeline.Pipeline`
+(create/impulse/read_text) and :meth:`PCollection.write_text`; this module
+adds the DataFrame-level formats the reference never had (parquet, csv,
+json) — free capability from Spark's DataSource V2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ray_beam_runner_spark.session import read_parquet_normalized
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.text(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with ns-timestamp normalization (Spark has no ns type)."""
+    return read_parquet_normalized(spark, path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True, schema=None) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite"):
+    df.write.mode(mode).text(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

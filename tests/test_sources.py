@@ -1,0 +1,97 @@
+"""Custom data source (SDF analog) tests, mirroring the reference's
+splittable-source scenarios (ray_runner_test.py:604-819, 1083-1115)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.sources.custom import register_all
+
+
+
+def test_expand_strings_source(spark):
+    # reference SDF fixture: ["abc","defghijklmno","pqrstuv","wxyz"] -> chars
+    register_all(spark)
+    strings = ["abc", "defghijklmno", "pqrstuv", "wxyz"]
+    df = (
+        spark.read.format("expand_strings")
+        .option("strings", json.dumps(strings))
+        .option("chunk", "4")
+        .load()
+    )
+    chars = sorted(r.char for r in df.collect())
+    assert chars == sorted("".join(strings))
+    # restriction splitting produced >1 partition per long string
+    assert df.rdd.getNumPartitions() >= 6
+
+
+def test_expand_strings_count(spark):
+    # sdf-source count test (ray_runner_test.py:1083-1115)
+    register_all(spark)
+    df = (
+        spark.read.format("expand_strings")
+        .option("strings", json.dumps(["aaaa"] * 5))
+        .option("chunk", "2")
+        .load()
+    )
+    assert df.count() == 20
+
+
+def _drain(spark, agg, output_mode, n_expected_rows=None, timeout=120):
+    """Drain an unbounded python-source stream: python stream readers don't
+    support Trigger.AvailableNow (Spark falls back to single-batch), so run
+    micro-batches until the source is exhausted, then stop — the reference's
+    drain loop shape (ray_fn_runner.py:268-297)."""
+    import time
+    import uuid
+
+    name = f"m_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + timeout
+    last = -1
+    stable = 0
+    while time.time() < deadline:
+        n = spark.table(name).count()
+        stable = stable + 1 if n == last else 0
+        last = n
+        if (n_expected_rows is not None and n >= n_expected_rows) or stable >= 10:
+            break
+        time.sleep(0.3)
+    q.stop()
+    return spark.table(name)
+
+
+def test_counter_stream_drain(spark):
+    # unbounded source drained to its truncated bound (drain-mode analog,
+    # ray_runner_test.py:761-819): consumes everything available, stops.
+    register_all(spark)
+    stream = (
+        spark.readStream.format("counter_stream")
+        .option("rowsPerBatch", "7")
+        .option("maxValue", "23")
+        .load()
+    )
+    got = _drain(spark, stream.select("value"), "append", n_expected_rows=23)
+    assert sorted(r.value for r in got.collect()) == list(range(23))
+
+
+def test_counter_stream_aggregation(spark):
+    register_all(spark)
+    stream = (
+        spark.readStream.format("counter_stream")
+        .option("rowsPerBatch", "10")
+        .option("maxValue", "40")
+        .load()
+    )
+    agg = stream.groupBy((F.col("value") % 2).alias("parity")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    got = _drain(spark, agg, "complete")
+    final = {r.parity: r.cnt for r in got.collect()}
+    assert final == {0: 20, 1: 20}
