@@ -1,0 +1,61 @@
+"""Streaming query coverage for the correctness gate: a real Structured
+Streaming job (file-drop micro-batches → watermarked windowed aggregation →
+availableNow drain) whose emitted output is deterministic and SQL-oracle
+checkable.
+
+Emission semantics (pinned down in tests/test_streaming.py): append mode
+emits exactly the windows whose end <= final watermark = max(ts) - delay;
+later windows stay in state and are not emitted. The DuckDB oracle computes
+that same closed-window subset from the batch table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.queries import query, t
+
+
+@query(
+    "q_streaming_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS final_wm FROM events)
+    SELECT date_trunc('hour', ts) AS w_start, event_type,
+           count(*) AS cnt, round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY w_start, event_type
+    HAVING w_start + INTERVAL '1 hour' <= (SELECT final_wm FROM wm)
+    """,
+)
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window count/sum over the events table replayed
+    as 5 ts-ordered micro-batches with a 10-minute watermark, drained with
+    availableNow. The reference's windowed-aggregation path on a live
+    stream (WindowInto + GBK under the portability runner), with emitted
+    output equal to the batch computation on watermark-closed windows."""
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory, windowed_agg_stream
+
+    events = t(spark, sf_dir, "events")
+    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_stream_"), "events")
+    stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
+    agg = windowed_agg_stream(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value")],
+        watermark_delay="10 minutes",
+    )
+    # Streaming state instances = shuffle partitions; 32 state stores per
+    # micro-batch is pure overhead at this volume. Fresh checkpoint each
+    # run, so narrowing is safe here.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_to_memory(agg, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
