@@ -43,18 +43,30 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
 
 
-@F.pandas_udf("double")
-def cosine_pandas(a: "pd.Series", b: "pd.Series") -> "pd.Series":
-    """Vectorized cosine similarity over two array columns (Arrow batches →
-    one numpy einsum per batch). Assumes fixed-dimension vectors."""
-    import numpy as np
+_cosine_udf = None
 
-    ma = np.array(a.tolist(), dtype=np.float64)
-    mb = np.array(b.tolist(), dtype=np.float64)
-    dots = np.einsum("ij,ij->i", ma, mb)
-    na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-    nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-    return pd.Series(dots / (na * nb))
+
+def cosine_pandas(a, b) -> Column:
+    """Vectorized cosine similarity over two array columns (Arrow batches →
+    one numpy einsum per batch). Assumes fixed-dimension vectors. The
+    pandas UDF is built lazily — decorating at import time would require
+    an active SparkSession."""
+    global _cosine_udf
+    if _cosine_udf is None:
+        from pyspark.sql import types as T
+
+        def _kernel(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            ma = np.array(sa.tolist(), dtype=np.float64)
+            mb = np.array(sb.tolist(), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", ma, mb)
+            na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+            nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            return pd.Series(dots / (na * nb))
+
+        _cosine_udf = F.pandas_udf(_kernel, T.DoubleType())
+    return _cosine_udf(a, b)
 
 
 def cosine_topk(
@@ -110,30 +122,62 @@ def random_hyperplane_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def multi_table_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> DataFrame:
+    """Explode each vector into one (table, bucket) row per hash table.
+    Multi-table LSH is the standard recall lever: a neighbor with
+    same-bucket probability p^k per table is found with 1-(1-p^k)^L over
+    L tables. Fan-out is L rows per vector — shuffle-keyed, subquadratic."""
+    v = _as_double(F.col(vec_col))
+    entries = []
+    for t_i in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t_i)
+        bucket = F.lit(0).cast("long")
+        for j, p in enumerate(planes):
+            proj = _dot(v, F.array(*[F.lit(x) for x in p]))
+            bucket = bucket + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        entries.append(F.struct(F.lit(t_i).alias("table"), bucket.alias("bucket")))
+    return df.withColumn("tb", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 8,
     query_id: str = "q_id",
     query_vec: str = "q_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     round_digits: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. Candidate generation is an equi-join on bucket (shuffle-keyed,
-    subquadratic); recall vs cosine_topk is tested, and improves with
-    fewer planes / multiple probe tables. Returns (q_id, vec_id, sim, rank)."""
-    qb = random_hyperplane_buckets(
+    """Approximate top-k: score only corpus vectors sharing an LSH bucket
+    with the query in at least one of ``n_tables`` hash tables. Candidate
+    generation is an equi-join on (table, bucket) followed by a distinct —
+    shuffle-keyed and subquadratic; recall = 1-(1-p^k)^L, tested against
+    cosine_topk. Returns (q_id, vec_id, sim, rank)."""
+    qb = multi_table_buckets(
         queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec")),
         "q_vec",
         dim,
         n_planes,
+        n_tables,
     )
-    cb = random_hyperplane_buckets(corpus, corpus_vec, dim, n_planes)
-    scored = cb.join(F.broadcast(qb), "bucket").select(
+    cb = multi_table_buckets(corpus, corpus_vec, dim, n_planes, n_tables)
+    cands = (
+        cb.join(F.broadcast(qb.select("q_id", "table", "bucket")), ["table", "bucket"])
+        .select("q_id", *[c for c in corpus.columns])
+        .dropDuplicates(["q_id", corpus_id])
+    )
+    q_vecs = F.broadcast(qb.select("q_id", "q_vec").dropDuplicates(["q_id"]))
+    scored = cands.join(q_vecs, "q_id").select(
         "q_id",
         F.col(corpus_id).alias("vec_id"),
         F.round(cosine_pandas(F.col("q_vec"), F.col(corpus_vec)), round_digits).alias("sim"),

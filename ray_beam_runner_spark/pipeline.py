@@ -470,6 +470,85 @@ class PCollection:
         df = self.df.groupBy("key").applyInPandas(merge_group, schema=schema)
         return PCollection(self.pipeline, df, True, self.pickled, wfn, grouped=True)
 
+    def co_group_by_key(self, other: "PCollection") -> "PCollection":
+        """CoGroupByKey: (key, ([left values], [right values])) per window.
+        The reference expands this to Flatten+GBK (SURVEY §2.3); here each
+        side groups independently and full-outer-joins on (key, window) —
+        one shuffle per side, no transcoding pass."""
+        if not (self.keyed and other.keyed):
+            raise ValueError("co_group_by_key requires keyed PCollections")
+        a, b = self.group_by_key(), other.group_by_key()
+        adf = a.df.select(
+            "key",
+            F.col("value").alias("__l"),
+            "event_time",
+            "win_start",
+            "win_end",
+        )
+        bdf = b.df.select(
+            F.col("key").alias("__bk"),
+            F.col("value").alias("__r"),
+            F.col("event_time").alias("__bt"),
+            F.col("win_start").alias("__bws"),
+            F.col("win_end").alias("__bwe"),
+        )
+        # Null-safe equality: the global window is (null, null) and plain
+        # SQL equality would never match it.
+        cond = (
+            adf["key"].eqNullSafe(bdf["__bk"])
+            & adf["win_start"].eqNullSafe(bdf["__bws"])
+            & adf["win_end"].eqNullSafe(bdf["__bwe"])
+        )
+        j = adf.join(bdf, cond, "full_outer").select(
+            F.coalesce(adf["key"], bdf["__bk"]).alias("key"),
+            F.coalesce("__l", F.array().cast(adf.schema["__l"].dataType)).alias("__l"),
+            F.coalesce("__r", F.array().cast(bdf.schema["__r"].dataType)).alias("__r"),
+            F.greatest(
+                F.coalesce("event_time", F.lit(float("-inf"))),
+                F.coalesce("__bt", F.lit(float("-inf"))),
+            ).alias("event_time"),
+            F.coalesce(adf["win_start"], bdf["__bws"]).alias("win_start"),
+            F.coalesce(adf["win_end"], bdf["__bwe"]).alias("win_end"),
+        )
+        out = PCollection(self.pipeline, j, True, self.pickled, self.windowing, grouped=False)
+        out.key_pickled = getattr(self, "key_pickled", self.pickled)
+        out._cogrouped = True
+        return out._to_pair_values()
+
+    def _to_pair_values(self) -> "PCollection":
+        """Internal: fold (__l, __r) array columns into a pickled tuple
+        value so downstream ParDos see ([left...], [right...])."""
+        pickled = self.pickled
+
+        def kernel(batches):
+            for pdf in batches:
+                rows = []
+                # no itertuples: pandas renames __-prefixed fields positionally
+                for k, l, r, ts, ws, we in zip(
+                    pdf["key"], pdf["__l"], pdf["__r"], pdf["event_time"], pdf["win_start"], pdf["win_end"]
+                ):
+                    lv = [(_loads(x) if pickled else _from_np(x)) for x in (l if l is not None else [])]
+                    rv = [(_loads(x) if pickled else _from_np(x)) for x in (r if r is not None else [])]
+                    rows.append((k, _dumps((lv, rv)), ts, ws, we))
+                yield pd.DataFrame(
+                    rows, columns=["key", "value", "event_time", "win_start", "win_end"]
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("key", self.df.schema["key"].dataType),
+                T.StructField("value", T.BinaryType()),
+                T.StructField("event_time", T.DoubleType()),
+                T.StructField("win_start", T.DoubleType()),
+                T.StructField("win_end", T.DoubleType()),
+            ]
+        )
+        out = PCollection(
+            self.pipeline, self.df.mapInPandas(kernel, schema=schema), True, True, self.windowing
+        )
+        out.key_pickled = getattr(self, "key_pickled", False)
+        return out
+
     def combine_per_key(self, spec) -> "PCollection":
         """Per-key combiner. ``spec`` ∈ {'sum','min','max','mean','count'}
         (native partial/final hash agg — the lifting the reference does via

@@ -75,14 +75,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same pair set found via MinHash-LSH (128 hashes, 1-row bands →
-    candidate miss probability <= (1-J)^128, negligible at J>=0.5) with
+    """Same pair set found via MinHash-LSH (64 hashes, 1-row bands →
+    candidate miss probability <= (1-J)^64 ≈ 5e-20 at J>=0.5) with
     exact-Jaccard verification of candidates only. The oracle is the exact
     computation — LSH must find every qualifying pair."""
     from ray_beam_runner_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=128, threshold=0.5
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=64, threshold=0.5
     )
 
 

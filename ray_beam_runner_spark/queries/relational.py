@@ -603,3 +603,118 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.device").alias("device"),
         F.get_json_object("props", "$.country").alias("country"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics breadth (TPC-H-classic shapes; exercise join
+# reordering, broadcast chains, conjunctive pushdown)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_shipping_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast join chain ->
+    fact-side agg -> top-k. Both filters reach the parquet scans; the
+    customer side shrinks before joining so Catalyst broadcasts it."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_local_supplier_volume",
+    oracle="""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way join with a same-nation co-location
+    predicate. All dims broadcast; the single shuffle is the final
+    n_name aggregation."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
+    "q_priority_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4/Q12 shape: range-filtered conditional aggregation."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

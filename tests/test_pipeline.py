@@ -388,3 +388,18 @@ def test_error_propagates(p):
 
     with pytest.raises(Exception, match="boom"):
         p.create([1]).par_do(Boom()).collect()
+
+
+# -- CoGroupByKey (reference expands to Flatten+GBK; SURVEY §2.3) --
+
+
+def test_co_group_by_key(p):
+    a = p.create_kv([("a", 1), ("a", 2), ("b", 3)], key_type="string", value_type="bigint")
+    b = p.create_kv([("a", "x"), ("c", "y")], key_type="string", value_type="string")
+    # heterogeneous value types -> transcode left to pickled for the join
+    a2 = a.map_kv_values(lambda v: v)  # pickled values
+    b2 = b.map_kv_values(lambda v: v)
+    out = a2.co_group_by_key(b2)
+    out.assert_that(
+        [("a", ([1, 2], ["x"])), ("b", ([3], [])), ("c", ([], ["y"]))]
+    )

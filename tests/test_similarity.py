@@ -1,0 +1,75 @@
+"""Similarity-search tests: exact brute-force baseline vs the LSH-bucketed
+approximate path (recall), plus operator edge cases."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.functions.similarity import (
+    cosine_pandas,
+    cosine_topk,
+    lsh_topk,
+    random_hyperplane_buckets,
+)
+from ray_beam_runner_spark.session import read_parquet_normalized
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_parquet_normalized(spark, f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _queries(emb, n=8):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def test_cosine_topk_exact_properties(emb):
+    out = cosine_topk(_queries(emb), emb.filter(F.col("vec_id") >= 8), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == set(range(8))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_recall_vs_bruteforce(emb):
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    q = _queries(emb)
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(q, corpus, k=3).collect()}
+    # 4 planes x 8 tables: per-table same-bucket prob ~p^4, overall
+    # recall 1-(1-p^4)^8 — high for true neighbors even on near-random data
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in lsh_topk(q, corpus, dim=64, k=3, n_planes=4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    # every approx hit must be a real corpus vector with a valid score
+    assert all(v >= 8 for _, v in approx)
+
+
+def test_bucket_determinism(emb):
+    b1 = random_hyperplane_buckets(emb, "embedding", 64).select("vec_id", "bucket")
+    b2 = random_hyperplane_buckets(emb, "embedding", 64).select("vec_id", "bucket")
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+
+
+def test_cosine_pandas_matches_expression(spark):
+    from ray_beam_runner_spark.functions.similarity import cosine_similarity_col
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 2.0], [0.5, 1.0, -1.0]), ([0.1, 0.2, 0.3], [0.1, 0.2, 0.3])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        F.round(cosine_pandas("a", "b"), 9).alias("p"),
+        F.round(cosine_similarity_col(F.col("a"), F.col("b")), 9).alias("e"),
+    ).collect()
+    for r in rows:
+        assert abs(r.p - r.e) < 1e-9
