@@ -718,3 +718,46 @@ def q_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`). The approximate scale path is
+    percentile_approx / approx_count_distinct — see q_approx_distinct."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+@query("q_approx_distinct")  # no oracle: sketch results are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path where exact distinct counts and
+    percentiles are too expensive: HyperLogLog++ approx_count_distinct and
+    t-digest-style percentile_approx. No SQL oracle (sketches are
+    engine-specific); the companion pytest bounds the relative error
+    against the exact answers."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        )
+        .orderBy("event_type")
+    )

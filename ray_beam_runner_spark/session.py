@@ -87,16 +87,22 @@ def read_parquet_normalized(spark: SparkSession, path: str):
     return df
 
 
-def _nanos_timestamp_columns(path: str) -> list[str]:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    # Cached per path: the footer probe costs tens of ms and every query
+    # build re-reads the same static test tables.
     import pyarrow.dataset as ds
     import pyarrow.types as pat
 
     schema = ds.dataset(path, format="parquet").schema
-    return [
+    return tuple(
         f.name
         for f in schema
         if pat.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):

@@ -82,3 +82,28 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(name)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: match right rows with the same key whose
+    timestamp falls in [left_ts - lookback, left_ts]. The watermark plus
+    the time-range condition bound the join state Spark must retain
+    (SURVEY §2.3: window-interval/as-of joins map to stream-stream joins
+    with watermark + time-range condition). Both input streams must carry
+    distinct column names apart from the key."""
+    l = left.withWatermark(left_ts, watermark_delay)
+    r = right.withColumnRenamed(on, f"__r_{on}").withWatermark(right_ts, watermark_delay)
+    cond = (
+        (l[on] == F.col(f"__r_{on}"))
+        & (F.col(right_ts) >= l[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= l[left_ts])
+    )
+    return l.join(r, cond, "inner").drop(f"__r_{on}")

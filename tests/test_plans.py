@@ -66,3 +66,19 @@ def test_dedup_minhash_no_cartesian(spark, sf_dir):
 def test_gbk_single_exchange(spark, sf_dir):
     df = QUERIES["q_gbk"](spark, sf_dir)
     assert count_exchanges(df) <= 1, formatted_plan(df)[:3000]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    # sketch accuracy: HLL++ at rsd=2% must be within 5% of exact
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.queries import QUERIES
+    from ray_beam_runner_spark.queries import t as load
+
+    approx = {r.event_type: r.approx_users for r in QUERIES["q_approx_distinct"](spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events").groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)

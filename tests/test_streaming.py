@@ -122,3 +122,45 @@ def test_late_data_dropped(spark, tmp_path):
     first_window_counts = {c for (ws, c) in got if ws == base}
     # the late row (event 4) must NOT be in the first window's count
     assert first_window_counts == {2}, got
+
+
+def test_stream_stream_interval_join(spark, events, tmp_path):
+    # stream-stream join with watermark + time-range condition == batch
+    # interval join on the union (SURVEY §2.3 window-interval joins)
+    from ray_beam_runner_spark.streaming.ops import interval_join_streams
+
+    ev = events.limit(300).cache()
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    sp = (
+        FileDropStream(spark, str(tmp_path / "pj")).write_slices(purchases, "p_ts", 3).read_stream()
+    )
+    sc_ = (
+        FileDropStream(spark, str(tmp_path / "cj")).write_slices(clicks, "c_ts", 3).read_stream()
+    )
+    joined = interval_join_streams(
+        sp.withColumnRenamed("user_id", "uid"),
+        sc_.withColumnRenamed("c_user", "uid"),
+        "uid",
+        "p_ts",
+        "c_ts",
+        "'2' HOURS",
+        watermark_delay="10 minutes",
+    ).select("p_id", "c_id")
+    got = {(r.p_id, r.c_id) for r in run_to_memory(joined, "append").collect()}
+    expected = {
+        (r.p_id, r.c_id)
+        for r in purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user)
+            & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 2 HOURS"))
+            & (clicks.c_ts <= purchases.p_ts),
+        ).collect()
+    }
+    # stream-stream inner join emits matches whose inputs were both within
+    # watermark bounds; on a bounded replay every batch match must appear
+    assert got == expected, (len(got), len(expected))
