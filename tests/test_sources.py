@@ -58,11 +58,13 @@ def _drain(spark, agg, output_mode, n_expected_rows=None, timeout=120):
     stable = 0
     while time.time() < deadline:
         n = spark.table(name).count()
-        stable = stable + 1 if n == last else 0
+        # Only count quiescence once output exists — under load the first
+        # micro-batch can take several seconds to land.
+        stable = stable + 1 if (n == last and n > 0) else 0
         last = n
         if (n_expected_rows is not None and n >= n_expected_rows) or stable >= 10:
             break
-        time.sleep(0.3)
+        time.sleep(0.5)
     q.stop()
     return spark.table(name)
 
