@@ -55,10 +55,28 @@ def map_in_arrow(
     return df.mapInPandas(kernel, schema=schema)
 
 
-def tagged_outputs(df: DataFrame, tag_col: str, tags: Iterable[str], persist: bool = True) -> dict[str, DataFrame]:
+class TaggedViews(dict):
+    """dict of tag → DataFrame that owns the persisted parent; call
+    .release() when the views are no longer needed."""
+
+    def __init__(self, views: dict, parent: DataFrame | None):
+        super().__init__(views)
+        self._parent = parent
+
+    def release(self):
+        if self._parent is not None:
+            self._parent.unpersist()
+            self._parent = None
+
+
+def tagged_outputs(df: DataFrame, tag_col: str, tags: Iterable[str], persist: bool = True) -> TaggedViews:
     """Multi-output demux: one pass computes a tag column; each tagged view
     filters it (reference TaggingReceiver translator.py:180-206 + demux
     559-576). ``persist`` caches the parent so N views cost one upstream
-    computation instead of N."""
+    computation instead of N — call ``.release()`` on the result when done
+    (pinned caches degrade later queries in long sessions)."""
     src = df.persist() if persist else df
-    return {tag: src.filter(F.col(tag_col) == tag).drop(tag_col) for tag in tags}
+    return TaggedViews(
+        {tag: src.filter(F.col(tag_col) == tag).drop(tag_col) for tag in tags},
+        src if persist else None,
+    )

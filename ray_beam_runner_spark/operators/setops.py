@@ -34,10 +34,16 @@ def reshuffle(df: DataFrame, num_partitions: int | None = None, *cols: str) -> D
     return df.repartition(num_partitions or df.sparkSession.sparkContext.defaultParallelism)
 
 
-def partition_by(df: DataFrame, predicates: dict[str, Column], persist: bool = True) -> dict[str, DataFrame]:
-    """Beam Partition: split one pass into N disjoint outputs by predicate."""
+def partition_by(df: DataFrame, predicates: dict[str, Column], persist: bool = True):
+    """Beam Partition: split one pass into N disjoint outputs by predicate.
+    Returns TaggedViews — call .release() when the partitions are consumed."""
+    from ray_beam_runner_spark.operators.pardo import TaggedViews
+
     src = df.persist() if persist else df
-    return {name: src.filter(pred) for name, pred in predicates.items()}
+    return TaggedViews(
+        {name: src.filter(pred) for name, pred in predicates.items()},
+        src if persist else None,
+    )
 
 
 def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:

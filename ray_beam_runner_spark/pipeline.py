@@ -128,6 +128,8 @@ class _View:
 
 
 class AsList(_View):
+    empty: list = []
+
     def build(self):
         out: dict = {}
         for elem, _ts, win in self._rows():
@@ -136,6 +138,8 @@ class AsList(_View):
 
 
 class AsSingleton(_View):
+    empty = None
+
     def build(self):
         out: dict = {}
         for elem, _ts, win in self._rows():
@@ -146,6 +150,8 @@ class AsSingleton(_View):
 
 
 class AsDict(_View):
+    empty: dict = {}
+
     def build(self):
         out: dict = {}
         for elem, _ts, win in self._rows():
@@ -155,6 +161,8 @@ class AsDict(_View):
 
 
 class AsMultiMap(_View):
+    empty: dict = {}
+
     def build(self):
         out: dict = {}
         for elem, _ts, win in self._rows():
@@ -166,7 +174,9 @@ class AsMultiMap(_View):
 def _lookup_side(view_by_window: dict, main_win, main_ts: float, default):
     """Window-mapping: global side → its single view; windowed side → the
     side window containing the main element's timestamp (reference
-    delivers views keyed (transform, tag, window), execution.py:493-523)."""
+    delivers views keyed (transform, tag, window), execution.py:493-523).
+    ``default`` is the view type's empty container (Beam delivers [] for
+    AsList / {} for AsDict of an empty or unmatched side)."""
     if set(view_by_window.keys()) == {None}:
         return view_by_window[None]
     probe = main_ts if main_win is None else main_win[0]
@@ -224,6 +234,7 @@ class PCollection:
             name: self.pipeline.spark.sparkContext.broadcast(view.build())
             for name, view in (side_inputs or {}).items()
         }
+        side_empties = {name: type(view).empty for name, view in (side_inputs or {}).items()}
         keyed_in, pickled_in, grouped_in = self.keyed, self.pickled, self.grouped
         out_pickled = output_type is None
         value_type = T._parse_datatype_string(output_type) if output_type else T.BinaryType()
@@ -264,7 +275,8 @@ class PCollection:
                     ts = d["event_time"]
                     win = None if pd.isna(d["win_start"]) else (d["win_start"], d["win_end"])
                     bound_sides = {
-                        name: _lookup_side(view, win, ts, None) for name, view in sides.items()
+                        name: _lookup_side(view, win, ts, side_empties[name])
+                        for name, view in sides.items()
                     }
                     outs = dofn.process(elem, timestamp=ts, window=win, **bound_sides)
                     emit_rows(outs, ts, d["win_start"], d["win_end"], rows)
@@ -280,7 +292,11 @@ class PCollection:
         out_df = self.df.mapInPandas(kernel, schema=schema)
         out_keyed = bool(keyed_output)
         if outputs:
+            # Persist so N tagged views cost one DoFn pass (required for
+            # correctness with nondeterministic/metric-bearing DoFns).
+            # Tracked on the pipeline: call Pipeline.release() when done.
             out_df = out_df.persist()
+            self.pipeline._persisted.append(out_df)
             result = {
                 "main": self._child(out_df.filter(F.col("tag").isNull()).drop("tag"), out_keyed, out_pickled)
             }
@@ -301,12 +317,26 @@ class PCollection:
         return self.par_do(_FnDoFn(fn, "flat_map"), output_type)
 
     def filter(self, fn: Callable) -> "PCollection":
-        # Identity output — preserve the input's typed-ness by re-declaring
-        # nothing: pickled in → pickled out; typed in → pandas passthrough.
-        if not self.pickled:
-            ddl = self.df.schema["value"].dataType.simpleString()
-            return self.par_do(_FnDoFn(fn, "filter"), ddl, keyed_output=self.keyed)
-        return self.par_do(_FnDoFn(fn, "filter"), None, keyed_output=self.keyed)
+        """Keep elements where fn(element) is truthy. Identity transform —
+        a dedicated pass-through kernel preserves the whole envelope
+        (including the key column for keyed PCollections, which par_do's
+        value-only output schema would drop)."""
+        keyed, pickled, grouped = self.keyed, self.pickled, self.grouped
+
+        def kernel(batches):
+            for pdf in batches:
+                mask = [
+                    bool(fn(_decode_element(row._asdict(), keyed, pickled, grouped)))
+                    for row in pdf.itertuples(index=False)
+                ]
+                out = pdf[pd.Series(mask, index=pdf.index)]
+                if len(out):
+                    yield out
+
+        df = self.df.mapInPandas(kernel, schema=self.df.schema)
+        out = self._child(df, keyed, pickled, grouped)
+        out.key_pickled = getattr(self, "key_pickled", pickled)
+        return out
 
     def select_expr(self, *exprs: str) -> "PCollection":
         """Typed fast path: transform the value with SQL expressions over a
@@ -393,9 +423,13 @@ class PCollection:
                 .drop("__s")
             )
         else:
-            # Merging windowfn: keep proto-window assignment per element;
-            # merge happens per key at grouping (GroupAlsoByWindow).
-            df = self.df
+            # Merging windowfn: windows materialize per key at grouping
+            # time (GroupAlsoByWindow). Clear any previously assigned
+            # windows — they belong to the superseded windowing and would
+            # leak into side-input mapping / distinct / reified params.
+            df = self.df.withColumn("win_start", F.lit(None).cast("double")).withColumn(
+                "win_end", F.lit(None).cast("double")
+            )
         return PCollection(self.pipeline, df, self.keyed, self.pickled, windowfn, self.grouped)
 
     def with_timestamps(self, fn: Callable) -> "PCollection":
@@ -470,14 +504,53 @@ class PCollection:
         df = self.df.groupBy("key").applyInPandas(merge_group, schema=schema)
         return PCollection(self.pipeline, df, True, self.pickled, wfn, grouped=True)
 
+    def kv_to_tuples(self) -> "PCollection":
+        """Re-view a keyed PCollection as unkeyed (k, v) tuple values
+        (pickled). Used to normalize heterogeneous KV collections before
+        Flatten/CoGBK, mirroring the reference's coder transcoding."""
+        if not self.keyed:
+            raise ValueError("kv_to_tuples requires a keyed PCollection")
+        return self.par_do(_FnDoFn(lambda e: e, "map"), None)
+
+    def _as_opaque_kv(self) -> "PCollection":
+        """Normalize to pickled key + pickled value representation."""
+        if self.pickled and getattr(self, "key_pickled", self.pickled):
+            return self
+        return self.kv_to_tuples()._split_kv(None, None)
+
     def co_group_by_key(self, other: "PCollection") -> "PCollection":
         """CoGroupByKey: (key, ([left values], [right values])) per window.
-        The reference expands this to Flatten+GBK (SURVEY §2.3); here each
-        side groups independently and full-outer-joins on (key, window) —
-        one shuffle per side, no transcoding pass."""
+        The reference expands this to Flatten+GBK (SURVEY §2.3). Here:
+        non-merging windows → each side groups independently and
+        full-outer-joins on (key, window), one shuffle per side. Merging
+        windows (sessions/custom) → the sides union with a side tag first
+        so windows merge across BOTH inputs (Beam semantics: one session
+        covering elements of either side is one group). Heterogeneous
+        value/key representations transcode to the opaque form first."""
         if not (self.keyed and other.keyed):
             raise ValueError("co_group_by_key requires keyed PCollections")
-        a, b = self.group_by_key(), other.group_by_key()
+        l, r = self, other
+        lkp = getattr(l, "key_pickled", l.pickled)
+        rkp = getattr(r, "key_pickled", r.pickled)
+        same_key_type = l.df.schema["key"].dataType == r.df.schema["key"].dataType
+        if l.pickled != r.pickled or lkp != rkp or not same_key_type:
+            l, r = l._as_opaque_kv(), r._as_opaque_kv()
+        if getattr(self.windowing, "merging", False):
+            lt = l.map_kv_values(lambda v: ("l", v))
+            rt = r.map_kv_values(lambda v: ("r", v))
+            u = PCollection(
+                self.pipeline, lt.df.unionByName(rt.df), True, True, self.windowing
+            )
+            u.key_pickled = getattr(lt, "key_pickled", True)
+            grouped = u.group_by_key()
+            return grouped.map_kv_values(
+                lambda vs: (
+                    [v for s, v in vs if s == "l"],
+                    [v for s, v in vs if s == "r"],
+                )
+            )
+        a, b = l.group_by_key(), r.group_by_key()
+        self, other = l, r  # for the pickled flags below
         adf = a.df.select(
             "key",
             F.col("value").alias("__l"),
@@ -664,8 +737,10 @@ class PCollection:
         pickled representation (reference transcodes coders the same way,
         translator.py:419-433, test ray_runner_test.py:838-855). No
         repartition(1) — the reference's union+repartition(1) would
-        serialize at scale."""
-        pcs = [self, *others]
+        serialize at scale. Keyed inputs are re-viewed as (k, v) tuple
+        values first (consistently, regardless of type homogeneity), so
+        flattening KV collections never silently drops keys."""
+        pcs = [pc.kv_to_tuples() if pc.keyed else pc for pc in [self, *others]]
         types = {pc.df.schema["value"].dataType.simpleString() for pc in pcs}
         hetero = len(types) > 1 or any(pc.pickled for pc in pcs) != all(pc.pickled for pc in pcs)
         if hetero:
@@ -774,6 +849,19 @@ class Pipeline:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.metrics = MetricsRegistry(spark)
+        self._persisted: list[DataFrame] = []
+
+    def release(self):
+        """Unpersist every DataFrame this pipeline cached (multi-output
+        ParDo parents). Long-lived sessions should call this when a
+        pipeline's results are no longer needed — leaked pins measurably
+        degrade later queries."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - session may be stopped
+                pass
+        self._persisted.clear()
 
     def create(
         self,

@@ -36,12 +36,15 @@ def assert_pruned_schema(df: DataFrame, max_cols: int, table_fragment: str = "")
     """Assert the parquet ReadSchema was pruned to at most max_cols columns."""
     plan = formatted_plan(df)
     for ln in plan.splitlines():
-        if "ReadSchema" in ln and (not table_fragment or table_fragment in plan):
+        # table_fragment must match THIS ReadSchema line (its column set),
+        # not just appear anywhere in the plan — multi-scan plans would
+        # otherwise assert against the wrong scan.
+        if "ReadSchema" in ln and (not table_fragment or table_fragment in ln):
             struct = ln.split("struct<", 1)[-1]
             ncols = struct.count(":")
             assert ncols <= max_cols, f"scan reads {ncols} columns (> {max_cols}): {ln.strip()}"
             return
-    raise AssertionError(f"no ReadSchema found in plan:\n{plan}")
+    raise AssertionError(f"no ReadSchema matching {table_fragment!r} found in plan:\n{plan}")
 
 
 def assert_broadcast_join(df: DataFrame, expect: bool = True):

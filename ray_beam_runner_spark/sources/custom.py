@@ -105,14 +105,21 @@ class _CounterStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
+        # Restart safety: a fresh reader's _current starts at 0 while the
+        # checkpointed start may be higher — never plan a backward batch;
+        # fast-forward the cursor instead (progress resumes next trigger).
+        if e < s:
+            self._current = max(self._current, s)
+            return []
         mid = (s + e) // 2
         # Two splits per micro-batch: restriction splitting inside a batch.
         return [_RangeChunk(s, mid), _RangeChunk(mid, e)] if e > mid > s else [_RangeChunk(s, e)]
 
     def commit(self, end: dict):
         # Offsets up to `end` are durably processed (bundle-commit analog,
-        # reference execution.py:131-139).
-        pass
+        # reference execution.py:131-139); keep the cursor monotonic so a
+        # reader reconstructed mid-stream resumes from the committed point.
+        self._current = max(self._current, end["offset"])
 
     def read(self, partition: _RangeChunk):
         for v in range(partition.start, partition.end):

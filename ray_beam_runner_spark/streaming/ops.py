@@ -64,7 +64,9 @@ def run_to_memory(
         q = agg.writeStream.outputMode(output_mode).foreachBatch(handle).trigger(
             availableNow=True
         ).start()
-        q.awaitTermination(timeout_sec)
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(f"stream drain exceeded {timeout_sec}s")
         import pandas as pd
 
         all_pdf = (
@@ -80,7 +82,11 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # Returning partial mid-stream results would silently corrupt the
+        # caller's comparison; stop the leaked query and fail loudly.
+        q.stop()
+        raise TimeoutError(f"stream drain exceeded {timeout_sec}s")
     return spark.table(name)
 
 

@@ -403,3 +403,73 @@ def test_co_group_by_key(p):
     out.assert_that(
         [("a", ([1, 2], ["x"])), ("b", ([3], [])), ("c", ([], ["y"]))]
     )
+
+
+# -- regression tests for review findings --
+
+
+def test_filter_keyed(p):
+    # filter on a keyed PCollection must preserve keys (typed and pickled)
+    pc = p.create_kv([("a", 1), ("b", 2), ("c", 3)], key_type="string", value_type="bigint")
+    pc.filter(lambda kv: kv[1] % 2 == 1).assert_that([("a", 1), ("c", 3)])
+    pk = p.create_kv([((1, 2), "x"), ((3, 4), "y")])
+    pk.filter(lambda kv: kv[0][0] == 1).assert_that([((1, 2), "x")])
+
+
+def test_empty_side_input_views(p):
+    # empty side views deliver the view type's empty container, not None
+    empty = p.create([])
+    empty_kv = p.create([]).map_to_kv(lambda v: v)
+
+    class UseSides(DoFn):
+        def process(self, element, timestamp=None, window=None, lst=None, d=None):
+            yield (element, list(lst), dict(d))
+
+    out = p.create([1], value_type="bigint").par_do(
+        UseSides(), side_inputs={"lst": AsList(empty), "d": AsDict(empty_kv)}
+    )
+    out.assert_that([(1, [], {})])
+
+
+def test_co_group_mixed_representations(p):
+    # typed bigint values on one side, typed string on the other:
+    # co_group_by_key must transcode internally (no manual prep)
+    a = p.create_kv([("k", 1), ("k", 2)], key_type="string", value_type="bigint")
+    b = p.create_kv([("k", "x"), ("z", "y")], key_type="string", value_type="string")
+    a.co_group_by_key(b).assert_that([("k", ([1, 2], ["x"])), ("z", ([], ["y"]))])
+
+
+def test_co_group_sessions_merge_across_inputs(p):
+    # Beam semantics: one session spanning elements of BOTH inputs is ONE
+    # group (windows merge across inputs, not per side)
+    a = p.create_kv(
+        [("k", 0), ("k", 8)], key_type="string", value_type="bigint",
+        timestamp_fn=lambda kv: kv[1],
+    ).window_into(Sessions(10))
+    b = p.create_kv(
+        [("k", 5), ("k", 100)], key_type="string", value_type="bigint",
+        timestamp_fn=lambda kv: kv[1],
+    ).window_into(Sessions(10))
+    a.co_group_by_key(b).assert_that([("k", ([0, 8], [5])), ("k", ([], [100]))])
+
+
+def test_flatten_keyed_preserves_keys(p):
+    # flattening keyed collections yields (k, v) tuples, never bare values —
+    # regardless of value-type homogeneity
+    a = p.create_kv([("a", 1)], key_type="string", value_type="bigint")
+    b = p.create_kv([("b", 2)], key_type="string", value_type="bigint")
+    a.flatten_with(b).assert_that([("a", 1), ("b", 2)])
+    c = p.create_kv([("c", "s")], key_type="string", value_type="string")
+    a.flatten_with(c).assert_that([("a", 1), ("c", "s")])
+
+
+def test_rewindow_clears_stale_windows(p):
+    # fixed -> sessions re-windowing must not leak the fixed win bounds
+    class ReifyWin(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            yield (element, window)
+
+    pc = p.create([3], value_type="bigint", timestamp_fn=lambda v: v)
+    out = pc.window_into(FixedWindows(60)).window_into(Sessions(10)).par_do(ReifyWin())
+    # merging windows materialize at GBK; before that the element is unwindowed
+    out.assert_that([(3, None)])
