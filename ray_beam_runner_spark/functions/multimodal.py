@@ -105,3 +105,57 @@ def extract_features(media: DataFrame, fake_features: bool = True) -> DataFrame:
         # teardown (once per task)
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(payload: bytes, target: tuple[int, int], fake: bool = False) -> bytes:
+    """Resize kernel stub. Real implementation needs PIL/ffmpeg (absent in
+    this container); the fake path deterministically truncates/pads the
+    byte stream to target_w*target_h bytes so the distributed plumbing
+    (binary in → binary out, metadata update) is testable."""
+    if not fake:
+        raise NotImplementedError("image resize requires codec libraries")
+    n = target[0] * target[1]
+    src = payload or b"\x00"  # empty payload -> zero-fill frame
+    return (src * (n // len(src) + 1))[:n]
+
+
+def resize_media(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
+    """Resize every payload; metadata width/height updated. Same envelope
+    in and out, so resize stages compose with decode/feature stages."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [resize_stub(p, (width, height), fake=fake) for p in pdf["payload"]]
+            meta = pd.DataFrame(list(pdf["meta"]))
+            meta["width"], meta["height"] = width, height
+            out["meta"] = meta.to_dict("records")
+            yield out
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int, stride: int, fake: bool = True) -> DataFrame:
+    """Frame-sampling kernel stub for video payloads: emit every
+    ``stride``-th ``frame_bytes`` slice as its own media row (1→N — the
+    multimodal analog of a splittable read). Output rows keep the frame
+    index in meta.duration_ms for traceability."""
+    if not fake:
+        raise NotImplementedError("frame sampling requires codec libraries")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ][::stride]
+                for f_idx, frame in enumerate(frames):
+                    m = dict(meta)
+                    m["modality"] = "image"
+                    m["duration_ms"] = f_idx
+                    rows.append((mid, frame, m))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)

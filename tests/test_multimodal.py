@@ -1,0 +1,85 @@
+"""Multimodal plumbing tests: envelope, decode/resize/frame-sample stub
+kernels over binary columns (real codecs stubbed; batching + schema real)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.functions.multimodal import (
+    attach_media,
+    decode_image_stub,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, b"abcdef" * 10), (2, b"xyz"), (3, b"")], "id long, payload binary"
+    )
+    return attach_media(df, "id", "payload", modality="video")
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"abc")
+
+
+def test_extract_features(media):
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].byte_len == 60 and rows[1].first_byte == ord("a")
+    assert rows[2].byte_len == 3
+    assert rows[3].byte_len == 0 and rows[3].first_byte is None
+    assert len(rows[1].content_md5_pfx) == 8
+
+
+def test_resize_updates_payload_and_meta(media):
+    out = resize_media(media, 4, 5).collect()
+    for r in out:
+        assert len(r.payload) == 20
+        assert r.meta.width == 4 and r.meta.height == 5
+
+
+def test_sample_frames_explodes(media):
+    frames = sample_frames(media, frame_bytes=10, stride=2).collect()
+    by_parent = {}
+    for r in frames:
+        by_parent.setdefault(r.media_id, []).append(r)
+    # media 1: 60 bytes -> 6 frames -> stride 2 -> 3 rows
+    assert len(by_parent[1]) == 3
+    assert all(len(r.payload) == 10 for r in by_parent[1])
+    # media 2: 3 bytes -> 1 partial frame
+    assert len(by_parent[2]) == 1 and len(by_parent[2][0].payload) == 3
+    # empty payload -> no frames
+    assert 3 not in by_parent
+
+
+def test_cogroup_apply(spark, sf_dir):
+    # cogroup().applyInPandas CoGBK (operators.grouping) — arbitrary python
+    # combine over the two per-key groups
+    import pandas as pd
+
+    from ray_beam_runner_spark.operators.grouping import cogroup_apply
+    from ray_beam_runner_spark.queries import t as load
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").limit(200)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_acctbal"
+    )
+
+    def fn(o_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(c_pdf):
+            return pd.DataFrame(columns=["o_custkey", "n_orders", "acctbal"])
+        return pd.DataFrame(
+            {
+                "o_custkey": [c_pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(o_pdf)],
+                "acctbal": [float(c_pdf["c_acctbal"].iloc[0])],
+            }
+        )
+
+    out = cogroup_apply(orders, cust, ["o_custkey"], fn, "o_custkey long, n_orders long, acctbal double")
+    got = {r.o_custkey: r.n_orders for r in out.collect() if r.n_orders > 0}
+    expected = {r.o_custkey: r.cnt for r in orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == expected

@@ -82,3 +82,40 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.operators.skew import salted_aggregate
+    from ray_beam_runner_spark.queries import t as load
+
+    ev = load(spark, sf_dir, "events")
+    salted = salted_aggregate(
+        ev, ["event_type"],
+        {"cnt": ("count", "value"), "total": ("sum", "value"),
+         "lo": ("min", "value"), "hi": ("max", "value")},
+        n_salts=8,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"),
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+    )
+    s = {r.event_type: (r.cnt, round(r.total, 6), r.lo, r.hi) for r in salted.collect()}
+    e = {r.event_type: (r.cnt, round(r.total, 6), r.lo, r.hi) for r in plain.collect()}
+    assert s == e
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from ray_beam_runner_spark.operators.skew import salted_join
+    from ray_beam_runner_spark.queries import t as load
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", n_salts=4
+    ).select("o_orderkey", "o_custkey", "c_mktsegment")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_mktsegment"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
