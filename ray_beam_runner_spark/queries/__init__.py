@@ -44,5 +44,6 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from ray_beam_runner_spark.queries import relational  # noqa: E402,F401
 from ray_beam_runner_spark.queries import llm  # noqa: E402,F401
 from ray_beam_runner_spark.queries import streaming_q  # noqa: E402,F401
+from ray_beam_runner_spark.queries import scalars  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE", "query", "t"]
