@@ -35,7 +35,9 @@ EXTRA_SET = (
 def run_query(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    n = df.count() if "__count_only__" in df.columns else len(df.collect())
+    # Arrow-batched materialization: computes every column (count() would
+    # let Catalyst prune the projections) without row-at-a-time py4j cost.
+    n = len(df.toPandas())
     dt = time.perf_counter() - t0
     assert n >= 0
     return dt

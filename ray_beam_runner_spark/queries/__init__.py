@@ -34,10 +34,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_table_cache: dict[tuple[int, str], DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a synthetic table. The (immutable) DataFrame handle is cached
+    per (session, path): repeated reads re-open parquet footers through the
+    JVM (~100 ms per query build) for identical plans."""
     from ray_beam_runner_spark.session import read_parquet_normalized
 
-    return read_parquet_normalized(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), path)
+    if key not in _table_cache:
+        _table_cache[key] = read_parquet_normalized(spark, path)
+    return _table_cache[key]
 
 
 # Import for registration side effects (order = SURVEY §2 build order).
