@@ -145,6 +145,38 @@ def multi_table_buckets(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dup detection: candidate pairs from
+    multi-table sign-LSH bucket collisions (self-join keyed on
+    (table, bucket) — subquadratic), verified with exact cosine. Compare
+    q_dedup_embedding's brute-force pair scan (exact, O(n^2)): this is
+    what replaces it at 100 TB; recall vs brute force is tested.
+    Returns (v1, v2, sim) with sim >= threshold."""
+    b = multi_table_buckets(df.select(id_col, vec_col), vec_col, dim, n_planes, n_tables)
+    a1 = b.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "table", "bucket")
+    a2 = b.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), "table", "bucket")
+    cands = (
+        a1.join(a2, ["table", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .dropDuplicates(["v1", "v2"])
+    )
+    return (
+        cands.select(
+            "v1", "v2", F.round(cosine_pandas(F.col("e1"), F.col("e2")), round_digits).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

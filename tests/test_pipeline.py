@@ -473,3 +473,16 @@ def test_rewindow_clears_stale_windows(p):
     out = pc.window_into(FixedWindows(60)).window_into(Sessions(10)).par_do(ReifyWin())
     # merging windows materialize at GBK; before that the element is unwindowed
     out.assert_that([(3, None)])
+
+
+def test_diamond_side_input_topology(p):
+    # 'unfusable' diamond (ray_runner_test.py:337-361): the side input is
+    # derived from the same upstream as the main input
+    base = p.create([1, 2, 3], value_type="bigint")
+    side = base.combine_globally("sum")  # 6
+
+    class AddTotal(DoFn):
+        def process(self, element, timestamp=None, window=None, total=None):
+            yield element + total
+
+    base.par_do(AddTotal(), side_inputs={"total": AsSingleton(side)}).assert_that([7, 8, 9])

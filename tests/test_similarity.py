@@ -73,3 +73,20 @@ def test_cosine_pandas_matches_expression(spark):
     ).collect()
     for r in rows:
         assert abs(r.p - r.e) < 1e-9
+
+
+def test_embedding_near_dup_lsh_recall(emb, spark, sf_dir):
+    from ray_beam_runner_spark.functions.similarity import embedding_near_dup_pairs_lsh
+    from ray_beam_runner_spark.queries import QUERIES
+
+    exact = {(r.v1, r.v2) for r in QUERIES["q_dedup_embedding"](spark, sf_dir).collect()}
+    lsh = {
+        (r.v1, r.v2)
+        for r in embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    # every LSH pair is verified exact-cosine, so precision is 1 by
+    # construction; recall must be high for sim>=0.4 pairs
+    assert lsh <= exact or not exact
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.6, f"near-dup LSH recall collapsed: {recall}"

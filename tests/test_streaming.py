@@ -164,3 +164,34 @@ def test_stream_stream_interval_join(spark, events, tmp_path):
     # stream-stream inner join emits matches whose inputs were both within
     # watermark bounds; on a bounded replay every batch match must appear
     assert got == expected, (len(got), len(expected))
+
+
+def test_streaming_session_windows(spark, events, tmp_path):
+    # native session_window on a live stream with watermark: closed
+    # sessions must match the batch session computation
+    ev = events.limit(400).cache()
+    stream = (
+        FileDropStream(spark, str(tmp_path / "sess"))
+        .write_slices(ev, "ts", n_slices=4)
+        .read_stream()
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"), "n")
+    )
+    got = {(r.user_id, r.s_start, r.n) for r in run_to_memory(agg, "append").collect()}
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"), "n")
+    )
+    import datetime as dt
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - dt.timedelta(minutes=10)
+    expected_closed = {
+        (r.user_id, r.s_start, r.n) for r in batch.collect() if r.s_end <= final_wm
+    }
+    assert expected_closed <= got, expected_closed - got
