@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_media", "extract_features", "decode_image_stub"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media",
+    "extract_features",
+    "decode_image_stub",
+    "resize_stub",
+    "resize_media",
+    "sample_frames",
+]
 
 # Canonical multimodal envelope: opaque payload + typed metadata struct.
 MEDIA_SCHEMA = T.StructType(
@@ -147,11 +155,11 @@ def sample_frames(media: DataFrame, frame_bytes: int, stride: int, fake: bool = 
         for pdf in batches:
             rows = []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                frames = [
+                frames = list(enumerate(
                     payload[i : i + frame_bytes]
                     for i in range(0, len(payload), frame_bytes)
-                ][::stride]
-                for f_idx, frame in enumerate(frames):
+                ))[::stride]
+                for f_idx, frame in frames:
                     m = dict(meta)
                     m["modality"] = "image"
                     m["duration_ms"] = f_idx

@@ -20,7 +20,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_similarity_col", "cosine_topk", "random_hyperplane_buckets", "lsh_topk"]
+__all__ = [
+    "cosine_similarity_col",
+    "cosine_pandas",
+    "cosine_topk",
+    "random_hyperplane_buckets",
+    "multi_table_buckets",
+    "embedding_near_dup_pairs_lsh",
+    "lsh_topk",
+]
 
 
 def _as_double(col: Column) -> Column:
@@ -160,17 +168,29 @@ def embedding_near_dup_pairs_lsh(
     (table, bucket) — subquadratic), verified with exact cosine. Compare
     q_dedup_embedding's brute-force pair scan (exact, O(n^2)): this is
     what replaces it at 100 TB; recall vs brute force is tested.
+
+    Shuffle discipline: the bucket self-join carries ONLY ids — vectors
+    join back onto the deduped candidate pairs afterwards. Shipping the
+    embedding through the n_tables-way explode and both join sides would
+    multiply shuffle bytes by ~2*n_tables*dim.
     Returns (v1, v2, sim) with sim >= threshold."""
-    b = multi_table_buckets(df.select(id_col, vec_col), vec_col, dim, n_planes, n_tables)
-    a1 = b.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), "table", "bucket")
-    a2 = b.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), "table", "bucket")
+    ids_b = multi_table_buckets(
+        df.select(id_col, vec_col), vec_col, dim, n_planes, n_tables
+    ).select(id_col, "table", "bucket")
+    a1 = ids_b.select(F.col(id_col).alias("v1"), "table", "bucket")
+    a2 = ids_b.select(F.col(id_col).alias("v2"), "table", "bucket")
     cands = (
         a1.join(a2, ["table", "bucket"])
         .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
         .dropDuplicates(["v1", "v2"])
     )
+    e1 = df.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
+    e2 = df.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
     return (
-        cands.select(
+        cands.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
             "v1", "v2", F.round(cosine_pandas(F.col("e1"), F.col("e2")), round_digits).alias("sim")
         )
         .filter(F.col("sim") >= threshold)

@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 __all__ = ["add_salt", "salted_aggregate", "salted_join"]
 
 # Aggregates that re-aggregate losslessly: final(fn) over partial(fn).
+# count follows SQL count(col) semantics (NULLs skipped), matching the
+# plain groupBy().agg(F.count(col)) it replaces.
 _REAGG = {
     "sum": (F.sum, F.sum),
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "count": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }

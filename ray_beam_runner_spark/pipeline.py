@@ -128,7 +128,7 @@ class _View:
 
 
 class AsList(_View):
-    empty: list = []
+    empty = staticmethod(list)  # factory: fresh container per delivery
 
     def build(self):
         out: dict = {}
@@ -138,7 +138,7 @@ class AsList(_View):
 
 
 class AsSingleton(_View):
-    empty = None
+    empty = staticmethod(lambda: None)
 
     def build(self):
         out: dict = {}
@@ -150,7 +150,7 @@ class AsSingleton(_View):
 
 
 class AsDict(_View):
-    empty: dict = {}
+    empty = staticmethod(dict)
 
     def build(self):
         out: dict = {}
@@ -161,7 +161,7 @@ class AsDict(_View):
 
 
 class AsMultiMap(_View):
-    empty: dict = {}
+    empty = staticmethod(dict)
 
     def build(self):
         out: dict = {}
@@ -175,8 +175,9 @@ def _lookup_side(view_by_window: dict, main_win, main_ts: float, default):
     """Window-mapping: global side → its single view; windowed side → the
     side window containing the main element's timestamp (reference
     delivers views keyed (transform, tag, window), execution.py:493-523).
-    ``default`` is the view type's empty container (Beam delivers [] for
-    AsList / {} for AsDict of an empty or unmatched side)."""
+    ``default`` is a FRESH empty container for the view type (Beam
+    delivers [] for AsList / {} for AsDict of an empty or unmatched side;
+    fresh per delivery so a mutating DoFn can't poison later elements)."""
     if set(view_by_window.keys()) == {None}:
         return view_by_window[None]
     probe = main_ts if main_win is None else main_win[0]
@@ -275,7 +276,7 @@ class PCollection:
                     ts = d["event_time"]
                     win = None if pd.isna(d["win_start"]) else (d["win_start"], d["win_end"])
                     bound_sides = {
-                        name: _lookup_side(view, win, ts, side_empties[name])
+                        name: _lookup_side(view, win, ts, side_empties[name]())
                         for name, view in sides.items()
                     }
                     outs = dofn.process(elem, timestamp=ts, window=win, **bound_sides)
@@ -550,7 +551,6 @@ class PCollection:
                 )
             )
         a, b = l.group_by_key(), r.group_by_key()
-        self, other = l, r  # for the pickled flags below
         adf = a.df.select(
             "key",
             F.col("value").alias("__l"),
@@ -583,9 +583,8 @@ class PCollection:
             F.coalesce(adf["win_start"], bdf["__bws"]).alias("win_start"),
             F.coalesce(adf["win_end"], bdf["__bwe"]).alias("win_end"),
         )
-        out = PCollection(self.pipeline, j, True, self.pickled, self.windowing, grouped=False)
-        out.key_pickled = getattr(self, "key_pickled", self.pickled)
-        out._cogrouped = True
+        out = PCollection(self.pipeline, j, True, l.pickled, self.windowing, grouped=False)
+        out.key_pickled = getattr(l, "key_pickled", l.pickled)
         return out._to_pair_values()
 
     def _to_pair_values(self) -> "PCollection":

@@ -34,20 +34,24 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-_table_cache: dict[tuple[int, str], DataFrame] = {}
-
-
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table. The (immutable) DataFrame handle is cached
-    per (session, path): repeated reads re-open parquet footers through the
-    JVM (~100 ms per query build) for identical plans."""
+    ON the session object: repeated reads re-open parquet footers through
+    the JVM (~100 ms per query build) for identical plans. Storing the
+    cache on the session (not a module global) lets it die with the
+    session instead of pinning stopped sessions for process lifetime.
+    The test tables are static/read-only; if a path's files were ever
+    regenerated in place, clear ``spark._rbrs_tables``."""
     from ray_beam_runner_spark.session import read_parquet_normalized
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), path)
-    if key not in _table_cache:
-        _table_cache[key] = read_parquet_normalized(spark, path)
-    return _table_cache[key]
+    cache = getattr(spark, "_rbrs_tables", None)
+    if cache is None:
+        cache = {}
+        spark._rbrs_tables = cache  # noqa: SLF001
+    if path not in cache:
+        cache[path] = read_parquet_normalized(spark, path)
+    return cache[path]
 
 
 # Import for registration side effects (order = SURVEY §2 build order).

@@ -105,9 +105,13 @@ class _CounterStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
-        # Restart safety: a fresh reader's _current starts at 0 while the
+        # Restart guard: a fresh reader's _current starts at 0 while the
         # checkpointed start may be higher — never plan a backward batch;
-        # fast-forward the cursor instead (progress resumes next trigger).
+        # fast-forward the cursor. NOTE: the engine still commits the
+        # already-planned lower end offset, so a restarted query re-emits
+        # rows from that point — this demo source is AT-LEAST-ONCE across
+        # restarts (exactly-once needs the offset persisted outside the
+        # reader, e.g. in the source system, like Kafka's).
         if e < s:
             self._current = max(self._current, s)
             return []

@@ -63,7 +63,7 @@ def test_cogroup_apply(spark, sf_dir):
     from ray_beam_runner_spark.operators.grouping import cogroup_apply
     from ray_beam_runner_spark.queries import t as load
 
-    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").limit(200)
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").filter(F.col("o_custkey") < 40)
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_acctbal"
     )

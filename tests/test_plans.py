@@ -91,6 +91,10 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
     from ray_beam_runner_spark.queries import t as load
 
     ev = load(spark, sf_dir, "events")
+    # include NULLs so count(col) semantics (NULLs skipped) are exercised
+    ev = ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
     salted = salted_aggregate(
         ev, ["event_type"],
         {"cnt": ("count", "value"), "total": ("sum", "value"),
@@ -98,7 +102,7 @@ def test_salted_aggregate_matches_plain(spark, sf_dir):
         n_salts=8,
     )
     plain = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"),
+        F.count("value").alias("cnt"), F.sum("value").alias("total"),
         F.min("value").alias("lo"), F.max("value").alias("hi"),
     )
     s = {r.event_type: (r.cnt, round(r.total, 6), r.lo, r.hi) for r in salted.collect()}

@@ -53,14 +53,16 @@ def _drain(spark, agg, output_mode, n_expected_rows=None, timeout=120):
         .trigger(processingTime="200 milliseconds")
         .start()
     )
-    deadline = time.time() + timeout
+    t0 = time.time()
+    deadline = t0 + timeout
     last = -1
     stable = 0
     while time.time() < deadline:
         n = spark.table(name).count()
-        # Only count quiescence once output exists — under load the first
+        # Only count quiescence once output exists (or after a generous
+        # warm-up for legitimately empty streams) — under load the first
         # micro-batch can take several seconds to land.
-        stable = stable + 1 if (n == last and n > 0) else 0
+        stable = stable + 1 if (n == last and (n > 0 or time.time() > t0 + 20)) else 0
         last = n
         if (n_expected_rows is not None and n >= n_expected_rows) or stable >= 10:
             break
