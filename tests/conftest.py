@@ -12,7 +12,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            # static conf: bucketed-table tests need a writable warehouse
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="rbrs_wh_"),
+        },
+    )
     yield s
 
 

@@ -123,3 +123,54 @@ def test_salted_join_matches_plain(spark, sf_dir):
         "o_orderkey", "o_custkey", "c_mktsegment"
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_observe_counts(spark, sf_dir):
+    # per-PCollection element-count monitoring (reference monitoring infos,
+    # ray_fn_runner.py:462-534) — piggybacks on the action, no extra pass
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.plans.observe import observe_counts, observed_result
+    from ray_beam_runner_spark.queries import t as load
+
+    li = load(spark, sf_dir, "lineitem")
+    mid, obs = observe_counts(li.filter(F.col("l_quantity") > 25), "post_filter")
+    out = mid.groupBy("l_returnflag").count()
+    out.collect()
+    res = observed_result(obs)
+    exact = li.filter(F.col("l_quantity") > 25).count()
+    assert res["element_count"] == exact
+    assert res["approx_bytes"] > 0
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    # bucketing for co-located joins: both sides bucketed on the key join
+    # WITHOUT a shuffle exchange (the 100 TB repeated-join strategy)
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+    from ray_beam_runner_spark.queries import t as load
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    joined = (
+        spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the join itself must not shuffle; only the (already co-partitioned)
+    # aggregation may reuse the bucketing -> at most 0 exchanges pre-agg
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_join = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        assert count_exchanges(plain_join) == 0, "bucketed join should not shuffle"
+        assert plain_join.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
