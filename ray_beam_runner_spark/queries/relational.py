@@ -100,7 +100,7 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn")
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -580,9 +580,9 @@ def q_scalar_mathdate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("o_totalprice") - 1000.0).alias("abs_diff"),
         F.floor(F.col("o_totalprice") / 100).alias("price_bucket"),
         F.ceil(F.col("o_totalprice") / 1000).alias("price_kbucket"),
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
     )
 

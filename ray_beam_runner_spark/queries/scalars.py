@@ -71,7 +71,7 @@ def q_scalar_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("s_name").alias("rev"),
         F.repeat(F.expr("left(s_name, 2)"), 3).alias("rep"),
         F.split_part(F.col("s_name"), F.lit("#"), F.lit(1)).alias("name_head"),
-        F.instr("s_name", "r").alias("r_pos"),
+        F.instr("s_name", "r").cast("long").alias("r_pos"),
         F.translate("s_name", "aeiou", "AEIOU").alias("vowels_up"),
         F.expr("right(s_name, 3)").alias("tail"),
     )
@@ -97,13 +97,13 @@ def q_scalar_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).alias("days_since"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast("long").alias("days_since"),
         # string form: Spark DATE vs DuckDB->pandas datetime64 render
         # differently after canonicalization
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
-        F.weekday("o_orderdate").alias("weekday_mon0"),
-        F.quarter("o_orderdate").alias("q"),
-        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
     )
 
@@ -132,7 +132,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double"), 4))
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
@@ -162,7 +162,7 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias("n_numbers"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("long").alias("n_numbers"),
         F.col("text").rlike("join|merge").alias("mentions_join"),
         F.expr("left(regexp_replace(text, '\\\\s+', '_'), 40)").alias("slug40"),
     )
