@@ -333,3 +333,30 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")), "doc_id", "payload"
     )
     return extract_features(media, fake_features=True)
+
+
+@query(
+    "q_wordcount",
+    oracle=f"""
+    SELECT t AS word, count(*) AS n FROM (
+      SELECT unnest({_TOKS}) AS t FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical end-to-end example (WordCount,
+    examples/word_count_metrics.py:110-134) as a declared query: tokenize →
+    explode → count per word → top-20. flatMap = explode of an array
+    expression; GBK+sum = hash aggregate — all codegen'd, no Python."""
+    from ray_beam_runner_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )

@@ -99,3 +99,26 @@ def test_counter_stream_aggregation(spark):
     got = _drain(spark, agg, "complete")
     final = {r.parity: r.cnt for r in got.collect()}
     assert final == {0: 20, 1: 20}
+
+
+def test_python_udtf(spark):
+    # SURVEY §2.7: DoFn-as-UDTF (1->N with arbitrary python) via the
+    # Spark 3.5+ @udtf lateral-join surface
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield (w, i)
+
+    spark.udtf.register("split_words", SplitWords)
+    df = spark.createDataFrame([("the quick fox",), ("lazy dog",)], "line string")
+    df.createOrReplaceTempView("udtf_lines")
+    out = spark.sql(
+        "SELECT t.word, t.pos FROM udtf_lines, LATERAL split_words(line) t"
+    ).collect()
+    got = sorted((r.word, r.pos) for r in out)
+    assert got == sorted(
+        [("the", 0), ("quick", 1), ("fox", 2), ("lazy", 0), ("dog", 1)]
+    )
