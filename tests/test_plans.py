@@ -174,3 +174,68 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         assert plain_join.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_range_bucket_join_matches_plain(spark, sf_dir):
+    # interval join via bucket explode == plain range-predicate join
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.operators.joins import range_bucket_join
+    from ray_beam_runner_spark.queries import t as load
+
+    ev = load(spark, sf_dir, "events").limit(400).cache()
+    points = ev.select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+    intervals = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("i_user"),
+            F.col("event_id").alias("i_id"),
+            F.col("ts").alias("i_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("i_end"),
+        )
+    )
+    bucketed = range_bucket_join(
+        points.withColumnRenamed("user_id", "i_user"),
+        intervals,
+        "p_ts",
+        "i_start",
+        "i_end",
+        bucket_seconds=3600,
+        extra_on=["i_user"],
+    ).select("p_id", "i_id")
+    plain = points.join(
+        intervals,
+        (points.user_id == intervals.i_user)
+        & (points.p_ts >= intervals.i_start)
+        & (points.p_ts < intervals.i_end),
+    ).select("p_id", "i_id")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    assert "NestedLoop" not in formatted_plan(bucketed)
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from ray_beam_runner_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", base + dt.timedelta(minutes=10))], "id long, k string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", base + dt.timedelta(minutes=12), "after2m"),
+         ("u", base + dt.timedelta(minutes=40), "after30m"),
+         ("u", base + dt.timedelta(minutes=5), "before")],
+        "k string, rts timestamp, tag string",
+    )
+    fwd = asof_join(left, right, on="k", left_time="lts", right_time="rts", direction="forward")
+    assert fwd.collect()[0].tag == "after2m"  # nearest at-or-after
+    tol = asof_join(
+        left, right, on="k", left_time="lts", right_time="rts",
+        direction="forward", tolerance_seconds=60,
+    )
+    assert tol.collect()[0].tag is None  # nearest-after is 2m away > 60s
+    back = asof_join(left, right, on="k", left_time="lts", right_time="rts")
+    assert back.collect()[0].tag == "before"
