@@ -10,9 +10,14 @@ and driver-collect-free:
                  with an optional hot-shingle cap for skew at 100 TB.
 - MinHash LSH:  per-doc signatures in one pass (JVM-side xxhash64), band
                  self-join on (band, value), exact-Jaccard verification of
-                 candidates only.
-- SimHash:      32-bit signature; banded self-join gives exact recall for
-                 hamming distance <= 3 (pigeonhole over 4 bands).
+                 candidates only (Broder, "On the resemblance and
+                 containment of documents", 1997; banding analysis as in
+                 Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3).
+- SimHash:      32-bit signature (Charikar, "Similarity estimation
+                 techniques from rounding algorithms", 2002); banded
+                 self-join gives exact recall for hamming distance <= 3
+                 (pigeonhole over 4 bands, as in Manku et al.,
+                 "Detecting near-duplicates for web crawling", 2007).
 """
 
 from __future__ import annotations

@@ -2,9 +2,10 @@
 
 Baseline: brute-force cosine top-k (exact; broadcast the bounded query
 set, scan the corpus once — embarrassingly parallel at 100 TB). Scale
-path: random-hyperplane LSH bucketing (subquadratic candidate generation,
-tunable recall — tested against the brute-force baseline in
-tests/test_similarity.py).
+path: random-hyperplane LSH bucketing (Charikar 2002 sign-random-
+projection; multi-table recall amplification per Indyk-Motwani 1998) —
+subquadratic candidate generation with tunable recall, tested against the
+brute-force baseline in tests/test_similarity.py.
 
 Dot products are pure Catalyst expressions (zip_with + aggregate), cast
 to double so results are comparable with the DuckDB oracle's
