@@ -209,10 +209,13 @@ def test_range_bucket_join_matches_plain(spark, sf_dir):
         & (points.p_ts >= intervals.i_start)
         & (points.p_ts < intervals.i_end),
     ).select("p_id", "i_id")
-    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
-    from ray_beam_runner_spark.plans.explain import formatted_plan
+    try:
+        assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+        from ray_beam_runner_spark.plans.explain import formatted_plan
 
-    assert "NestedLoop" not in formatted_plan(bucketed)
+        assert "NestedLoop" not in formatted_plan(bucketed)
+    finally:
+        ev.unpersist()
 
 
 def test_asof_join_forward_and_tolerance(spark):

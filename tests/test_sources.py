@@ -104,7 +104,7 @@ def test_counter_stream_aggregation(spark):
 def test_python_udtf(spark):
     # SURVEY §2.7: DoFn-as-UDTF (1->N with arbitrary python) via the
     # Spark 3.5+ @udtf lateral-join surface
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="word string, pos int")
     class SplitWords:
