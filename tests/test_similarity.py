@@ -75,6 +75,29 @@ def test_cosine_pandas_matches_expression(spark):
         assert abs(r.p - r.e) < 1e-9
 
 
+def test_blocked_cosine_pairs_equals_bruteforce(emb):
+    # the declared q_dedup_embedding path: blocked GEMM must reproduce the
+    # brute-force pair set EXACTLY (same ids, same rounded sims) — it is an
+    # exact algorithm, not an approximation
+    from ray_beam_runner_spark.functions.similarity import blocked_cosine_pairs
+
+    sub = emb.filter(F.col("vec_id") < 120).select("vec_id", "embedding")
+    a = sub.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = sub.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    brute = {
+        (r.v1, r.v2, r.sim)
+        for r in a.join(b, F.col("v1") < F.col("v2"))
+        .select("v1", "v2", F.round(cosine_pandas(F.col("e1"), F.col("e2")), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+        .collect()
+    }
+    blocked = {
+        (r.v1, r.v2, r.sim)
+        for r in blocked_cosine_pairs(sub, threshold=0.3, n_blocks=4).collect()
+    }
+    assert blocked == brute
+
+
 def test_embedding_near_dup_lsh_recall(emb, spark, sf_dir):
     from ray_beam_runner_spark.functions.similarity import embedding_near_dup_pairs_lsh
     from ray_beam_runner_spark.queries import QUERIES
