@@ -173,14 +173,18 @@ class AsMultiMap(_View):
 
 def _lookup_side(view_by_window: dict, main_win, main_ts: float, default):
     """Window-mapping: global side → its single view; windowed side → the
-    side window containing the main element's timestamp (reference
-    delivers views keyed (transform, tag, window), execution.py:493-523).
-    ``default`` is a FRESH empty container for the view type (Beam
-    delivers [] for AsList / {} for AsDict of an empty or unmatched side;
-    fresh per delivery so a mutating DoFn can't poison later elements)."""
+    side window containing the main window's MAX timestamp (end minus one
+    microsecond — Beam's default WindowMappingFn maps via
+    window.max_timestamp(), so when side windows are finer than main
+    windows the LAST overlapping side window is delivered, not the first).
+    Reference delivers views keyed (transform, tag, window),
+    execution.py:493-523. ``default`` is a FRESH empty container for the
+    view type (Beam delivers [] for AsList / {} for AsDict of an empty or
+    unmatched side; fresh per delivery so a mutating DoFn can't poison
+    later elements)."""
     if set(view_by_window.keys()) == {None}:
         return view_by_window[None]
-    probe = main_ts if main_win is None else main_win[0]
+    probe = main_ts if main_win is None else main_win[1] - 1e-6
     for win, view in view_by_window.items():
         if win is not None and win[0] <= probe < win[1]:
             return view
@@ -226,28 +230,39 @@ class PCollection:
         outputs: tuple[str, ...] = (),
         side_inputs: dict[str, _View] | None = None,
         keyed_output: bool | None = None,
+        key_type: str | None = None,
     ):
         """Run a DoFn over every element. Returns a PCollection, or a dict
         {tag: PCollection} (main output under 'main') when ``outputs``
         names side tags. ``output_type`` is a Spark DDL type for the value
-        column; None → opaque pickled values."""
+        column; None → opaque pickled values. With ``keyed_output`` the
+        DoFn must emit (key, value) tuples; they are split into a real key
+        column (typed via ``key_type``, else pickled) so every downstream
+        keyed op (group_by_key, map_kv_values, ...) sees the schema it
+        expects."""
         side_views = {
             name: self.pipeline.spark.sparkContext.broadcast(view.build())
             for name, view in (side_inputs or {}).items()
         }
         side_empties = {name: type(view).empty for name, view in (side_inputs or {}).items()}
         keyed_in, pickled_in, grouped_in = self.keyed, self.pickled, self.grouped
+        out_keyed = bool(keyed_output)
         out_pickled = output_type is None
+        key_pickled = key_type is None
         value_type = T._parse_datatype_string(output_type) if output_type else T.BinaryType()
-        schema = T.StructType(
-            [
-                T.StructField("value", value_type),
-                T.StructField("event_time", T.DoubleType()),
-                T.StructField("win_start", T.DoubleType()),
-                T.StructField("win_end", T.DoubleType()),
-                T.StructField("tag", T.StringType()),
-            ]
-        )
+        fields = [
+            T.StructField("value", value_type),
+            T.StructField("event_time", T.DoubleType()),
+            T.StructField("win_start", T.DoubleType()),
+            T.StructField("win_end", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+        if out_keyed:
+            k_t = T._parse_datatype_string(key_type) if key_type else T.BinaryType()
+            fields.insert(0, T.StructField("key", k_t))
+        schema = T.StructType(fields)
+        columns = [f.name for f in fields]
+
         def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
             dofn.setup()
             dofn.start_bundle()
@@ -258,15 +273,28 @@ class PCollection:
                     tag, val = (
                         (out.tag, out.value) if isinstance(out, TaggedOutput) else (None, out)
                     )
-                    rows.append(
-                        (
-                            _dumps(val) if out_pickled else val,
-                            ts,
-                            ws,
-                            we,
-                            tag,
+                    if out_keyed:
+                        k, v = val
+                        rows.append(
+                            (
+                                _dumps(k) if key_pickled else k,
+                                _dumps(v) if out_pickled else v,
+                                ts,
+                                ws,
+                                we,
+                                tag,
+                            )
                         )
-                    )
+                    else:
+                        rows.append(
+                            (
+                                _dumps(val) if out_pickled else val,
+                                ts,
+                                ws,
+                                we,
+                                tag,
+                            )
+                        )
 
             for pdf in batches:
                 rows: list = []
@@ -281,32 +309,32 @@ class PCollection:
                     }
                     outs = dofn.process(elem, timestamp=ts, window=win, **bound_sides)
                     emit_rows(outs, ts, d["win_start"], d["win_end"], rows)
-                yield pd.DataFrame(rows, columns=["value", "event_time", "win_start", "win_end", "tag"])
+                yield pd.DataFrame(rows, columns=columns)
             final_rows: list = []
             emit_rows(dofn.finish_bundle() or (), GLOBAL_TS, None, None, final_rows)
             if final_rows:
-                yield pd.DataFrame(
-                    final_rows, columns=["value", "event_time", "win_start", "win_end", "tag"]
-                )
+                yield pd.DataFrame(final_rows, columns=columns)
             dofn.teardown()
 
         out_df = self.df.mapInPandas(kernel, schema=schema)
-        out_keyed = bool(keyed_output)
+
+        def child(df):
+            pc = self._child(df, out_keyed, out_pickled)
+            if out_keyed:
+                pc.key_pickled = key_pickled
+            return pc
+
         if outputs:
             # Persist so N tagged views cost one DoFn pass (required for
             # correctness with nondeterministic/metric-bearing DoFns).
             # Tracked on the pipeline: call Pipeline.release() when done.
             out_df = out_df.persist()
             self.pipeline._persisted.append(out_df)
-            result = {
-                "main": self._child(out_df.filter(F.col("tag").isNull()).drop("tag"), out_keyed, out_pickled)
-            }
+            result = {"main": child(out_df.filter(F.col("tag").isNull()).drop("tag"))}
             for tag in outputs:
-                result[tag] = self._child(
-                    out_df.filter(F.col("tag") == tag).drop("tag"), out_keyed, out_pickled
-                )
+                result[tag] = child(out_df.filter(F.col("tag") == tag).drop("tag"))
             return result
-        return self._child(out_df.drop("tag"), out_keyed, out_pickled)
+        return child(out_df.drop("tag"))
 
     def _child(self, df: DataFrame, keyed: bool, pickled: bool, grouped: bool = False):
         return PCollection(self.pipeline, df, keyed, pickled, self.windowing, grouped)
@@ -409,13 +437,16 @@ class PCollection:
             )
         elif isinstance(windowfn, SlidingWindows):
             size, period = float(windowfn.size), float(windowfn.period)
-            first = F.floor(F.col("event_time") / period) * period
             # Descending window starts: first = floor(ts/period); last = the
             # smallest s with s*period + size > ts (strict) = floor((ts-size)/period)+1.
-            starts = F.sequence(
-                (first / period).cast("long"),
-                F.floor((F.col("event_time") - size) / period).cast("long") + 1,
-                F.lit(-1),
+            hi = F.floor(F.col("event_time") / period).cast("long")
+            lo = F.floor((F.col("event_time") - size) / period).cast("long") + 1
+            # period > size is valid Beam config where some elements fall in
+            # ZERO windows (lo > hi): guard the sequence (inverted bounds
+            # with step -1 throw at runtime) and let explode drop the
+            # element, mirroring SlidingWindows.assign returning [].
+            starts = F.when(lo <= hi, F.sequence(hi, lo, F.lit(-1))).otherwise(
+                F.array().cast("array<long>")
             )
             df = (
                 self.df.withColumn("__s", F.explode(starts))
@@ -466,7 +497,11 @@ class PCollection:
             .agg(F.collect_list("value").alias("value"), F.max("event_time").alias("event_time"))
             .select("key", "value", "event_time", "win_start", "win_end")
         )
-        return PCollection(self.pipeline, grouped, True, self.pickled, wfn, grouped=True)
+        out = PCollection(self.pipeline, grouped, True, self.pickled, wfn, grouped=True)
+        # typed keys stay typed downstream (.keys() would otherwise try to
+        # unpickle them)
+        out.key_pickled = getattr(self, "key_pickled", self.pickled)
+        return out
 
     def _gbk_merging(self, wfn) -> "PCollection":
         schema = T.StructType(
@@ -503,7 +538,9 @@ class PCollection:
             return pd.DataFrame(rows, columns=["key", "value", "event_time", "win_start", "win_end"])
 
         df = self.df.groupBy("key").applyInPandas(merge_group, schema=schema)
-        return PCollection(self.pipeline, df, True, self.pickled, wfn, grouped=True)
+        out = PCollection(self.pipeline, df, True, self.pickled, wfn, grouped=True)
+        out.key_pickled = getattr(self, "key_pickled", self.pickled)
+        return out
 
     def kv_to_tuples(self) -> "PCollection":
         """Re-view a keyed PCollection as unkeyed (k, v) tuple values
@@ -648,7 +685,9 @@ class PCollection:
             .agg(exprs[spec].alias("value"), F.max("event_time").alias("event_time"))
             .select("key", "value", "event_time", "win_start", "win_end")
         )
-        return PCollection(self.pipeline, df, True, False, wfn)
+        out = PCollection(self.pipeline, df, True, False, wfn)
+        out.key_pickled = getattr(self, "key_pickled", self.pickled)
+        return out
 
     def map_kv_values(self, fn: Callable, output_type: str | None = None) -> "PCollection":
         """Map over values of a keyed PCollection, keeping keys."""

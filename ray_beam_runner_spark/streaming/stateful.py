@@ -50,6 +50,21 @@ def configure_for_stateful(spark) -> None:
         spark.conf.set(k, v)
 
 
+_DURATION_UNITS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _duration_ms(s: str) -> int:
+    """Parse a Spark-style duration string ('10 minutes') to milliseconds."""
+    n, unit = s.strip().split()
+    return int(float(n) * _DURATION_UNITS[unit.rstrip("s").lower()])
+
+
 # ---------------------------------------------------------------------------
 # applyInPandasWithState backend (works without protobuf)
 # ---------------------------------------------------------------------------
@@ -65,30 +80,40 @@ def running_aggregate(
 ) -> DataFrame:
     """Per-key running (count, sum) over an unbounded stream.
 
-    State = one (cnt, total) tuple per key in the state store. With
+    State = one (cnt, total, last_ms) tuple per key in the state store
+    (last_ms = the key's max observed event time, epoch ms). With
     ``inactivity_timeout`` (requires ts_col), an event-time timeout fires
-    once the watermark passes the key's last-seen window and emits a final
-    flush row then clears state — the timer-flush pattern of the
-    reference's stateful tests. Output rows: key, cnt, total, final.
+    once the watermark passes the key's last observed event time plus
+    ``watermark_delay`` — a true inactivity gap, not next-batch flush —
+    and emits a final flush row then clears state (the timer-flush
+    pattern of the reference's stateful tests). Output rows: key, cnt,
+    total, final.
     """
+    delay_ms = _duration_ms(watermark_delay)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             if state.exists:
-                cnt, total = state.get
+                cnt, total, _last = state.get
                 yield pd.DataFrame({"key": [key[0]], "cnt": [cnt], "total": [total], "final": [True]})
             state.remove()
             return
-        cnt, total = state.get if state.exists else (0, 0.0)
+        cnt, total, last_ms = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             cnt += len(pdf)
             total += float(pdf[value_col].sum())
-        state.update((cnt, total))
+            if inactivity_timeout and len(pdf):
+                batch_max = pd.Timestamp(pdf[ts_col].max())
+                last_ms = max(last_ms, int(batch_max.timestamp() * 1000))
+        state.update((cnt, total, last_ms))
         if inactivity_timeout:
-            # fire when the watermark passes last-seen + delay
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            # fire once the watermark passes last-seen + gap; Spark
+            # requires the timeout to sit beyond the current watermark
+            state.setTimeoutTimestamp(
+                max(last_ms + delay_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame({"key": [key[0]], "cnt": [cnt], "total": [total], "final": [False]})
 
     src = stream
@@ -100,7 +125,7 @@ def running_aggregate(
     return src.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType="key string, cnt long, total double, final boolean",
-        stateStructType="cnt long, total double",
+        stateStructType="cnt long, total double, last_ms long",
         outputMode="append",
         timeoutConf=timeout,
     )

@@ -486,3 +486,58 @@ def test_diamond_side_input_topology(p):
             yield element + total
 
     base.par_do(AddTotal(), side_inputs={"total": AsSingleton(side)}).assert_that([7, 8, 9])
+
+
+# -- ADVICE r1 regression tests --------------------------------------------
+
+
+def test_pardo_keyed_output(p):
+    # par_do(keyed_output=True): DoFn emits (k, v); the result must be a
+    # real keyed PCollection usable by downstream keyed ops
+    class ToKV(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            yield (element % 2, element)
+
+    pc = p.create([1, 2, 3, 4], value_type="bigint").par_do(
+        ToKV(), output_type="bigint", keyed_output=True, key_type="bigint"
+    )
+    pc.group_by_key().assert_that([(0, [2, 4]), (1, [1, 3])])
+    # pickled-key variant
+    pk = p.create([1, 2], value_type="bigint").par_do(ToKV(), keyed_output=True)
+    pk.map_kv_values(lambda v: v * 10).assert_that([(1, 10), (0, 20)])
+
+
+def test_sliding_windows_period_gt_size(p):
+    # valid Beam config where some elements belong to ZERO windows:
+    # size 2, period 4 -> t=1 in [0,2); t=3 in no window (dropped)
+    pc = p.create_kv(
+        [("k", 1), ("k", 3)], key_type="string", value_type="bigint",
+        timestamp_fn=lambda kv: kv[1],
+    )
+    out = pc.window_into(SlidingWindows(2, 4)).group_by_key()
+    out.assert_that([("k", [1])])
+
+
+def test_typed_keys_survive_gbk_and_combine(p):
+    # key_pickled must propagate through GBK / combine_per_key so .keys()
+    # on typed-key results doesn't try to unpickle longs
+    pc = p.create_kv([(1, 10), (1, 20), (2, 30)], key_type="bigint", value_type="bigint")
+    assert sorted(pc.group_by_key().keys().collect()) == [1, 2]
+    assert sorted(pc.combine_per_key("sum").keys().collect()) == [1, 2]
+
+
+def test_windowed_side_input_maps_via_max_timestamp(p):
+    # main windows coarser than side windows: Beam's default window
+    # mapping delivers the side window containing the MAIN window's max
+    # timestamp (its end - 1us), i.e. the LAST overlapping side window
+    main = p.create([0], timestamp_fn=lambda v: 0).window_into(FixedWindows(10))
+    side = p.create([100, 200], timestamp_fn=lambda v: 1 if v == 100 else 6).window_into(
+        FixedWindows(5)
+    )
+
+    class AddSide(DoFn):
+        def process(self, element, timestamp=None, window=None, s=None):
+            yield element + s[0]
+
+    # main window [0,10) max-ts probe 9.999999 -> side window [5,10) -> 200
+    main.par_do(AddSide(), side_inputs={"s": AsList(side)}).assert_that([200])
