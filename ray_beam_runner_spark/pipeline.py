@@ -33,11 +33,13 @@ assumption as the reference's state-actor commit).
 
 from __future__ import annotations
 
+import inspect
 import pickle
 from collections.abc import Callable, Iterable
 from typing import Any
 
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -113,6 +115,26 @@ class _FnDoFn(DoFn):
 # ---------------------------------------------------------------------------
 # Side input views (reference: translator.py:506-524; tests 163-361)
 # ---------------------------------------------------------------------------
+
+
+class BundleFinalizer:
+    """Per-bundle finalization registrar (Beam DoFn.BundleFinalizerParam).
+
+    A DoFn whose ``process`` declares a ``bundle_finalizer`` parameter
+    receives one of these per bundle; callbacks registered on it run on
+    the DRIVER after the job that carried the bundle commits durably
+    (reference: runner issues FinalizeBundleRequest after the bundle
+    result arrives, execution.py:131-139). Spark's accumulator semantics
+    give exactly the contract Beam documents: updates surface to the
+    driver only when the job (the durable commit of the terminal action)
+    succeeds, and retried tasks may re-add — i.e. best-effort,
+    at-least-once, post-commit."""
+
+    def __init__(self):
+        self._callbacks: list = []
+
+    def register(self, callback: Callable[[], Any]) -> None:
+        self._callbacks.append(callback)
 
 
 class _View:
@@ -246,6 +268,8 @@ class PCollection:
         }
         side_empties = {name: type(view).empty for name, view in (side_inputs or {}).items()}
         keyed_in, pickled_in, grouped_in = self.keyed, self.pickled, self.grouped
+        wants_finalizer = "bundle_finalizer" in inspect.signature(dofn.process).parameters
+        finalizer_acc = self.pipeline._finalizer_acc if wants_finalizer else None
         out_keyed = bool(keyed_output)
         out_pickled = output_type is None
         key_pickled = key_type is None
@@ -267,6 +291,10 @@ class PCollection:
             dofn.setup()
             dofn.start_bundle()
             sides = {name: bc.value for name, bc in side_views.items()}
+            bundle_finalizer = BundleFinalizer() if wants_finalizer else None
+            extra_params = (
+                {"bundle_finalizer": bundle_finalizer} if wants_finalizer else {}
+            )
 
             def emit_rows(outs, ts, ws, we, rows):
                 for out in outs:
@@ -307,13 +335,23 @@ class PCollection:
                         name: _lookup_side(view, win, ts, side_empties[name]())
                         for name, view in sides.items()
                     }
-                    outs = dofn.process(elem, timestamp=ts, window=win, **bound_sides)
+                    outs = dofn.process(
+                        elem, timestamp=ts, window=win, **extra_params, **bound_sides
+                    )
                     emit_rows(outs, ts, d["win_start"], d["win_end"], rows)
                 yield pd.DataFrame(rows, columns=columns)
             final_rows: list = []
             emit_rows(dofn.finish_bundle() or (), GLOBAL_TS, None, None, final_rows)
             if final_rows:
                 yield pd.DataFrame(final_rows, columns=columns)
+            if wants_finalizer and bundle_finalizer._callbacks:
+                # ship the registered callbacks to the driver; accumulator
+                # updates surface only when the carrying job commits
+                from pyspark import cloudpickle
+
+                finalizer_acc.add(
+                    [cloudpickle.dumps(cb) for cb in bundle_finalizer._callbacks]
+                )
             dofn.teardown()
 
         out_df = self.df.mapInPandas(kernel, schema=schema)
@@ -806,10 +844,12 @@ class PCollection:
 
     def write_text(self, path: str):
         """Line-per-element text sink (reference WriteToText,
-        examples/word_count_metrics.py:130-134)."""
+        examples/word_count_metrics.py:130-134). Runs bundle finalizers
+        after the write commits (files durably moved into place)."""
         if self.pickled:
             raise ValueError("write_text requires typed (string-castable) values")
         self.df.select(F.col("value").cast("string")).write.mode("overwrite").text(path)
+        self.pipeline.run_finalizers()
 
     def to_dataframe(self) -> DataFrame:
         return self.df
@@ -822,6 +862,7 @@ class PCollection:
             elem = _decode_element(d, keyed, pickled, grouped, from_row=True)
             win = None if d.get("win_start") is None else (d["win_start"], d["win_end"])
             rows.append((elem, d["event_time"], win))
+        self.pipeline.run_finalizers()  # post-commit bundle finalization
         return rows
 
     def collect(self) -> list:
@@ -880,6 +921,18 @@ def _from_np(v):
 # ---------------------------------------------------------------------------
 
 
+class _ListAccumulator(AccumulatorParam):
+    """Accumulator of lists (concatenation merge) — carries pickled
+    bundle-finalization callbacks from executors to the driver."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
 class Pipeline:
     """Entry point. Transforms build DataFrames eagerly (the lazy DAG is
     Catalyst's — reference CollectionMap parity per SURVEY §1.3)."""
@@ -888,6 +941,27 @@ class Pipeline:
         self.spark = spark
         self.metrics = MetricsRegistry(spark)
         self._persisted: list[DataFrame] = []
+        self._finalizer_acc = spark.sparkContext.accumulator([], _ListAccumulator())
+
+    def run_finalizers(self) -> int:
+        """Invoke bundle-finalization callbacks accumulated from completed
+        jobs (reference: FinalizeBundleRequest after bundle commit,
+        execution.py:131-139). Called automatically by the terminal
+        actions (collect / write_text); exceptions in callbacks are
+        swallowed per Beam's best-effort contract (the reference's
+        test_callbacks_with_exception asserts the pipeline still
+        succeeds). Returns the number of callbacks invoked."""
+        from pyspark import cloudpickle
+
+        blobs, self._finalizer_acc.value = self._finalizer_acc.value, []
+        n = 0
+        for blob in blobs:
+            try:
+                cloudpickle.loads(blob)()
+            except Exception:  # noqa: BLE001 - best-effort finalization
+                pass
+            n += 1
+        return n
 
     def release(self):
         """Unpersist every DataFrame this pipeline cached (multi-output

@@ -1,0 +1,157 @@
+"""Scaling study: how the Spark/DuckDB ratio on the headline bench set
+amortizes as data grows past Spark's per-job scheduling floor.
+
+BASELINE.md compares the 5-query declared set at sf0.1, where the whole
+corpus is ~16 MB and both engines finish in milliseconds of actual work —
+at that size the comparison measures Spark's fixed per-job cost (~0.1 s
+job scheduling on this VM, 2-3 jobs per query), not throughput. This
+script quantifies the amortization claim with measurements instead of
+hand-waving:
+
+1. Builds scaled replicas of the five headline tables (lineitem, orders,
+   customer, nation, events) by unioning N key-offset copies — keys are
+   shifted per copy (new orderkeys/custkeys/userids) so join selectivity
+   and group cardinalities scale the way a larger corpus would, not by
+   inflating per-key group sizes.
+2. Times DuckDB on the scaled dir: the BASELINE.md protocol (warm cache,
+   second run timed), same oracle SQL the correctness gate uses.
+3. Times Spark on the SAME files: the bench.py protocol (steady-state:
+   3 warm-up sweeps for JIT, min of 2 timed sweeps).
+
+Usage: python scripts/bench_scaling.py [--mults 10,100] [--out BENCH_SCALING.json]
+Scaled data lands in /root/repo/.benchdata/x{N}/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata")
+BENCH_SET = ("q_agg", "q_join", "q_window", "q_events_window", "q_distinct")
+TABLES = ("lineitem", "orders", "customer", "nation", "events")
+
+# per-table key columns to offset per replica copy (cardinality-preserving
+# scale-up: every copy introduces NEW orders/customers/users)
+OFFSET_KEYS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",),
+    "nation": (),
+    "events": ("event_id", "user_id"),
+}
+
+
+def build_scaled(mult: int) -> str:
+    import duckdb
+
+    out_dir = os.path.join(ROOT, f"x{mult}")
+    done_marker = os.path.join(out_dir, ".done")
+    if os.path.exists(done_marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for tbl in TABLES:
+        src = f"{SRC}/{tbl}.parquet"
+        keys = OFFSET_KEYS[tbl]
+        if not keys:  # small dims copy through unchanged
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}')) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        spans = {
+            k: con.execute(f"SELECT max({k}) + 1 FROM read_parquet('{src}')").fetchone()[0]
+            for k in keys
+        }
+        parts = []
+        for i in range(mult):
+            sel = ", ".join(
+                [f"{k} + {i * spans[k]} AS {k}" if k in keys else k for k in _cols(con, src)]
+            )
+            parts.append(f"SELECT {sel} FROM read_parquet('{src}')")
+        union = " UNION ALL ".join(parts)
+        con.execute(f"COPY ({union}) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)")
+    open(done_marker, "w").close()
+    return out_dir
+
+
+def _cols(con, src) -> list[str]:
+    return [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
+
+
+def time_duckdb(data_dir: str) -> dict[str, float]:
+    import duckdb
+
+    from ray_beam_runner_spark.queries import ORACLE
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{data_dir}/{tbl}.parquet')"
+        )
+    out = {}
+    for name in BENCH_SET:
+        sql = ORACLE[name]
+        con.execute(sql).df()  # warm (page cache + plan)
+        t0 = time.perf_counter()
+        con.execute(sql).df()  # pandas materialization, symmetric with Spark's toPandas
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
+
+def time_spark(data_dir: str, warmups: int = 3, timed: int = 2) -> dict[str, float]:
+    from ray_beam_runner_spark import get_spark
+    from ray_beam_runner_spark.queries import QUERIES
+
+    spark = get_spark("bench-scaling", shuffle_partitions=8)
+    # Local scan parallelism: the scaled corpus is a handful of files, so
+    # the cluster-sized 128m split would scan a 1 GB lineitem in ~8 tasks
+    # on 32 cores (and the x10 one in a single task). 8m splits ~= DuckDB's
+    # row-group parallelism on the same files. On a real cluster file count
+    # x 128m already saturates the executors — this knob is local-only.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    out: dict[str, float] = {}
+    for _ in range(warmups):
+        for name in BENCH_SET:
+            len(QUERIES[name](spark, data_dir).toPandas())
+    for _ in range(timed):
+        for name in BENCH_SET:
+            t0 = time.perf_counter()
+            len(QUERIES[name](spark, data_dir).toPandas())
+            dt = round(time.perf_counter() - t0, 4)
+            out[name] = min(out.get(name, dt), dt)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,10,100")
+    ap.add_argument("--out", default="BENCH_SCALING.json")
+    args = ap.parse_args()
+    results = {}
+    for mult in [int(m) for m in args.mults.split(",")]:
+        data_dir = SRC if mult == 1 else build_scaled(mult)
+        duck = time_duckdb(data_dir)
+        spark = time_spark(data_dir)
+        d_sum = round(sum(duck.values()), 4)
+        s_sum = round(sum(spark.values()), 4)
+        results[f"x{mult}"] = {
+            "duckdb": duck,
+            "spark": spark,
+            "duckdb_sum": d_sum,
+            "spark_sum": s_sum,
+            "ratio": round(s_sum / d_sum, 2),
+        }
+        print(json.dumps({f"x{mult}": results[f"x{mult}"]}), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -541,3 +541,53 @@ def test_windowed_side_input_maps_via_max_timestamp(p):
 
     # main window [0,10) max-ts probe 9.999999 -> side window [5,10) -> 200
     main.par_do(AddSide(), side_inputs={"s": AsList(side)}).assert_that([200])
+
+
+# -- batch bundle finalization (reference execution.py:131-139; tests
+#    ray_runner_test.py:1021-1081) ------------------------------------------
+
+
+def test_bundle_finalization_after_commit(p, tmp_path):
+    marker = tmp_path / "finalized.txt"
+
+    class FinalizableDoFn(DoFn):
+        def process(self, element, timestamp=None, window=None, bundle_finalizer=None, **side):
+            bundle_finalizer.register(
+                lambda: open(marker, "a").write(f"finalized\n")
+            )
+            yield element
+
+    pc = p.create(["1", "2"]).par_do(FinalizableDoFn())
+    # finalization must not run before the terminal action commits
+    assert not marker.exists()
+    pc.assert_that(["1", "2"])  # collect() = durable commit
+    assert marker.exists() and "finalized" in marker.read_text()
+
+
+def test_bundle_finalization_exception_does_not_fail(p, tmp_path):
+    # reference test_callbacks_with_exception: a raising callback must not
+    # fail the pipeline
+    marker = tmp_path / "ok.txt"
+
+    class RaisingDoFn(DoFn):
+        def process(self, element, timestamp=None, window=None, bundle_finalizer=None, **side):
+            bundle_finalizer.register(lambda: 1 / 0)
+            bundle_finalizer.register(lambda: open(marker, "w").write("ok"))
+            yield element
+
+    p.create(["1", "2"]).par_do(RaisingDoFn()).assert_that(["1", "2"])
+    assert marker.exists()  # later callbacks still ran
+
+
+def test_bundle_finalization_on_write_text(p, tmp_path):
+    marker = tmp_path / "sink_finalized.txt"
+    out_dir = str(tmp_path / "out")
+
+    class FinalizableDoFn(DoFn):
+        def process(self, element, timestamp=None, window=None, bundle_finalizer=None, **side):
+            bundle_finalizer.register(lambda: open(marker, "w").write("done"))
+            yield element
+
+    pc = p.create(["a", "b"]).par_do(FinalizableDoFn(), output_type="string")
+    pc.write_text(out_dir)
+    assert marker.exists()
