@@ -73,10 +73,14 @@ def main() -> None:
         for name in headline:
             dt = round(run_query(QUERIES[name], spark, sf_dir), 4)
             timings[name] = min(timings.get(name, dt), dt)
+    from ray_beam_runner_spark.caches import release_tracked
+
     for name in (n for n in EXTRA_SET if n in QUERIES):
         fn = QUERIES[name]
         run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
+        release_tracked()  # drop operator-persisted intermediates
         timings[name] = round(run_query(fn, spark, sf_dir), 4)
+        release_tracked()
         spark.catalog.clearCache()  # isolate queries (no leaked persists)
 
     total = round(sum(timings[n] for n in BENCH_SET if n in timings), 4)

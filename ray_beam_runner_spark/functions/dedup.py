@@ -22,6 +22,8 @@ and driver-collect-free:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,12 +33,58 @@ __all__ = [
     "exact_dedup",
     "shingle_postings",
     "ngram_jaccard_pairs",
+    "lsh_banding",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
 ]
+
+
+def lsh_banding(
+    threshold: float,
+    target_recall: float = 1.0 - 1e-6,
+    min_rows_per_band: int = 2,
+    max_hashes: int = 512,
+) -> tuple[int, int]:
+    """Size (num_hashes, rows_per_band) so a pair AT the verification
+    threshold is detected with probability >= target_recall.
+
+    Detection prob for Jaccard J with b bands of r rows is 1-(1-J^r)^b,
+    so the required band count is b = ceil(ln(1-recall)/ln(1-t^r)).
+    Larger r gives a sharper s-curve (fewer low-J candidates, the thing
+    that matters at corpus scale) but needs more bands for the same
+    at-threshold recall; this picks the LARGEST r whose b*r fits the
+    hash budget, and never r=1 (with r=1 every pair sharing one min-hash
+    is a candidate — the round-1 failure mode). For t=0.5 the default
+    budget yields r=3, b=104 (312 hashes, detection 1-9e-7 at J=0.5).
+
+    This decouples candidate generation from the verification threshold:
+    the verified output equals the exact-threshold pair set for ANY
+    corpus, not just gapped ones. Corpora with a known similarity gap
+    can instead pass explicit (num_hashes, rows_per_band) to
+    :func:`minhash_lsh_pairs` for sharper, cheaper banding.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    miss_budget = math.log(1.0 - target_recall)
+    best: tuple[int, int] | None = None
+    r = min_rows_per_band
+    while True:
+        b = math.ceil(miss_budget / math.log(1.0 - threshold**r))
+        if b * r > max_hashes:
+            break
+        best = (b * r, r)
+        r += 1
+    if best is None:
+        raise ValueError(
+            f"no (b, r>={min_rows_per_band}) meets recall {target_recall} at "
+            f"threshold {threshold} within {max_hashes} hashes; raise max_hashes"
+        )
+    return best
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str, normalized: bool = True) -> DataFrame:
@@ -195,8 +243,8 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 128,
-    rows_per_band: int = 4,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
     threshold: float = 0.5,
     persist_postings: bool = True,
 ) -> DataFrame:
@@ -207,34 +255,42 @@ def minhash_lsh_pairs(
     candidates (self-join keyed on a 64-bit hash of (band, slice)).
     Verification: exact n-gram Jaccard computed only for candidate pairs,
     reusing ONE persisted shingle-postings pass for both the signatures and
-    the verification join (MEMORY_AND_DISK; callers running many queries in
-    one session should spark.catalog.clearCache() between them).
+    the verification join (MEMORY_AND_DISK; tracked in the session cache
+    registry — call :func:`ray_beam_runner_spark.caches.release_tracked`
+    (or ``spark.catalog.clearCache()``) when the result is consumed).
 
-    Banding math (Leskovec/Rajaraman/Ullman ch.3): a pair at Jaccard J
-    collides in a band with prob J^r, so detection prob = 1-(1-J^r)^b.
-    r must be > 1 at corpus scale — with r=1 ANY pair sharing a single
-    min-hash is a candidate (per-band collision prob = J), and the
-    candidate set degenerates toward all loosely-similar pairs (measured:
-    1.13M of 12.5M possible pairs share a shingle at sf0.1). The default
-    b=32, r=4 puts the s-curve midpoint at (1/32)^(1/4) ~= 0.42 for the 0.5
-    threshold: detection is 1-5e-8 at J=0.8, 0.9998 at J=0.7, 0.87 at
-    J=0.5 exactly. The synthetic corpus's qualifying pairs are true
-    near-dups (measured min J: 0.9 at sf0.01, 0.8 at sf0.1, nothing in
-    [0.3, 0.5)), so the verified output equals the exact-threshold pair
-    set the DuckDB oracle computes; for adversarial corpora with mass AT
-    the threshold, raise b (detection at J=t is 1-(1-t^r)^b) or lower the
-    banding threshold below the verification threshold.
+    Banding (Leskovec/Rajaraman/Ullman ch.3): a pair at Jaccard J collides
+    in a band with prob J^r, so detection prob = 1-(1-J^r)^b. By DEFAULT
+    (num_hashes/rows_per_band unset) the banding is sized by
+    :func:`lsh_banding` so a pair AT the verification threshold is
+    detected with prob >= 1-1e-6 — the verified output then equals the
+    exact-threshold pair set for any corpus, which is what the DuckDB
+    oracle checks. r must be > 1 at corpus scale — with r=1 ANY pair
+    sharing a single min-hash is a candidate (per-band collision prob =
+    J) and the candidate set degenerates toward all loosely-similar pairs
+    (measured: 1.13M of 12.5M possible pairs share a shingle at sf0.1).
+
+    Corpora with a measured similarity GAP below the threshold can pass
+    explicit (num_hashes, rows_per_band) for sharper, cheaper banding —
+    e.g. b=32/r=4 (128 hashes) detects J>=0.8 pairs with prob 1-5e-8 and
+    admits far fewer low-J candidates, but detects a pair at exactly
+    J=0.5 with only prob 0.87, so it is ONLY exact when nothing sits
+    near the threshold.
 
     Hash collisions on the (band, slice) key can only ADD candidates
     (removed by exact verification), never drop a true pair.
     """
+    if (num_hashes is None) != (rows_per_band is None):
+        raise ValueError("pass both num_hashes and rows_per_band, or neither")
+    if num_hashes is None:
+        num_hashes, rows_per_band = lsh_banding(threshold)
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be divisible by rows_per_band")
     grams = shingle_postings(df, id_col, text_col, n)
     if persist_postings:
-        from pyspark import StorageLevel
+        from ray_beam_runner_spark.caches import track
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = track(grams)
     cands = minhash_lsh_candidates(
         grams, num_hashes=num_hashes, rows_per_band=rows_per_band
     )

@@ -172,6 +172,13 @@ def blocked_cosine_pairs(
     def _gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        def _round_half_away(x):
+            # Match Spark F.round / the DuckDB oracle (HALF_UP = ties away
+            # from zero); np.round is half-even and would flip threshold
+            # membership for a sim landing exactly on a decimal midpoint.
+            scale = 10.0**round_digits
+            return np.copysign(np.floor(np.abs(x) * scale + 0.5) / scale, x)
+
         g = int(pdf["_g"].iloc[0])
         i, j = divmod(g, nb)
         pdf = pdf.sort_values("_id")
@@ -183,7 +190,7 @@ def blocked_cosine_pairs(
             {"v1": "int64", "v2": "int64", "sim": "float64"}
         )
         if i == j:
-            sims = np.round((V @ V.T) / np.outer(norms, norms), round_digits)
+            sims = _round_half_away((V @ V.T) / np.outer(norms, norms))
             r, c = np.nonzero(np.triu(sims >= threshold, k=1))
             v1, v2, s = ids[r], ids[c], sims[r, c]
         else:
@@ -192,7 +199,7 @@ def blocked_cosine_pairs(
             A, B = V[ai], V[aj]
             if not len(A) or not len(B):
                 return empty
-            sims = np.round((A @ B.T) / np.outer(norms[ai], norms[aj]), round_digits)
+            sims = _round_half_away((A @ B.T) / np.outer(norms[ai], norms[aj]))
             r, c = np.nonzero(sims >= threshold)
             ids_a, ids_b = ids[ai], ids[aj]
             left, right = ids_a[r], ids_b[c]

@@ -128,7 +128,13 @@ class BundleFinalizer:
     give exactly the contract Beam documents: updates surface to the
     driver only when the job (the durable commit of the terminal action)
     succeeds, and retried tasks may re-add — i.e. best-effort,
-    at-least-once, post-commit."""
+    at-least-once, post-commit.
+
+    Unlike the reference (callbacks run in the SDK worker that registered
+    them), callbacks here cross a process boundary: they must be
+    cloudpicklable and they execute on the driver. A callback that closes
+    over an unpicklable worker-local resource is silently dropped
+    (best-effort), not an error."""
 
     def __init__(self):
         self._callbacks: list = []
@@ -346,12 +352,21 @@ class PCollection:
                 yield pd.DataFrame(final_rows, columns=columns)
             if wants_finalizer and bundle_finalizer._callbacks:
                 # ship the registered callbacks to the driver; accumulator
-                # updates surface only when the carrying job commits
+                # updates surface only when the carrying job commits.
+                # Callbacks run DRIVER-side so they must be picklable; an
+                # unpicklable one (closing over a socket/file handle) is
+                # dropped here rather than failing the task — finalization
+                # is best-effort per the Beam contract.
                 from pyspark import cloudpickle
 
-                finalizer_acc.add(
-                    [cloudpickle.dumps(cb) for cb in bundle_finalizer._callbacks]
-                )
+                blobs = []
+                for cb in bundle_finalizer._callbacks:
+                    try:
+                        blobs.append(cloudpickle.dumps(cb))
+                    except Exception:  # noqa: BLE001 - best-effort drop
+                        pass
+                if blobs:
+                    finalizer_acc.add(blobs)
             dofn.teardown()
 
         out_df = self.df.mapInPandas(kernel, schema=schema)

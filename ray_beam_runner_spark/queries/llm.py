@@ -75,14 +75,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same pair set found via MinHash-LSH banded for scale (128 hashes,
-    b=32 bands x r=4 rows; s-curve midpoint ~0.42) with exact-Jaccard
-    verification of candidates only, over ONE persisted shingle-postings
-    pass. r=4 keeps the candidate set ~= the true near-dup set instead of
-    every loosely-similar pair (the r=1 failure mode at corpus scale);
-    detection prob for the corpus's qualifying pairs (measured J >= 0.8)
-    is >= 1-5e-8, so the verified output equals the exact pair set the
-    oracle computes. See functions.dedup.minhash_lsh_pairs for the math."""
+    """Same pair set found via MinHash-LSH with exact-Jaccard verification
+    of candidates only, over ONE persisted shingle-postings pass. Banding
+    is auto-sized by lsh_banding(0.5) so a pair AT the threshold is
+    detected with prob >= 1-1e-6 (r=3, b=104): the verified output equals
+    the exact pair set the oracle computes for ANY corpus, not just ones
+    with a similarity gap below the threshold. r>1 keeps the candidate
+    set near the true near-dup set instead of every loosely-similar pair
+    (the r=1 failure mode at corpus scale). See
+    functions.dedup.minhash_lsh_pairs for the math."""
     from ray_beam_runner_spark.functions.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -90,8 +91,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         n=3,
-        num_hashes=128,
-        rows_per_band=4,
         threshold=0.5,
     )
 

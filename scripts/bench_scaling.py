@@ -38,14 +38,33 @@ BENCH_SET = ("q_agg", "q_join", "q_window", "q_events_window", "q_distinct")
 TABLES = ("lineitem", "orders", "customer", "nation", "events")
 
 # per-table key columns to offset per replica copy (cardinality-preserving
-# scale-up: every copy introduces NEW orders/customers/users)
-OFFSET_KEYS = {
-    "lineitem": ("l_orderkey",),
-    "orders": ("o_orderkey", "o_custkey"),
-    "customer": ("c_custkey",),
-    "nation": (),
-    "events": ("event_id", "user_id"),
+# scale-up: every copy introduces NEW orders/customers/users). Columns in
+# the same KEY DOMAIN (a PK and the FKs referencing it) must share ONE
+# span, computed as the max over every member — per-table spans would
+# shift orders.o_custkey by a different amount than customer.c_custkey
+# whenever their maxima differ (customers with no orders), misaligning
+# replica copies' foreign keys.
+KEY_DOMAINS = {
+    "orderkey": (("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+    "custkey": (("orders", "o_custkey"), ("customer", "c_custkey")),
+    "eventkey": (("events", "event_id"),),
+    "userkey": (("events", "user_id"),),
 }
+
+
+def _domain_spans(con) -> dict[tuple[str, str], int]:
+    """(table, column) -> shared per-copy offset span for its key domain."""
+    out: dict[tuple[str, str], int] = {}
+    for members in KEY_DOMAINS.values():
+        span = max(
+            con.execute(
+                f"SELECT max({col}) + 1 FROM read_parquet('{SRC}/{tbl}.parquet')"
+            ).fetchone()[0]
+            for tbl, col in members
+        )
+        for member in members:
+            out[member] = span
+    return out
 
 
 def build_scaled(mult: int) -> str:
@@ -57,22 +76,19 @@ def build_scaled(mult: int) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    spans = _domain_spans(con)
     for tbl in TABLES:
         src = f"{SRC}/{tbl}.parquet"
-        keys = OFFSET_KEYS[tbl]
+        keys = {col: span for (t_, col), span in spans.items() if t_ == tbl}
         if not keys:  # small dims copy through unchanged
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src}')) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)"
             )
             continue
-        spans = {
-            k: con.execute(f"SELECT max({k}) + 1 FROM read_parquet('{src}')").fetchone()[0]
-            for k in keys
-        }
         parts = []
         for i in range(mult):
             sel = ", ".join(
-                [f"{k} + {i * spans[k]} AS {k}" if k in keys else k for k in _cols(con, src)]
+                [f"{k} + {i * keys[k]} AS {k}" if k in keys else k for k in _cols(con, src)]
             )
             parts.append(f"SELECT {sel} FROM read_parquet('{src}')")
         union = " UNION ALL ".join(parts)

@@ -48,8 +48,32 @@ def test_hot_shingle_cap_is_conservative(docs):
 
 def test_minhash_lsh_equals_exact(docs):
     exact = {(r.d1, r.d2, r.jaccard) for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
-    lsh = {(r.d1, r.d2, r.jaccard) for r in minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64).collect()}
+    # default (auto-sized) banding: recall-guaranteed at the threshold
+    lsh = {(r.d1, r.d2, r.jaccard) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
     assert lsh == exact
+    # explicit gapped-corpus banding still works as an opt-in
+    sharp = {
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, rows_per_band=4
+        ).collect()
+    }
+    assert sharp == exact
+
+
+def test_lsh_banding_recall_guarantee():
+    from ray_beam_runner_spark.functions.dedup import lsh_banding
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        nh, r = lsh_banding(t)
+        b = nh // r
+        assert r >= 2  # r=1 candidate-precision collapse is never chosen
+        assert 1 - (1 - t**r) ** b >= 1 - 1e-6  # detection AT the threshold
+        assert nh <= 512
+    with pytest.raises(ValueError):
+        lsh_banding(0.05, max_hashes=64)  # budget too small must be loud
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(None, "id", "text", num_hashes=64)  # one without the other
 
 
 def test_simhash_pairs_banding(docs):

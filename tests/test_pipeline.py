@@ -579,6 +579,27 @@ def test_bundle_finalization_exception_does_not_fail(p, tmp_path):
     assert marker.exists()  # later callbacks still ran
 
 
+def test_bundle_finalization_unpicklable_callback_dropped(p, tmp_path):
+    # Callbacks cross a process boundary (executor -> driver), so an
+    # unpicklable one (e.g. closing over an open file handle) must be
+    # dropped best-effort, not fail the task with a cloudpickle error.
+    marker = tmp_path / "picklable_ran.txt"
+
+    class MixedDoFn(DoFn):
+        def process(self, element, timestamp=None, window=None, bundle_finalizer=None, **side):
+            handle = open(__file__, "rb")  # unpicklable worker-local resource
+
+            def bad():  # pragma: no cover - never shippable
+                handle.read()
+
+            bundle_finalizer.register(bad)
+            bundle_finalizer.register(lambda: open(marker, "w").write("ok"))
+            yield element
+
+    p.create(["1", "2"]).par_do(MixedDoFn()).assert_that(["1", "2"])
+    assert marker.exists()  # the picklable callback still ran
+
+
 def test_bundle_finalization_on_write_text(p, tmp_path):
     marker = tmp_path / "sink_finalized.txt"
     out_dir = str(tmp_path / "out")
