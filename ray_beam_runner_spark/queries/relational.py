@@ -745,22 +745,47 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # no oracle: sketch results are engine-specific
+@query(
+    "q_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS n_users_exact,
+           TRUE AS approx_users_ok,
+           TRUE AS approx_p50_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path where exact distinct counts and
     percentiles are too expensive: HyperLogLog++ approx_count_distinct and
-    t-digest-style percentile_approx. No SQL oracle (sketches are
-    engine-specific); the companion pytest bounds the relative error
-    against the exact answers."""
+    t-digest-style percentile_approx.
+
+    Sketch VALUES are engine-specific (DuckDB's HLL differs from Spark's),
+    so the oracle can't hash-match them directly — but the error BOUND is
+    checkable: the query computes both the sketch and the exact answer in
+    one aggregate and emits booleans asserting the sketch landed inside
+    its documented bound (rsd=0.02 → |approx-exact|/exact <= 5% at ~2.5
+    sigma; percentile_approx(accuracy=10000) → rank error <= n/10000, so
+    approx p50 must lie within the exact [p45, p55] value range). The
+    oracle emits TRUE for each group: a sketch outside its bound is a
+    hash MISMATCH, which makes this a real gate instead of rows-only.
+    Both sketches are deterministic for fixed input, so the gate is
+    stable."""
     ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_approx_p50"),
+        F.percentile("value", F.lit(0.45)).alias("_p45"),
+        F.percentile("value", F.lit(0.55)).alias("_p55"),
     )
+    rel_err = F.abs(F.col("_approx_users") - F.col("n_users_exact")) / F.col("n_users_exact")
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (rel_err <= 0.05).alias("approx_users_ok"),
+        F.col("_approx_p50").between(F.col("_p45"), F.col("_p55")).alias("approx_p50_ok"),
+    ).orderBy("event_type")
 
 
 @query(

@@ -99,19 +99,13 @@ def test_gbk_single_exchange(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    # sketch accuracy: HLL++ at rsd=2% must be within 5% of exact
-    from pyspark.sql import functions as F
-
-    from ray_beam_runner_spark.queries import QUERIES
-    from ray_beam_runner_spark.queries import t as load
-
-    approx = {r.event_type: r.approx_users for r in QUERIES["q_approx_distinct"](spark, sf_dir).collect()}
-    exact = {
-        r.event_type: r.n
-        for r in load(spark, sf_dir, "events").groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
-    }
-    for k, n in exact.items():
-        assert abs(approx[k] - n) / n <= 0.05, (k, approx[k], n)
+    # sketch accuracy: the query self-checks (HLL++ at rsd=2% within 5% of
+    # exact; approx p50 inside the exact [p45, p55] band) and emits the
+    # verdict as boolean columns the oracle hash-compares against TRUE.
+    rows = QUERIES["q_approx_distinct"](spark, sf_dir).collect()
+    assert rows  # one row per event_type
+    for r in rows:
+        assert r.approx_users_ok and r.approx_p50_ok, r.asDict()
 
 
 def test_salted_aggregate_matches_plain(spark, sf_dir):
