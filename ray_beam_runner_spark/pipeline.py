@@ -34,6 +34,7 @@ assumption as the reference's state-actor commit).
 from __future__ import annotations
 
 import inspect
+import os
 import pickle
 from collections.abc import Callable, Iterable
 from typing import Any
@@ -148,7 +149,9 @@ class _View:
         self.pcoll = pcoll
 
     def _rows(self):
-        return self.pcoll._collect_windowed()
+        return self.pcoll._collect_windowed(
+            limit=self.pcoll.pipeline.side_input_max_rows, what="side input"
+        )
 
     def build(self):
         """→ dict window -> view value (window=None for global)."""
@@ -197,6 +200,64 @@ class AsMultiMap(_View):
             k, v = elem
             out.setdefault(win, {}).setdefault(k, []).append(v)
         return out
+
+
+class _JoinedMultiMap:
+    """Per-element view delivered by AsMultiMapJoined: supports lookup of
+    the element's OWN join key only (the subset a distributed join can
+    provide). Missing side match → empty list (Beam multimap contract);
+    any other key is a loud error, not silently-wrong data."""
+
+    __slots__ = ("_key", "_values")
+
+    def __init__(self, key, values):
+        self._key = key
+        self._values = values
+
+    def __getitem__(self, key):
+        if key != self._key:
+            raise KeyError(
+                f"AsMultiMapJoined can only look up the element's own key "
+                f"{self._key!r} (requested {key!r}); use AsMultiMap for "
+                f"arbitrary-key access on small sides"
+            )
+        return self._values
+
+    def get(self, key, default=None):
+        return self._values if key == self._key else default
+
+
+class AsMultiMapJoined:
+    """Multimap side input for LARGE sides — the scale path the collect+
+    broadcast views can't take (they drain the side through the driver,
+    capped by ``Pipeline.side_input_max_rows``).
+
+    Instead of materializing the whole side, the side PCollection is
+    aggregated per key and broadcast-JOINED onto the main input; each
+    element's DoFn receives the side values for its own join key (the
+    element itself when unkeyed, the element's key when keyed) as a
+    list-valued :class:`_JoinedMultiMap`. Restrictions vs AsMultiMap:
+    global-windowed sides only, and lookups only by the element's own
+    key — exactly the subset that needs no driver materialization. For
+    sides too large to broadcast, drop the ``broadcast`` flag and Spark
+    plans a shuffle join keyed on the main input."""
+
+    def __init__(self, pcoll: "PCollection", broadcast: bool = True):
+        if not pcoll.keyed:
+            # accept the (k, v)-tuple shape the collect-based KV views take
+            if not pcoll.pickled:
+                raise ValueError(
+                    "AsMultiMapJoined requires a keyed side PCollection "
+                    "(or an unkeyed one of (key, value) tuples)"
+                )
+            pcoll = pcoll._split_kv(None, None)
+        if not isinstance(pcoll.windowing, GlobalWindows):
+            raise ValueError(
+                "AsMultiMapJoined supports global-windowed sides only; "
+                "use AsMultiMap for windowed sides"
+            )
+        self.pcoll = pcoll
+        self.broadcast = broadcast
 
 
 def _lookup_side(view_by_window: dict, main_win, main_ts: float, default):
@@ -268,12 +329,41 @@ class PCollection:
         column (typed via ``key_type``, else pickled) so every downstream
         keyed op (group_by_key, map_kv_values, ...) sees the schema it
         expects."""
+        all_sides = side_inputs or {}
+        joined_sides = {
+            name: v for name, v in all_sides.items() if isinstance(v, AsMultiMapJoined)
+        }
+        bc_sides = {
+            name: v for name, v in all_sides.items() if not isinstance(v, AsMultiMapJoined)
+        }
         side_views = {
             name: self.pipeline.spark.sparkContext.broadcast(view.build())
-            for name, view in (side_inputs or {}).items()
+            for name, view in bc_sides.items()
         }
-        side_empties = {name: type(view).empty for name, view in (side_inputs or {}).items()}
+        side_empties = {name: type(view).empty for name, view in bc_sides.items()}
         keyed_in, pickled_in, grouped_in = self.keyed, self.pickled, self.grouped
+
+        # Join-based large-side path: aggregate the side per key, join it
+        # onto the main input (broadcast by default), and let the kernel
+        # hand each element the side values for its own key. No driver
+        # materialization, no size cap. Keys must compare equal on their
+        # stored representation (typed columns, or deterministic pickles
+        # for opaque keys — same assumption group_by_key already makes).
+        in_df = self.df
+        joined_meta: dict[str, tuple[str, bool]] = {}
+        for name, view in joined_sides.items():
+            col = f"side__{name}"
+            skey = f"sidekey__{name}"
+            sdf = (
+                view.pcoll.df.groupBy("key")
+                .agg(F.collect_list("value").alias(col))
+                .withColumnRenamed("key", skey)
+            )
+            if view.broadcast:
+                sdf = F.broadcast(sdf)
+            join_key = F.col("key") if keyed_in else F.col("value")
+            in_df = in_df.join(sdf, join_key.eqNullSafe(F.col(skey)), "left").drop(skey)
+            joined_meta[name] = (col, view.pcoll.pickled)
         wants_finalizer = "bundle_finalizer" in inspect.signature(dofn.process).parameters
         finalizer_acc = self.pipeline._finalizer_acc if wants_finalizer else None
         out_keyed = bool(keyed_output)
@@ -341,6 +431,15 @@ class PCollection:
                         name: _lookup_side(view, win, ts, side_empties[name]())
                         for name, view in sides.items()
                     }
+                    for name, (col, side_pickled) in joined_meta.items():
+                        vals = d.get(col)
+                        vals = (
+                            []
+                            if vals is None
+                            else [_loads(x) if side_pickled else _from_np(x) for x in vals]
+                        )
+                        jk = elem[0] if keyed_in else elem
+                        bound_sides[name] = _JoinedMultiMap(jk, vals)
                     outs = dofn.process(
                         elem, timestamp=ts, window=win, **extra_params, **bound_sides
                     )
@@ -369,7 +468,7 @@ class PCollection:
                     finalizer_acc.add(blobs)
             dofn.teardown()
 
-        out_df = self.df.mapInPandas(kernel, schema=schema)
+        out_df = in_df.mapInPandas(kernel, schema=schema)
 
         def child(df):
             pc = self._child(df, out_keyed, out_pickled)
@@ -869,10 +968,20 @@ class PCollection:
     def to_dataframe(self) -> DataFrame:
         return self.df
 
-    def _collect_windowed(self):
+    def _collect_windowed(self, limit: int | None = None, what: str = "PCollection"):
         keyed, pickled, grouped = self.keyed, self.pickled, self.grouped
+        src = self.df if limit is None else self.df.limit(limit + 1)
+        collected = src.collect()
+        if limit is not None and len(collected) > limit:
+            raise ValueError(
+                f"{what} materializes more than side_input_max_rows={limit} rows "
+                f"on the driver; raise Pipeline(side_input_max_rows=...) (or the "
+                f"RBRS_SIDE_INPUT_MAX_ROWS env var) if the side genuinely fits "
+                f"driver memory, or switch to the join-based AsMultiMapJoined "
+                f"view, which never leaves the executors"
+            )
         rows = []
-        for r in self.df.collect():
+        for r in collected:
             d = r.asDict(recursive=True)
             elem = _decode_element(d, keyed, pickled, grouped, from_row=True)
             win = None if d.get("win_start") is None else (d["win_start"], d["win_end"])
@@ -952,11 +1061,18 @@ class Pipeline:
     """Entry point. Transforms build DataFrames eagerly (the lazy DAG is
     Catalyst's — reference CollectionMap parity per SURVEY §1.3)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, side_input_max_rows: int | None = None):
         self.spark = spark
         self.metrics = MetricsRegistry(spark)
         self._persisted: list[DataFrame] = []
         self._finalizer_acc = spark.sparkContext.accumulator([], _ListAccumulator())
+        # Collect+broadcast side-input views drain the side through the
+        # driver; this cap turns the silent driver-OOM a too-large side
+        # causes into a loud error naming the scalable alternative
+        # (AsMultiMapJoined). None disables the guard.
+        if side_input_max_rows is None:
+            side_input_max_rows = int(os.environ.get("RBRS_SIDE_INPUT_MAX_ROWS", "1000000"))
+        self.side_input_max_rows = side_input_max_rows
 
     def run_finalizers(self) -> int:
         """Invoke bundle-finalization callbacks accumulated from completed

@@ -7,7 +7,16 @@ assert_that/equal_to.
 
 import pytest
 
-from ray_beam_runner_spark.pipeline import AsDict, AsList, AsMultiMap, AsSingleton, DoFn, Pipeline, TaggedOutput
+from ray_beam_runner_spark.pipeline import (
+    AsDict,
+    AsList,
+    AsMultiMap,
+    AsMultiMapJoined,
+    AsSingleton,
+    DoFn,
+    Pipeline,
+    TaggedOutput,
+)
 from ray_beam_runner_spark.windowing import CustomMergingWindows, FixedWindows, Sessions, SlidingWindows
 
 
@@ -151,6 +160,70 @@ def test_side_input_multimap(p):
     main.par_do(Lookup(), side_inputs={"mm": AsMultiMap(side)}).assert_that(
         [("a", [1, 2]), ("b", [3])]
     )
+
+
+def test_side_input_size_guard(spark):
+    # a too-large collect+broadcast side must fail loudly, not driver-OOM
+    from ray_beam_runner_spark.pipeline import Pipeline as Pl
+
+    small = Pl(spark, side_input_max_rows=3)
+    side = small.create([1, 2, 3, 4, 5])
+    main = small.create([10])
+
+    class AddAll(DoFn):
+        def process(self, element, timestamp=None, window=None, s=None):
+            yield element + sum(s)
+
+    with pytest.raises(ValueError, match="side_input_max_rows"):
+        main.par_do(AddAll(), side_inputs={"s": AsList(side)}).collect()
+    # plain collect() of a large PCollection stays uncapped
+    assert sorted(side.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_joined_multimap_side_input(p):
+    # join-based large-side path: same semantics as AsMultiMap for
+    # own-key lookups (ray_runner_test.py:285-335 shape), no driver
+    # materialization of the side
+    side = p.create([("a", 1), ("a", 2), ("b", 3)])
+    main = p.create(["a", "b", "c"])
+
+    class Lookup(DoFn):
+        def process(self, element, timestamp=None, window=None, mm=None):
+            yield (element, sorted(mm[element]))
+
+    main.par_do(Lookup(), side_inputs={"mm": AsMultiMapJoined(side)}).assert_that(
+        [("a", [1, 2]), ("b", [3]), ("c", [])]  # missing key -> empty list
+    )
+
+
+def test_joined_multimap_keyed_main_and_wrong_key(p):
+    side = p.create([(1, "x"), (2, "y")])
+    # keyed main: the join key is the element's key column
+    main = p.create([(1, 10), (2, 20), (3, 30)]).map_to_kv(lambda kv: kv)
+
+    class Enrich(DoFn):
+        def process(self, element, timestamp=None, window=None, mm=None):
+            k, v = element
+            if k == 3:
+                # lookups beyond the element's own key must be loud
+                try:
+                    mm[1]
+                    yield (k, "no-error")
+                except KeyError:
+                    yield (k, "keyerror")
+            else:
+                yield (k, (mm[k], v))
+
+    main.par_do(Enrich(), side_inputs={"mm": AsMultiMapJoined(side)}).assert_that(
+        [(1, (["x"], 10)), (2, (["y"], 20)), (3, "keyerror")]
+    )
+
+
+def test_joined_multimap_rejects_non_kv_side(p):
+    # a typed scalar side can't be interpreted as (key, value) pairs
+    typed = p.create([1, 2, 3]).map(lambda x: x, output_type="long")
+    with pytest.raises(ValueError, match="keyed"):
+        AsMultiMapJoined(typed)
 
 
 def test_windowed_side_input(p):
