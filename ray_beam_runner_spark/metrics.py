@@ -1,18 +1,27 @@
-"""User metrics: counters, distributions, gauges.
+"""User metrics: counters, distributions, gauges; engine-level per-
+PCollection element counts.
 
 Reference parity: Beam user metrics flow from DoFns through monitoring
 infos merged per stage (`/root/reference/ray_beam_runner/portability/
 ray_fn_runner.py:462-534`; tests `ray_runner_test.py:985-1019` expect a
-counter of 6 and a distribution with sum=10/count=4/min=1/max=4).
+counter of 6 and a distribution with sum=10/count=4/min=1/max=4). The
+reference also auto-attaches ELEMENT_COUNT monitoring infos to every
+PCollection (`ray_fn_runner.py:462-534`, tests `ray_runner_test.py:
+1195-1615`); here those ride Spark's Observation API — an aggregate
+piggybacked on the transform's own pass, zero extra actions.
 
 Spark mapping: SparkContext accumulators, updated from inside pandas-UDF
 workers and merged on the driver. Counters use the plain long accumulator;
-distributions a custom (count, sum, min, max) AccumulatorParam. Metric
+distributions a custom (count, sum, min, max) AccumulatorParam; gauges a
+(timestamp, value) AccumulatorParam merged last-write-wins (Beam gauge
+semantics: the most recent reported value, not an aggregate). Metric
 handles are serialized into the UDF closure; ``flush()`` is called at
 bundle end (mirrors the reference's per-bundle monitoring-info commit).
 """
 
 from __future__ import annotations
+
+import time
 
 from pyspark.accumulators import AccumulatorParam
 
@@ -27,6 +36,22 @@ class _DistParam(AccumulatorParam):
         mn = mn1 if mn2 is None else (mn2 if mn1 is None else min(mn1, mn2))
         mx = mx1 if mx2 is None else (mx2 if mx1 is None else max(mx1, mx2))
         return (c1 + c2, s1 + s2, mn, mx)
+
+
+class _GaugeParam(AccumulatorParam):
+    """(update_time, value); merge keeps the later update (last-write-wins
+    across tasks — Beam's gauge contract)."""
+
+    def zero(self, value):
+        return (None, None)
+
+    def addInPlace(self, a, b):
+        ta, tb = a[0], b[0]
+        if tb is None:
+            return a
+        if ta is None or tb >= ta:
+            return b
+        return a
 
 
 class Counter:
@@ -46,14 +71,15 @@ class Distribution:
 
 
 class Gauge:
-    """Last-value gauge; merged as max(update_time) approximated by last
-    write wins per task (sufficient for the reference's test surface)."""
+    """Last-value gauge: ``set`` stamps the executor's wall clock and the
+    driver-side merge keeps the most recent (timestamp, value) across
+    tasks — true last-write-wins, not a distribution approximation."""
 
     def __init__(self, acc):
         self._acc = acc
 
     def set(self, v):
-        self._acc.add((1, v, v, v))
+        self._acc.add((time.time(), v))
 
 
 class MetricsRegistry:
@@ -64,6 +90,8 @@ class MetricsRegistry:
         self._spark = spark
         self._counters: dict[str, Counter] = {}
         self._dists: dict[str, Distribution] = {}
+        self._gauges: dict[str, Gauge] = {}
+        self._observations: dict = {}  # name -> pyspark.sql.Observation
 
     def counter(self, name: str) -> Counter:
         if name not in self._counters:
@@ -77,6 +105,27 @@ class MetricsRegistry:
             )
         return self._dists[name]
 
+    def gauge(self, name: str) -> Gauge:
+        if name not in self._gauges:
+            self._gauges[name] = Gauge(
+                self._spark.sparkContext.accumulator((None, None), _GaugeParam())
+            )
+        return self._gauges[name]
+
+    def track_observation(self, name: str, obs) -> None:
+        """Register an engine-level Observation (auto element counts)."""
+        self._observations[name] = obs
+
+    @staticmethod
+    def _observation_ready(obs) -> bool:
+        """Non-blocking: has the action carrying this observation run?
+        (Observation.get would BLOCK forever for a plan that never
+        executes; the JVM side exposes the completed row as an Option.)"""
+        try:
+            return not obs._jo.getRowOrEmpty().isEmpty()
+        except Exception:  # noqa: BLE001 - not yet attached / session gone
+            return False
+
     def flush(self):
         """Bundle-end hook (accumulators auto-ship; nothing to do, kept for
         lifecycle symmetry with the reference's monitoring-info commit)."""
@@ -87,5 +136,15 @@ class MetricsRegistry:
             "distributions": {
                 name: dict(zip(("count", "sum", "min", "max"), d._acc.value))
                 for name, d in self._dists.items()
+            },
+            "gauges": {
+                name: dict(zip(("timestamp", "value"), g._acc.value))
+                for name, g in self._gauges.items()
+                if g._acc.value[0] is not None
+            },
+            "element_counts": {
+                name: int(obs.get["element_count"])
+                for name, obs in self._observations.items()
+                if self._observation_ready(obs)
             },
         }

@@ -320,6 +320,7 @@ class PCollection:
         side_inputs: dict[str, _View] | None = None,
         keyed_output: bool | None = None,
         key_type: str | None = None,
+        label: str | None = None,
     ):
         """Run a DoFn over every element. Returns a PCollection, or a dict
         {tag: PCollection} (main output under 'main') when ``outputs``
@@ -469,6 +470,7 @@ class PCollection:
             dofn.teardown()
 
         out_df = in_df.mapInPandas(kernel, schema=schema)
+        name = self.pipeline._next_label("ParDo", label)
 
         def child(df):
             pc = self._child(df, out_keyed, out_pickled)
@@ -482,11 +484,18 @@ class PCollection:
             # Tracked on the pipeline: call Pipeline.release() when done.
             out_df = out_df.persist()
             self.pipeline._persisted.append(out_df)
-            result = {"main": child(out_df.filter(F.col("tag").isNull()).drop("tag"))}
+            observe = self.pipeline._observe_elements
+            result = {
+                "main": child(
+                    observe(f"{name}.out", out_df.filter(F.col("tag").isNull()).drop("tag"))
+                )
+            }
             for tag in outputs:
-                result[tag] = child(out_df.filter(F.col("tag") == tag).drop("tag"))
+                result[tag] = child(
+                    observe(f"{name}.out.{tag}", out_df.filter(F.col("tag") == tag).drop("tag"))
+                )
             return result
-        return child(out_df.drop("tag"))
+        return child(self.pipeline._observe_elements(f"{name}.out", out_df.drop("tag")))
 
     def _child(self, df: DataFrame, keyed: bool, pickled: bool, grouped: bool = False):
         return PCollection(self.pipeline, df, keyed, pickled, self.windowing, grouped)
@@ -648,6 +657,9 @@ class PCollection:
             self.df.groupBy("key", "win_start", "win_end")
             .agg(F.collect_list("value").alias("value"), F.max("event_time").alias("event_time"))
             .select("key", "value", "event_time", "win_start", "win_end")
+        )
+        grouped = self.pipeline._observe_elements(
+            self.pipeline._next_label("GroupByKey", None) + ".out", grouped
         )
         out = PCollection(self.pipeline, grouped, True, self.pickled, wfn, grouped=True)
         # typed keys stay typed downstream (.keys() would otherwise try to
@@ -1073,6 +1085,28 @@ class Pipeline:
         if side_input_max_rows is None:
             side_input_max_rows = int(os.environ.get("RBRS_SIDE_INPUT_MAX_ROWS", "1000000"))
         self.side_input_max_rows = side_input_max_rows
+        self._transform_idx = 0
+
+    def _next_label(self, kind: str, label: str | None) -> str:
+        self._transform_idx += 1
+        return label or f"{kind}{self._transform_idx}"
+
+    def _observe_elements(self, name: str, df: DataFrame) -> DataFrame:
+        """Auto per-PCollection element counts (reference ELEMENT_COUNT
+        monitoring infos, ray_fn_runner.py:462-534): an Observation
+        aggregate piggybacked on the transform's own execution — no extra
+        action, no extra pass. Surfaced as
+        ``metrics.query()["element_counts"][f"{name}"]`` once an action
+        has executed the plan. Streaming DataFrames don't take the
+        Observation object form; they pass through unobserved."""
+        if df.isStreaming:
+            return df
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        df = df.observe(obs, F.count(F.lit(1)).alias("element_count"))
+        self.metrics.track_observation(name, obs)
+        return df
 
     def run_finalizers(self) -> int:
         """Invoke bundle-finalization callbacks accumulated from completed

@@ -452,6 +452,54 @@ def test_metrics(p):
     assert q["distributions"]["len"] == {"count": 3, "sum": 6, "min": 1, "max": 3}
 
 
+def test_gauge_last_write_wins(p):
+    # reference gauge semantics: the LAST reported value, not an aggregate
+    gauge = p.metrics.gauge("watermark")
+
+    class GaugeFn(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            gauge.set(element)
+            yield element
+
+    p.create([5, 1, 9, 3]).par_do(GaugeFn()).collect()
+    g = p.metrics.query()["gauges"]["watermark"]
+    assert g["value"] in {5, 1, 9, 3}  # one of the written values...
+    assert g["timestamp"] is not None  # ...stamped with its update time
+    # deterministic last-write check: single partition, ordered writes
+    gauge2 = p.metrics.gauge("serial")
+
+    class SerialFn(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            gauge2.set(element)
+            yield element
+
+    pc = p.create([10, 20, 30])
+    pc.df = pc.df.coalesce(1).sortWithinPartitions("value")
+    pc.par_do(SerialFn()).collect()
+    assert p.metrics.query()["gauges"]["serial"]["value"] == 30
+
+
+def test_auto_element_counts(p):
+    # reference ELEMENT_COUNT monitoring infos (ray_runner_test.py:1195-
+    # 1615): every ParDo/GBK output reports its exact element count with
+    # no user code — here a WordCount-shaped pipeline
+    lines = ["the cat", "the dog", "cat"]
+    words = p.create(lines).flat_map(lambda l: l.split(), output_type=None)
+    counts = (
+        words.map_to_kv(lambda w: (w, 1), key_type="string", value_type="bigint")
+        .group_by_key()
+        .map_kv_values(sum, output_type="bigint")
+    )
+    counts.assert_that([("the", 2), ("cat", 2), ("dog", 1)])
+    ec = p.metrics.query()["element_counts"]
+    assert 5 in ec.values(), ec  # the flat_map output: 5 words
+    gbk = [v for k, v in ec.items() if k.startswith("GroupByKey")]
+    assert gbk == [3], ec  # 3 distinct keys out of the GBK
+    # an un-executed plan's observation must not block query()
+    p.create([1, 2, 3]).map(lambda x: x)
+    p.metrics.query()
+
+
 def test_error_propagates(p):
     # ray_runner_test.py:951-973: user exceptions surface with traceback
     class Boom(DoFn):
