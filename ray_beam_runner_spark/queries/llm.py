@@ -314,6 +314,116 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_quality_filter",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_NORM} AS norm,
+             {_TOKS} AS toks,
+             len(regexp_extract_all(text, '{_PUNCT_RE}')) AS n_punct
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             ((length(norm) - len(toks) + 1)::DOUBLE
+               / greatest(len(toks), 1)) AS mean_wl,
+             (len(list_filter(toks, t -> t IN ({_STOP_EN})))::DOUBLE
+               / greatest(len(toks), 1)) AS stop_frac,
+             (n_punct::DOUBLE / greatest(len(toks), 1)) AS sym_ratio
+      FROM s)
+    SELECT doc_id, n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           round(stop_frac, 6) AS stop_frac,
+           round(sym_ratio, 6) AS symbol_ratio,
+           (n_words BETWEEN 20 AND 100000
+            AND mean_wl BETWEEN 3 AND 10
+            AND stop_frac >= 0.02
+            AND sym_ratio <= 0.1) AS keep
+    FROM c
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (rules as published in Rae et
+    al., "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", 2021, Table A1): word-count window, mean-word-length
+    window, minimum stopword fraction, maximum symbol-to-word ratio; a
+    document is kept only if it passes all four. The mean word length is
+    derived arithmetically from the normalized text length
+    ((chars - spaces) / words), avoiding an interpreted per-token HOF
+    aggregate; everything is Catalyst expressions evaluated once per row."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    stage1 = docs.select(
+        "doc_id",
+        X.normalize_text(c).alias("_norm"),
+        X.tokens(c).alias("_toks"),
+        X.punct_count(c).cast("long").alias("_n_punct"),
+    )
+    nt = F.size("_toks")
+    denom = F.greatest(nt, F.lit(1)).cast("double")
+    stage2 = stage1.select(
+        "doc_id",
+        nt.cast("long").alias("n_words"),
+        ((F.length("_norm") - nt + 1).cast("double") / denom).alias("_mean_wl"),
+        (
+            X.stopword_count_from_tokens(F.col("_toks")).cast("double") / denom
+        ).alias("_stop_frac"),
+        (F.col("_n_punct").cast("double") / denom).alias("_sym_ratio"),
+    )
+    return stage2.select(
+        "doc_id",
+        "n_words",
+        F.round("_mean_wl", 6).alias("mean_word_len"),
+        F.round("_stop_frac", 6).alias("stop_frac"),
+        F.round("_sym_ratio", 6).alias("symbol_ratio"),
+        (
+            F.col("n_words").between(20, 100000)
+            & F.col("_mean_wl").between(3, 10)
+            & (F.col("_stop_frac") >= 0.02)
+            & (F.col("_sym_ratio") <= 0.1)
+        ).alias("keep"),
+    )
+
+
+@query(
+    "q_repetition",
+    oracle=f"""
+    WITH tc AS (
+      SELECT doc_id, t, count(*) AS c FROM (
+        SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t)
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_tok,
+           round(count(*)::DOUBLE / sum(c), 6) AS distinct_frac,
+           round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac
+    FROM tc GROUP BY doc_id
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics for quality filtering (the Gopher rules also
+    drop highly repetitious documents): distinct-token fraction and the
+    mass of the single most frequent token. Two keyed aggregations —
+    (doc, token) counts, then per-doc rollup — both partitioned by doc,
+    so the shuffle is bounded by corpus token count and never collects a
+    document's tokens into one row."""
+    from ray_beam_runner_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok_counts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias("distinct_frac"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_token_frac"),
+    )
+
+
+@query(
     "q_fingerprint",
     oracle=f"""
     WITH toks AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)

@@ -98,6 +98,31 @@ def test_gbk_single_exchange(spark, sf_dir):
     assert count_exchanges(df) <= 1, formatted_plan(df)[:3000]
 
 
+def test_tpch_family_plans(spark, sf_dir):
+    # Q10: date + returnflag filters pushed, nation broadcast, top-20 via
+    # TakeOrderedAndProject (never a global sort)
+    q10 = QUERIES["q_returned_items"](spark, sf_dir)
+    assert_pushed_filters(q10, "l_returnflag")
+    assert_pushed_filters(q10, "o_orderdate")
+    assert_broadcast_join(q10)
+    assert "TakeOrderedAndProject" in formatted_plan(q10)
+    # Q14: part joins broadcast; the month of fact rows never shuffles
+    q14 = QUERIES["q_promo_revenue"](spark, sf_dir)
+    assert_broadcast_join(q14)
+    assert_pushed_filters(q14, "l_shipdate")
+    # Q4: EXISTS decorrelated to one semi join, no nested loop
+    q4 = formatted_plan(QUERIES["q_order_exists"](spark, sf_dir))
+    assert "LeftSemi" in q4, q4[:3000]
+    assert "NestedLoop" not in q4, q4[:3000]
+    # Q22: NOT EXISTS as an anti join; scalar avg is a 1-row broadcast
+    q22 = formatted_plan(QUERIES["q_idle_rich_customers"](spark, sf_dir))
+    # NOT EXISTS is a broadcast HASH anti join (never a nested loop); the
+    # scalar avg rides a 1-row broadcast cross join, which is the one
+    # nested-loop shape allowed
+    assert "BroadcastHashJoin LeftAnti" in q22, q22[:3000]
+    assert "BroadcastNestedLoopJoin Cross" in q22, q22[:3000]
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     # sketch accuracy: the query self-checks (HLL++ at rsd=2% within 5% of
     # exact; approx p50 inside the exact [p45, p55] band) and emits the
