@@ -1,0 +1,170 @@
+"""TFRecord sink/source (SURVEY.md §2.1 `WriteToTFRecord`; reference uses
+it in `examples/tft_iris_example/preprocessing.py:107-116`).
+
+The TFRecord wire format is public (TensorFlow's record format docs):
+
+    uint64 length (little-endian)
+    uint32 masked_crc32c(length_bytes)
+    byte   data[length]
+    uint32 masked_crc32c(data)
+
+with masked_crc = ((crc >> 15 | crc << 17) + 0xa282ead8) mod 2^32 over the
+CRC-32C (Castagnoli) polynomial. No TensorFlow dependency: a table-driven
+pure-Python CRC (256-entry table built at import) with an import-try for
+the native ``crc32c`` wheel when an environment provides it — the pure
+path is fine for the record sizes tests use; hot production sinks should
+ship the wheel.
+
+Paths are local-filesystem for this container; on a cluster point at
+shared storage the executors AND driver can reach (the driver performs
+the rename-commit).
+
+Distribution model: ``write_tfrecord`` writes ONE shard per partition
+(part-00000-of-NNNNN naming, the standard sharded-TFRecord convention) via
+``mapInPandas`` — each task streams its partition to its own shard, no
+driver materialization, no cross-partition shuffle. ``read_tfrecord``
+parallelizes over shards (one partition per file via the binaryFile
+source), verifies both CRCs, and explodes records.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRC32C_POLY = 0x82F63B78  # Castagnoli, reflected
+_MASK_DELTA = 0xA282EAD8
+
+
+def _crc32c_table() -> list[int]:
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ _CRC32C_POLY if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_TABLE = _crc32c_table()
+
+
+try:  # native implementation when the environment has it
+    from crc32c import crc32c as _native_crc32c  # type: ignore
+except ImportError:  # pragma: no cover - depends on environment
+    _native_crc32c = None
+
+
+def crc32c(data: bytes) -> int:
+    if _native_crc32c is not None:
+        return _native_crc32c(data)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def masked_crc32c(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+def encode_record(data: bytes) -> bytes:
+    header = struct.pack("<Q", len(data))
+    return (
+        header
+        + struct.pack("<I", masked_crc32c(header))
+        + data
+        + struct.pack("<I", masked_crc32c(data))
+    )
+
+
+def decode_records(blob: bytes, verify: bool = True):
+    """Yield record payloads from a TFRecord shard's bytes."""
+    pos, n = 0, len(blob)
+    while pos < n:
+        if pos + 12 > n:
+            raise ValueError(f"truncated TFRecord header at offset {pos}")
+        header = blob[pos : pos + 8]
+        (length,) = struct.unpack("<Q", header)
+        (hcrc,) = struct.unpack("<I", blob[pos + 8 : pos + 12])
+        start = pos + 12
+        end = start + length
+        if end + 4 > n:
+            raise ValueError(f"truncated TFRecord payload at offset {pos}")
+        data = blob[start:end]
+        (dcrc,) = struct.unpack("<I", blob[end : end + 4])
+        if verify:
+            if masked_crc32c(header) != hcrc:
+                raise ValueError(f"TFRecord length-CRC mismatch at offset {pos}")
+            if masked_crc32c(data) != dcrc:
+                raise ValueError(f"TFRecord data-CRC mismatch at offset {pos}")
+        yield data
+        pos = end + 4
+
+
+def write_tfrecord(df: DataFrame, path: str, value_col: str = "value") -> int:
+    """Write a binary (or string — utf-8 encoded) column as sharded
+    TFRecord files under ``path``; one shard per partition, written
+    executor-side. Returns the number of shards written.
+
+    Shards are first written as part-<partition>.tfrecord, then renamed to
+    the standard part-XXXXX-of-NNNNN once the total shard count is known
+    (the rename is the driver-side commit step, mirroring Spark's own
+    file-sink commit protocol at a small scale)."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    src = df.select(F.col(value_col).alias("value"))
+
+    def kernel(batches):
+        part = None
+        out = None
+        written = 0
+        for pdf in batches:
+            if out is None and len(pdf):
+                from pyspark import TaskContext
+
+                part = TaskContext.get().partitionId()
+                out = open(os.path.join(path, f"part-{part:05d}.tfrecord.tmp"), "wb")
+            for v in pdf["value"]:
+                data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                out.write(encode_record(data))
+                written += 1
+        if out is not None:
+            out.close()
+            yield pd.DataFrame({"part": [part], "records": [written]})
+
+    manifest = src.mapInPandas(kernel, schema="part int, records long").collect()
+    shards = sorted(r.part for r in manifest)
+    for i, part in enumerate(shards):
+        os.rename(
+            os.path.join(path, f"part-{part:05d}.tfrecord.tmp"),
+            os.path.join(path, f"part-{i:05d}-of-{len(shards):05d}.tfrecord"),
+        )
+    return len(shards)
+
+
+def read_tfrecord(spark: SparkSession, path: str, verify: bool = True) -> DataFrame:
+    """Read sharded TFRecord files into (shard string, value binary) —
+    one input partition per shard via the binaryFile source, records
+    exploded executor-side with both CRCs verified."""
+    import pandas as pd
+
+    shards = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tfrecord")
+    ).select("path", "content")
+
+    def kernel(batches):
+        for pdf in batches:
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
+                recs = list(decode_records(bytes(blob), verify=verify))
+                if recs:
+                    yield pd.DataFrame(
+                        {"shard": [shard_path] * len(recs), "value": recs}
+                    )
+
+    return shards.mapInPandas(kernel, schema="shard string, value binary")

@@ -122,3 +122,52 @@ def test_python_udtf(spark):
     assert got == sorted(
         [("the", 0), ("quick", 1), ("fox", 2), ("lazy", 0), ("dog", 1)]
     )
+
+
+# -- TFRecord sink/source (SURVEY §2.1 WriteToTFRecord; reference
+#    tft_iris_example/preprocessing.py:107-116) -------------------------------
+
+
+def test_crc32c_known_vectors():
+    # public CRC-32C test vectors (RFC 3720 appendix B.4)
+    from ray_beam_runner_spark.sources.tfrecord import crc32c
+
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"a") == 0xC1D04330
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_tfrecord_roundtrip(spark, tmp_path):
+    from ray_beam_runner_spark.sources.tfrecord import read_tfrecord, write_tfrecord
+
+    rows = [(f"record-{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "value string").repartition(4)
+    out = str(tmp_path / "tfr")
+    n_shards = write_tfrecord(df, out)
+    assert 1 <= n_shards <= 4
+    import os
+
+    names = sorted(os.listdir(out))
+    assert names == [f"part-{i:05d}-of-{n_shards:05d}.tfrecord" for i in range(n_shards)]
+    back = read_tfrecord(spark, out)
+    vals = sorted(bytes(r.value).decode() for r in back.collect())
+    assert vals == sorted(v for (v,) in rows)
+    # shards parallelize the read: one input partition per file
+    assert back.rdd.getNumPartitions() == n_shards
+
+
+def test_tfrecord_corruption_detected(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from ray_beam_runner_spark.sources.tfrecord import decode_records, encode_record
+
+    blob = encode_record(b"hello") + encode_record(b"world")
+    assert [bytes(x) for x in decode_records(blob)] == [b"hello", b"world"]
+    corrupted = blob[:13] + bytes([blob[13] ^ 0xFF]) + blob[14:]
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        list(decode_records(corrupted))
+    # verify=False skips the check (salvage mode)
+    assert len(list(decode_records(corrupted, verify=False))) == 2
