@@ -30,6 +30,9 @@ __all__ = [
     "multi_table_buckets",
     "embedding_near_dup_pairs_lsh",
     "lsh_topk",
+    "ivf_fit",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -305,6 +308,110 @@ def embedding_near_dup_pairs_lsh(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+):
+    """Train an IVF coarse quantizer: distributed k-means over the corpus
+    (Spark ML, cosine distance — spherical k-means, the standard coarse
+    quantizer for cosine ANN; Jegou et al., "Product quantization for
+    nearest neighbor search", 2011, use the same IVF cell structure).
+    At 100 TB, pass ``sample_fraction`` — centroids converge on a sample
+    and the full-corpus pass is assignment only. Returns the fitted
+    KMeansModel."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    if sample_fraction is not None:
+        train = train.sample(sample_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, distanceMeasure="cosine")
+    return km.fit(train)
+
+
+def ivf_assign(model, df: DataFrame, vec_col: str) -> DataFrame:
+    """Append each vector's IVF cell id (the model broadcast rides the ML
+    transform — one map pass, no shuffle)."""
+    from pyspark.ml.functions import array_to_vector
+
+    assigned = model.transform(
+        df.withColumn("features", array_to_vector(_as_double(F.col(vec_col))))
+    )
+    return assigned.withColumnRenamed("prediction", "cell").drop("features")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_digits: int = 6,
+    model=None,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only corpus vectors whose cell is
+    among each query's ``n_probe`` nearest centroids. The alternative
+    scale path to :func:`lsh_topk` — data-adaptive cells (k-means learns
+    the corpus distribution) instead of data-oblivious hyperplanes, at
+    the cost of a training pass; recall rises with n_probe/n_cells
+    exactly as nprobe does in FAISS-style IVF indexes.
+
+    Scale shape: centroids (n_cells x dim) are tiny and broadcast; the
+    query->cell probe set is a broadcast equi-join key on the assigned
+    corpus (shuffle-free candidate generation); exact cosine scoring +
+    per-query top-k window run only on candidates. Pass a pre-fitted
+    ``model`` (from :func:`ivf_fit`) to amortize training across calls —
+    the production pattern; fitting in-line is the convenience path.
+    Returns (q_id, vec_id, sim, rank)."""
+    spark = corpus.sparkSession
+    if model is None:
+        model = ivf_fit(corpus, corpus_vec, n_cells=n_cells)
+    cells = ivf_assign(model, corpus, corpus_vec)
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    q = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"))
+    probed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "q_id",
+            "q_vec",
+            "cell",
+            cosine_similarity_col(F.col("q_vec"), F.col("centroid")).alias("_csim"),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("_csim").desc(), F.col("cell").asc())
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select("q_id", "q_vec", "cell")
+    )
+    cands = cells.join(
+        F.broadcast(probed.select("q_id", "cell")), "cell"
+    ).dropDuplicates(["q_id", corpus_id])
+    q_vecs = F.broadcast(probed.select("q_id", "q_vec").dropDuplicates(["q_id"]))
+    scored = cands.join(q_vecs, "q_id").select(
+        "q_id",
+        F.col(corpus_id).alias("vec_id"),
+        F.round(cosine_pandas(F.col("q_vec"), F.col(corpus_vec)), round_digits).alias("sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(

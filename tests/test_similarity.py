@@ -54,6 +54,33 @@ def test_lsh_recall_vs_bruteforce(emb):
     assert all(v >= 8 for _, v in approx)
 
 
+def test_ivf_recall_vs_bruteforce(emb):
+    from ray_beam_runner_spark.functions.similarity import ivf_fit, ivf_topk
+
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    q = _queries(emb)
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(q, corpus, k=3).collect()}
+    # fit once, search with the pre-built index (the production pattern)
+    model = ivf_fit(corpus, "embedding", n_cells=8)
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(
+            q, corpus, dim=64, k=3, n_cells=8, n_probe=4, model=model
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    assert all(v >= 8 for _, v in approx)
+    # probing ALL cells makes IVF exhaustive: must equal brute force
+    full = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(
+            q, corpus, dim=64, k=3, n_cells=8, n_probe=8, model=model
+        ).collect()
+    }
+    assert full == exact
+
+
 def test_bucket_determinism(emb):
     b1 = random_hyperplane_buckets(emb, "embedding", 64).select("vec_id", "bucket")
     b2 = random_hyperplane_buckets(emb, "embedding", 64).select("vec_id", "bucket")
