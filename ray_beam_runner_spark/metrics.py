@@ -147,4 +147,9 @@ class MetricsRegistry:
                 for name, obs in self._observations.items()
                 if self._observation_ready(obs)
             },
+            "byte_counts": {
+                name: int(obs.get["byte_count"])
+                for name, obs in self._observations.items()
+                if self._observation_ready(obs) and "byte_count" in obs.get
+            },
         }

@@ -1092,19 +1092,29 @@ class Pipeline:
         return label or f"{kind}{self._transform_idx}"
 
     def _observe_elements(self, name: str, df: DataFrame) -> DataFrame:
-        """Auto per-PCollection element counts (reference ELEMENT_COUNT
-        monitoring infos, ray_fn_runner.py:462-534): an Observation
-        aggregate piggybacked on the transform's own execution — no extra
-        action, no extra pass. Surfaced as
-        ``metrics.query()["element_counts"][f"{name}"]`` once an action
-        has executed the plan. Streaming DataFrames don't take the
-        Observation object form; they pass through unobserved."""
+        """Auto per-PCollection element counts + byte sizes (reference
+        ELEMENT_COUNT / SAMPLED_BYTE_SIZE monitoring infos,
+        ray_fn_runner.py:462-534): an Observation aggregate piggybacked on
+        the transform's own execution — no extra action, no extra pass.
+        Byte size is the encoded value-column size (pickle/string length),
+        summed only when the column is cheaply measurable (binary/string —
+        the pickled default; typed values would need a to_json pass, which
+        is not worth the hot-path cost the reference avoids by sampling).
+        Surfaced as ``metrics.query()["element_counts"|"byte_counts"]``
+        once an action has executed the plan. Streaming DataFrames don't
+        take the Observation object form; they pass through unobserved."""
         if df.isStreaming:
             return df
         from pyspark.sql import Observation
 
         obs = Observation(name)
-        df = df.observe(obs, F.count(F.lit(1)).alias("element_count"))
+        aggs = [F.count(F.lit(1)).alias("element_count")]
+        value_type = dict(df.dtypes).get("value")
+        if value_type in ("binary", "string"):
+            aggs.append(
+                F.coalesce(F.sum(F.length("value")), F.lit(0)).alias("byte_count")
+            )
+        df = df.observe(obs, *aggs)
         self.metrics.track_observation(name, obs)
         return df
 

@@ -788,6 +788,41 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "q_moving_agg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(avg(o_totalprice) OVER w3, 6)  AS moving_avg3,
+           round(sum(o_totalprice) OVER wall, 6) AS running_sum,
+           round(o_totalprice - lag(o_totalprice) OVER wo, 6) AS delta_prev
+    FROM orders
+    WINDOW
+      w3   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wo   AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES (rows-between moving average, running sum, lag
+    delta) — one shuffle on the partition key serves all three frames;
+    ordering tie-broken by orderkey so results are deterministic."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 6).alias("moving_avg3"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 6
+        ).alias("running_sum"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 6).alias(
+            "delta_prev"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-family analytics (multi-join shapes the reference's test pipelines
 # express as chained GBK/CoGBK — ray_runner_test.py:740-819; here each is

@@ -491,10 +491,15 @@ def test_auto_element_counts(p):
         .map_kv_values(sum, output_type="bigint")
     )
     counts.assert_that([("the", 2), ("cat", 2), ("dog", 1)])
-    ec = p.metrics.query()["element_counts"]
+    q = p.metrics.query()
+    ec = q["element_counts"]
     assert 5 in ec.values(), ec  # the flat_map output: 5 words
     gbk = [v for k, v in ec.items() if k.startswith("GroupByKey")]
     assert gbk == [3], ec  # 3 distinct keys out of the GBK
+    # pickled outputs also report encoded byte sizes (SAMPLED_BYTE_SIZE
+    # analog); every observed byte count is positive for non-empty output
+    bc = q["byte_counts"]
+    assert bc and all(v > 0 for v in bc.values()), bc
     # an un-executed plan's observation must not block query()
     p.create([1, 2, 3]).map(lambda x: x)
     p.metrics.query()
