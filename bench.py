@@ -34,9 +34,13 @@ EXTRA_SET = (
     "q_gbk",
     "q_session_window",
     "q_asof_join",
+    "q_returned_items",
+    "q_moving_agg",
     "q_dedup_minhash_lsh",
     "q_similarity_topk",
     "q_text_stats",
+    "q_quality_filter",
+    "q_repetition",
 )
 
 

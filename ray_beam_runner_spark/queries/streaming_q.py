@@ -59,3 +59,42 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "q_streaming_stateful",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value), 6) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed per-key streaming state (applyInPandasWithState): the
+    events table replayed as 3 micro-batches through a per-key running
+    (count, sum) whose state persists across batches; after the
+    availableNow drain, each key's LAST emitted cumulative row must equal
+    the batch aggregate over the whole table — which is exactly what the
+    oracle computes. Streaming shape of the reference's stateful tests
+    (ray_runner_test.py:363-393, 508-575) with a hash gate instead of a
+    rows-only check."""
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
+    from ray_beam_runner_spark.streaming.stateful import running_aggregate
+
+    events = t(spark, sf_dir, "events")
+    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_stateful_"), "events")
+    stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
+    agg = running_aggregate(stream, "event_type", "value")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        updates = run_to_memory(agg, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        updates.groupBy(F.col("key").alias("event_type"))
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.round(F.max_by("total", "cnt"), 6).alias("total"),
+        )
+        .orderBy("event_type")
+    )
