@@ -30,6 +30,12 @@ def track(df: DataFrame, storage_level=None) -> DataFrame:
     return df
 
 
+def track_persisted(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted DataFrame for release_tracked()."""
+    _TRACKED.append(df)
+    return df
+
+
 def release_tracked() -> int:
     """Unpersist every tracked DataFrame (best-effort; a stopped session
     just drops the handles). Returns how many were released."""

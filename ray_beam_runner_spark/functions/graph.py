@@ -1,0 +1,142 @@
+"""Distributed connected components — dedup clustering.
+
+A near-dup pipeline needs more than pairs: pairs form a graph whose
+connected components are the duplicate CLUSTERS (keep one survivor per
+component). The reference has no graph machinery at all; on Spark this is
+the alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) — the standard
+O(log n)-round, shuffle-keyed method that needs no driver-side graph:
+
+- large-star: every node points its LARGER neighbors at its current
+  minimum neighbor (or itself) — strictly decreases large labels.
+- small-star: every node points its smaller-or-equal neighbors at the
+  minimum — flattens stars.
+
+Each round is two keyed aggregations (groupBy node -> min) + an edge
+rewrite; convergence when the edge multiset stops changing, checked by a
+cheap count+hash aggregate, not by collecting edges. Iterations persist
+their frontier and unpersist the previous one so lineage doesn't grow
+unboundedly (the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge list as (u, v) with u < v, deduped."""
+    return (
+        pairs.select(
+            F.least(F.col(a), F.col(b)).alias("u"), F.greatest(F.col(a), F.col(b)).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round over canonical
+    (u < v) edges. Emits the rewritten canonical edge list."""
+    # neighborhoods in both directions: (node, neighbor)
+    nbrs = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+    # each node's minimum over neighborhood and itself
+    mins = nbrs.groupBy("n").agg(F.min("m").alias("mn"))
+    mins = mins.select("n", F.least(F.col("mn"), F.col("n")).alias("mn"))
+    joined = nbrs.join(mins, "n")
+    if large:
+        # large-star(n): connect strictly larger neighbors to
+        # min(neighborhood ∪ self)
+        out = joined.filter(F.col("m") > F.col("n")).select(
+            F.col("m").alias("a"), F.col("mn").alias("b")
+        )
+    else:
+        # small-star(n): connect smaller-or-equal neighbors AND n itself
+        # to the min — omitting the self edge loses the chain links and
+        # the iteration collapses to an empty set (measured on a path
+        # graph)
+        out = joined.filter(F.col("m") <= F.col("n")).select(
+            F.col("m").alias("a"), F.col("mn").alias("b")
+        ).unionAll(mins.select(F.col("n").alias("a"), F.col("mn").alias("b")))
+    return (
+        out.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _frontier_signature(edges: DataFrame) -> tuple:
+    """(count, xor-ish hash) — one tiny aggregate; equal signatures on
+    canonical deduped edge sets imply (whp) the iteration converged."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "d1", b: str = "d2", max_rounds: int = 25
+) -> DataFrame:
+    """Connected components of the undirected pair graph. Returns
+    (node, component) for every node appearing in an edge, where
+    component is the MINIMUM node id in the component.
+
+    Alternating star rounds converge in O(log n) (Kiveris et al. 2014);
+    ``max_rounds`` is a safety rail, not tuning. After convergence every
+    edge is (root, child), so labels read directly off the edges.
+
+    Each round's frontier is localCheckpoint-ed (eager): without lineage
+    truncation the plan doubles every round and Catalyst planning time
+    dominates by round ~5 (measured: a 50-node path graph went from
+    timeout to seconds). localCheckpoint trades executor-loss tolerance
+    for speed — the right trade for an iterative refinement that can
+    simply be rerun; long-lived cluster jobs can switch to
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``."""
+    edges = _canonical_edges(pairs, a, b).localCheckpoint(eager=True)
+    sig = _frontier_signature(edges)
+    for _ in range(max_rounds):
+        nxt = _star_round(edges, large=True)
+        nxt = _star_round(nxt, large=False).localCheckpoint(eager=True)
+        nsig = _frontier_signature(nxt)
+        edges = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:  # pragma: no cover - would need a pathological graph
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    # converged star graph: v's label is u; roots label themselves
+    # (the checkpointed frontier backs the lazy result; its blocks free
+    # when the DataFrame is garbage collected)
+    members = edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", a: str = "d1", b: str = "d2"
+) -> DataFrame:
+    """Cluster assignment for EVERY document: near-dup components get
+    their component min-id, untouched docs are their own singleton
+    cluster. Returns (id_col, cluster, is_survivor)."""
+    comp = connected_components(pairs, a, b)
+    joined = docs.select(F.col(id_col)).join(
+        comp, docs[id_col] == comp["node"], "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.select(
+        F.col(id_col),
+        cluster.alias("cluster"),
+        (cluster == F.col(id_col)).alias("is_survivor"),
+    )

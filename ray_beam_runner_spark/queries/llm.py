@@ -96,6 +96,53 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_G3}) AS g FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2 FROM (
+        SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+        FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT doc_id,
+           coalesce(component, doc_id) AS cluster,
+           coalesce(component, doc_id) = doc_id AS is_survivor
+    FROM documents LEFT JOIN comp ON doc_id = node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (threshold 0.5), every document labeled with its
+    component's min doc_id and a keep/drop survivor flag — the step a
+    real dedup pipeline runs between pair generation and survivor
+    selection. Spark side: alternating large-star/small-star rounds
+    (Kiveris et al. 2014), O(log n) shuffle-keyed iterations with
+    per-round lineage truncation; oracle side: DuckDB recursive-CTE
+    transitive closure of the same pair set."""
+    from ray_beam_runner_spark.functions.dedup import ngram_jaccard_pairs
+    from ray_beam_runner_spark.functions.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+@query(
     "q_dedup_simhash",
     oracle=f"""
     WITH tok AS (

@@ -1,0 +1,50 @@
+"""Connected-components tests: adversarial graph shapes (path graphs are
+the worst case for star-contraction), cluster assignment semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.functions.graph import connected_components, dedup_clusters
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    return {(r.node, r.component) for r in connected_components(df).collect()}
+
+
+def test_cc_path_graph(spark):
+    # chains maximize round count for star contraction
+    assert _cc(spark, [(0, 1), (1, 2), (2, 3), (3, 4)]) == {(i, 0) for i in range(5)}
+
+
+def test_cc_mixed_components(spark):
+    got = _cc(spark, [(5, 4), (4, 3), (9, 8), (8, 9), (3, 5)])
+    assert got == {(3, 3), (4, 3), (5, 3), (8, 8), (9, 8)}
+
+
+def test_cc_star_triangle_edge(spark):
+    got = _cc(
+        spark,
+        [(10, 11), (10, 12), (10, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+    )
+    assert got == {
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20), (22, 20),
+        (30, 30), (31, 30),
+    }
+
+
+def test_cc_long_chain_converges(spark):
+    n0, n1 = 100, 150
+    got = _cc(spark, [(i, i + 1) for i in range(n0, n1 - 1)])
+    assert got == {(i, n0) for i in range(n0, n1)}
+
+
+def test_dedup_clusters_singletons_and_survivors(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "d1 long, d2 long")
+    rows = {r.doc_id: (r.cluster, r.is_survivor) for r in dedup_clusters(docs, pairs).collect()}
+    assert rows == {
+        0: (0, True), 3: (0, False), 5: (0, False),  # one component, min survives
+        1: (1, True), 2: (2, True), 4: (4, True),    # untouched docs are singletons
+    }
