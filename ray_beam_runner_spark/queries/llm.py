@@ -231,6 +231,38 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_similarity_ivf",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 8),
+    s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+          FROM q CROSS JOIN c)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)::INT AS rank
+      FROM s)
+    WHERE rank <= 5
+    """,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k through the IVF index machinery (k-means coarse quantizer +
+    cell-probed search), hash-gated by probing ALL cells: with
+    n_probe == n_cells the candidate set is the whole corpus, so the IVF
+    path must reproduce the exact brute-force top-k the oracle computes —
+    exercising training, assignment, probing, and scoring end-to-end.
+    Production uses n_probe << n_cells (recall-tested in
+    test_ivf_recall_vs_bruteforce)."""
+    from ray_beam_runner_spark.functions.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return ivf_topk(q, corpus, dim=64, k=5, n_cells=8, n_probe=8)
+
+
+@query(
     "q_embedding_stats",
     oracle="""
     SELECT label,
