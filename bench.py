@@ -77,7 +77,9 @@ def main() -> None:
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4")),
         extra_conf={
             "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
-            "spark.sql.constraintPropagation.enabled": "false",
+            "spark.sql.constraintPropagation.enabled": os.environ.get(
+                "SPARK_GRAFT_CONSTRAINT_PROP", "false"
+            ),
             "spark.sql.files.maxPartitionBytes": os.environ.get(
                 "SPARK_GRAFT_SPLIT", "2m"
             ),

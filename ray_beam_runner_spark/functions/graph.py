@@ -14,9 +14,12 @@ O(log n)-round, shuffle-keyed method that needs no driver-side graph:
 
 Each round is two keyed aggregations (groupBy node -> min) + an edge
 rewrite; convergence when the edge multiset stops changing, checked by a
-cheap count+hash aggregate, not by collecting edges. Iterations persist
-their frontier and unpersist the previous one so lineage doesn't grow
-unboundedly (the classic iterative-Spark trap).
+cheap count+hash aggregate, not by collecting edges. Each round's
+frontier is eagerly localCheckpoint-ed to truncate lineage (the classic
+iterative-Spark trap); prior rounds' checkpoint blocks are freed by the
+ContextCleaner once their Python references drop (pyspark exposes no
+direct unpersist for checkpointed plans), so peak storage is a few
+frontiers — edge lists of ids, small relative to the input.
 """
 
 from __future__ import annotations

@@ -382,6 +382,11 @@ def ivf_topk(
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
+    if centroids and len(centroids[0][1]) != dim:
+        raise ValueError(
+            f"ivf_topk dim={dim} does not match the fitted model's "
+            f"centroid dimension {len(centroids[0][1])}"
+        )
     cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
     q = queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"))
     probed = (

@@ -92,6 +92,7 @@ class MetricsRegistry:
         self._dists: dict[str, Distribution] = {}
         self._gauges: dict[str, Gauge] = {}
         self._observations: dict = {}  # name -> pyspark.sql.Observation
+        self._resolved_rows: dict[str, dict] = {}  # completed observation rows
 
     def counter(self, name: str) -> Counter:
         if name not in self._counters:
@@ -116,21 +117,35 @@ class MetricsRegistry:
         """Register an engine-level Observation (auto element counts)."""
         self._observations[name] = obs
 
-    @staticmethod
-    def _observation_ready(obs) -> bool:
-        """Non-blocking: has the action carrying this observation run?
-        (Observation.get would BLOCK forever for a plan that never
-        executes; the JVM side exposes the completed row as an Option.)"""
+    def _resolved(self, name: str, obs) -> dict | None:
+        """The observation's metrics dict if its action has run, else None.
+
+        Observation.get would BLOCK forever for a plan that never
+        executes; the JVM getRowOrEmpty awaits at most ~100 ms, so each
+        still-pending observation costs up to that per query() call —
+        resolved rows are cached here so the cost is paid once, and only
+        for plans that were built but never executed."""
+        if name in self._resolved_rows:
+            return self._resolved_rows[name]
         try:
-            return not obs._jo.getRowOrEmpty().isEmpty()
+            if obs._jo.getRowOrEmpty().isEmpty():
+                return None
         except Exception:  # noqa: BLE001 - not yet attached / session gone
-            return False
+            return None
+        row = dict(obs.get)
+        self._resolved_rows[name] = row
+        return row
 
     def flush(self):
         """Bundle-end hook (accumulators auto-ship; nothing to do, kept for
         lifecycle symmetry with the reference's monitoring-info commit)."""
 
     def query(self) -> dict:
+        rows = {
+            name: row
+            for name, obs in self._observations.items()
+            if (row := self._resolved(name, obs)) is not None
+        }
         return {
             "counters": {name: c._acc.value for name, c in self._counters.items()},
             "distributions": {
@@ -143,13 +158,11 @@ class MetricsRegistry:
                 if g._acc.value[0] is not None
             },
             "element_counts": {
-                name: int(obs.get["element_count"])
-                for name, obs in self._observations.items()
-                if self._observation_ready(obs)
+                name: int(row["element_count"]) for name, row in rows.items()
             },
             "byte_counts": {
-                name: int(obs.get["byte_count"])
-                for name, obs in self._observations.items()
-                if self._observation_ready(obs) and "byte_count" in obs.get
+                name: int(row["byte_count"])
+                for name, row in rows.items()
+                if "byte_count" in row
             },
         }

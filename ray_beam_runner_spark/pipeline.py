@@ -355,6 +355,21 @@ class PCollection:
         for name, view in joined_sides.items():
             col = f"side__{name}"
             skey = f"sidekey__{name}"
+            # the join compares stored representations — a typed main
+            # against a pickled side (or differing dtypes) would compile
+            # via implicit casts and silently match nothing
+            main_join_col = "key" if keyed_in else "value"
+            main_dtype = dict(self.df.dtypes)[main_join_col]
+            side_dtype = dict(view.pcoll.df.dtypes)["key"]
+            if main_dtype != side_dtype:
+                raise ValueError(
+                    f"AsMultiMapJoined key type mismatch for side input "
+                    f"{name!r}: main {main_join_col!r} column is "
+                    f"{main_dtype}, side key column is {side_dtype} "
+                    f"(binary = pickled). Give both sides the same key "
+                    f"typing (e.g. key_type=... on map_to_kv, or leave "
+                    f"both pickled)."
+                )
             sdf = (
                 view.pcoll.df.groupBy("key")
                 .agg(F.collect_list("value").alias(col))
@@ -1081,10 +1096,11 @@ class Pipeline:
         # Collect+broadcast side-input views drain the side through the
         # driver; this cap turns the silent driver-OOM a too-large side
         # causes into a loud error naming the scalable alternative
-        # (AsMultiMapJoined). None disables the guard.
+        # (AsMultiMapJoined). None -> the env/1M default; zero or negative
+        # disables the guard entirely.
         if side_input_max_rows is None:
             side_input_max_rows = int(os.environ.get("RBRS_SIDE_INPUT_MAX_ROWS", "1000000"))
-        self.side_input_max_rows = side_input_max_rows
+        self.side_input_max_rows = side_input_max_rows if side_input_max_rows > 0 else None
         self._transform_idx = 0
 
     def _next_label(self, kind: str, label: str | None) -> str:

@@ -1013,7 +1013,7 @@ def q_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey)
     SELECT s_suppkey, s_name, round(total_rev, 6) AS total_rev
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    WHERE round(total_rev, 6) = (SELECT max(round(total_rev, 6)) FROM rev)
     ORDER BY s_suppkey
     """,
 )
@@ -1021,20 +1021,26 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue. The
     scalar max is a 1-row broadcast joined onto the aggregated revenue —
     no window over a single global partition (which would serialize all
-    suppliers through one task at scale)."""
+    suppliers through one task at scale). The max comparison is on the
+    ROUNDED revenue: rev and its max are independently recomputed
+    subtrees, and double summation is not bitwise deterministic across
+    shuffle fetch orders — exact float equality between two evaluations
+    of the 'same' sum can miss."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("_max_rev"))
     s = t(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_max_rev"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_rev", 6).alias("total_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
 

@@ -115,9 +115,18 @@ def write_tfrecord(df: DataFrame, path: str, value_col: str = "value") -> int:
     the standard part-XXXXX-of-NNNNN once the total shard count is known
     (the rename is the driver-side commit step, mirroring Spark's own
     file-sink commit protocol at a small scale)."""
+    import glob as _glob
+
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics: clear previous shards (and orphaned temps) so a
+    # rewrite with fewer partitions can't leave stale part-*-of-* files
+    # that the reader's glob would silently merge into the new dataset
+    for stale in _glob.glob(os.path.join(path, "*.tfrecord")) + _glob.glob(
+        os.path.join(path, "*.tfrecord.tmp")
+    ):
+        os.remove(stale)
     src = df.select(F.col(value_col).alias("value"))
 
     def kernel(batches):

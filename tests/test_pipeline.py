@@ -219,6 +219,20 @@ def test_joined_multimap_keyed_main_and_wrong_key(p):
     )
 
 
+def test_joined_multimap_type_mismatch_raises(p):
+    # typed main vs pickled side keys would silently match nothing —
+    # must be a loud error instead
+    side = p.create([("a", 1)])  # pickled keys
+    main = p.create(["a"]).map(lambda x: x, output_type="string")  # typed values
+
+    class Lookup(DoFn):
+        def process(self, element, timestamp=None, window=None, mm=None):
+            yield element
+
+    with pytest.raises(ValueError, match="key type mismatch"):
+        main.par_do(Lookup(), side_inputs={"mm": AsMultiMapJoined(side)})
+
+
 def test_joined_multimap_rejects_non_kv_side(p):
     # a typed scalar side can't be interpreted as (key, value) pairs
     typed = p.create([1, 2, 3]).map(lambda x: x, output_type="long")

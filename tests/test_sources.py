@@ -155,6 +155,13 @@ def test_tfrecord_roundtrip(spark, tmp_path):
     assert vals == sorted(v for (v,) in rows)
     # shards parallelize the read: one input partition per file
     assert back.rdd.getNumPartitions() == n_shards
+    # overwrite with FEWER partitions must not leave stale shards behind
+    df2 = spark.createDataFrame(rows[:10], "value string").coalesce(1)
+    n2 = write_tfrecord(df2, out)
+    assert n2 == 1
+    assert sorted(os.listdir(out)) == ["part-00000-of-00001.tfrecord"]
+    vals2 = sorted(bytes(r.value).decode() for r in read_tfrecord(spark, out).collect())
+    assert vals2 == sorted(v for (v,) in rows[:10])
 
 
 def test_tfrecord_corruption_detected(spark, tmp_path):
