@@ -789,6 +789,47 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_skewed_agg",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS cnt,
+           round(sum(value), 6) AS total,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_skewed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a genuinely skewed key (events
+    has 5 event_type values over 100k+ rows — every key is hot): the
+    partial groupBy(key, salt) → final groupBy(key) plan spreads each hot
+    key across 16 reducers instead of one, and must produce exactly the
+    plain aggregate the oracle computes. See operators.skew for when this
+    beats Spark's own map-side partials."""
+    from ray_beam_runner_spark.operators.skew import salted_aggregate
+
+    ev = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "cnt": ("count", "event_id"),
+            "total": ("sum", "value"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        F.round("total", 6).alias("total"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    ).orderBy("event_type")
+
+
+@query(
     "q_moving_agg",
     oracle="""
     SELECT o_orderkey, o_custkey,
