@@ -157,6 +157,102 @@ def write_tfrecord(df: DataFrame, path: str, value_col: str = "value") -> int:
     return len(shards)
 
 
+class _TFRecordCommit:
+    """WriterCommitMessage carrying the task's temp shard path + count."""
+
+    def __init__(self, tmp_path: str, records: int):
+        self.tmp_path = tmp_path
+        self.records = records
+
+
+def _tfrecord_datasource_classes():
+    """Build the Python Data Source V2 classes lazily (the datasource
+    module import needs a modern pyspark; everything else in this file
+    works standalone)."""
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    class _Commit(WriterCommitMessage, _TFRecordCommit):
+        pass
+
+    class TFRecordWriter(DataSourceWriter):
+        """Executor side: stream the partition to a uniquely-named temp
+        shard; driver side: ``commit`` renames the temp shards to the
+        final part-XXXXX-of-NNNNN names (the real DSv2 commit protocol —
+        a failed/speculated task's temp file is never renamed, and
+        ``abort`` sweeps temps)."""
+
+        def __init__(self, path: str, value_col: str):
+            self.path = path
+            self.value_col = value_col
+
+        def write(self, iterator):
+            import uuid
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            tmp = os.path.join(
+                self.path,
+                f".tmp-{ctx.partitionId():05d}-{ctx.taskAttemptId()}-{uuid.uuid4().hex[:8]}.tfrecord.tmp",
+            )
+            n = 0
+            out = None
+            try:
+                for row in iterator:
+                    v = row[self.value_col]
+                    if out is None:
+                        out = open(tmp, "wb")
+                    data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    out.write(encode_record(data))
+                    n += 1
+            finally:
+                if out is not None:
+                    out.close()
+            return _Commit(tmp if out is not None else "", n)
+
+        def commit(self, messages):
+            shards = sorted(m.tmp_path for m in messages if m.tmp_path)
+            for i, tmp in enumerate(shards):
+                os.rename(
+                    tmp,
+                    os.path.join(self.path, f"part-{i:05d}-of-{len(shards):05d}.tfrecord"),
+                )
+
+        def abort(self, messages):
+            for m in messages:
+                if m.tmp_path and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+
+    class TFRecordDataSource(DataSource):
+        """``df.write.format("tfrecord").option("path", dir).save()`` —
+        SURVEY §2.1's 'df.write.format("tfrecord") via connector' path.
+        Expects one binary/string column (default name ``value``,
+        override with .option("value_col", ...))."""
+
+        @classmethod
+        def name(cls):
+            return "tfrecord"
+
+        def writer(self, schema, overwrite: bool):
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("tfrecord writer requires a path")
+            os.makedirs(path, exist_ok=True)
+            if overwrite:
+                import glob as _glob
+
+                for stale in _glob.glob(os.path.join(path, "*.tfrecord")):
+                    os.remove(stale)
+            return TFRecordWriter(path, self.options.get("value_col", "value"))
+
+    return TFRecordDataSource
+
+
+def register_tfrecord(spark: SparkSession) -> None:
+    """Register the DSv2 tfrecord format on this session."""
+    spark.dataSource.register(_tfrecord_datasource_classes())
+
+
 def read_tfrecord(spark: SparkSession, path: str, verify: bool = True) -> DataFrame:
     """Read sharded TFRecord files into (shard string, value binary) —
     one input partition per shard via the binaryFile source, records

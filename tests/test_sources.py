@@ -178,3 +178,21 @@ def test_tfrecord_corruption_detected(spark, tmp_path):
         list(decode_records(corrupted))
     # verify=False skips the check (salvage mode)
     assert len(list(decode_records(corrupted, verify=False))) == 2
+
+
+def test_tfrecord_datasource_v2_writer(spark, tmp_path):
+    # df.write.format("tfrecord") — DSv2 path with temp-file commit
+    # protocol (speculated/failed task files never renamed)
+    from ray_beam_runner_spark.sources.tfrecord import read_tfrecord, register_tfrecord
+
+    register_tfrecord(spark)
+    out = str(tmp_path / "dsv2")
+    df = spark.createDataFrame([(f"r{i}",) for i in range(30)], "value string").repartition(3)
+    df.write.format("tfrecord").mode("overwrite").option("path", out).save()
+    import os
+
+    assert sorted(os.listdir(out)) == [
+        f"part-{i:05d}-of-00003.tfrecord" for i in range(3)
+    ]
+    back = sorted(bytes(r.value).decode() for r in read_tfrecord(spark, out).collect())
+    assert back == sorted(f"r{i}" for i in range(30))
