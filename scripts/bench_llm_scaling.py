@@ -1,0 +1,116 @@
+"""LLM-operator scaling study: does the dedup/text family scale the way
+the 100 TB design claims, or only at sf0.1?
+
+Builds ×N replicas of the documents corpus with each copy's text salted
+by a copy token (so copies do NOT collide as near-dups — pair counts and
+components grow linearly with corpus size, like a genuinely larger
+corpus; unsalted replication would create cross-copy exact-dup cliques
+and measure a different, quadratic workload). Times the three heavy
+declared LLM paths Spark-side and reports rows/sec so sublinear scaling
+is visible directly:
+
+- minhash_lsh_pairs (auto recall-guaranteed banding, candidate join +
+  exact verification over one persisted postings pass)
+- q_text_stats-shaped single-pass text statistics
+- q_quality_filter-shaped Gopher gate
+
+Usage: python scripts/bench_llm_scaling.py [--mults 1,3,10] [--out BENCH_LLM_SCALING.json]
+Scaled data lands in /root/repo/.benchdata/docs_x{N}/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".benchdata")
+
+
+def build_docs(mult: int) -> str:
+    import duckdb
+
+    out = os.path.join(ROOT, f"docs_x{mult}")
+    marker = os.path.join(out, ".done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    span = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    parts = []
+    for i in range(mult):
+        # salt EVERY token with a copy prefix: the per-copy map is
+        # injective on token sequences, so within-copy Jaccard is
+        # preserved exactly, while cross-copy shingle sets are disjoint
+        # (every 3-gram contains salted tokens) — pair counts grow
+        # linearly with corpus size, like a genuinely larger corpus.
+        # A single leading salt token would NOT do this: copies of the
+        # same doc would still share almost all shingles (J ~ 0.95)
+        # and the pair count would grow quadratically in mult.
+        parts.append(
+            f"SELECT doc_id + {i * span} AS doc_id, "
+            f"'c{i}_' || replace(text, ' ', ' c{i}_') AS text, "
+            f"lang, source, n_chars "
+            f"FROM read_parquet('{SRC}/documents.parquet')"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
+    open(marker, "w").close()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,3,10")
+    ap.add_argument("--out", default="BENCH_LLM_SCALING.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark import get_spark
+    from ray_beam_runner_spark.caches import release_tracked
+    from ray_beam_runner_spark.functions.dedup import minhash_lsh_pairs
+    from ray_beam_runner_spark.queries import QUERIES
+
+    spark = get_spark("bench-llm-scaling", shuffle_partitions=16)
+    results: dict = {}
+    for mult in [int(m) for m in args.mults.split(",")]:
+        data_dir = SRC if mult == 1 else build_docs(mult)
+        docs = spark.read.parquet(f"{data_dir}/documents.parquet")
+        n_docs = docs.count()
+        row: dict = {"n_docs": n_docs}
+
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        n_pairs = pairs.count()
+        dt = time.perf_counter() - t0
+        release_tracked()
+        spark.catalog.clearCache()
+        row["minhash_lsh"] = {
+            "sec": round(dt, 2),
+            "pairs": n_pairs,
+            "docs_per_sec": round(n_docs / dt),
+        }
+
+        for qname in ("q_text_stats", "q_quality_filter"):
+            t0 = time.perf_counter()
+            n = QUERIES[qname](spark, data_dir).count()
+            dt = time.perf_counter() - t0
+            row[qname] = {"sec": round(dt, 2), "rows": n, "docs_per_sec": round(n_docs / dt)}
+
+        results[f"x{mult}"] = row
+        print(json.dumps({f"x{mult}": row}), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
