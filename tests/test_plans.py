@@ -123,6 +123,14 @@ def test_tpch_family_plans(spark, sf_dir):
     assert "BroadcastNestedLoopJoin Cross" in q22, q22[:3000]
 
 
+def test_skewed_agg_two_phase_plan(spark, sf_dir):
+    # partial over (key, salt) then final over key: bounded exchanges,
+    # partial aggregation present, no extra repartition
+    df = QUERIES["q_skewed_agg"](spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert count_exchanges(df) <= 3, formatted_plan(df)[:3000]
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     # sketch accuracy: the query self-checks (HLL++ at rsd=2% within 5% of
     # exact; approx p50 inside the exact [p45, p55] band) and emits the
