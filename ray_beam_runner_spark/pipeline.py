@@ -321,6 +321,7 @@ class PCollection:
         keyed_output: bool | None = None,
         key_type: str | None = None,
         label: str | None = None,
+        exception_handling: bool = False,
     ):
         """Run a DoFn over every element. Returns a PCollection, or a dict
         {tag: PCollection} (main output under 'main') when ``outputs``
@@ -329,7 +330,14 @@ class PCollection:
         DoFn must emit (key, value) tuples; they are split into a real key
         column (typed via ``key_type``, else pickled) so every downstream
         keyed op (group_by_key, map_kv_values, ...) sees the schema it
-        expects."""
+        expects.
+
+        ``exception_handling`` (Beam's ``with_exception_handling`` /
+        dead-letter pattern): a per-element exception no longer fails the
+        job — the failing element is routed to an ``error`` output as a
+        pickled ``(element, error_repr)`` tuple, and the element's
+        partial outputs are discarded (per-element atomicity). Forces the
+        dict return shape with an ``error`` entry alongside ``main``."""
         all_sides = side_inputs or {}
         joined_sides = {
             name: v for name, v in all_sides.items() if isinstance(v, AsMultiMapJoined)
@@ -396,8 +404,13 @@ class PCollection:
         if out_keyed:
             k_t = T._parse_datatype_string(key_type) if key_type else T.BinaryType()
             fields.insert(0, T.StructField("key", k_t))
+        if exception_handling:
+            # dead letters carry a pickled (element, error) payload in a
+            # dedicated column — the value column keeps its declared type
+            fields.append(T.StructField("error_payload", T.BinaryType()))
         schema = T.StructType(fields)
         columns = [f.name for f in fields]
+        n_cols = len(columns)
 
         def kernel(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
             dofn.setup()
@@ -407,6 +420,8 @@ class PCollection:
             extra_params = (
                 {"bundle_finalizer": bundle_finalizer} if wants_finalizer else {}
             )
+
+            pad = (None,) if exception_handling else ()
 
             def emit_rows(outs, ts, ws, we, rows):
                 for out in outs:
@@ -424,6 +439,7 @@ class PCollection:
                                 we,
                                 tag,
                             )
+                            + pad
                         )
                     else:
                         rows.append(
@@ -434,6 +450,7 @@ class PCollection:
                                 we,
                                 tag,
                             )
+                            + pad
                         )
 
             for pdf in batches:
@@ -456,10 +473,25 @@ class PCollection:
                         )
                         jk = elem[0] if keyed_in else elem
                         bound_sides[name] = _JoinedMultiMap(jk, vals)
-                    outs = dofn.process(
-                        elem, timestamp=ts, window=win, **extra_params, **bound_sides
-                    )
-                    emit_rows(outs, ts, d["win_start"], d["win_end"], rows)
+                    if exception_handling:
+                        elem_rows: list = []
+                        try:
+                            outs = dofn.process(
+                                elem, timestamp=ts, window=win, **extra_params, **bound_sides
+                            )
+                            emit_rows(outs, ts, d["win_start"], d["win_end"], elem_rows)
+                        except Exception as e:  # noqa: BLE001 - dead-letter route
+                            payload = _dumps((elem, repr(e)))
+                            err_row = [None] * n_cols
+                            err_row[-5:] = [ts, d["win_start"], d["win_end"], "error", payload]
+                            rows.append(tuple(err_row))
+                        else:
+                            rows.extend(elem_rows)
+                    else:
+                        outs = dofn.process(
+                            elem, timestamp=ts, window=win, **extra_params, **bound_sides
+                        )
+                        emit_rows(outs, ts, d["win_start"], d["win_end"], rows)
                 yield pd.DataFrame(rows, columns=columns)
             final_rows: list = []
             emit_rows(dofn.finish_bundle() or (), GLOBAL_TS, None, None, final_rows)
@@ -493,21 +525,42 @@ class PCollection:
                 pc.key_pickled = key_pickled
             return pc
 
-        if outputs:
+        if outputs or exception_handling:
             # Persist so N tagged views cost one DoFn pass (required for
             # correctness with nondeterministic/metric-bearing DoFns).
             # Tracked on the pipeline: call Pipeline.release() when done.
             out_df = out_df.persist()
             self.pipeline._persisted.append(out_df)
             observe = self.pipeline._observe_elements
+
+            def tag_view(df):
+                return df.drop("error_payload") if exception_handling else df
+
             result = {
                 "main": child(
-                    observe(f"{name}.out", out_df.filter(F.col("tag").isNull()).drop("tag"))
+                    observe(
+                        f"{name}.out",
+                        tag_view(out_df.filter(F.col("tag").isNull()).drop("tag")),
+                    )
                 )
             }
             for tag in outputs:
                 result[tag] = child(
-                    observe(f"{name}.out.{tag}", out_df.filter(F.col("tag") == tag).drop("tag"))
+                    observe(
+                        f"{name}.out.{tag}",
+                        tag_view(out_df.filter(F.col("tag") == tag).drop("tag")),
+                    )
+                )
+            if exception_handling:
+                err_df = out_df.filter(F.col("tag") == "error").select(
+                    F.col("error_payload").alias("value"), *_ENVELOPE_META
+                )
+                result["error"] = PCollection(
+                    self.pipeline,
+                    observe(f"{name}.out.error", err_df),
+                    False,
+                    True,
+                    self.windowing,
                 )
             return result
         return child(self.pipeline._observe_elements(f"{name}.out", out_df.drop("tag")))

@@ -447,6 +447,43 @@ def test_write_text(p, tmp_path, spark):
     assert lines == ["x", "y"]
 
 
+def test_exception_handling_dead_letter(p):
+    # Beam with_exception_handling: failing elements route to 'error'
+    # instead of failing the job; their partial outputs are discarded
+    class Flaky(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            yield element * 10  # emitted BEFORE the failure — must be discarded
+            if element == 3:
+                raise ValueError("boom on 3")
+
+    outs = p.create([1, 2, 3]).par_do(Flaky(), exception_handling=True)
+    outs["main"].assert_that([10, 20])  # 3's partial output (30) dropped
+    errors = outs["error"].collect()
+    assert len(errors) == 1
+    elem, msg = errors[0]
+    assert elem == 3 and "boom on 3" in msg
+    p.release()
+
+
+def test_exception_handling_with_typed_output_and_tags(p):
+    class Route(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            if element == "bad":
+                raise RuntimeError("nope")
+            if element.startswith("x"):
+                yield TaggedOutput("xs", element.upper())
+            else:
+                yield element
+
+    outs = p.create(["a", "xb", "bad", "c"]).par_do(
+        Route(), output_type="string", outputs=("xs",), exception_handling=True
+    )
+    outs["main"].assert_that(["a", "c"])
+    outs["xs"].assert_that(["XB"])
+    assert [e for e, _ in outs["error"].collect()] == ["bad"]
+    p.release()
+
+
 # -- metrics (ray_runner_test.py:985-1019) --
 
 
