@@ -73,6 +73,11 @@ class TaggedOutput:
         self.value = value
 
 
+class _ReservedTagError(ValueError):
+    """Raised (and never dead-lettered) when a DoFn emits the reserved
+    'error' tag under exception_handling."""
+
+
 class DoFn:
     """User element-wise function with the Beam lifecycle.
 
@@ -337,7 +342,15 @@ class PCollection:
         job — the failing element is routed to an ``error`` output as a
         pickled ``(element, error_repr)`` tuple, and the element's
         partial outputs are discarded (per-element atomicity). Forces the
-        dict return shape with an ``error`` entry alongside ``main``."""
+        dict return shape with an ``error`` entry alongside ``main``;
+        the tag name ``error`` is reserved (declaring it in ``outputs``
+        or emitting ``TaggedOutput("error", ...)`` is a loud error, never
+        silent mis-routing into the dead-letter view)."""
+        if exception_handling and "error" in outputs:
+            raise ValueError(
+                "exception_handling reserves the 'error' output tag; rename "
+                "the user tag or drop exception_handling"
+            )
         all_sides = side_inputs or {}
         joined_sides = {
             name: v for name, v in all_sides.items() if isinstance(v, AsMultiMapJoined)
@@ -428,6 +441,11 @@ class PCollection:
                     tag, val = (
                         (out.tag, out.value) if isinstance(out, TaggedOutput) else (None, out)
                     )
+                    if exception_handling and tag == "error":
+                        raise _ReservedTagError(
+                            "TaggedOutput tag 'error' is reserved by "
+                            "exception_handling for dead letters"
+                        )
                     if out_keyed:
                         k, v = val
                         rows.append(
@@ -480,6 +498,8 @@ class PCollection:
                                 elem, timestamp=ts, window=win, **extra_params, **bound_sides
                             )
                             emit_rows(outs, ts, d["win_start"], d["win_end"], elem_rows)
+                        except _ReservedTagError:
+                            raise  # misuse of the API, never a dead letter
                         except Exception as e:  # noqa: BLE001 - dead-letter route
                             payload = _dumps((elem, repr(e)))
                             err_row = [None] * n_cols
@@ -552,9 +572,9 @@ class PCollection:
                     )
                 )
             if exception_handling:
-                err_df = out_df.filter(F.col("tag") == "error").select(
-                    F.col("error_payload").alias("value"), *_ENVELOPE_META
-                )
+                err_df = out_df.filter(
+                    (F.col("tag") == "error") & F.col("error_payload").isNotNull()
+                ).select(F.col("error_payload").alias("value"), *_ENVELOPE_META)
                 result["error"] = PCollection(
                     self.pipeline,
                     observe(f"{name}.out.error", err_df),

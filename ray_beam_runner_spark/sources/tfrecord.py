@@ -211,17 +211,31 @@ def _tfrecord_datasource_classes():
             return _Commit(tmp if out is not None else "", n)
 
         def commit(self, messages):
+            import glob as _glob
+
             shards = sorted(m.tmp_path for m in messages if m.tmp_path)
+            # destructive steps happen HERE, after every task succeeded:
+            # a failed job leaves the previous dataset untouched
+            for old in _glob.glob(os.path.join(self.path, "*.tfrecord")):
+                os.remove(old)
             for i, tmp in enumerate(shards):
                 os.rename(
                     tmp,
                     os.path.join(self.path, f"part-{i:05d}-of-{len(shards):05d}.tfrecord"),
                 )
+            # sweep orphaned temps from failed/speculated attempts (dot-
+            # prefixed, so the '*.tfrecord' globs above never match them)
+            for orphan in _glob.glob(os.path.join(self.path, ".tmp-*.tfrecord.tmp")):
+                os.remove(orphan)
 
         def abort(self, messages):
+            import glob as _glob
+
             for m in messages:
                 if m.tmp_path and os.path.exists(m.tmp_path):
                     os.remove(m.tmp_path)
+            for orphan in _glob.glob(os.path.join(self.path, ".tmp-*.tfrecord.tmp")):
+                os.remove(orphan)
 
     class TFRecordDataSource(DataSource):
         """``df.write.format("tfrecord").option("path", dir).save()`` —
@@ -237,12 +251,20 @@ def _tfrecord_datasource_classes():
             path = self.options.get("path")
             if not path:
                 raise ValueError("tfrecord writer requires a path")
+            if (
+                not overwrite
+                and os.path.isdir(path)
+                and any(f.endswith(".tfrecord") for f in os.listdir(path))
+            ):
+                raise ValueError(
+                    "tfrecord sink does not support append into an existing "
+                    "dataset (part-XXXXX-of-NNNNN naming is whole-dataset); "
+                    "use mode('overwrite')"
+                )
             os.makedirs(path, exist_ok=True)
-            if overwrite:
-                import glob as _glob
-
-                for stale in _glob.glob(os.path.join(path, "*.tfrecord")):
-                    os.remove(stale)
+            # NO deletion here: the previous dataset is removed inside
+            # commit(), after every task of the new write has succeeded —
+            # a failed overwrite job must leave the old data intact
             return TFRecordWriter(path, self.options.get("value_col", "value"))
 
     return TFRecordDataSource

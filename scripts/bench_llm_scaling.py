@@ -83,7 +83,11 @@ def main() -> None:
     spark = get_spark("bench-llm-scaling", shuffle_partitions=16)
     results: dict = {}
     for mult in [int(m) for m in args.mults.split(",")]:
-        data_dir = SRC if mult == 1 else build_docs(mult)
+        # x1 goes through the SAME salted build as the scaled copies so
+        # every row measures identical per-document workload (the salt
+        # lengthens tokens ~60-70%; an unsalted x1 baseline would
+        # conflate corpus-size scaling with a per-doc text change)
+        data_dir = build_docs(mult)
         docs = spark.read.parquet(f"{data_dir}/documents.parquet")
         n_docs = docs.count()
         row: dict = {"n_docs": n_docs}

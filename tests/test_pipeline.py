@@ -484,6 +484,21 @@ def test_exception_handling_with_typed_output_and_tags(p):
     p.release()
 
 
+def test_exception_handling_reserves_error_tag(p):
+    with pytest.raises(ValueError, match="reserve"):
+        p.create([1]).par_do(DoFn(), outputs=("error",), exception_handling=True)
+
+    class EmitsError(DoFn):
+        def process(self, element, timestamp=None, window=None, **side):
+            yield TaggedOutput("error", element)
+
+    outs = p.create([1]).par_do(EmitsError(), exception_handling=True)
+    # the misuse must FAIL the job, not land in the dead-letter output
+    with pytest.raises(Exception, match="reserved"):
+        outs["main"].collect()
+    p.release()
+
+
 # -- metrics (ray_runner_test.py:985-1019) --
 
 

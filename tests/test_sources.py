@@ -196,3 +196,17 @@ def test_tfrecord_datasource_v2_writer(spark, tmp_path):
     ]
     back = sorted(bytes(r.value).decode() for r in read_tfrecord(spark, out).collect())
     assert back == sorted(f"r{i}" for i in range(30))
+
+
+def test_tfrecord_datasource_append_rejected(spark, tmp_path):
+    from ray_beam_runner_spark.sources.tfrecord import register_tfrecord
+
+    register_tfrecord(spark)
+    out = str(tmp_path / "app")
+    df = spark.createDataFrame([("a",)], "value string")
+    df.write.format("tfrecord").mode("overwrite").option("path", out).save()
+    # append into an existing dataset would corrupt part-of-N naming
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append"):
+        df.write.format("tfrecord").mode("append").option("path", out).save()
