@@ -1145,3 +1145,411 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_disc",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H family, second batch — the remaining classic shapes expressible on
+# the slim schema (no partsupp / commitdate columns in the synthetic data;
+# Q2/Q11/Q16/Q20 need partsupp and are out of data-model scope, Q12/Q21 are
+# adapted to shipdate-only lateness). The reference would express each as a
+# chain of ParDo/GBK/CoGBK (ray_runner_test.py:740-829); here each is the
+# declarative plan Catalyst can broadcast/reorder/push down.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate. Every predicate reaches
+    the parquet scan (min/max row-group skipping at scale); the global sum
+    is a partial agg per partition + a 1-row final — no wide shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate)::INT AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD')
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market by year.
+    part/supplier/nation/region are genuine dims → explicit broadcast (the
+    p_type filter shrinks part before the build side ships); the only wide
+    shuffle is lineitem x orders; customer is left to the planner because
+    at 100 TB it is NOT broadcastable and must shuffle on custkey."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 6) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table in the slim schema, so
+    supply cost is modeled as 10% of p_retailprice per unit). Non-sargable
+    LIKE '%red%' stays a post-scan filter on the broadcast part dim — the
+    fact table never evaluates it; profit per nation-year via one hash agg."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 6).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q_late_shipments",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END)::BIGINT AS late_count,
+           count(*)::BIGINT AS total_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the slim schema has no commit/receipt
+    dates, so 'late' = shipped more than 90 days after the order date).
+    The ship-date range is pushed to the lineitem scan; the conditional
+    count is a map-side partial agg after one orderkey shuffle join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_order_count_dist",
+    oracle="""
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution by order count. The filter
+    lives IN the left join condition (not a post-filter, which would drop
+    customers with zero matching orders); count(col) counts non-null
+    matches so no-order customers land in the c_count=0 bucket. Two
+    shuffles: the custkey join and the tiny c_count re-agg."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l1.l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#1' AND p_size < 15
+      AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity orders.
+    The correlated scalar subquery is decorrelated by hand: a left-semi
+    broadcast of the qualifying partkeys prunes lineitem FIRST, the
+    per-part average is computed over that reduced set only (identical
+    semantics — the subquery correlates on partkey, and every surviving
+    row has a qualifying partkey), then one equi-join applies the
+    threshold. At scale this avoids aggregating the 99% of lineitem whose
+    parts never pass the brand/size filter."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    )
+    li_q = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    half_avg = li_q.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li_q.join(F.broadcast(half_avg), F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           round(o_totalprice, 6) AS o_totalprice,
+           round(sum_qty, 6) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders. The IN-subquery
+    form becomes an aggregate-then-join: sum quantities per order (partial
+    agg map-side), HAVING prunes before any join, and the tiny survivor
+    set drives the orders/customer joins. TakeOrderedAndProject caps the
+    result without a global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.round("_sum_qty", 6).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-table predicates. Catalyst
+    derives the implied single-table filters (p_brand IN (...) on the
+    part side, l_quantity <= 30 on the fact side) and pushes them to the
+    scans; the full OR evaluates once post-join on the broadcast hash."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_waiting_supplier",
+    oracle="""
+    WITH o_ship AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey),
+    last_ship AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN o_ship os ON l.l_orderkey = os.l_orderkey
+      WHERE l.l_shipdate = os.max_ship AND os.n_supp > 1),
+    uniq AS (
+      SELECT l_orderkey FROM last_ship GROUP BY l_orderkey HAVING count(*) = 1)
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM last_ship
+    JOIN uniq     ON uniq.l_orderkey = last_ship.l_orderkey
+    JOIN orders   ON o_orderkey = last_ship.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = last_ship.l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no commit/receipt dates — the supplier
+    who 'kept the order waiting' is the unique last shipper of a
+    multi-supplier order). The EXISTS / NOT EXISTS pair of the original
+    becomes: per-order max+distinct-count in ONE agg (one shuffle,
+    reused), a self-join back on (orderkey, shipdate=max) to name the
+    last shippers, and a HAVING count(*)=1 anti-duplicate gate — the
+    same decorrelation a warehouse planner would emit."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    o_ship = (
+        li.groupBy(F.col("l_orderkey").alias("os_orderkey"))
+        .agg(
+            F.max("l_shipdate").alias("max_ship"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .filter(F.col("n_supp") > 1)
+    )
+    last_ship = (
+        li.join(
+            o_ship,
+            (F.col("l_orderkey") == F.col("os_orderkey"))
+            & (F.col("l_shipdate") == F.col("max_ship")),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    uniq = (
+        last_ship.groupBy(F.col("l_orderkey").alias("u_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_last"))
+        .filter(F.col("n_last") == 1)
+        .select("u_orderkey")
+    )
+    return (
+        last_ship.join(uniq, F.col("l_orderkey") == F.col("u_orderkey"), "left_semi")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

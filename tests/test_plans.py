@@ -299,3 +299,34 @@ def test_asof_join_forward_and_tolerance(spark):
     assert tol.collect()[0].tag is None  # nearest-after is 2m away > 60s
     back = asof_join(left, right, on="k", left_time="lts", right_time="rts")
     assert back.collect()[0].tag == "before"
+
+
+def test_tpch_family_batch2_plans(spark, sf_dir):
+    # Q6: every predicate reaches the parquet scan; single partial+final agg
+    q6 = QUERIES["q_forecast_revenue"](spark, sf_dir)
+    assert_pushed_filters(q6, "l_shipdate")
+    assert_pushed_filters(q6, "l_discount")
+    assert_pushed_filters(q6, "l_quantity")
+    assert_pruned_schema(q6, 4)
+    assert_partial_aggregation(q6)
+    # Q8: all four dims ride broadcasts; the only wide join is fact-fact
+    q8 = QUERIES["q_market_share"](spark, sf_dir)
+    assert_broadcast_join(q8)
+    assert "NestedLoop" not in formatted_plan(q8)
+    # Q17: the correlated scalar subquery must be decorrelated — no
+    # per-row re-execution (nested loop) anywhere
+    q17 = formatted_plan(QUERIES["q_small_qty_revenue"](spark, sf_dir))
+    assert "NestedLoop" not in q17, q17[:3000]
+    assert "LeftSemi" in q17, q17[:3000]
+    # Q18: HAVING prunes before the joins; top-100 is TakeOrdered, not a
+    # global sort
+    q18 = QUERIES["q_large_volume_customer"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in formatted_plan(q18)
+    assert_partial_aggregation(q18)
+    # Q19: Catalyst derives the implied p_brand IN (...) single-table
+    # filter from the disjunction and pushes it to the part scan
+    q19 = QUERIES["q_disjunctive_revenue"](spark, sf_dir)
+    assert_pushed_filters(q19, "p_brand")
+    # Q21: the per-order max/distinct agg happens once; no nested loops
+    q21 = formatted_plan(QUERIES["q_waiting_supplier"](spark, sf_dir))
+    assert "NestedLoop" not in q21, q21[:3000]
