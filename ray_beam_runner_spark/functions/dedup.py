@@ -381,3 +381,31 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate_hits(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word n-gram
+    with the evaluation set (the overlap check LLM pipelines run before
+    training — e.g. the 13-gram filters described in the GPT-3/PaLM
+    papers; n is configurable). Returns (id, n_shared_grams).
+
+    Scale shape: the eval side is a benchmark (thousands of docs, not
+    TBs), so its distinct gram set is broadcast and the 100 TB training
+    corpus is pruned with a broadcast LEFT SEMI join on the gram — the
+    training side never shuffles. The reference has no such operator;
+    its GBK formulation would shuffle the full postings list
+    (/root/reference/ray_beam_runner/portability/execution.py:268-291).
+    """
+    train_grams = shingle_postings(train, id_col, text_col, n)
+    eval_grams = shingle_postings(eval_set, id_col, text_col, n).select("g").distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

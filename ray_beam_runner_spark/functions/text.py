@@ -146,3 +146,45 @@ def fingerprint_min_shingle(col: Column, n: int = 5) -> Column:
     hashes of the document's word n-gram shingles. Robust to local edits
     (unlike the full-doc hash); null for docs shorter than n tokens."""
     return F.array_min(F.transform(word_ngrams(col, n), F.md5))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing). Patterns are written
+# in the common subset of Java regex (Spark) and RE2 (DuckDB) so the oracle
+# reproduces them exactly: no lookaround, no backreferences.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": ("\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?", "<PHONE>"),
+    "ipv4": ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (counted on the raw text)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind][0]), F.lit(0)))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its placeholder token. Order matters:
+    emails are redacted before IPs so a dotted domain is never half-eaten
+    by the IPv4 pattern; all passes are single-scan Catalyst
+    regexp_replace (codegen'd, no Python)."""
+    out = col
+    for kind in ("email", "phone", "ipv4"):
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def hash_bucket(col: Column, buckets: int, seed_tag: str) -> Column:
+    """Deterministic, engine-portable hash bucket in [0, buckets): the
+    first 8 hex digits of md5(tag || ':' || value) mod buckets. Used for
+    train/val splits and sampling decisions that must be reproducible
+    across engines AND across runs (Spark's xxhash64/hash are not
+    portable to other systems; md5 is). DuckDB analog:
+    ('0x' || substr(md5(tag || ':' || v), 1, 8))::BIGINT % buckets."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed_tag + ":"), col.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")

@@ -585,3 +585,221 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: decontamination, PII scrubbing, deterministic
+# splits, and source mixing (the assembly steps between raw corpus and
+# training shards; none exist in the reference, which stops at GBK/Combine)
+# ---------------------------------------------------------------------------
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB expression for word n-grams over a token list column ``w``."""
+    concat = " || ' ' || ".join("w[i]" if j == 0 else f"w[i+{j}]" for j in range(n))
+    return f"list_transform(generate_series(1, len(w) - {n - 1}), i -> {concat})"
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, g FROM (
+        SELECT doc_id, source, unnest({_grams_sql(8)}) AS g FROM toks)),
+    ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+    SELECT doc_id, count(*)::BIGINT AS n_shared_grams
+    FROM grams JOIN ev USING (g)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source != src0) that share
+    any 8-gram with the held-out eval source. The eval gram set is a
+    broadcast; the corpus side is pruned by a broadcast semi join and
+    never shuffles — the shape that survives a 100 TB corpus against a
+    fixed-size benchmark suite."""
+    from ray_beam_runner_spark.functions.dedup import decontaminate_hits
+
+    docs = t(spark, sf_dir, "documents")
+    return decontaminate_hits(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=8,
+    )
+
+
+# PII is synthesized deterministically from doc_id (the word-soup corpus
+# contains none) so the scrub operator is exercised on varied, non-empty
+# matches; the md5 of the redacted text makes the replacement itself part
+# of the hash gate, not just the counts.
+_PII_TEXT_SQL = """
+    text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' call +1-555-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 3) % 256)::VARCHAR
+            ELSE '' END
+"""
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS pt FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(pt, '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{3,4}}(-[0-9]{{3,4}})?'))::BIGINT AS n_phones,
+           len(regexp_extract_all(pt, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))::BIGINT AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(pt,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{3,4}}(-[0-9]{{3,4}})?', '<PHONE>', 'g'),
+               '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g')) AS scrub_md5
+    FROM pii
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact: per-doc pattern counts and the md5 of the
+    fully-redacted text. All passes are codegen'd regexp_replace /
+    regexp_extract_all — no Python in the path, linear per row, trivially
+    partition-parallel at 100 TB."""
+    from ray_beam_runner_spark.functions.text import pii_count, redact_pii
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 != 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 3) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    pt = F.col("_pii_text")
+    return (
+        d.select("doc_id", pii_text.alias("_pii_text"))
+        .select(
+            "doc_id",
+            pii_count(pt, "email").cast("long").alias("n_emails"),
+            pii_count(pt, "phone").cast("long").alias("n_phones"),
+            pii_count(pt, "ipv4").cast("long").alias("n_ips"),
+            F.md5(redact_pii(pt)).alias("scrub_md5"),
+        )
+    )
+
+
+@query(
+    "q_train_val_split",
+    oracle="""
+    SELECT source,
+           CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split: md5-derived hash bucket on the
+    doc id — reproducible across engines, runs, and cluster sizes (unlike
+    rand() or xxhash64, which are engine-private). One narrow projection
+    plus a tiny (source, split) agg; no data movement beyond the final
+    20x2-row shuffle."""
+    from ray_beam_runner_spark.functions.text import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), 100, "split")
+    return (
+        d.select(
+            "source",
+            F.when(b < 90, "train").otherwise("val").alias("split"),
+            "n_chars",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "q_sample_mix",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             substr(source, 4)::INT AS src_num,
+             ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS b
+      FROM documents)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN b < (src_num % 5 + 1) * 100 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           sum(CASE WHEN b < (src_num % 5 + 1) * 100 THEN src_num % 3 + 1 ELSE 0 END)::BIGINT AS n_mixed
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing for training-corpus assembly: each source
+    gets a deterministic sampling rate (10-50%, hash-thresholded — no
+    rand(), so shards are reproducible) and an epoch multiplier (1-3x,
+    a real array_repeat explode, the upsampling dataflow — not
+    arithmetic). Per-source input/sampled/mixed counts come from three
+    narrow aggs stitched with broadcast joins over the 20-row source
+    dimension; the explode multiplies rows AFTER the filter, so the
+    upsampled stream is never wider than rate x epochs x input."""
+    from ray_beam_runner_spark.functions.text import hash_bucket
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.substring("source", 4, 10).cast("int").alias("src_num"),
+            hash_bucket(F.col("doc_id"), 1000, "mix").alias("b"),
+        )
+        .withColumn("epochs", F.col("src_num") % 3 + 1)
+        .withColumn("keep", F.col("b") < (F.col("src_num") % 5 + 1) * 100)
+    )
+    n_in = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sampled = d.filter(F.col("keep"))
+    n_sampled = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    mixed = sampled.select(
+        "source", F.explode(F.array_repeat(F.lit(1), F.col("epochs"))).alias("_rep")
+    )
+    n_mixed = mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_mixed"))
+    return (
+        n_in.join(F.broadcast(n_sampled), "source", "left")
+        .join(F.broadcast(n_mixed), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("n_mixed", F.lit(0)).alias("n_mixed"),
+        )
+        .orderBy("source")
+    )
