@@ -98,3 +98,48 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_streaming_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicatesWithinWatermark over
+    (user_id, event_type) with per-key state carried across micro-batches
+    and evicted by the watermark — the bounded-state production operator
+    (plain dropDuplicates without the ts column in the key never evicts,
+    so its state grows with distinct keys forever). The 60-day delay
+    exceeds the table's 30-day span, so within this run nothing is
+    evicted and the emitted first-occurrences are exactly the distinct
+    pairs — making the streaming run hash-checkable against the batch
+    DISTINCT. (Eviction / re-admission under a short watermark is pinned
+    separately in tests/test_streaming.py — deliberately NOT part of the
+    oracle, which would have to replicate Spark's one-batch-late eviction
+    timing.) Only the key columns are kept upstream of the dedup, so
+    per-key state is a few bytes and within-batch arrival order cannot
+    leak into the output."""
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
+
+    events = t(spark, sf_dir, "events")
+    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_dedup_"), "events")
+    stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
+    dedup = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        firsts = run_to_memory(dedup, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        firsts.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -195,3 +195,36 @@ def test_streaming_session_windows(spark, events, tmp_path):
         (r.user_id, r.s_start, r.n) for r in batch.collect() if r.s_end <= final_wm
     }
     assert expected_closed <= got, expected_closed - got
+
+
+def test_streaming_dedup_eviction_readmits(spark, tmp_path):
+    # Plain dropDuplicates without the event-time column in the key NEVER
+    # evicts state (the watermark does not apply to it) — the bounded-state
+    # operator is dropDuplicatesWithinWatermark, whose state is evicted
+    # once the watermark passes a key's event time. A duplicate key
+    # arriving AFTER eviction (with a fresh, non-late timestamp) is
+    # re-admitted and re-emitted: short watermarks trade memory for
+    # re-emits, which is why q_streaming_dedup's exact-distinct oracle
+    # needs a span-covering delay.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", base),                              # batch 1: first A
+        ("B", base + dt.timedelta(hours=1)),       # batch 2: wm -> 00:50
+        ("B", base + dt.timedelta(hours=2)),       # batch 3: wm -> 01:50, A evicted
+        ("A", base + dt.timedelta(hours=3)),       # batch 4: A re-admitted
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    stream = (
+        FileDropStream(spark, str(tmp_path / "dedup_evict"))
+        .write_slices(df, "ts", n_slices=4)
+        .read_stream()
+    )
+    out = run_to_memory(
+        stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"]),
+        output_mode="append",
+    )
+    per_key = {r.k: r.n for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_key["A"] == 2, per_key  # re-emitted after state eviction
+    assert per_key["B"] == 1, per_key  # duplicate inside the state window dropped
