@@ -458,3 +458,40 @@ def lsh_topk(
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(df: DataFrame, vec_col: str, out_prefix: str = "q") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5). Adds ``{out_prefix}_scale`` (double)
+    and ``{out_prefix}_vec`` (array<int> in [-127, 127]) columns.
+
+    4x storage reduction for ANN corpora (the knob that matters at 100 TB
+    of embeddings: a 64-dim float corpus becomes 64 bytes/vector + one
+    scale). Reconstruction error is bounded by scale/2 per dimension.
+
+    Engineering notes: the scale is materialized in a FIRST projection
+    and the transform lambda references it as a plain attribute — Spark's
+    higher-order functions are interpreted and re-evaluate embedded
+    aggregate expressions per element, so inlining max|x| into the lambda
+    is O(d^2) per row. Rounding is floor(x + 0.5) (half-toward-+inf), not
+    round(): round() half-even vs half-away tie-breaks differ between
+    engines, and the quantized grid makes midpoints reachable.
+    Elements pass through an explicit double cast so the float32 source
+    promotes identically in Spark and the DuckDB oracle."""
+    eps = F.lit(1e-12)
+    scaled = df.withColumn(
+        f"{out_prefix}_scale",
+        F.greatest(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+            / F.lit(127.0),
+            eps,
+        ),
+    )
+    sc = F.col(f"{out_prefix}_scale")
+    return scaled.withColumn(
+        f"{out_prefix}_vec",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / sc + F.lit(0.5)).cast("int"),
+        ),
+    )

@@ -803,3 +803,49 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0,
+                      1e-12) AS scale
+      FROM embeddings)
+    SELECT vec_id,
+           round(scale, 6) AS scale6,
+           md5(array_to_string(
+             list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::INT),
+             ',')) AS q_md5,
+           list_max(list_transform(embedding,
+             x -> abs(x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)))
+             <= scale * 0.5000001 AS err_ok
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with an in-query error bound: the
+    md5 of the quantized vector makes the exact int grid part of the
+    hash gate, and err_ok asserts reconstruction error <= scale/2 per
+    dimension. Pure Catalyst transforms — one narrow projection pair,
+    no shuffle, linear at any corpus size."""
+    from ray_beam_runner_spark.functions.similarity import quantize_int8
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding")
+    sc = F.col("q_scale")
+    err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double") - F.floor(x.cast("double") / sc + F.lit(0.5)) * sc
+            ),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round(sc, 6).alias("scale6"),
+        F.md5(F.concat_ws(",", F.col("q_vec"))).alias("q_md5"),
+        (err <= sc * 0.5000001).alias("err_ok"),
+    )

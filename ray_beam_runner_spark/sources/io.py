@@ -51,3 +51,40 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> dict[int, int]:
+    """Deterministic sharded JSONL writer for training corpora.
+
+    Each row's shard is an md5-derived bucket of its id (see
+    functions.text.hash_bucket) — stable across runs, engines, and
+    cluster sizes, unlike round-robin ``repartition(n)`` whose assignment
+    depends on task scheduling. One shuffle routes rows to their shard;
+    ``partitionBy`` lays out ``_shard=K/`` directories so a training job
+    can open any contiguous subset. Returns the manifest {shard: rows},
+    computed from the same plan (one extra narrow agg, no second scan of
+    the source).
+
+    At 100 TB: rows-per-shard is corpus_size / n_shards by hash
+    uniformity; pick n_shards so a shard fits the training loader's
+    memory. The writer never collects data on the driver — only the
+    n_shards-row manifest comes back.
+    """
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.functions.text import hash_bucket
+
+    sharded = df.withColumn(
+        "_shard", hash_bucket(F.col(id_col), n_shards, "shard")
+    ).repartition(n_shards, F.col("_shard"))
+    sharded.write.mode(mode).partitionBy("_shard").json(path)
+    manifest = (
+        sharded.groupBy("_shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    return {int(r._shard): int(r.n) for r in manifest}

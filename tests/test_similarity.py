@@ -140,3 +140,25 @@ def test_embedding_near_dup_lsh_recall(emb, spark, sf_dir):
     if exact:
         recall = len(lsh & exact) / len(exact)
         assert recall >= 0.6, f"near-dup LSH recall collapsed: {recall}"
+
+
+def test_quantize_int8_bounds_and_fidelity(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.functions.similarity import quantize_int8
+    from ray_beam_runner_spark.queries import t as load
+
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    q = quantize_int8(emb, "embedding")
+    rows = q.select("embedding", "q_scale", "q_vec").collect()
+    assert rows
+    for r in rows:
+        qv = np.array(r.q_vec)
+        assert qv.min() >= -127 and qv.max() <= 127
+        orig = np.array(r.embedding, dtype=np.float64)
+        deq = qv * r.q_scale
+        # per-dim error bound scale/2, and cosine fidelity after dequant
+        assert np.max(np.abs(orig - deq)) <= r.q_scale * 0.5000001
+        cos = deq @ orig / (np.linalg.norm(deq) * np.linalg.norm(orig))
+        assert cos > 0.999
