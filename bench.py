@@ -41,6 +41,10 @@ EXTRA_SET = (
     "q_text_stats",
     "q_quality_filter",
     "q_repetition",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_decontaminate",
+    "q_pii_scrub",
 )
 
 
