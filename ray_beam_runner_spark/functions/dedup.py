@@ -402,10 +402,19 @@ def decontaminate_hits(
     its GBK formulation would shuffle the full postings list
     (/root/reference/ray_beam_runner/portability/execution.py:268-291).
     """
-    train_grams = shingle_postings(train, id_col, text_col, n)
+    # Raw (id, gram) postings WITHOUT the per-doc distinct of
+    # shingle_postings: that distinct is a full shuffle of every gram
+    # string in the corpus, which is exactly what this operator must
+    # avoid. The broadcast semi join prunes first (map-side, no
+    # exchange); the distinct then runs on the tiny surviving hit set
+    # so repeated grams within one doc still count once.
+    train_grams = train.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
     eval_grams = shingle_postings(eval_set, id_col, text_col, n).select("g").distinct()
     return (
         train_grams.join(F.broadcast(eval_grams), "g", "left_semi")
+        .distinct()
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -330,3 +330,14 @@ def test_tpch_family_batch2_plans(spark, sf_dir):
     # Q21: the per-order max/distinct agg happens once; no nested loops
     q21 = formatted_plan(QUERIES["q_waiting_supplier"](spark, sf_dir))
     assert "NestedLoop" not in q21, q21[:3000]
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
+    # the training-corpus postings must reach the eval semi join without
+    # an exchange (broadcast prune first); the only shuffles allowed are
+    # eval-sized (the eval gram distinct) or hit-set-sized (post-join
+    # distinct + per-doc count) — never corpus-sized
+    df = QUERIES["q_decontaminate"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert count_exchanges(df) <= 3, plan[:3000]
