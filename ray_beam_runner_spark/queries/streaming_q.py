@@ -143,3 +143,58 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_streaming_join",
+    oracle="""
+    SELECT p.user_id, count(*)::BIGINT AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 2 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+)
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases x clicks within a 2-hour
+    lookback per user), both sides replayed as ts-ordered micro-batches.
+    The watermark + time-range condition is what bounds join state in
+    production; here the delay covers the table span so no match can be
+    dropped as late and the drained output equals the batch interval
+    join — the hash gate. The same operator under a short watermark
+    (bounded state, exact within the window) is pinned in
+    tests/test_streaming.py::test_stream_stream_interval_join."""
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
+    from ray_beam_runner_spark.streaming.ops import interval_join_streams
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("c_ts")
+    )
+    base = tempfile.mkdtemp(prefix="rbrs_sjoin_")
+    sp = FileDropStream(spark, os.path.join(base, "p")).write_slices(
+        purchases, "p_ts", n_slices=3
+    ).read_stream()
+    sc = FileDropStream(spark, os.path.join(base, "c")).write_slices(
+        clicks, "c_ts", n_slices=3
+    ).read_stream()
+    joined = interval_join_streams(
+        sp, sc, "uid", "p_ts", "c_ts", "'2' HOURS", watermark_delay="60 days"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        matches = run_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        matches.groupBy(F.col("uid").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
