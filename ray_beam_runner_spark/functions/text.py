@@ -188,3 +188,18 @@ def hash_bucket(col: Column, buckets: int, seed_tag: str) -> Column:
     ('0x' || substr(md5(tag || ':' || v), 1, 8))::BIGINT % buckets."""
     h = F.conv(F.substring(F.md5(F.concat(F.lit(seed_tag + ":"), col.cast("string"))), 1, 8), 16, 10)
     return (h.cast("long") % buckets).alias("bucket")
+
+
+def chunk_starts(toks: Column, stride: int) -> Column:
+    """1-based start offsets of sliding token windows: [1, 1+stride, ...]
+    up to the token count (a single start for empty docs)."""
+    return F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+
+
+def chunk_text(toks: Column, start: Column, chunk_size: int) -> Column:
+    """The chunk at a start offset: chunk_size tokens re-joined with
+    single spaces (shorter at the tail). Callers must materialize the
+    token array in a projection BEFORE exploding starts — slice() re-
+    evaluates its array argument per output row, so an inlined
+    tokens(text) would re-tokenize the document once per chunk."""
+    return F.concat_ws(" ", F.slice(toks, start, chunk_size))

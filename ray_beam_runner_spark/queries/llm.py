@@ -849,3 +849,43 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.col("q_vec"))).alias("q_md5"),
         (err <= sc * 0.5000001).alias("err_ok"),
     )
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w, unnest(generate_series(1, greatest(len(w), 1), 96)) AS s
+      FROM toks)
+    SELECT doc_id,
+           ((s - 1) / 96)::BIGINT AS chunk_idx,
+           len(w[s : s + 127])::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(w[s : s + 127], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: sliding 128-token windows at stride 96
+    (32-token overlap) — the document-to-training-sample step of an LLM
+    data pipeline. The token array is materialized once per document in
+    a projection, THEN starts explode (interpreted HOFs re-evaluate
+    array arguments per output row, so inlining tokens(text) would
+    re-tokenize per chunk). Pure narrow Catalyst ops — rows out ≈
+    rows_in x tokens/stride, no shuffle at any corpus size."""
+    from ray_beam_runner_spark.functions.text import chunk_starts, chunk_text, tokens
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    )
+    s = F.col("_start")
+    ck = F.slice(F.col("_toks"), s, 128)
+    return (
+        d.select("doc_id", "_toks", F.explode(chunk_starts(F.col("_toks"), 96)).alias("_start"))
+        .select(
+            "doc_id",
+            ((s - 1) / 96).cast("long").alias("chunk_idx"),
+            F.size(ck).cast("long").alias("n_chunk_tokens"),
+            F.md5(chunk_text(F.col("_toks"), s, 128)).alias("chunk_md5"),
+        )
+    )

@@ -62,3 +62,26 @@ def test_sample_mix_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_sampled <= r.n_docs
         assert r.n_sampled <= r.n_mixed <= 3 * r.n_sampled
+
+
+def test_chunking_covers_document_with_overlap(spark):
+    from ray_beam_runner_spark.functions.text import chunk_starts, chunk_text, tokens
+
+    words = " ".join(f"w{i}" for i in range(250))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    toks = df.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    chunks = (
+        toks.select("doc_id", "_toks", F.explode(chunk_starts(F.col("_toks"), 96)).alias("s"))
+        .select("s", chunk_text(F.col("_toks"), F.col("s"), 128).alias("c"))
+        .collect()
+    )
+    # starts advance by the stride; 250 tokens -> starts 1, 97, 193
+    assert [r.s for r in chunks] == [1, 97, 193]
+    split = [r.c.split(" ") for r in chunks]
+    assert len(split[0]) == 128 and len(split[1]) == 128
+    assert len(split[2]) == 250 - 192  # tail chunk shorter
+    # consecutive chunks overlap by chunk_size - stride = 32 tokens
+    assert split[0][96:] == split[1][:32]
+    # stitching non-overlapping prefixes reconstructs the document
+    stitched = split[0][:96] + split[1][:96] + split[2]
+    assert stitched == words.split(" ")
