@@ -889,3 +889,51 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk_text(F.col("_toks"), s, 128)).alias("chunk_md5"),
         )
     )
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5({_NORM}) AS fp FROM documents
+      WHERE source NOT IN ('src18', 'src19')),
+    incoming AS (
+      SELECT doc_id, md5({_NORM}) AS fp FROM documents
+      WHERE source IN ('src18', 'src19')
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, md5({_NORM}) AS fp FROM documents
+      WHERE source NOT IN ('src18', 'src19') AND doc_id % 50 = 0)
+    SELECT i.doc_id
+    FROM incoming i JOIN corpus c ON i.fp = c.fp
+    ORDER BY i.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: which docs in an incoming increment
+    already exist in the standing corpus, by exact normalized-text
+    fingerprint. The increment is src18/src19 plus a deterministic
+    re-ingestion of every 50th corpus doc (re-keyed +100000) — the
+    synthetic corpus has no natural exact dups, and a gate that can only
+    ever return empty would not test the probe. The shape that matters
+    at scale: the corpus side reduces to a DISTINCT fingerprint column
+    (16 bytes/doc — the only state a 100 TB corpus needs for exact
+    dedup), and the increment probes it with a semi join keyed on the
+    fingerprint; with the fingerprint table bucketed on fp, successive
+    increments join with no corpus-side shuffle at all."""
+    from ray_beam_runner_spark.functions.text import fingerprint_md5
+
+    docs = t(spark, sf_dir, "documents")
+    inc_src = F.col("source").isin("src18", "src19")
+    corpus = docs.filter(~inc_src)
+    corpus_fp = corpus.select(fingerprint_md5(F.col("text")).alias("fp")).distinct()
+    incoming = (
+        docs.filter(inc_src)
+        .select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                fingerprint_md5(F.col("text")).alias("fp"),
+            )
+        )
+    )
+    return incoming.join(corpus_fp, "fp", "left_semi").select("doc_id").orderBy("doc_id")

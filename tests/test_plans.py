@@ -341,3 +341,46 @@ def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastExchange" in plan, plan[:3000]
     assert count_exchanges(df) <= 3, plan[:3000]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    # Catalyst's runtime bloom-filter join: when a shuffle join's build
+    # side carries a selective filter, the probe (fact) side gets a
+    # bloom_filter_might_contain predicate injected so non-matching fact
+    # rows drop BEFORE the shuffle — at 100 TB this is the difference
+    # between shuffling the full fact table and ~the matching fraction.
+    # Thresholds are lowered to fire at test scale (the defaults target
+    # multi-GB scans).
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in opt.lower(), opt[:3000]
+        # and it still computes the right answer
+        rows = j.collect()
+        exact = (
+            li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")).count()
+        )
+        assert rows[0]["count"] == exact
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
