@@ -53,6 +53,26 @@ class FileDropStream:
         self._schema = df.schema
         return self
 
+    def append_slices(self, df: DataFrame, ts_col: str, n_slices: int) -> "FileDropStream":
+        """Drop ADDITIONAL ts-ordered slices into the existing directory
+        (strictly later mtimes than anything present), without wiping it —
+        the arrival of new data between two availableNow runs, for
+        checkpoint/resume tests."""
+        existing = sorted(
+            e for e in os.listdir(self.dir) if e.startswith("slice_")
+        )
+        base_idx = len(existing)
+        rows = df.orderBy(ts_col).collect()
+        per = max(1, (len(rows) + n_slices - 1) // n_slices)
+        for i in range(0, len(rows), per):
+            idx = base_idx + i // per
+            path = os.path.join(self.dir, f"slice_{idx:05d}.parquet")
+            chunk = self.spark.createDataFrame(rows[i : i + per], schema=df.schema)
+            chunk.coalesce(1).write.parquet(path)
+            _stamp_mtime(path, idx)
+        self._schema = df.schema
+        return self
+
     @property
     def schema(self):
         return self._schema

@@ -305,3 +305,22 @@ def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
     v_old = ev.filter(F.col("day") == "2024-01-05").agg(F.sum("value")).collect()[0][0]
     v_new = after.filter(F.col("day") == "2024-01-05").agg(F.sum("value")).collect()[0][0]
     assert abs(v_new - 2 * v_old) < 1e-6 * max(1.0, abs(v_old))
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    # a long-lived corpus accumulates files written under evolving
+    # schemas; mergeSchema reads must unify them with NULLs for columns
+    # absent in older files (the contract that lets a 100 TB table add a
+    # column without rewriting history)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "evolving")
+    docs.select("doc_id", "text").limit(100).write.parquet(f"{out}/batch=0")
+    docs.select("doc_id", "text", F.lit("v2").alias("pipeline_version")).limit(
+        50
+    ).write.parquet(f"{out}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "text", "pipeline_version", "batch"}
+    assert merged.count() == 150
+    assert merged.filter(F.col("pipeline_version").isNull()).count() == 100

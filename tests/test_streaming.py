@@ -228,3 +228,41 @@ def test_streaming_dedup_eviction_readmits(spark, tmp_path):
     per_key = {r.k: r.n for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per_key["A"] == 2, per_key  # re-emitted after state eviction
     assert per_key["B"] == 1, per_key  # duplicate inside the state window dropped
+
+
+def test_checkpoint_resume_exactly_once(spark, events, tmp_path):
+    # the exactly-once contract across restarts: a checkpointed file-sink
+    # query drained with availableNow, stopped, then re-started after new
+    # files arrive must emit every input row exactly once — the resumed
+    # run processes ONLY the new files (source offsets live in the
+    # checkpoint, sink commits are transactional via the file-sink log)
+    ev = events.limit(400).select("event_id", "ts", "event_type")
+    first = ev.orderBy("ts").limit(200)
+    rest = ev.orderBy(F.desc("ts")).limit(200)
+    drop = FileDropStream(spark, str(tmp_path / "resume_drop"))
+    drop.write_slices(first, "ts", n_slices=2)
+    out = str(tmp_path / "resume_out")
+    ck = str(tmp_path / "resume_ck")
+
+    def drain():
+        q = (
+            drop.read_stream()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 200
+    drop.append_slices(rest, "ts", n_slices=2)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 400  # no dropped rows, no duplicates
+    assert got.select("event_id").distinct().count() == 400
+    # re-draining with NO new data appends nothing (idempotent restart)
+    drain()
+    assert spark.read.parquet(out).count() == 400
