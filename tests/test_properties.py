@@ -96,3 +96,74 @@ def test_simhash_hamming_pigeonhole():
             b ^= 1 << rng.randrange(32)
         shares = any(((a >> (8 * k)) & 0xFF) == ((b >> (8 * k)) & 0xFF) for k in range(4))
         assert shares
+
+
+def test_hash_bucket_matches_python_reference(spark):
+    # engine-portability proof for the split/sampling bucketer: the Spark
+    # expression must equal a plain hashlib implementation of the
+    # documented spec (first 8 md5 hex digits of "tag:value" mod buckets)
+    # — the property that lets another engine (or a training loader)
+    # reproduce shard/split membership without Spark
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.functions.text import hash_bucket
+
+    rng = random.Random(20260813)
+    ids = [rng.randint(-(2**40), 2**40) for _ in range(200)] + [0, 1, -1]
+    df = spark.createDataFrame([(i,) for i in ids], "v long")
+    got = {
+        r.v: r.b
+        for r in df.select("v", hash_bucket(F.col("v"), 1000, "t").alias("b")).collect()
+    }
+    for i in ids:
+        expect = int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], 16) % 1000
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_chunking_stitch_property(spark):
+    # for random (n_tokens, chunk, stride<=chunk): chunks cover the doc,
+    # consecutive chunks overlap by chunk-stride, stitching non-overlap
+    # prefixes + final tail reconstructs the token sequence; one Spark job
+    # for all cases
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.functions.text import chunk_starts, chunk_text, tokens
+
+    rng = random.Random(4)
+    cases = []
+    for cid in range(40):
+        n = rng.randint(1, 300)
+        chunk = rng.randint(2, 64)
+        stride = rng.randint(1, chunk)
+        cases.append((cid, n, chunk, stride, " ".join(f"t{i}" for i in range(n))))
+    df = spark.createDataFrame(cases, "cid long, n long, chunk long, stride long, text string")
+    out = {}
+    for chunk_sz in sorted({c for _, _, c, _, _ in cases}):
+        for stride in sorted({s for _, _, c, s, _ in cases if c == chunk_sz}):
+            sub = df.filter((F.col("chunk") == chunk_sz) & (F.col("stride") == stride))
+            toks = sub.select("cid", "n", tokens(F.col("text")).alias("_t"))
+            got = (
+                toks.select(
+                    "cid", "n", "_t",
+                    F.explode(chunk_starts(F.col("_t"), stride)).alias("s"),
+                )
+                .select("cid", "n", "s", chunk_text(F.col("_t"), F.col("s"), chunk_sz).alias("c"))
+                .collect()
+            )
+            for r in got:
+                out.setdefault(r.cid, []).append((r.s, r.c, chunk_sz, stride))
+    for cid, n, chunk, stride, text in cases:
+        words = text.split(" ")
+        pieces = sorted(out[cid])
+        starts = [s for s, *_ in pieces]
+        assert starts == list(range(1, max(n, 1) + 1, stride)), (cid, starts[:5])
+        stitched: list[str] = []
+        for k, (s, c, cz, st_) in enumerate(pieces):
+            cw = c.split(" ") if c else []
+            assert cw == words[s - 1 : s - 1 + chunk], (cid, k)
+            stitched.extend(cw if k == len(pieces) - 1 else cw[:stride])
+        # stitching may duplicate nothing and must cover the prefix it
+        # reaches; full coverage holds whenever stride <= chunk
+        assert stitched[: len(words)] == words, cid
