@@ -1514,39 +1514,42 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (adapted: no commit/receipt dates — the supplier
     who 'kept the order waiting' is the unique last shipper of a
     multi-supplier order). The EXISTS / NOT EXISTS pair of the original
-    becomes: per-order max+distinct-count in ONE agg (one shuffle,
-    reused), a self-join back on (orderkey, shipdate=max) to name the
-    last shippers, and a HAVING count(*)=1 anti-duplicate gate — the
-    same decorrelation a warehouse planner would emit."""
+    collapses into ONE pass over lineitem: collect_set of
+    (suppkey, shipdate) per order — safe because an order's lineitem
+    fan-in is bounded (~4-7 rows) at any corpus size — then the last
+    shipper, supplier count, and uniqueness gate are all array
+    expressions over that set, no second scan, no self-join. The
+    collect_set is deliberately the ONLY aggregate in the groupBy:
+    mixing it with scalar aggs (max/countDistinct) forces
+    ObjectHashAggregate into its sort-based fallback (measured 35x
+    regression on this corpus); max-shipdate derives from the array
+    instead. Exchanges: orderkey agg, the orders semi join, the s_name
+    agg — vs 8 for the naive two-scan decorrelation."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
-    o_ship = (
-        li.groupBy(F.col("l_orderkey").alias("os_orderkey"))
+    entries = F.col("entries")
+    mx = F.array_max(F.transform(entries, lambda e: e.getField("sd")))
+    supps = F.array_distinct(F.transform(entries, lambda e: e.getField("sk")))
+    last_supps = F.array_distinct(
+        F.transform(
+            F.filter(entries, lambda e: e.getField("sd") == mx),
+            lambda e: e.getField("sk"),
+        )
+    )
+    per_order = (
+        li.groupBy("l_orderkey")
         .agg(
-            F.max("l_shipdate").alias("max_ship"),
-            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.collect_set(
+                F.struct(F.col("l_suppkey").alias("sk"), F.col("l_shipdate").alias("sd"))
+            ).alias("entries")
         )
-        .filter(F.col("n_supp") > 1)
-    )
-    last_ship = (
-        li.join(
-            o_ship,
-            (F.col("l_orderkey") == F.col("os_orderkey"))
-            & (F.col("l_shipdate") == F.col("max_ship")),
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    uniq = (
-        last_ship.groupBy(F.col("l_orderkey").alias("u_orderkey"))
-        .agg(F.count(F.lit(1)).alias("n_last"))
-        .filter(F.col("n_last") == 1)
-        .select("u_orderkey")
+        .select("l_orderkey", supps.alias("supps"), last_supps.alias("last_supps"))
+        .filter((F.size("supps") > 1) & (F.size("last_supps") == 1))
+        .select("l_orderkey", F.col("last_supps")[0].alias("l_suppkey"))
     )
     return (
-        last_ship.join(uniq, F.col("l_orderkey") == F.col("u_orderkey"), "left_semi")
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        per_order.join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -13,6 +13,10 @@ is visible directly:
   exact verification over one persisted postings pass)
 - q_text_stats-shaped single-pass text statistics
 - q_quality_filter-shaped Gopher gate
+- corpus-assembly ops: PII scrub, context-window chunking, train/val
+  split, benchmark decontamination (eval set grows with the corpus here,
+  so the broadcast side scales too — conservative vs the fixed-benchmark
+  production case)
 
 Usage: python scripts/bench_llm_scaling.py [--mults 1,3,10] [--out BENCH_LLM_SCALING.json]
 Scaled data lands in /root/repo/.benchdata/docs_x{N}/ (gitignored).
@@ -104,7 +108,14 @@ def main() -> None:
             "docs_per_sec": round(n_docs / dt),
         }
 
-        for qname in ("q_text_stats", "q_quality_filter"):
+        for qname in (
+            "q_text_stats",
+            "q_quality_filter",
+            "q_pii_scrub",
+            "q_chunk_documents",
+            "q_train_val_split",
+            "q_decontaminate",
+        ):
             t0 = time.perf_counter()
             n = QUERIES[qname](spark, data_dir).count()
             dt = time.perf_counter() - t0
