@@ -12,6 +12,7 @@ while the Spark path stays subquadratic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ray_beam_runner_spark.queries import query, t
@@ -937,3 +938,39 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incoming.join(corpus_fp, "fp", "left_semi").select("doc_id").orderBy("doc_id")
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT source, doc_id
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: exactly k=5 docs per source, chosen by
+    md5-hash order — a deterministic uniform draw reproducible across
+    engines and runs (sampleBy() is only approximate and rand()-seeded
+    per partition layout). The rank<=k predicate plans as
+    WindowGroupLimit: each map task keeps only its top-k rows per
+    stratum BEFORE the shuffle, so the exchange carries
+    O(k x strata x tasks) rows, not the corpus — the per-group top-k
+    shape that survives 100 TB. doc_id breaks md5 ties so the draw is
+    total-ordered (collisions are 2^-64 but the gate must be exact)."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )

@@ -384,3 +384,12 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stratified_sample_window_group_limit(spark, sf_dir):
+    # the rank<=k predicate must plan as WindowGroupLimit so each map
+    # task truncates to k rows per stratum BEFORE the shuffle — the
+    # exchange carries O(k x strata), not the corpus
+    df = QUERIES["q_stratified_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:3000]
