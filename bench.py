@@ -45,6 +45,8 @@ EXTRA_SET = (
     "q_market_share",
     "q_decontaminate",
     "q_pii_scrub",
+    "q_chunk_documents",
+    "q_stratified_sample",
 )
 
 
