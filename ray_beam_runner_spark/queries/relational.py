@@ -1556,3 +1556,256 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H family, third batch: the four queries whose canonical form needs the
+# partsupp table (absent from the slim schema). A deterministic partsupp is
+# DERIVED identically in both engines: each (part, supplier) pair is selected
+# by an md5-hash bucket (~20% => ~20 suppliers/part), with supply cost and
+# available quantity also md5-derived. Costs are kept as INTEGER tenths
+# (cost10) so min/threshold comparisons are exact integer arithmetic in both
+# engines — no float tie-break risk in the hash gate.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+    ps AS (
+      SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+             1000 + ('0x' || substr(md5('cost:' || p_partkey::VARCHAR || '_' || s_suppkey::VARCHAR), 1, 8))::BIGINT % 9000 AS ps_cost10,
+             1 + ('0x' || substr(md5('avail:' || p_partkey::VARCHAR || '_' || s_suppkey::VARCHAR), 1, 8))::BIGINT % 9999 AS ps_availqty
+      FROM part, supplier
+      WHERE ('0x' || substr(md5('ps:' || p_partkey::VARCHAR || '_' || s_suppkey::VARCHAR), 1, 8))::BIGINT % 100 < 20)
+"""
+
+
+def _ps_hash(tag: str, mod: int) -> F.Column:
+    key = F.concat(
+        F.lit(tag + ":"),
+        F.col("p_partkey").cast("string"),
+        F.lit("_"),
+        F.col("s_suppkey").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (see _PS_SQL). The cross join is
+    part x supplier with the dim side broadcast — at warehouse scale
+    partsupp is a real table and this builder disappears; every
+    consumer below reads it through this one function so the derivation
+    stays in lockstep with the SQL fragment."""
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        p.crossJoin(F.broadcast(s))
+        .filter(_ps_hash("ps", 100) < 20)
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.col("s_suppkey").alias("ps_suppkey"),
+            (1000 + _ps_hash("cost", 9000)).alias("ps_cost10"),
+            (1 + _ps_hash("avail", 9999)).alias("ps_availqty"),
+        )
+    )
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle=f"""
+    WITH {_PS_SQL},
+    costs AS (
+      SELECT ps_partkey, ps_suppkey, ps_cost10
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    mins AS (SELECT ps_partkey, min(ps_cost10) AS min_cost10 FROM costs GROUP BY 1)
+    SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_type,
+           round(ps_cost10 / 10.0, 6) AS supply_cost
+    FROM costs
+    JOIN mins     ON costs.ps_partkey = mins.ps_partkey AND ps_cost10 = min_cost10
+    JOIN part     ON p_partkey = costs.ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 10 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per qualifying part. The
+    correlated min-subquery decorrelates to a per-part min aggregate
+    joined back on (part, cost) — cost kept as integer tenths so the
+    min-equality join is exact. Region/nation/supplier ride broadcasts;
+    the only wide shuffles are the partsupp agg and join-back."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    costs = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_cost10", "s_name", "s_acctbal", "n_name")
+    )
+    mins = costs.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost10").alias("min_cost10")
+    )
+    return (
+        costs.join(
+            mins,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_cost10") == F.col("min_cost10")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            F.round("s_acctbal", 6).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round(F.col("ps_cost10") / 10.0, 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_important_stock",
+    oracle=f"""
+    WITH {_PS_SQL},
+    natps AS (
+      SELECT ps_partkey, ps_cost10 * ps_availqty AS val10
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7')
+    SELECT ps_partkey, round(sum(val10) / 10.0, 6) AS part_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING 1000 * sum(val10) > (SELECT sum(val10) FROM natps)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding more than 0.1% of one nation's
+    stock value. The threshold is exact integer arithmetic
+    (1000*sum(val10) > total10) — a float fraction-of-total comparison
+    would make rows at the boundary engine-dependent. The scalar total
+    is a 1-row broadcast over the same aggregated (small) relation, not
+    a second scan of partsupp."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    natps = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("ps_cost10") * F.col("ps_availqty")).alias("val10"))
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("val10").alias("sum10"))
+    total = per_part.agg(F.sum("sum10").alias("total10"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(1000 * F.col("sum10") > F.col("total10"))
+        .select(
+            "ps_partkey", F.round(F.col("sum10") / 10.0, 6).alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@query(
+    "q_supplier_relationship",
+    oracle=f"""
+    WITH {_PS_SQL}
+    SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can serve each part profile,
+    excluding flagged suppliers (adapted: negative account balance
+    stands in for the complaints LIKE — the slim supplier has no
+    comment column). NOT IN decorrelates to a broadcast anti join
+    (s_suppkey is non-null, so NOT IN == anti join here); the distinct
+    count shuffles once on the already part-filtered postings."""
+    ps = derived_partsupp(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    flagged = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(flagged), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q_excess_stock_supplier",
+    oracle=f"""
+    WITH {_PS_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
+    JOIN ps ON ps_suppkey = s_suppkey
+    JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+    JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+    WHERE ps_availqty > 0.5 * qty
+    ORDER BY s_suppkey
+    """,
+)
+def q_excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_4 suppliers holding more stock of 'small'
+    parts than half of what they shipped in 1997. The nested IN
+    subqueries decorrelate to a join pipeline: shipped quantities
+    aggregate once per (part, supplier), partsupp joins against that on
+    the composite key, and the supplier/nation/part dims broadcast. The
+    0.5*qty comparison is float-safe: quantities are integer-valued, so
+    the halves land on .0/.5 while availqty is an integer — never
+    within rounding distance of the boundary."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    return (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )

@@ -393,3 +393,19 @@ def test_stratified_sample_window_group_limit(spark, sf_dir):
     df = QUERIES["q_stratified_sample"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_tpch_partsupp_batch_plans(spark, sf_dir):
+    # Q2: correlated min decorrelated — no nested loop outside the
+    # deliberate broadcast cross join of the partsupp builder
+    q2 = formatted_plan(QUERIES["q_min_cost_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in q2, q2[:3000]
+    # Q11: exact-integer threshold rides a 1-row broadcast; one partsupp agg
+    q11 = QUERIES["q_important_stock"](spark, sf_dir)
+    assert_partial_aggregation(q11)
+    # Q16: NOT IN as a broadcast anti join, never a nested loop on data
+    q16 = formatted_plan(QUERIES["q_supplier_relationship"](spark, sf_dir))
+    assert "LeftAnti" in q16, q16[:3000]
+    # Q20: nested INs flattened to one composite-key shuffle join
+    q20 = formatted_plan(QUERIES["q_excess_stock_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in q20, q20[:3000]
