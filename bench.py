@@ -47,6 +47,7 @@ EXTRA_SET = (
     "q_pii_scrub",
     "q_chunk_documents",
     "q_stratified_sample",
+    "q_important_stock",
 )
 
 

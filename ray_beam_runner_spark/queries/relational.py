@@ -1568,24 +1568,25 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines — no float tie-break risk in the hash gate.
 # ---------------------------------------------------------------------------
 
+# Derivation hashing is LCG-style integer arithmetic (Knuth multiplicative
+# constants), NOT md5: the builder emits |part| x |supplier| x 20% rows and
+# evaluates its hash per candidate pair, so at bench scale 3 md5s/pair cost
+# ~10 s where integer mulmod is free. Identical expressions on both engines;
+# products stay < 2^63 for any realistic key range.
 _PS_SQL = """
     ps AS (
       SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
-             1000 + ('0x' || substr(md5('cost:' || p_partkey::VARCHAR || '_' || s_suppkey::VARCHAR), 1, 8))::BIGINT % 9000 AS ps_cost10,
-             1 + ('0x' || substr(md5('avail:' || p_partkey::VARCHAR || '_' || s_suppkey::VARCHAR), 1, 8))::BIGINT % 9999 AS ps_availqty
+             1000 + (p_partkey * 1103515245 + s_suppkey * 12345 + 1013904223) % 9000 AS ps_cost10,
+             1 + (p_partkey * 69069 + s_suppkey * 362437 + 1) % 9999 AS ps_availqty
       FROM part, supplier
-      WHERE ('0x' || substr(md5('ps:' || p_partkey::VARCHAR || '_' || s_suppkey::VARCHAR), 1, 8))::BIGINT % 100 < 20)
+      WHERE (p_partkey * 2654435761 + s_suppkey * 40503 + 7) % 100 < 20)
 """
 
 
-def _ps_hash(tag: str, mod: int) -> F.Column:
-    key = F.concat(
-        F.lit(tag + ":"),
-        F.col("p_partkey").cast("string"),
-        F.lit("_"),
-        F.col("s_suppkey").cast("string"),
-    )
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % mod
+def _ps_hash(a: int, b: int, c: int, mod: int) -> F.Column:
+    return (
+        F.col("p_partkey").cast("long") * a + F.col("s_suppkey").cast("long") * b + c
+    ) % mod
 
 
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1598,12 +1599,12 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier").select("s_suppkey")
     return (
         p.crossJoin(F.broadcast(s))
-        .filter(_ps_hash("ps", 100) < 20)
+        .filter(_ps_hash(2654435761, 40503, 7, 100) < 20)
         .select(
             F.col("p_partkey").alias("ps_partkey"),
             F.col("s_suppkey").alias("ps_suppkey"),
-            (1000 + _ps_hash("cost", 9000)).alias("ps_cost10"),
-            (1 + _ps_hash("avail", 9999)).alias("ps_availqty"),
+            (1000 + _ps_hash(1103515245, 12345, 1013904223, 9000)).alias("ps_cost10"),
+            (1 + _ps_hash(69069, 362437, 1, 9999)).alias("ps_availqty"),
         )
     )
 
@@ -1769,7 +1770,7 @@ def q_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey, l_suppkey)
     SELECT DISTINCT s_suppkey, s_name
     FROM supplier
-    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
     JOIN ps ON ps_suppkey = s_suppkey
     JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
     JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
@@ -1778,7 +1779,7 @@ def q_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: NATION_4 suppliers holding more stock of 'small'
+    """TPC-H Q20 shape: NATION_9 suppliers holding more stock of 'small'
     parts than half of what they shipped in 1997. The nested IN
     subqueries decorrelate to a join pipeline: shipped quantities
     aggregate once per (part, supplier), partsupp joins against that on
@@ -1788,7 +1789,7 @@ def q_excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     within rounding distance of the boundary."""
     ps = derived_partsupp(spark, sf_dir)
     s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
