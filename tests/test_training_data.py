@@ -85,3 +85,76 @@ def test_chunking_covers_document_with_overlap(spark):
     # stitching non-overlapping prefixes reconstructs the document
     stitched = split[0][:96] + split[1][:96] + split[2]
     assert stitched == words.split(" ")
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    # the full corpus-assembly user story composed as ONE dataflow:
+    # quality gate -> exact dedup -> benchmark decontamination ->
+    # deterministic split -> context chunking -> sharded JSONL write,
+    # with row accounting at every stage (each operator is oracle-gated
+    # individually; this pins that they COMPOSE)
+    import glob
+
+    from ray_beam_runner_spark.functions.dedup import decontaminate_hits
+    from ray_beam_runner_spark.functions.text import (
+        chunk_starts,
+        chunk_text,
+        fingerprint_md5,
+        hash_bucket,
+        quality_score,
+        tokens,
+    )
+    from ray_beam_runner_spark.sources.io import read_json, write_jsonl_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_in = docs.count()
+
+    # 1. quality gate
+    kept = docs.filter(quality_score(F.col("text")) >= 0.5)
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_in
+
+    # 2. exact dedup (min-id survivor per normalized text)
+    surv = kept.withColumn("_fp", fingerprint_md5(F.col("text")))
+    firsts = surv.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = surv.join(firsts, ["_fp", "doc_id"], "left_semi").drop("_fp")
+    n_dedup = deduped.count()
+    assert n_dedup <= n_kept
+
+    # 3. decontaminate against the src0 eval slice
+    train = deduped.filter(F.col("source") != "src0")
+    hits = decontaminate_hits(
+        train, deduped.filter(F.col("source") == "src0"), "doc_id", "text", n=8
+    )
+    clean = train.join(hits, "doc_id", "left_anti")
+    n_clean = clean.count()
+    assert n_clean == train.count() - hits.count()
+
+    # 4. deterministic split: partition function — every doc in exactly one side
+    b = hash_bucket(F.col("doc_id"), 100, "split")
+    tr = clean.filter(b < 90)
+    va = clean.filter(b >= 90)
+    assert tr.count() + va.count() == n_clean
+
+    # 5. chunk the training side
+    toks = tr.select("doc_id", tokens(F.col("text")).alias("_t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(chunk_starts(F.col("_t"), 96)).alias("s"),
+    ).join(toks, "doc_id").select(
+        "doc_id", "s", chunk_text(F.col("_t"), F.col("s"), 128).alias("chunk")
+    )
+    n_chunks = chunks.count()
+    assert n_chunks >= tr.count()  # every doc yields at least one chunk
+
+    # 6. shard out; manifest must account for every chunk
+    out = str(tmp_path / "corpus_shards")
+    manifest = write_jsonl_shards(
+        chunks.withColumn("chunk_id", F.concat_ws("_", "doc_id", "s")),
+        out,
+        "chunk_id",
+        n_shards=4,
+    )
+    assert sum(manifest.values()) == n_chunks
+    assert read_json(spark, out).count() == n_chunks
+    assert len(glob.glob(f"{out}/_shard=*")) == 4
