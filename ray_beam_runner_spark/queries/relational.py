@@ -1810,3 +1810,42 @@ def q_excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 6)      AS sum_qty,
+             round(sum(l_extendedprice), 6) AS sum_price,
+             round(sum(l_discount), 6)      AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS value FROM agg)
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): per-flag aggregate metrics rotated
+    into (metric, value) rows — the inverse of q_pivot. Spark's native
+    unpivot is a single Expand node over the aggregated (tiny) relation:
+    the rotation never touches the fact table, so its cost is
+    metrics x groups regardless of corpus size. The oracle spells the
+    same rotation as UNION ALL to stay dialect-portable."""
+    agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+            F.round(F.sum("l_discount"), 6).alias("sum_disc"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
+    ).orderBy("l_returnflag", "metric")
