@@ -33,6 +33,8 @@ __all__ = [
     "exact_dedup",
     "shingle_postings",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "decontaminate_hits",
     "lsh_banding",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -417,4 +419,45 @@ def decontaminate_hits(
         .distinct()
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs: containment = |A ∩ B| / min(|A|, |B|).
+
+    Catches what Jaccard misses at corpus scale: a document quoted or
+    boilerplate-wrapped inside a much larger one has high containment but
+    low Jaccard (the union is dominated by the big doc). Same postings
+    self-join as :func:`ngram_jaccard_pairs` — shingle-keyed shuffle,
+    ``max_doc_freq`` hot-shingle cap for skew — only the denominator
+    changes. Returns (d1, d2, containment) with d1 < d2, rounded to 6.
+    """
+    grams = shingle_postings(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = grams.groupBy("g").count().filter(F.col("count") > max_doc_freq).select("g")
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("id").alias("d1"), "g")
+    b = grams.select(F.col("id").alias("d2"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.select(F.col("id").alias("_k1"), F.col("sz").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("_k2"), F.col("sz").alias("n2"))
+    cont = F.col("i") / F.least(F.col("n1"), F.col("n2"))
+    return (
+        inter.join(s1, F.col("d1") == F.col("_k1"))
+        .join(s2, F.col("d2") == F.col("_k2"))
+        .select("d1", "d2", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )

@@ -974,3 +974,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_G3}) AS g FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2, containment FROM (
+      SELECT d1, d2, round(i::DOUBLE / least(s1.n, s2.n), 6) AS containment
+      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+    WHERE containment >= 0.8
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by n-gram containment >= 0.8 — flags a doc
+    quoted/wrapped inside a larger one, which Jaccard misses because the
+    union is dominated by the larger doc. Same postings-join discipline
+    as the Jaccard path; only the denominator differs."""
+    from ray_beam_runner_spark.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
