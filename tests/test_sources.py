@@ -324,3 +324,18 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "pipeline_version", "batch"}
     assert merged.count() == 150
     assert merged.filter(F.col("pipeline_version").isNull()).count() == 100
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    # CSV with explicit schema (inference is a full extra pass at scale —
+    # production reads always pass the schema)
+    from ray_beam_runner_spark.sources.io import read_csv
+
+    path = tmp_path / "data.csv"
+    path.write_text("id,name,score\n1,alpha,1.5\n2,beta,-0.25\n3,,0.0\n")
+    df = read_csv(spark, str(path), header=True, schema="id long, name string, score double")
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == [(1, "alpha", 1.5), (2, "beta", -0.25), (3, None, 0.0)]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double",
+    ]
