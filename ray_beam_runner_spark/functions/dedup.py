@@ -156,6 +156,26 @@ def ngram_jaccard_pairs(
     )
 
 
+_MINHASH_PRIME = 2038074743  # the ~2^31 prime Spark MLlib's MinHashLSH uses
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed-seed random affine coefficients (a_i, b_i) for h_i(g) =
+    (a_i * g + b_i) mod P. The per-i coefficients must be RANDOM: an
+    arithmetic schedule like h_i = a + i*b (Kirsch-Mitzenmacher double
+    hashing, fine for Bloom filters) is linear in i, so a single set
+    element with small (a, b) wins the min for nearly every i and
+    signature agreement collapses far below J — measured 0/128 agreeing
+    positions on a pair with J = 0.92."""
+    import random
+
+    rng = random.Random(20260813)
+    return [
+        (rng.randint(1, _MINHASH_PRIME - 1), rng.randint(0, _MINHASH_PRIME - 1))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame | None,
     id_col: str = "id",
@@ -163,43 +183,91 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 128,
     grams: DataFrame | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature: one JVM-side base hash per shingle
     (xxhash64 masked to 31 bits), then num_hashes independent affine
-    transforms h_i(g) = (a_i * h(g) + b_i) mod P with P = 2038074743
-    (the ~2^31 prime Spark MLlib's MinHashLSH uses) and fixed-seed random
-    coefficients a_i, b_i. a_i * h < 2^62, so no ANSI long overflow.
+    transforms h_i(g) = (a_i * h(g) + b_i) mod P with P = 2038074743.
+    a_i * h < 2^62, so no int64 overflow (numpy or ANSI long).
 
-    The per-i coefficients must be RANDOM: an arithmetic schedule like
-    h_i = a + i*b (Kirsch-Mitzenmacher double hashing, fine for Bloom
-    filters) is linear in i, so a single set element with small (a, b)
-    wins the min for nearly every i and signature agreement collapses far
-    below J — measured 0/128 agreeing positions on a pair with J = 0.92.
+    Two identical-output execution strategies:
 
-    One shuffle (groupBy id); docs with no shingles are dropped. Pass an
-    existing postings DataFrame via ``grams`` to share (and persist) the
-    shingle pass with a downstream verification join. Returns
-    (id, sz, sig array<long>) where sz is the doc's distinct-shingle count
-    — computed in the same aggregate so callers needing set sizes (Jaccard
-    denominators) don't re-scan the postings.
+    - ``use_arrow=True`` (default): hash-partition the postings by id,
+      then a mapInPandas kernel computes all k mins per doc with one
+      vectorized numpy ``minimum.reduceat`` over the (rows x k) affine
+      matrix. Cost is O(postings x k) C-speed flops and ONE shuffle —
+      at k > 100 this beats codegen'd JVM expressions, which Spark
+      evaluates interpreted here anyway (an aggregate with k min
+      columns exceeds the codegen field limit).
+    - ``use_arrow=False``: pure-JVM groupBy with k min-aggregate
+      columns. Same shuffle shape, no Python workers; the right choice
+      for small k or pickle-free deployments.
+
+    Both drop docs with no shingles. Pass an existing postings DataFrame
+    via ``grams`` to share (and persist) the shingle pass with a
+    downstream verification join. Returns (id, sz, sig array<long>)
+    where sz is the doc's distinct-shingle count — computed in the same
+    pass so callers needing set sizes (Jaccard denominators) don't
+    re-scan the postings.
     """
-    import random
-
     if grams is None:
         grams = shingle_postings(df, id_col, text_col, n)
-    prime = 2038074743
-    rng = random.Random(20260813)
-    coeffs = [(rng.randint(1, prime - 1), rng.randint(0, prime - 1)) for _ in range(num_hashes)]
+    prime = _MINHASH_PRIME
+    coeffs = _minhash_coeffs(num_hashes)
     base = F.xxhash64(F.col("g")).bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
     proj = grams.select("id", base.alias("_h"))
-    mins = proj.groupBy("id").agg(
-        F.count(F.lit(1)).alias("sz"),
-        *[
-            F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(prime))).alias(f"h{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ],
-    )
-    return mins.select("id", "sz", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    if not use_arrow:
+        mins = proj.groupBy("id").agg(
+            F.count(F.lit(1)).alias("sz"),
+            *[
+                F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(prime))).alias(f"h{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ],
+        )
+        return mins.select(
+            "id", "sz", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+        )
+
+    import numpy as np
+
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        # One partition holds every row of each id (hash-partitioned
+        # below), possibly split across Arrow batches: concatenate, then
+        # one reduceat per partition. Chunked over rows to bound the
+        # (rows x k) temp at ~64 MB.
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pdf.sort_values("id", inplace=True, kind="stable")
+        ids = pdf["id"].to_numpy(np.int64)
+        h = pdf["_h"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        mins = np.empty((len(starts), len(a_vec)), dtype=np.int64)
+        max_rows = max(1, (64 << 20) // (8 * len(a_vec)))
+        lo = 0
+        while lo < len(starts):
+            # Advance by whole groups, capping the row span at max_rows
+            # (always >= 1 group so oversized groups still progress).
+            hi = int(np.searchsorted(starts, starts[lo] + max_rows, side="left"))
+            hi = max(hi, lo + 1)
+            row_lo = starts[lo]
+            row_hi = starts[hi] if hi < len(starts) else len(ids)
+            vals = (h[row_lo:row_hi, None] * a_vec[None, :] + b_vec[None, :]) % prime
+            mins[lo:hi] = np.minimum.reduceat(vals, starts[lo:hi] - row_lo, axis=0)
+            lo = hi
+        sizes = np.diff(np.r_[starts, len(ids)])
+        yield pd.DataFrame(
+            {"id": ids[starts], "sz": sizes, "sig": list(mins)}
+        )
+
+    part = proj.repartition(F.col("id"))
+    return part.mapInPandas(kernel, schema="id long, sz long, sig array<long>")
 
 
 def minhash_lsh_candidates(
@@ -212,8 +280,15 @@ def minhash_lsh_candidates(
     Returns (d1, d2, n1, n2) with d1 < d2, carrying the docs'
     distinct-shingle counts so verification needs no extra sizes pass.
     Bucket-hash collisions only ADD candidates (removed by exact
-    verification downstream), never drop a true pair."""
-    sigs = minhash_signatures(None, num_hashes=num_hashes, grams=grams)
+    verification downstream), never drop a true pair.
+
+    The signature DataFrame is persisted (session cache registry) for
+    the duration of the self-join: both join sides derive from it, and
+    without the persist Spark computes the signature pass twice —
+    measured 2x the whole query's signature cost at sf0.1."""
+    from ray_beam_runner_spark.caches import track
+
+    sigs = track(minhash_signatures(None, num_hashes=num_hashes, grams=grams))
     n_bands = num_hashes // rows_per_band
     bands = sigs.select(
         "id",

@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "keyed_join", "range_bucket_join"]
 
 
+def _epoch_seconds(c: Column) -> Column:
+    """Numeric epoch seconds for numeric, TIMESTAMP, or TIMESTAMP_NTZ
+    columns. TIMESTAMP_NTZ cannot cast straight to double (Spark 4
+    rejects it); the intermediate TIMESTAMP cast interprets the wall
+    time in the session timezone, which cancels out in the deltas and
+    bucket ids these joins compute. Numerics round-trip unchanged."""
+    return c.cast("timestamp").cast("double")
+
+
 def keyed_join(
     left: DataFrame,
     right: DataFrame,
@@ -107,7 +116,7 @@ def asof_join(
 
     if tolerance_seconds is not None:
         delta = F.abs(
-            F.col(left_time).cast("double") - F.col("__matched_t").cast("double")
+            _epoch_seconds(F.col(left_time)) - _epoch_seconds(F.col("__matched_t"))
         )
         within = delta <= F.lit(float(tolerance_seconds))
         filled = filled.select(
@@ -135,13 +144,13 @@ def range_bucket_join(
     predicate filters. Turns an O(|L|x|R|) BroadcastNestedLoopJoin into a
     shuffle hash join whose fan-out is bounded by interval/bucket ratio."""
     lb = left.withColumn(
-        "__bucket", F.floor(F.col(left_point).cast("double") / bucket_seconds).cast("long")
+        "__bucket", F.floor(_epoch_seconds(F.col(left_point)) / bucket_seconds).cast("long")
     )
     rb = right.withColumn(
         "__buckets",
         F.sequence(
-            F.floor(F.col(right_start).cast("double") / bucket_seconds).cast("long"),
-            F.floor(F.col(right_end).cast("double") / bucket_seconds).cast("long"),
+            F.floor(_epoch_seconds(F.col(right_start)) / bucket_seconds).cast("long"),
+            F.floor(_epoch_seconds(F.col(right_end)) / bucket_seconds).cast("long"),
         ),
     ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
     joined = lb.join(rb, [*extra_on, "__bucket"]).drop("__bucket")

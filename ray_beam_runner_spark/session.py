@@ -70,20 +70,28 @@ def get_spark(
 
 
 def read_parquet_normalized(spark: SparkSession, path: str):
-    """Read parquet with nanosecond-timestamp columns normalized to Spark
+    """Read parquet with timestamp columns normalized to Spark
     TimestampType (µs, truncating). Spark has no ns timestamp; DuckDB
-    truncates ns→µs the same way, keeping the oracle comparable."""
+    truncates ns→µs the same way, keeping the oracle comparable.
+
+    Parquet timestamps written WITHOUT the UTC-adjusted flag read as
+    TIMESTAMP_NTZ in Spark 4; with the session timezone pinned to UTC
+    (get_spark default) the wall times are identical, but NTZ cannot be
+    a watermark column or cast to double, so those are normalized to
+    TIMESTAMP too — one central cast instead of per-operator fix-ups."""
     from pyspark.sql import functions as F
 
     # Runtime-settable SQL conf — required here (not only in get_spark())
     # because callers (e.g. the verify driver) may hand us their own session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    ns_cols = _nanos_timestamp_columns(path)
+    ns_cols, ntz_cols = _timestamp_columns(path)
     for c in ns_cols:
         # Integer division — nanos exceed 2^53, float division would lose
         # precision.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -91,17 +99,18 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=256)
-def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+def _timestamp_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
     # Cached per path: the footer probe costs tens of ms and every query
-    # build re-reads the same static test tables.
+    # build re-reads the same static test tables. Returns (ns columns,
+    # tz-naive non-ns columns) needing normalization.
     import pyarrow.dataset as ds
     import pyarrow.types as pat
 
     schema = ds.dataset(path, format="parquet").schema
-    return tuple(
-        f.name
-        for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ts = [f for f in schema if pat.is_timestamp(f.type)]
+    return (
+        tuple(f.name for f in ts if f.type.unit == "ns"),
+        tuple(f.name for f in ts if f.type.unit != "ns" and f.type.tz is None),
     )
 
 
