@@ -374,10 +374,16 @@ def minhash_lsh_pairs(
 
     # Verify candidates with exact Jaccard over the SAME persisted postings;
     # set sizes ride along from the signature aggregate (no extra pass).
+    # With r>1 banding the candidate set is near the true near-dup set —
+    # orders of magnitude smaller than the postings — so it broadcasts:
+    # the verification becomes two broadcast joins over one postings scan
+    # instead of shuffling every posting row. (At a corpus scale where the
+    # candidate pair list itself outgrows broadcast, AQE's runtime stats
+    # pick the shuffle join; the hint is advisory.)
     g1 = grams.select(F.col("id").alias("d1"), "g")
     g2 = grams.select(F.col("id").alias("d2"), "g")
     inter = (
-        cands.join(g1, "d1")
+        F.broadcast(cands).join(g1, "d1")
         .join(g2, ["d2", "g"])
         .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
