@@ -60,6 +60,21 @@ def n_tokens(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def collapse_repeat_tokens(toks: Column) -> Column:
+    """Drop CONSECUTIVE duplicate tokens from a token array ('filter
+    filter fast' -> 'filter fast') — the stutter/boilerplate-run cleanup
+    step of OCR and crawl pipelines. Keeps the first token of each run.
+
+    ``toks`` must be a bound array column (an attribute reference, e.g. a
+    staged projection alias), NOT an inline tokens(text) expression:
+    Spark's higher-order functions re-evaluate argument expressions per
+    element, so an inline expression would re-tokenize the document for
+    every token (see word_ngrams). The (x, i) filter lambda is 0-based;
+    element_at is 1-based, so element_at(toks, i) is the PREVIOUS token.
+    """
+    return F.filter(toks, lambda x, i: (i == F.lit(0)) | (x != F.element_at(toks, i)))
+
+
 def bpe_token_count(col: Column) -> Column:
     """Count of BPE-ish regex tokens (letter runs / digit runs / punct)."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))

@@ -1005,3 +1005,113 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: semantic dedup, stutter cleanup, vocabulary extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_semantic",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+            >= 0.4),
+    edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT vec_id,
+           coalesce(component, vec_id) AS cluster,
+           coalesce(component, vec_id) = vec_id AS is_survivor
+    FROM embeddings LEFT JOIN comp ON vec_id = node
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster documents whose EMBEDDINGS are near-identical, keep one
+    representative per cluster. Pair generation is the exact blocked-GEMM
+    cosine join (no nested loop; the sign-LSH path swaps in for gapped
+    regimes at corpus scale), clustering is the same alternating-star
+    connected components as the n-gram path — semantic dedup differs from
+    lexical dedup only in the edge relation, so the cluster/survivor
+    machinery is shared. Returns every vector labeled (cluster, is_survivor)
+    with cluster = component min vec_id."""
+    from ray_beam_runner_spark.functions.graph import dedup_clusters
+    from ray_beam_runner_spark.functions.similarity import blocked_cosine_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, n_blocks=16)
+    return dedup_clusters(emb, pairs.select("v1", "v2"), id_col="vec_id", a="v1", b="v2")
+
+
+@query(
+    "q_collapse_repeats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    kept AS (
+      SELECT doc_id, len(ts) AS n_tok,
+             list_filter(ts, (x, i) -> i = 1 OR x != ts[i - 1]) AS keep
+      FROM toks)
+    SELECT doc_id,
+           n_tok::BIGINT AS n_tok,
+           (n_tok - len(keep))::BIGINT AS n_removed,
+           md5(array_to_string(keep, ' ')) AS clean_md5
+    FROM kept
+    """,
+)
+def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate-token cleanup (OCR stutter / boilerplate
+    runs): collapse each run of a repeated token to its first occurrence
+    and return the cleaned text's md5 so the REWRITE itself is in the hash
+    gate, not just the counts. Two staged projections bind the token
+    array once (HOF lambdas re-evaluate inline argument expressions per
+    element — the q_text_stats lesson); the whole operator is expressions
+    over one scan, no shuffle, no Python."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    stage1 = docs.select("doc_id", X.tokens(F.col("text")).alias("ts"))
+    stage2 = stage1.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tok"),
+        X.collapse_repeat_tokens(F.col("ts")).alias("keep"),
+    )
+    return stage2.select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_tok") - F.size("keep")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("keep", " ").cast("binary")).alias("clean_md5"),
+    )
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+    SELECT t AS token, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    GROUP BY t ORDER BY cnt DESC, t LIMIT 20
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-20 tokens by frequency
+    (ties broken by token) — the first step of vocab/tokenizer training
+    and boilerplate detection. Map-side partial aggregation shrinks the
+    shuffle to distinct-token cardinality; the top-k is
+    TakeOrderedAndProject (no global sort) like q_topk."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )

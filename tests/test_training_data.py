@@ -158,3 +158,63 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert sum(manifest.values()) == n_chunks
     assert read_json(spark, out).count() == n_chunks
     assert len(glob.glob(f"{out}/_shard=*")) == 4
+
+
+def test_collapse_repeat_tokens_runs_and_edges(spark):
+    from ray_beam_runner_spark.functions.text import collapse_repeat_tokens, tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "filter filter filter fast fast slow filter"),
+            (2, "a"),
+            (3, "x x"),
+        ],
+        "doc_id long, text string",
+    )
+    staged = df.select("doc_id", tokens(F.col("text")).alias("ts"))
+    out = {
+        r.doc_id: r.keep
+        for r in staged.select(
+            "doc_id", collapse_repeat_tokens(F.col("ts")).alias("keep")
+        ).collect()
+    }
+    # runs collapse to first occurrence; non-adjacent repeats survive
+    assert out[1] == ["filter", "fast", "slow", "filter"]
+    assert out[2] == ["a"]
+    assert out[3] == ["x"]
+
+
+def test_dedup_semantic_matches_union_find(spark, sf_dir):
+    from ray_beam_runner_spark.functions.graph import dedup_clusters
+    from ray_beam_runner_spark.functions.similarity import blocked_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, n_blocks=4)
+    got = {
+        r.vec_id: (r.cluster, r.is_survivor)
+        for r in dedup_clusters(
+            emb, pairs.select("v1", "v2"), id_col="vec_id", a="v1", b="v2"
+        ).collect()
+    }
+    # driver-side union-find over the same edges is the ground truth
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = pairs.select("v1", "v2").collect()
+    for e in edges:
+        ra, rb = find(e.v1), find(e.v2)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    n_vecs = emb.count()
+    assert len(got) == n_vecs
+    for vid, (cluster, survivor) in got.items():
+        expected = find(vid) if vid in parent else vid
+        assert cluster == expected, (vid, cluster, expected)
+        assert survivor == (cluster == vid)
+    assert edges, "fixture should contain at least one near-dup edge"
