@@ -42,6 +42,19 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Same engine-native columnar path as parquet (vectorized
+    reader, predicate pushdown, column pruning via ReadSchema)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None):
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite"):
     df.write.mode(mode).text(path)
 

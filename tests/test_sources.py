@@ -339,3 +339,21 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
         "bigint", "string", "double",
     ]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    # ORC: same columnar scan contract as parquet — values round-trip,
+    # filters reach the scan (PushedFilters), projection prunes ReadSchema
+    from ray_beam_runner_spark.sources.io import read_orc, write_orc
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        .select("n_name")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan, plan
