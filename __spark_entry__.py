@@ -45,7 +45,7 @@ _GATE_FIRST = (
     # window_analytics sit past the window this round — green in r1-r3 —
     # making room for the round-4 operators below)
     "q_gbk", "q_combine_global", "q_cogroup",
-    "q_semi_anti", "q_topk", "q_session_window",
+    "q_semi_anti", "q_session_window",
     "q_asof_join", "q_dedup_exact",
     # round-4 operators
     "q_dedup_semantic", "q_collapse_repeats", "q_vocab_topk",
@@ -63,7 +63,7 @@ _GATE_FIRST = (
     "q_stratified_sample",
     # streaming (unchecked in r3; slowest per query, so last in the window)
     "q_streaming_window", "q_streaming_stateful", "q_streaming_dedup",
-    "q_streaming_join",
+    "q_streaming_join", "q_streaming_session",
 )
 
 

@@ -198,3 +198,58 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_streaming_session",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS final_wm FROM events),
+    marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks)
+    SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL '30 minutes' <= (SELECT final_wm FROM wm)
+    """,
+)
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (30-minute gap, 10-minute watermark):
+    per-user sessions merge across micro-batches in the state store and
+    append-mode emits each session once the watermark passes its end
+    (last event + gap — Spark's exclusive session_window.end). An emitted
+    session can never re-open: a merging event would need ts < end while
+    clearing the watermark >= end. The oracle computes the same
+    gaps-and-islands sessions in batch and keeps those closed by the
+    final watermark; still-open sessions stay in state, unemitted —
+    the same append-mode parity contract as q_streaming_window."""
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
+
+    events = t(spark, sf_dir, "events")
+    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_sess_"), "events")
+    stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = run_to_memory(agg, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("user_id", "s_start", "n_events", "sum_value")
