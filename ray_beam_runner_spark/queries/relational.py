@@ -1849,3 +1849,37 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
     ).orderBy("l_returnflag", "metric")
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    SELECT p.event_id AS p_id, i.event_id AS i_id
+    FROM (SELECT event_id, user_id, ts FROM events) p
+    JOIN (SELECT event_id, user_id, ts AS i_start, ts + INTERVAL 2 HOUR AS i_end
+          FROM events WHERE event_type = 'signup') i
+      ON p.user_id = i.user_id AND p.ts >= i.i_start AND p.ts < i.i_end
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (events falling inside each signup's 2-hour
+    window, per user) via operators.joins.range_bucket_join: both sides
+    explode to coarse time buckets and equi-join on (user, bucket), then
+    the exact range predicate filters — a shuffle hash join with bounded
+    fan-out instead of the O(|L|x|R|) BroadcastNestedLoopJoin a raw range
+    predicate plans. The streaming twin is q_streaming_join."""
+    from ray_beam_runner_spark.operators.joins import range_bucket_join
+
+    ev = t(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("i_user"), F.col("ts").alias("p_ts")
+    )
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("i_id"),
+        F.col("user_id").alias("i_user"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("i_end"),
+    )
+    return range_bucket_join(
+        points, intervals, "p_ts", "i_start", "i_end", bucket_seconds=3600, extra_on=["i_user"]
+    ).select("p_id", "i_id")
