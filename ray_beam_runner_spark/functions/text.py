@@ -39,21 +39,20 @@ def tokens(col: Column) -> Column:
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-gram shingles (array<string>) of the normalized text.
 
-    Built with slice + zip_with rather than indexed element_at: Spark's
-    higher-order functions are interpreted (not codegen'd) and re-evaluate
-    argument expressions on every element access, so an element_at(toks, i)
-    formulation re-tokenizes the whole document per gram (~100x slower
-    measured at sf0.001). Here each of the n shifted slices evaluates the
-    token array once per row; the zip_with lambdas only touch slice
-    elements. Empty array for docs shorter than n tokens."""
-    toks = tokens(col)
-    sz = F.size(toks)
-    win = F.greatest(sz - (n - 1), F.lit(0))
-    parts = [F.slice(toks, F.lit(j + 1), win) for j in range(n)]
-    grams = parts[0]
-    for p in parts[1:]:
-        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
-    return grams
+    ONE JVM regex pass: a zero-width token-start anchor `(?<![^ ])` plus a
+    lookahead capturing the next n space-separated tokens yields every
+    OVERLAPPING n-gram in a single regexp_extract_all — ~5x (n=8) / ~3x
+    (n=3) faster than the previous slice+zip_with formulation, whose n-1
+    interpreted higher-order rounds cost ~6 ms/doc and dominated every
+    near-dup operator. (An indexed element_at formulation is ~100x worse
+    still: interpreted HOFs re-evaluate argument expressions per element,
+    re-tokenizing the document per gram.) Exact-equality with the HOF
+    version is pinned by test_word_ngrams_regex_equivalence. Lookahead is
+    Java-regex-only — the DuckDB oracles build grams from token arrays
+    (llm._G3), which RE2-based engines can also do. Cost is O(len * gram
+    chars) per doc; empty array for docs shorter than n tokens."""
+    pat = "(?<![^ ])(?=((?:[^ ]+ ){" + str(n - 1) + "}[^ ]+))"
+    return F.regexp_extract_all(normalize_text(col), F.lit(pat), F.lit(1))
 
 
 def n_tokens(col: Column) -> Column:

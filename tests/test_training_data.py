@@ -218,3 +218,35 @@ def test_dedup_semantic_matches_union_find(spark, sf_dir):
         assert cluster == expected, (vid, cluster, expected)
         assert survivor == (cluster == vid)
     assert edges, "fixture should contain at least one near-dup edge"
+
+
+def test_word_ngrams_regex_equivalence(spark, sf_dir):
+    # the regex formulation must equal the straightforward slice+zip_with
+    # token-window construction on real corpus text, for both shingle sizes
+    from ray_beam_runner_spark.functions.text import tokens, word_ngrams
+
+    def hof_ngrams(col, n):
+        toks = tokens(col)
+        win = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        parts = [F.slice(toks, F.lit(j + 1), win) for j in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+        return grams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame(
+        [("one two",), ("one two three",), ("  padded   spaces  here now  ",), ("solo",)],
+        "text string",
+    )
+    for df in (docs, edge):
+        for n in (3, 8):
+            bad = (
+                df.select(
+                    word_ngrams(F.col("text"), n).alias("a"),
+                    hof_ngrams(F.col("text"), n).alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+                .count()
+            )
+            assert bad == 0, (n, bad)
