@@ -48,6 +48,12 @@ EXTRA_SET = (
     "q_chunk_documents",
     "q_stratified_sample",
     "q_important_stock",
+    # round 4
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic",
+    "q_collapse_repeats",
+    "q_vocab_topk",
+    "q_range_join",
 )
 
 
