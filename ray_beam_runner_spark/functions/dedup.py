@@ -550,3 +550,52 @@ def ngram_containment_pairs(
         .select("d1", "d2", F.round(cont, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-SPAN detection (substring-level dedup): for each
+    document, how many of its word n-gram spans also appear in at least
+    ``min_docs`` documents corpus-wide. This is the span-granular signal
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022, arXiv:2107.06499) — long exact repeats are
+    memorization-prone boilerplate worth cutting even when whole-document
+    similarity is low. (Their suffix-array formulation finds arbitrary-
+    length repeats; fixed-n rolling spans are the standard shuffle-keyed
+    approximation, and n is the minimum match length.)
+
+    One postings pass (persisted): document frequency per span, then a
+    semi join back to per-doc counts — both shuffles keyed by the span,
+    the second reusing the first's partitioning. Returns every document:
+    (id_col, n_spans, n_dup_spans, dup_frac).
+    """
+    from ray_beam_runner_spark.caches import track
+
+    grams = track(shingle_postings(df, id_col, text_col, n))
+    hot = grams.groupBy("g").count().filter(F.col("count") >= min_docs).select("g")
+    per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup = (
+        grams.join(hot, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

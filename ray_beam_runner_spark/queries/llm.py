@@ -1115,3 +1115,41 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+# 20-token spans, built from the token array in DuckDB (inclusive 1-based
+# slice); Spark builds the same spans with the word_ngrams regex (exact
+# equivalence pinned in test_word_ngrams_regex_equivalence).
+_G20 = "list_transform(generate_series(1, len(w) - 19), i -> array_to_string(w[i:i+19], ' '))"
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_G20}) AS g FROM toks)),
+    hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    per_doc AS (SELECT doc_id, count(*) AS n_spans FROM grams GROUP BY doc_id),
+    dup AS (
+      SELECT doc_id, count(*) AS n_dup_spans
+      FROM grams WHERE g IN (SELECT g FROM hot) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           round(coalesce(n_dup_spans, 0) / greatest(coalesce(n_spans, 0), 1), 6) AS dup_frac
+    FROM documents d
+    LEFT JOIN per_doc USING (doc_id) LEFT JOIN dup USING (doc_id)
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN detection (substring-level dedup, Lee et al.
+    ACL 2022): per document, how many of its 20-token spans appear in 2+
+    documents corpus-wide — the memorization-prone boilerplate signal
+    that whole-document similarity misses. One persisted postings pass,
+    both shuffles keyed by the span. See
+    functions.dedup.repeated_span_stats."""
+    from ray_beam_runner_spark.functions.dedup import repeated_span_stats
+
+    return repeated_span_stats(t(spark, sf_dir, "documents"), "doc_id", "text", n=20, min_docs=2)
