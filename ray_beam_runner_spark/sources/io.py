@@ -12,7 +12,10 @@ json) — free capability from Spark's DataSource V2.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ray_beam_runner_spark.session import read_parquet_normalized
 
@@ -64,6 +67,70 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Keyed MERGE/upsert into a parquet table (Delta-MERGE shape on
+    plain parquet): rows whose key matches an update are replaced, new
+    keys are appended, untouched rows survive.
+
+    Two paths:
+
+    - ``partition_by`` set (the 100 TB path): only partitions PRESENT in
+      the updates are read and rewritten — keep = touched-partition rows
+      anti-joined on key, union updates, written with dynamic partition
+      overwrite. Untouched partitions are never read, never rewritten.
+    - unpartitioned (small/dimension tables): full read, anti-join,
+      rewrite through a staging dir + atomic-ish rename (Spark cannot
+      overwrite a path it is reading; the rename also avoids readers
+      seeing a half-written table).
+
+    The anti-join shuffles on the key; at scale that is one co-located
+    shuffle per upsert batch, which is exactly what table formats do
+    under MERGE. Updates must carry at most one row per key
+    (last-writer-wins dedup is the caller's policy decision).
+    """
+    import shutil
+    import uuid
+
+    exists = os.path.exists(path)
+    if not exists:
+        write_parquet(updates, path, partition_by=partition_by)
+        return
+    current = spark.read.parquet(path)
+    key_set = updates.select(*keys).distinct()
+    if partition_by:
+        parts = [r.asDict() for r in updates.select(*partition_by).distinct().collect()]
+        cond = F.lit(False)
+        for p in parts:
+            m = F.lit(True)
+            for c, v in p.items():
+                m = m & (F.col(c) == F.lit(v))
+            cond = cond | m
+        touched = current.filter(cond)
+        keep = touched.join(key_set, keys, "left_anti")
+        merged = keep.unionByName(updates)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+    keep = current.join(key_set, keys, "left_anti")
+    merged = keep.unionByName(updates)
+    staging = f"{path}.staging-{uuid.uuid4().hex}"
+    merged.write.parquet(staging)
+    old = f"{path}.old-{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
 
 
 def write_jsonl_shards(

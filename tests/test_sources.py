@@ -2,6 +2,7 @@
 splittable-source scenarios (ray_runner_test.py:604-819, 1083-1115)."""
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -357,3 +358,38 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "n_regionkey" in plan, plan
+
+
+def test_upsert_parquet_unpartitioned(spark, tmp_path):
+    from ray_beam_runner_spark.sources.io import upsert_parquet
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    upsert_parquet(spark, path, base, keys=["id"])
+    updates = spark.createDataFrame([(2, "B2"), (4, "d")], "id long, val string")
+    upsert_parquet(spark, path, updates, keys=["id"])
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+    # no staging/old leftovers
+    leftovers = [p for p in os.listdir(tmp_path) if p != "dim"]
+    assert leftovers == []
+
+
+def test_upsert_parquet_partitioned_touches_only_updated_partitions(spark, tmp_path):
+    from ray_beam_runner_spark.sources.io import upsert_parquet
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, src string, v double",
+    )
+    upsert_parquet(spark, path, base, keys=["id"], partition_by=["src"])
+    untouched = sorted(os.listdir(os.path.join(path, "src=b")))
+    updates = spark.createDataFrame([(2, "a", 99.0), (9, "a", 9.0)], "id long, src string, v double")
+    upsert_parquet(spark, path, updates, keys=["id"], partition_by=["src"])
+    got = sorted(map(tuple, spark.read.parquet(path).select("id", "src", "v").collect()))
+    assert got == [(1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0), (9, "a", 9.0)]
+    # dynamic overwrite must not have rewritten the untouched partition
+    assert sorted(os.listdir(os.path.join(path, "src=b"))) == untouched
