@@ -45,10 +45,11 @@ _GATE_FIRST = (
     # window_analytics sit past the window this round — green in r1-r3 —
     # making room for the round-4 operators below)
     "q_gbk", "q_combine_global",
-    "q_semi_anti", "q_session_window",
+    "q_semi_anti",
     "q_asof_join", "q_dedup_exact",
     # round-4 operators
     "q_dedup_semantic", "q_collapse_repeats", "q_vocab_topk", "q_dedup_spans",
+    "q_token_entropy",
     # scalar-surface extensions (unchecked in r3)
     "q_scalar_math2", "q_scalar_string2", "q_scalar_datetime2",
     "q_array_funcs", "q_regex_funcs", "q_null_handling",

@@ -1153,3 +1153,49 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ray_beam_runner_spark.functions.dedup import repeated_span_stats
 
     return repeated_span_stats(t(spark, sf_dir, "documents"), "doc_id", "text", n=20, min_docs=2)
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t),
+    n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           n::BIGINT AS n_tok,
+           count(*)::BIGINT AS n_unique,
+           round(-sum((c / n) * log2(c / n)), 6) AS entropy
+    FROM tf JOIN n USING (doc_id)
+    GROUP BY tf.doc_id, n.n
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) —
+    the model-free repetitiveness/quality signal: spam and boilerplate
+    sit far below the corpus entropy band, random word soup at the top.
+    One explode + two keyed aggregations, all map-side combinable; no
+    Python. Complements the Gopher-rule gate (q_quality_filter) and the
+    repetition metrics (q_repetition)."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+    )
+    # -sum(c/n log2(c/n)) = log2(n) - sum(c log2 c)/n  (one pass, no
+    # per-token division by a pre-joined total)
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "n_unique",
+        F.round(F.log2("n_tok") - F.col("_clogc") / F.col("n_tok"), 6).alias("entropy"),
+    )
