@@ -54,6 +54,8 @@ EXTRA_SET = (
     "q_collapse_repeats",
     "q_vocab_topk",
     "q_range_join",
+    "q_dedup_spans",
+    "q_token_entropy",
 )
 
 
