@@ -17,10 +17,16 @@ from ray_beam_runner_spark.queries import ORACLE, QUERIES
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("check_oracle")
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -37,8 +43,14 @@ def main() -> int:
         dt = time.time() - t0
         status = "PASS" if ok else "FAIL"
         print(f"[{status}] {name:28s} {dt:6.2f}s  {msg}")
+        results[name] = {"ok": ok, "sec": round(dt, 2), "msg": msg}
         failures += 0 if ok else 1
     print(f"\n{len(QUERIES) if not only else len(only)} queries, {failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     return 1 if failures else 0
 
 
