@@ -167,3 +167,51 @@ def test_chunking_stitch_property(spark):
         # stitching may duplicate nothing and must cover the prefix it
         # reaches; full coverage holds whenever stride <= chunk
         assert stitched[: len(words)] == words, cid
+
+
+def test_collapse_repeats_idempotent_and_entropy_bound(spark):
+    # one Spark job checking two properties over 80 random documents:
+    # collapse_repeat_tokens is idempotent (collapsing twice == once),
+    # and token entropy <= log2(n_unique) with equality iff uniform
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.functions.text import collapse_repeat_tokens, tokens
+
+    rng = random.Random(20260814)
+    vocab = ["x", "y", "zz", "q1"]
+    rows = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))),)
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    staged = df.select(tokens(F.col("text")).alias("ts"))
+    once = staged.select(collapse_repeat_tokens(F.col("ts")).alias("c1"))
+    twice = once.select("c1", collapse_repeat_tokens(F.col("c1")).alias("c2"))
+    tf = (
+        df.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t").count()
+    )
+    bad_idem = twice.filter(F.col("c1") != F.col("c2")).count()
+    assert bad_idem == 0
+    # entropy bound on the whole corpus distribution
+    row = tf.agg(
+        F.sum("count").alias("n"),
+        F.count(F.lit(1)).alias("u"),
+        F.sum(F.col("count") * F.log2("count")).alias("clogc"),
+    ).collect()[0]
+    entropy = math.log2(row.n) - row.clogc / row.n
+    assert -1e-9 <= entropy <= math.log2(row.u) + 1e-9
+
+
+def test_repeated_span_stats_invariants(spark, sf_dir):
+    from ray_beam_runner_spark.functions.dedup import repeated_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repeated_span_stats(docs, "doc_id", "text", n=20, min_docs=2).collect()
+    assert len(out) == docs.count()  # every document labeled
+    for r in out:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert 0.0 <= r.dup_frac <= 1.0
+    # min_docs=1 makes every span "hot": n_dup_spans == n_spans everywhere
+    all_hot = repeated_span_stats(docs, "doc_id", "text", n=20, min_docs=1).collect()
+    assert all(r.n_dup_spans == r.n_spans for r in all_hot)
