@@ -35,6 +35,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "decontaminate_hits",
+    "repeated_span_stats",
     "lsh_banding",
     "minhash_signatures",
     "minhash_lsh_candidates",
