@@ -1199,3 +1199,57 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique",
         F.round(F.log2("n_tok") - F.col("_clogc") / F.col("n_tok"), 6).alias("entropy"),
     )
+
+
+@query(
+    "q_tfidf_keywords",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, t AS token,
+             round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+      FROM tf JOIN dfreq USING (t) CROSS JOIN n)
+    SELECT doc_id, token, score, rank FROM (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token)::INT AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (top 3): term frequency per doc,
+    document frequency from the same aggregate, idf = ln(N/df) with the
+    corpus size joined in as a broadcast 1-row aggregate (no driver
+    action in the query build). Ranking orders by the ROUNDED score then
+    token, so cross-engine float ULP differences cannot flip ties. The
+    window is per-doc (WindowGroupLimit prunes to 3 pre-shuffle on
+    Spark 4), and both shuffles are map-side combinable counts."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.select("doc_id", "token", "score", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+    )
