@@ -56,6 +56,7 @@ EXTRA_SET = (
     "q_range_join",
     "q_dedup_spans",
     "q_token_entropy",
+    "q_tfidf_keywords",
 )
 
 
