@@ -223,6 +223,14 @@ def minhash_signatures(
     coeffs = _minhash_coeffs(num_hashes)
     base = F.xxhash64(F.col("g")).bitwiseAND(F.lit(0x7FFFFFFF).cast("long"))
     proj = grams.select("id", base.alias("_h"))
+    if use_arrow:
+        # The Arrow kernel's output schema pins id to BIGINT; non-integral
+        # ids (string/uuid keys) would crash or mislabel in the numpy
+        # conversion, so they take the type-preserving JVM aggregate.
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+        id_type = proj.schema["id"].dataType
+        use_arrow = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
     if not use_arrow:
         mins = proj.groupBy("id").agg(
             F.count(F.lit(1)).alias("sz"),
@@ -331,6 +339,7 @@ def minhash_lsh_pairs(
     rows_per_band: int | None = None,
     threshold: float = 0.5,
     persist_postings: bool = True,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH with exact-Jaccard verification.
 
@@ -382,15 +391,19 @@ def minhash_lsh_pairs(
     # Verify candidates with exact Jaccard over the SAME persisted postings;
     # set sizes ride along from the signature aggregate (no extra pass).
     # With r>1 banding the candidate set is near the true near-dup set —
-    # orders of magnitude smaller than the postings — so it broadcasts:
-    # the verification becomes two broadcast joins over one postings scan
-    # instead of shuffling every posting row. (At a corpus scale where the
-    # candidate pair list itself outgrows broadcast, AQE's runtime stats
-    # pick the shuffle join; the hint is advisory.)
+    # orders of magnitude smaller than the postings — so by default it
+    # broadcasts and the verification becomes two broadcast joins over
+    # one postings scan instead of shuffling every posting row. The hint
+    # is FORCED, not advisory (AQE never demotes a user broadcast hint):
+    # a corpus whose candidate pair list itself exceeds executor/driver
+    # broadcast limits must pass broadcast_candidates=False to verify
+    # through ordinary id-keyed shuffle joins instead of failing on the
+    # 8 GB broadcast cap.
+    cand_side = F.broadcast(cands) if broadcast_candidates else cands
     g1 = grams.select(F.col("id").alias("d1"), "g")
     g2 = grams.select(F.col("id").alias("d2"), "g")
     inter = (
-        F.broadcast(cands).join(g1, "d1")
+        cand_side.join(g1, "d1")
         .join(g2, ["d2", "g"])
         .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))

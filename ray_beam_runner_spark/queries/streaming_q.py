@@ -205,15 +205,18 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS final_wm FROM events),
     marks AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
+      -- running sum ordered by the SAME (ts, event_id) key as marks:
+      -- ordering by ts alone leaves session membership nondeterministic
+      -- for events tied on (user_id, ts) at a session boundary
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM marks)
     SELECT user_id, min(ts) AS s_start, count(*) AS n_events,

@@ -86,6 +86,12 @@ def upsert_parquet(
       the updates are read and rewritten — keep = touched-partition rows
       anti-joined on key, union updates, written with dynamic partition
       overwrite. Untouched partitions are never read, never rewritten.
+      CONTRACT: keys must be partition-stable — an update that moves a
+      key to a DIFFERENT partition leaves the old row in the untouched
+      partition (this path never reads it), duplicating the key. Moving
+      keys across partitions requires the unpartitioned path or an
+      explicit delete of the old partition first; this is the same
+      contract as Hive dynamic-partition overwrite / Delta replaceWhere.
     - unpartitioned (small/dimension tables): full read, anti-join,
       rewrite through a staging dir + atomic-ish rename (Spark cannot
       overwrite a path it is reading; the rename also avoids readers
@@ -111,7 +117,11 @@ def upsert_parquet(
         for p in parts:
             m = F.lit(True)
             for c, v in p.items():
-                m = m & (F.col(c) == F.lit(v))
+                # eqNullSafe: a NULL partition value must select the
+                # __HIVE_DEFAULT_PARTITION__ rows — a plain == yields
+                # NULL, filtering the partition to empty while dynamic
+                # overwrite still rewrites it, silently deleting rows.
+                m = m & F.col(c).eqNullSafe(F.lit(v))
             cond = cond | m
         touched = current.filter(cond)
         keep = touched.join(key_set, keys, "left_anti")

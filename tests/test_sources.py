@@ -393,3 +393,24 @@ def test_upsert_parquet_partitioned_touches_only_updated_partitions(spark, tmp_p
     assert got == [(1, "a", 10.0), (2, "a", 99.0), (3, "b", 30.0), (9, "a", 9.0)]
     # dynamic overwrite must not have rewritten the untouched partition
     assert sorted(os.listdir(os.path.join(path, "src=b"))) == untouched
+
+
+def test_upsert_parquet_null_partition_value_preserved(spark, tmp_path):
+    # a NULL partition value lands in __HIVE_DEFAULT_PARTITION__; the
+    # touched-partition predicate must select it null-safely — a plain ==
+    # filtered the partition to empty while dynamic overwrite still
+    # rewrote it, silently deleting the non-matching rows
+    from ray_beam_runner_spark.sources.io import upsert_parquet
+
+    path = str(tmp_path / "nullpart")
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "a", 3.0)],
+        "id long, src string, v double",
+    )
+    upsert_parquet(spark, path, base, keys=["id"], partition_by=["src"])
+    updates = spark.createDataFrame([(2, None, 99.0)], "id long, src string, v double")
+    upsert_parquet(spark, path, updates, keys=["id"], partition_by=["src"])
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("id", "src", "v").collect())
+    )
+    assert got == [(1, None, 1.0), (2, None, 99.0), (3, "a", 3.0)]
