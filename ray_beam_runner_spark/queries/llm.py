@@ -1253,3 +1253,88 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "token", "score", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "q_unigram_logppl",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t, count(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+      GROUP BY doc_id, t),
+    lm AS (SELECT t, sum(c) AS cnt FROM tf GROUP BY t),
+    total AS (SELECT sum(cnt) AS n FROM lm),
+    scored AS (
+      SELECT doc_id, sum(c) AS n_tok,
+             sum(c * -ln(cnt / n)) AS nll
+      FROM tf JOIN lm USING (t) CROSS JOIN total
+      GROUP BY doc_id)
+    SELECT doc_id, n_tok::BIGINT AS n_tok,
+           round(nll / n_tok, 6) AS log_ppl
+    FROM scored
+    """,
+)
+def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model log-perplexity per document — the
+    SQL-expressible analog of the KenLM perplexity filter CCNet-style
+    pipelines run (Wenzek et al. 2020, arXiv:1911.00359): train unigram
+    probabilities on the corpus itself (one aggregate), score each doc as
+    mean negative log-likelihood via a token join. Documents far above
+    the corpus band are gibberish/ocr noise; far below are boilerplate.
+    Both shuffles are map-side combinable counts; the LM side joins on
+    the token key (vocabulary-sized, broadcastable at typical vocab
+    cardinality — left to the planner)."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = tf.groupBy("tk").agg(F.sum("c").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("n"))
+    return (
+        tf.join(lm, "tk")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.sum(F.col("c") * -F.log(F.col("cnt") / F.col("n"))).alias("_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("_nll") / F.col("n_tok"), 6).alias("log_ppl"),
+        )
+    )
+
+
+@query(
+    "q_decayed_engagement",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(value * exp(-epoch(m - ts) / 604800.0)), 6) AS decayed_value
+    FROM events CROSS JOIN mx
+    GROUP BY user_id
+    """,
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement per user (1-week half-life
+    scale): weight = exp(-age/604800s) relative to the corpus max
+    timestamp — the standard recency-weighted feature aggregate. The max
+    timestamp joins in as a broadcast 1-row aggregate; the group-by is
+    map-side combinable because the weight is per-row, not per-group."""
+    events = t(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("m"))
+    age = F.col("m").cast("double") - F.col("ts").cast("double")
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.exp(-age / 604800.0)), 6).alias("decayed_value"),
+        )
+    )
