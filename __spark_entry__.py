@@ -44,11 +44,10 @@ _GATE_FIRST = (
     # core operator oracles (Beam-model surface; flatten/setops/
     # window_analytics sit past the window this round — green in r1-r3 —
     # making room for the round-4 operators below)
-    "q_asof_join", "q_dedup_exact",
     # round-4 operators
     "q_dedup_semantic", "q_collapse_repeats", "q_vocab_topk", "q_dedup_spans",
     "q_token_entropy", "q_tfidf_keywords", "q_unigram_logppl",
-    "q_decayed_engagement",
+    "q_decayed_engagement", "q_funnel", "q_retention_cohorts",
     # scalar-surface extensions (unchecked in r3)
     "q_scalar_math2", "q_scalar_string2", "q_scalar_datetime2",
     "q_array_funcs", "q_regex_funcs", "q_null_handling",

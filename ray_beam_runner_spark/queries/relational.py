@@ -1883,3 +1883,93 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_bucket_join(
         points, intervals, "p_ts", "i_start", "i_end", bucket_seconds=3600, extra_on=["i_user"]
     ).select("p_id", "i_id")
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t1
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'click' AND e.ts >= s.t0 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t1 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+           (SELECT count(*) FROM c)::BIGINT AS n_click_after,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase_after
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (signup -> first click after signup ->
+    first purchase after that click), counted per stage. Each stage is a
+    min-aggregate keyed by user joined to the previous stage — the
+    standard sequential-funnel shape; every shuffle is user-keyed and the
+    stage frontiers only shrink."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             datediff('week', f.cohort, date_trunc('week', e.ts)) AS week_offset
+      FROM events e JOIN first f ON e.user_id = f.user_id)
+    SELECT cohort, week_offset::BIGINT AS week_offset,
+           count(*)::BIGINT AS n_users
+    FROM activity GROUP BY cohort, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    event, counted in each subsequent week they were active — the classic
+    cohort-retention matrix. First-event week is one user-keyed
+    aggregate; the activity join stays user-keyed; the final count is
+    map-side combinable after the per-(user, week) distinct."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.floor(
+                    (
+                        F.date_trunc("week", F.col("ts")).cast("double")
+                        - F.col("cohort").cast("double")
+                    )
+                    / (7 * 86400)
+                ).cast("long")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
