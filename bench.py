@@ -57,6 +57,11 @@ EXTRA_SET = (
     "q_dedup_spans",
     "q_token_entropy",
     "q_tfidf_keywords",
+    "q_unigram_logppl",
+    "q_decayed_engagement",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_data_quality",
 )
 
 
