@@ -34,16 +34,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (observed: CORRECTNESS_r03.json == the first 50 of 84 in registry order,
 # which left every LLM-data / streaming / scalar-extension query without a
 # correctness row that round). Declaration order therefore rotates per
-# round so every query keeps a recent green row: this round leads with the
-# headline set, the core-operator oracles, and the 34 queries r3 could not
-# check; the TPC-H-family shapes (all hash-green in CORRECTNESS_r03.json,
-# committed) follow after the window. All 84 remain declared and runnable.
+# round so every query keeps a recent green row: this round's 50-entry
+# window holds the headline set, every round-4 query, and the LLM /
+# scalar / streaming queries r3 could not check. Past the window this
+# round (all hash-green in committed gates or in ORACLE_SWEEP_r04.json,
+# the locally-run full sweep): the TPC-H-family shapes, the r1-r3-green
+# core-operator oracles (gbk, combine_global, cogroup, semi_anti, topk,
+# flatten, setops, window_analytics, session_window, asof_join,
+# dedup_exact), and q_multimodal (envelope plumbing pytest-covered, codec
+# kernels documented stubs). All queries remain declared and runnable.
 _GATE_FIRST = (
     # headline bench set
     "q_agg", "q_join", "q_window", "q_events_window", "q_distinct",
-    # core operator oracles (Beam-model surface; flatten/setops/
-    # window_analytics sit past the window this round — green in r1-r3 —
-    # making room for the round-4 operators below)
     # round-4 operators
     "q_dedup_semantic", "q_collapse_repeats", "q_vocab_topk", "q_dedup_spans",
     "q_token_entropy", "q_tfidf_keywords", "q_unigram_logppl",

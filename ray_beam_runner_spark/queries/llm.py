@@ -1283,11 +1283,15 @@ def q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus band are gibberish/ocr noise; far below are boilerplate.
     Both shuffles are map-side combinable counts; the LM side joins on
     the token key (vocabulary-sized, broadcastable at typical vocab
-    cardinality — left to the planner)."""
+    cardinality — left to the planner). The tf frame is persisted
+    (session cache registry): it feeds both the score join and the
+    lm/total lineage, and tokenization is the dominant cost — without
+    the persist the duplicated branches tokenize the corpus twice."""
+    from ray_beam_runner_spark.caches import track
     from ray_beam_runner_spark.functions import text as X
 
     docs = t(spark, sf_dir, "documents")
-    tf = (
+    tf = track(
         docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tk"))
         .groupBy("doc_id", "tk")
         .agg(F.count(F.lit(1)).alias("c"))

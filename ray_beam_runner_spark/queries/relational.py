@@ -1906,13 +1906,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first purchase after that click), counted per stage. Each stage is a
     min-aggregate keyed by user joined to the previous stage — the
     standard sequential-funnel shape; every shuffle is user-keyed and the
-    stage frontiers only shrink."""
+    stage frontiers only shrink. The s and c frontiers are persisted
+    (session cache registry): each feeds both the next stage's join and
+    its own stage count, and without the persist the duplicated subtrees
+    re-scan and re-shuffle events once per appearance."""
+    from ray_beam_runner_spark.caches import track
+
     ev = t(spark, sf_dir, "events")
-    s = (
+    s = track(
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id").agg(F.min("ts").alias("t0"))
     )
-    c = (
+    c = track(
         ev.filter(F.col("event_type") == "click")
         .join(s, "user_id")
         .filter(F.col("ts") >= F.col("t0"))
@@ -1995,15 +2000,23 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-key count, duplicate-primary-key count, referential orphans
     (anti join to customer), and a range constraint — the pre-ingestion
     contract checks a production pipeline runs before training-data jobs
-    consume a drop. Each check is one aggregate or one key-shuffled
-    anti join; all five run in a single pass per source relation and
-    combine via broadcast 1-row cross joins."""
+    consume a drop. The three row-level checks (count, null, range)
+    share ONE aggregate pass; the duplicate-key check is a keyed
+    aggregate and the orphan check a key-shuffled anti join — three
+    scans of orders total, combined via broadcast 1-row cross joins.
+    The conditional sums coalesce to 0 so an EMPTY drop audits as
+    all-zeros instead of NULLs (NULL > threshold would silently pass a
+    downstream quality gate)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     basic = o.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n_null_custkey"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_nonpositive_price"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("n_null_custkey"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)
+        ).alias("n_nonpositive_price"),
     )
     dups = (
         o.groupBy("o_orderkey")
