@@ -19,13 +19,22 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "keyed_join", "range_bucket_join"]
 
 
-def _epoch_seconds(c: Column) -> Column:
+def _epoch_seconds(c: Column, dtype=None) -> Column:
     """Numeric epoch seconds for numeric, TIMESTAMP, or TIMESTAMP_NTZ
     columns. TIMESTAMP_NTZ cannot cast straight to double (Spark 4
-    rejects it); the intermediate TIMESTAMP cast interprets the wall
-    time in the session timezone, which cancels out in the deltas and
-    bucket ids these joins compute. Numerics round-trip unchanged."""
-    return c.cast("timestamp").cast("double")
+    rejects it); for NTZ only, an intermediate TIMESTAMP cast interprets
+    the wall time in the session timezone, which cancels out in the
+    deltas and bucket ids these joins compute. Every other type casts
+    straight to double, so numerics round-trip unchanged (routing them
+    through TIMESTAMP would overflow under ANSI at epoch-nanos scale
+    and truncate sub-microsecond fractions). Pass ``dtype`` (the
+    column's DataType from the frame schema) to get the NTZ routing;
+    without it, NTZ input raises Spark's cast error."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(dtype, TimestampNTZType):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
 
 
 def keyed_join(
@@ -115,8 +124,11 @@ def asof_join(
     ).filter(F.col("__is_left") == 1)
 
     if tolerance_seconds is not None:
+        left_time_type = left.schema[left_time].dataType
+        right_time_type = right.schema[right_time].dataType
         delta = F.abs(
-            _epoch_seconds(F.col(left_time)) - _epoch_seconds(F.col("__matched_t"))
+            _epoch_seconds(F.col(left_time), left_time_type)
+            - _epoch_seconds(F.col("__matched_t"), right_time_type)
         )
         within = delta <= F.lit(float(tolerance_seconds))
         filled = filled.select(
@@ -143,14 +155,17 @@ def range_bucket_join(
     equi-joined on the bucket (+ optional extra keys), then the exact range
     predicate filters. Turns an O(|L|x|R|) BroadcastNestedLoopJoin into a
     shuffle hash join whose fan-out is bounded by interval/bucket ratio."""
+    lp_t = left.schema[left_point].dataType
+    rs_t = right.schema[right_start].dataType
+    re_t = right.schema[right_end].dataType
     lb = left.withColumn(
-        "__bucket", F.floor(_epoch_seconds(F.col(left_point)) / bucket_seconds).cast("long")
+        "__bucket", F.floor(_epoch_seconds(F.col(left_point), lp_t) / bucket_seconds).cast("long")
     )
     rb = right.withColumn(
         "__buckets",
         F.sequence(
-            F.floor(_epoch_seconds(F.col(right_start)) / bucket_seconds).cast("long"),
-            F.floor(_epoch_seconds(F.col(right_end)) / bucket_seconds).cast("long"),
+            F.floor(_epoch_seconds(F.col(right_start), rs_t) / bucket_seconds).cast("long"),
+            F.floor(_epoch_seconds(F.col(right_end), re_t) / bucket_seconds).cast("long"),
         ),
     ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
     joined = lb.join(rb, [*extra_on, "__bucket"]).drop("__bucket")

@@ -42,6 +42,7 @@ from typing import Any
 import pandas as pd
 from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1319,10 +1320,27 @@ class Pipeline:
         including the header-skip at 138-140)."""
         df = self.spark.read.text(path)
         if skip_header_lines:
-            # Per-file line indices; zipWithIndex is only line-ordered within
-            # a single file — matches the reference's single-source semantics.
-            rdd = df.rdd.zipWithIndex().filter(lambda t: t[1] >= skip_header_lines).map(lambda t: t[0])
-            df = self.spark.createDataFrame(rdd, df.schema)
+            # Per-file header skip as pure expressions (no Python RDD path):
+            # header lines live only in the byte-range split that starts at
+            # file offset 0, so rank rows within each (file, block) by
+            # monotonically_increasing_id — increasing in read order inside a
+            # partition, and a file-block's rows are contiguous in its
+            # partition — and drop the first N of offset-0 blocks only.
+            # Blocks past offset 0 are untouched, so a multi-split file never
+            # loses non-header lines. One bounded window shuffle keyed by
+            # (file, block); scales with file count, not row count.
+            w = W.partitionBy("_fp", "_bs").orderBy("_mid")
+            df = (
+                df.select(
+                    "value",
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.file_block_start").alias("_bs"),
+                    F.monotonically_increasing_id().alias("_mid"),
+                )
+                .withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_bs") != 0) | (F.col("_rn") > skip_header_lines))
+                .select("value")
+            )
         out = df.select(
             F.col("value").cast("string").alias("value"),
             F.lit(GLOBAL_TS).alias("event_time"),

@@ -95,7 +95,14 @@ def upsert_parquet(
     - unpartitioned (small/dimension tables): full read, anti-join,
       rewrite through a staging dir + atomic-ish rename (Spark cannot
       overwrite a path it is reading; the rename also avoids readers
-      seeing a half-written table).
+      seeing a half-written table). LOCAL-FILESYSTEM ONLY: the swap
+      uses os.rename/shutil.rmtree, which do not exist as atomic ops
+      on HDFS/S3, and a concurrent reader can hit the instant between
+      the two renames when the table path is absent. On remote
+      storage, route this path through the Hadoop FileSystem API with
+      a _committed-marker protocol, or use a table format (Delta/
+      Iceberg MERGE) — the partitioned path above has no such
+      restriction (dynamic partition overwrite is storage-agnostic).
 
     The anti-join shuffles on the key; at scale that is one co-located
     shuffle per upsert batch, which is exactly what table formats do
