@@ -31,43 +31,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records the first 50 queries of the dict
-# (observed: CORRECTNESS_r03.json == the first 50 of 84 in registry order,
-# which left every LLM-data / streaming / scalar-extension query without a
-# correctness row that round). Declaration order therefore rotates per
-# round so every query keeps a recent green row: this round's 50-entry
-# window holds the headline set, every round-4 query, and the LLM /
-# scalar / streaming queries r3 could not check. Past the window this
-# round (all hash-green in committed gates or in ORACLE_SWEEP_r04.json,
-# the locally-run full sweep): the TPC-H-family shapes, the r1-r3-green
-# core-operator oracles (gbk, combine_global, cogroup, semi_anti, topk,
-# flatten, setops, window_analytics, session_window, asof_join,
-# dedup_exact), and q_multimodal (envelope plumbing pytest-covered, codec
-# kernels documented stubs). All queries remain declared and runnable.
+# (observed: CORRECTNESS_r03.json == the first 50 of 84 in registry order).
+# Declaration order therefore rotates per round so every query keeps a
+# recent driver-run green row. Round-6 rotation (per round-5 verdict ask
+# #1): lead with the 47 queries that had no driver row since r3 or ever —
+# the TPC-H-family shapes, the core-operator oracles (gbk, combine_global,
+# cogroup, flatten, setops, semi_anti, topk, window_analytics, rollup,
+# pivot, subquery, session_window, asof_join, range_join, dedup_exact),
+# and q_multimodal — then the three queries whose implementations change
+# this round (semantic dedup now clustering-first; streaming stateful;
+# the new streaming outer join). Everything rotating out of the window
+# (headline set, LLM-data family, scalar extensions, other streaming
+# oracles) is hash-green in CORRECTNESS_r04/r05.json and re-verified this
+# round in ORACLE_SWEEP_r06.json, run at the gate's own sf0.01.
+# All queries remain declared and runnable.
 _GATE_FIRST = (
-    # headline bench set
-    "q_agg", "q_join", "q_window", "q_events_window", "q_distinct",
-    # round-4 operators
-    "q_dedup_semantic", "q_collapse_repeats", "q_vocab_topk", "q_dedup_spans",
-    "q_token_entropy", "q_tfidf_keywords", "q_unigram_logppl",
-    "q_decayed_engagement", "q_funnel", "q_retention_cohorts",
-    "q_data_quality",
-    # scalar-surface extensions (unchecked in r3)
-    "q_scalar_math2", "q_scalar_string2", "q_scalar_datetime2",
-    "q_array_funcs", "q_regex_funcs", "q_null_handling",
-    # LLM-data / corpus-assembly operators (unchecked in r3)
-    "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_clusters",
-    "q_dedup_simhash", "q_dedup_embedding", "q_dedup_containment",
-    "q_similarity_topk", "q_similarity_ivf", "q_embedding_stats",
-    "q_text_stats", "q_lang_id", "q_quality_filter", "q_repetition",
-    # (q_multimodal sits past the window: its envelope plumbing is
-    # pytest-covered and the codec kernels are documented stubs)
-    "q_fingerprint", "q_wordcount", "q_decontaminate",
-    "q_pii_scrub", "q_train_val_split", "q_sample_mix",
-    "q_embedding_quantize", "q_chunk_documents", "q_incremental_dedup",
-    "q_stratified_sample",
-    # streaming (unchecked in r3; slowest per query, so last in the window)
-    "q_streaming_window", "q_streaming_stateful", "q_streaming_dedup",
-    "q_streaming_join", "q_streaming_session",
+    # core operator oracles — last driver row r3 or earlier
+    "q_gbk", "q_combine_global", "q_cogroup", "q_flatten", "q_setops",
+    "q_semi_anti", "q_topk", "q_window_analytics", "q_rollup", "q_pivot",
+    "q_subquery", "q_session_window", "q_asof_join", "q_range_join",
+    "q_dedup_exact", "q_unpivot",
+    # scalar/JSON surface — last driver row r3 or earlier
+    "q_scalar_string", "q_scalar_mathdate", "q_json",
+    # TPC-H-family shapes — never driver-gated
+    "q_shipping_priority", "q_local_supplier_volume", "q_priority_counts",
+    "q_percentiles", "q_approx_distinct", "q_skewed_agg", "q_moving_agg",
+    "q_returned_items", "q_promo_revenue", "q_volume_shipping",
+    "q_order_exists", "q_top_supplier", "q_idle_rich_customers", "q_cube",
+    "q_forecast_revenue", "q_market_share", "q_product_profit",
+    "q_late_shipments", "q_order_count_dist", "q_small_qty_revenue",
+    "q_large_volume_customer", "q_disjunctive_revenue", "q_waiting_supplier",
+    "q_min_cost_supplier", "q_important_stock", "q_supplier_relationship",
+    "q_excess_stock_supplier",
+    # multimodal envelope — never driver-gated (codec kernels are
+    # documented stubs; the envelope/batching plumbing is what's checked)
+    "q_multimodal",
+    # code changed this round — fresh driver row wanted
+    "q_dedup_semantic", "q_streaming_stateful", "q_streaming_outer_join",
 )
 
 

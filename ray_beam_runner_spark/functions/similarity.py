@@ -26,6 +26,7 @@ __all__ = [
     "cosine_pandas",
     "cosine_topk",
     "blocked_cosine_pairs",
+    "semdedup_pairs",
     "random_hyperplane_buckets",
     "multi_table_buckets",
     "embedding_near_dup_pairs_lsh",
@@ -113,6 +114,7 @@ def blocked_cosine_pairs(
     threshold: float = 0.4,
     n_blocks: int = 16,
     round_digits: int = 6,
+    group_col: str | None = None,
 ) -> DataFrame:
     """EXACT all-pairs cosine join as a blocked matrix multiply.
 
@@ -139,12 +141,21 @@ def blocked_cosine_pairs(
     executor GEMM tile (10-50k rows) — B grows with sqrt of corpus size
     and task count grows as B^2, keeping per-task memory flat.
 
+    With ``group_col`` set, pairing is restricted to rows sharing that
+    column's value (the GEMM group key becomes (group, block-pair)) — the
+    building block for cluster-first SemDeDup via :func:`semdedup_pairs`,
+    which turns the global O(n^2) into sum-of-cell-squares. The block
+    fan-out still applies within each group, so one skewed giant cell
+    splits into B(B+1)/2 bounded GEMM tiles instead of one huge task.
+
     Returns (v1, v2, sim) with v1 < v2 and rounded sim >= threshold.
     """
     from pyspark.sql import types as T
 
     nb = n_blocks
+    grp = [F.col(group_col).alias("_grp")] if group_col else []
     src = df.select(
+        *grp,
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("_b"),
@@ -211,7 +222,63 @@ def blocked_cosine_pairs(
             return empty
         return pd.DataFrame({"v1": v1, "v2": v2, "sim": s})
 
-    return exploded.groupBy("_g").applyInPandas(_gemm, out_schema)
+    keys = (["_grp"] if group_col else []) + ["_g"]
+    return exploded.groupBy(*keys).applyInPandas(_gemm, out_schema)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    n_blocks: int = 4,
+    round_digits: int = 6,
+    model=None,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Cluster-first semantic-dedup pair generation (SemDeDup, Abbas et
+    al. 2023, arXiv:2303.09540 §3): spherical k-means partitions the
+    corpus into ``n_cells`` IVF cells, then exact cosine pairs are
+    computed ONLY within each cell. Cost drops from the global O(n^2) of
+    :func:`blocked_cosine_pairs` to sum over cells of |cell|^2 — with
+    n_cells grown proportionally to corpus size (the SemDeDup recipe:
+    keep expected cell size constant), pair-generation flops scale
+    LINEARLY in n. Cross-cell pairs are forgone by construction; that is
+    the SemDeDup approximation — near-identical embeddings land in the
+    same cell because the quantizer is trained on the same geometry.
+
+    100 TB shape: ``sample_fraction`` trains the quantizer on a sample
+    (assignment stays full-corpus, one broadcast-model map pass);
+    ``n_blocks`` tiles each cell's GEMM so one skewed cell becomes
+    B(B+1)/2 bounded tasks instead of an executor-OOM. Pass a pre-fitted
+    ``model`` to amortize training across calls.
+
+    Returns (v1, v2, sim) with v1 < v2 and rounded sim >= threshold —
+    same contract as :func:`blocked_cosine_pairs`, which remains the
+    exact/oracle path.
+    """
+    if model is None:
+        if n_cells < 2:
+            # one cell == all-pairs; skip the quantizer (Spark ML KMeans
+            # rejects k=1) and run the exact blocked join directly
+            return blocked_cosine_pairs(
+                df, id_col, vec_col,
+                threshold=threshold, n_blocks=n_blocks, round_digits=round_digits,
+            )
+        model = ivf_fit(
+            df, vec_col, n_cells=n_cells, sample_fraction=sample_fraction
+        )
+    assigned = ivf_assign(model, df, vec_col)
+    return blocked_cosine_pairs(
+        assigned,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        n_blocks=n_blocks,
+        round_digits=round_digits,
+        group_col="cell",
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

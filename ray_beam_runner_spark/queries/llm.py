@@ -1036,18 +1036,46 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     cluster documents whose EMBEDDINGS are near-identical, keep one
-    representative per cluster. Pair generation is the exact blocked-GEMM
-    cosine join (no nested loop; the sign-LSH path swaps in for gapped
-    regimes at corpus scale), clustering is the same alternating-star
-    connected components as the n-gram path — semantic dedup differs from
-    lexical dedup only in the edge relation, so the cluster/survivor
-    machinery is shared. Returns every vector labeled (cluster, is_survivor)
-    with cluster = component min vec_id."""
+    representative per cluster. This is the ORACLE form: pair generation
+    is the exact blocked-GEMM cosine join (all-pairs — required because a
+    SQL oracle cannot express the k-means quantizer, and the synthetic
+    corpus is gap-free at the 0.4 threshold so no candidate filter is
+    lossless). The production/scale form is :func:`q_dedup_semantic_scale`
+    below — identical clustering, but pair generation is cluster-first
+    within IVF cells (linear in n, SemDeDup-proper). Clustering is the
+    same alternating-star connected components as the n-gram path —
+    semantic dedup differs from lexical dedup only in the edge relation,
+    so the cluster/survivor machinery is shared. Returns every vector
+    labeled (cluster, is_survivor) with cluster = component min vec_id."""
     from ray_beam_runner_spark.functions.graph import dedup_clusters
     from ray_beam_runner_spark.functions.similarity import blocked_cosine_pairs
 
     emb = t(spark, sf_dir, "embeddings")
     pairs = blocked_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, n_blocks=16)
+    return dedup_clusters(emb, pairs.select("v1", "v2"), id_col="vec_id", a="v1", b="v2")
+
+
+@query("q_dedup_semantic_scale")  # no SQL oracle: k-means quantizer is not
+# SQL-expressible; driver records a rows-only check. Exactness evidence
+# lives in pytest (semdedup pairs ⊆ exact pairs, recall floor asserted)
+# and BENCH_LLM_SCALING.json (subquadratic pair-generation growth).
+def q_dedup_semantic_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SemDeDup (Abbas et al. 2023 §3): spherical-k-means IVF
+    cells first, exact cosine pairs only WITHIN each cell, then the same
+    connected-components clustering as the oracle form. With n_cells
+    grown ∝ corpus size (constant expected cell size), pair-generation
+    flops are linear in n — this is the path that survives 100 TB, where
+    :func:`q_dedup_semantic`'s all-pairs GEMM is quadratic. Cross-cell
+    pairs are forgone by construction (the SemDeDup approximation);
+    within-cell pairs are exact, so output is a labeled (cluster,
+    is_survivor) per vector exactly like the oracle form."""
+    from ray_beam_runner_spark.functions.graph import dedup_clusters
+    from ray_beam_runner_spark.functions.similarity import semdedup_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = semdedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_cells=16, n_blocks=4
+    )
     return dedup_clusters(emb, pairs.select("v1", "v2"), id_col="vec_id", a="v1", b="v2")
 
 

@@ -125,6 +125,58 @@ def test_blocked_cosine_pairs_equals_bruteforce(emb):
     assert blocked == brute
 
 
+def test_semdedup_pairs_subset_and_recall(emb):
+    # cluster-first SemDeDup pair generation: every emitted pair must be a
+    # member of the exact all-pairs result with the SAME rounded sim
+    # (within-cell pairs are exact cosine — precision 1 by construction),
+    # and recall vs exact must not collapse even on the gap-free corpus
+    from ray_beam_runner_spark.functions.similarity import (
+        blocked_cosine_pairs,
+        semdedup_pairs,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    exact = {
+        (r.v1, r.v2, r.sim)
+        for r in blocked_cosine_pairs(sub, threshold=0.4, n_blocks=4).collect()
+    }
+    sd = {
+        (r.v1, r.v2, r.sim)
+        for r in semdedup_pairs(sub, threshold=0.4, n_cells=8, n_blocks=2).collect()
+    }
+    assert sd <= exact, f"semdedup emitted non-exact pairs: {sorted(sd - exact)[:5]}"
+    if exact:
+        recall = len(sd) / len(exact)
+        # gap-free synthetic corpus is the worst case for cluster-first
+        # recall; near-identical embeddings (the SemDeDup target regime)
+        # co-cluster far more reliably than these mid-sim pairs
+        assert recall >= 0.2, f"semdedup recall collapsed: {recall}"
+
+
+def test_semdedup_groups_split_skewed_cell(emb):
+    # one giant cell must fan out into block-pair GEMM tiles, not one task:
+    # with a CONSTANT group column (the degenerate all-rows-in-one-cell
+    # case) grouped blocked_cosine_pairs must still match exact — the
+    # within-group block tiling is lossless
+    from ray_beam_runner_spark.functions.similarity import blocked_cosine_pairs
+
+    sub = emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    exact = {
+        (r.v1, r.v2, r.sim)
+        for r in blocked_cosine_pairs(sub, threshold=0.4, n_blocks=4).collect()
+    }
+    one_cell = {
+        (r.v1, r.v2, r.sim)
+        for r in blocked_cosine_pairs(
+            sub.withColumn("cell", F.lit(0)),
+            threshold=0.4,
+            n_blocks=3,
+            group_col="cell",
+        ).collect()
+    }
+    assert one_cell == exact
+
+
 def test_embedding_near_dup_lsh_recall(emb, spark, sf_dir):
     from ray_beam_runner_spark.functions.similarity import embedding_near_dup_pairs_lsh
     from ray_beam_runner_spark.queries import QUERIES
