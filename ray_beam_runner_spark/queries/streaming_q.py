@@ -201,6 +201,90 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_streaming_outer_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         -- Spark's watermark is floor-to-millisecond of the max event time
+         -- (EventTimeStats tracks ms), global wm = min over both streams
+         wm AS (SELECT date_trunc('millisecond', least(max(p.ts), max(c.ts)))
+                       - INTERVAL 3 DAY AS w
+                FROM p, c),
+         m AS (SELECT p.user_id FROM p JOIN c ON c.user_id = p.user_id
+               AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts),
+         e AS (SELECT p.user_id FROM p
+               WHERE p.ts < (SELECT w FROM wm)
+                 AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                                 AND c.ts >= p.ts - INTERVAL 2 HOUR
+                                 AND c.ts <= p.ts)),
+         u AS (SELECT user_id FROM m UNION SELECT user_id FROM e)
+    SELECT u.user_id,
+           (SELECT count(*) FROM m WHERE m.user_id = u.user_id)::BIGINT AS n_pairs,
+           (SELECT count(*) FROM e WHERE e.user_id = u.user_id)::BIGINT AS n_expired
+    FROM u ORDER BY user_id
+    """,
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (purchases left-joined to
+    clicks within a 2-hour per-user lookback) — the null-emission timing
+    case. Append-mode Spark emits a matched pair in the micro-batch where
+    the match forms, but an UNMATCHED purchase emits its null row only
+    when the watermark evicts its state: measured on this exact shape
+    (pinned in tests/test_streaming.py::test_outer_join_null_emission),
+    eviction fires for p_ts strictly below the final global watermark =
+    floor-to-ms(min(max p_ts, max c_ts)) - delay, and Trigger.AvailableNow
+    runs a finalization batch so those nulls do drain. Purchases still
+    inside the watermark produce NOTHING — where Beam's default trigger
+    would have emitted an on-time pane and later retracted/updated it,
+    Spark append mode stays silent until the state closes; that
+    divergence is exactly what the oracle's split between n_pairs /
+    n_expired (emitted) and the absent still-open purchases encodes.
+    Both sides replay as ts-ordered micro-batch slices, so no match can
+    be lost to eviction (a yet-unseen click's ts exceeds every evicted
+    purchase's match window — see the derivation in the test)."""
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_uid"), F.col("ts").alias("c_ts")
+    )
+    base = tempfile.mkdtemp(prefix="rbrs_sojoin_")
+    sp = FileDropStream(spark, os.path.join(base, "p")).write_slices(
+        purchases, "p_ts", n_slices=3
+    ).read_stream()
+    sc = FileDropStream(spark, os.path.join(base, "c")).write_slices(
+        clicks, "c_ts", n_slices=3
+    ).read_stream()
+    l = sp.withWatermark("p_ts", "3 days")
+    r = sc.withWatermark("c_ts", "3 days")
+    cond = (
+        (l["uid"] == r["r_uid"])
+        & (r["c_ts"] >= l["p_ts"] - F.expr("INTERVAL 2 HOURS"))
+        & (r["c_ts"] <= l["p_ts"])
+    )
+    joined = l.join(r, cond, "left_outer").drop("r_uid")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = run_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        out.groupBy(F.col("uid").alias("user_id"))
+        .agg(
+            F.count("c_ts").alias("n_pairs"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_expired"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_streaming_session",
     oracle="""
     WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS final_wm FROM events),

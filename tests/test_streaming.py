@@ -166,6 +166,79 @@ def test_stream_stream_interval_join(spark, events, tmp_path):
     assert got == expected, (len(got), len(expected))
 
 
+def test_outer_join_null_emission(spark, tmp_path):
+    # Pins the left-outer stream-stream join emission timing that
+    # q_streaming_outer_join's oracle encodes:
+    #   1. a match arriving in a LATER micro-batch (but within watermark)
+    #      joins normally — no premature null for its left row;
+    #   2. an unmatched left row null-emits iff p_ts < final watermark
+    #      (strictly), wm = floor-ms(min(max p_ts, max c_ts)) - delay,
+    #      and Trigger.AvailableNow runs the finalization batch that
+    #      drains those nulls;
+    #   3. unmatched left rows at/above the watermark emit NOTHING (the
+    #      Beam divergence: no on-time pane, no retraction — silence
+    #      until state closes).
+    import datetime as dt
+
+    D = dt.datetime
+    # final wm = min(max p_ts, max c_ts) - 2h = 12:00 - 2h = 10:00
+    purch = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 1, 0)),   # matched by c1 (same batch region)
+            (2, D(2024, 1, 1, 2, 0)),   # matched by c2 arriving 2 slices later
+            (3, D(2024, 1, 1, 9, 59, 59)),  # unmatched, < wm -> null row
+            (4, D(2024, 1, 1, 10, 0)),  # unmatched, == wm -> silent (strict <)
+            (5, D(2024, 1, 1, 11, 30)), # unmatched, > wm -> silent
+            (6, D(2024, 1, 1, 12, 0)),  # matched filler fixing max p_ts
+        ],
+        "uid int, p_ts timestamp",
+    )
+    fd_p = FileDropStream(spark, str(tmp_path / "po")).write_slices(purch, "p_ts", 3)
+    fd_c = FileDropStream(spark, str(tmp_path / "co"))
+    # click slices arrive in scripted order: c2 (matching p2) lands in the
+    # LAST slice even though its event time is early -> a late-arriving
+    # update that must still join (its ts stays above the watermark)
+    fd_c.write_slices(
+        spark.createDataFrame(
+            [(1, D(2024, 1, 1, 0, 30)), (9, D(2024, 1, 1, 6, 0))],
+            "uid int, c_ts timestamp",
+        ),
+        "c_ts", 1,
+    )
+    fd_c.append_slices(
+        spark.createDataFrame([(6, D(2024, 1, 1, 11, 0))], "uid int, c_ts timestamp"),
+        "c_ts", 1,
+    )
+    fd_c.append_slices(
+        spark.createDataFrame(
+            [(2, D(2024, 1, 1, 1, 45)), (9, D(2024, 1, 1, 12, 0))],
+            "uid int, c_ts timestamp",
+        ),
+        "c_ts", 1,
+    )
+    l = fd_p.read_stream().withWatermark("p_ts", "2 hours")
+    r = (
+        fd_c.read_stream()
+        .withColumnRenamed("uid", "r_uid")
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (l["uid"] == F.col("r_uid"))
+        & (F.col("c_ts") >= l["p_ts"] - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") <= l["p_ts"])
+    )
+    out = run_to_memory(l.join(r, cond, "left_outer").drop("r_uid"), "append")
+    rows = out.collect()
+    matched = {(x.uid, x.c_ts) for x in rows if x.c_ts is not None}
+    nulls = {x.uid for x in rows if x.c_ts is None}
+    assert matched == {
+        (1, D(2024, 1, 1, 0, 30)),
+        (2, D(2024, 1, 1, 1, 45)),   # the late-arriving match joined
+        (6, D(2024, 1, 1, 11, 0)),
+    }, rows
+    assert nulls == {3}, rows
+
+
 def test_streaming_session_windows(spark, events, tmp_path):
     # native session_window on a live stream with watermark: closed
     # sessions must match the batch session computation
