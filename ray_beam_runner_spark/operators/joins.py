@@ -29,12 +29,37 @@ def _epoch_seconds(c: Column, dtype=None) -> Column:
     through TIMESTAMP would overflow under ANSI at epoch-nanos scale
     and truncate sub-microsecond fractions). Pass ``dtype`` (the
     column's DataType from the frame schema) to get the NTZ routing;
-    without it, NTZ input raises Spark's cast error."""
+    without it, NTZ input raises Spark's cast error.
+
+    PRECONDITION (enforced by callers via :func:`_check_time_bases`): all
+    time columns compared within one join must share a base — all NTZ or
+    all TIMESTAMP. The session-timezone interpretation cancels in deltas
+    and bucket ids only when BOTH sides route the same way; a mixed
+    NTZ-vs-TIMESTAMP pair would compute epochs offset by the tz shift
+    and mis-bucket matches."""
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(dtype, TimestampNTZType):
         return c.cast("timestamp").cast("double")
     return c.cast("double")
+
+
+def _check_time_bases(named_types: Sequence[tuple[str, object]], op: str) -> None:
+    """Reject a mix of TIMESTAMP_NTZ and TIMESTAMP time columns in one
+    join: their epoch bases differ by the session-tz offset, silently
+    mis-matching rows. The caller must normalize one side first (e.g.
+    ``col.cast('timestamp_ntz')`` when the wall clocks are known to agree)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ntz = [n for n, t in named_types if isinstance(t, TimestampNTZType)]
+    tz = [n for n, t in named_types if isinstance(t, TimestampType)]
+    if ntz and tz:
+        raise ValueError(
+            f"{op}: time columns mix TIMESTAMP_NTZ ({ntz}) with TIMESTAMP "
+            f"({tz}); their epoch bases differ by the session timezone "
+            "offset, which would mis-bucket matches. Cast one side so all "
+            "time columns share a type."
+        )
 
 
 def keyed_join(
@@ -126,6 +151,10 @@ def asof_join(
     if tolerance_seconds is not None:
         left_time_type = left.schema[left_time].dataType
         right_time_type = right.schema[right_time].dataType
+        _check_time_bases(
+            [(left_time, left_time_type), (right_time, right_time_type)],
+            "asof_join",
+        )
         delta = F.abs(
             _epoch_seconds(F.col(left_time), left_time_type)
             - _epoch_seconds(F.col("__matched_t"), right_time_type)
@@ -158,6 +187,10 @@ def range_bucket_join(
     lp_t = left.schema[left_point].dataType
     rs_t = right.schema[right_start].dataType
     re_t = right.schema[right_end].dataType
+    _check_time_bases(
+        [(left_point, lp_t), (right_start, rs_t), (right_end, re_t)],
+        "range_bucket_join",
+    )
     lb = left.withColumn(
         "__bucket", F.floor(_epoch_seconds(F.col(left_point), lp_t) / bucket_seconds).cast("long")
     )

@@ -1326,21 +1326,31 @@ class Pipeline:
             # monotonically_increasing_id — increasing in read order inside a
             # partition, and a file-block's rows are contiguous in its
             # partition — and drop the first N of offset-0 blocks only.
-            # Blocks past offset 0 are untouched, so a multi-split file never
-            # loses non-header lines. One bounded window shuffle keyed by
-            # (file, block); scales with file count, not row count.
-            w = W.partitionBy("_fp", "_bs").orderBy("_mid")
-            df = (
-                df.select(
-                    "value",
-                    F.col("_metadata.file_path").alias("_fp"),
-                    F.col("_metadata.file_block_start").alias("_bs"),
-                    F.monotonically_increasing_id().alias("_mid"),
-                )
+            # Only the offset-0 blocks route through the window (headers
+            # cannot live anywhere else); every other block unions back
+            # untouched, so the ranking shuffle moves one leading split per
+            # file, not the dataset — at 100 TB that is (files x <=128MB),
+            # independent of total rows. Bound: if skip_header_lines ever
+            # exceeded the line count of a file's first split
+            # (multi-megabyte headers or a tiny files.maxPartitionBytes),
+            # the overflow header lines would start in later blocks and
+            # survive; with default 128 MB splits any realistic header fits
+            # the first split, and readers needing more should strip
+            # headers upstream.
+            tagged = df.select(
+                "value",
+                F.col("_metadata.file_path").alias("_fp"),
+                F.col("_metadata.file_block_start").alias("_bs"),
+                F.monotonically_increasing_id().alias("_mid"),
+            )
+            w = W.partitionBy("_fp").orderBy("_mid")
+            lead = (
+                tagged.filter(F.col("_bs") == 0)
                 .withColumn("_rn", F.row_number().over(w))
-                .filter((F.col("_bs") != 0) | (F.col("_rn") > skip_header_lines))
+                .filter(F.col("_rn") > skip_header_lines)
                 .select("value")
             )
+            df = lead.unionAll(tagged.filter(F.col("_bs") != 0).select("value"))
         out = df.select(
             F.col("value").cast("string").alias("value"),
             F.lit(GLOBAL_TS).alias("event_time"),

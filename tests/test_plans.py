@@ -301,6 +301,37 @@ def test_asof_join_forward_and_tolerance(spark):
     assert back.collect()[0].tag == "before"
 
 
+def test_time_join_rejects_mixed_ntz_and_tz(spark):
+    # mixed TIMESTAMP_NTZ / TIMESTAMP sides would compute epochs on bases
+    # differing by the session-tz offset and mis-bucket matches — the
+    # operators must refuse instead of silently mis-joining
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from ray_beam_runner_spark.operators.joins import asof_join, range_bucket_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, "u", base)], "id long, k string, lts timestamp")
+    right_ntz = spark.createDataFrame(
+        [("u", base, "x")], "k string, rts timestamp_ntz, tag string"
+    )
+    with _pytest.raises(ValueError, match="mix TIMESTAMP_NTZ"):
+        asof_join(
+            left, right_ntz, on="k", left_time="lts", right_time="rts",
+            tolerance_seconds=60,
+        )
+    right_iv = spark.createDataFrame(
+        [("u", base, base + dt.timedelta(hours=1))],
+        "k string, s timestamp_ntz, e timestamp_ntz",
+    )
+    with _pytest.raises(ValueError, match="mix TIMESTAMP_NTZ"):
+        range_bucket_join(left, right_iv, "lts", "s", "e", bucket_seconds=3600)
+    # matching NTZ-on-both-sides still works
+    left_ntz = spark.createDataFrame([(1, "u", base)], "id long, k string, lts timestamp_ntz")
+    assert range_bucket_join(left_ntz, right_iv, "lts", "s", "e", 3600).count() == 1
+
+
 def test_tpch_family_batch2_plans(spark, sf_dir):
     # Q6: every predicate reaches the parquet scan; single partial+final agg
     q6 = QUERIES["q_forecast_revenue"](spark, sf_dir)
