@@ -129,9 +129,13 @@ def ngram_jaccard_pairs(
     Postings self-join: shuffle keyed by shingle, so cost is
     sum(df_g^2) over shingles g with document frequency df_g. At 100 TB,
     pass ``max_doc_freq`` to drop ultra-frequent shingles (boilerplate);
-    this bounds per-key fan-out and is the standard skew guard — it makes
-    the result a (very slightly) conservative underestimate, so the oracle
-    queries use max_doc_freq=None.
+    this bounds per-key fan-out and is the standard skew guard. The cap
+    is conservative on the CANDIDATE set (a pair can only lose shared
+    shingles, never gain them — tightening the cap shrinks candidates
+    monotonically, property-tested), but a surviving pair's Jaccard can
+    shift either way: a dropped shingle in both docs lowers J (smaller
+    intersection), one in a single doc raises it (smaller union). The
+    oracle queries therefore use max_doc_freq=None.
 
     Returns (d1, d2, jaccard) with jaccard rounded to 6 decimals.
     """

@@ -24,10 +24,26 @@ __all__ = [
     "attach_media",
     "extract_features",
     "decode_image_stub",
+    "decode_image",
+    "decode_media",
     "resize_stub",
     "resize_media",
     "sample_frames",
 ]
+
+
+def _pil():
+    """Optional-import seam for the real image codec: returns PIL.Image or
+    None. The container this repo is developed in has no PIL; anywhere it
+    exists (a production cluster with pillow on the executors) the real
+    kernels below activate with no code change. Import cost is paid once
+    per task (called inside the mapInPandas kernel setup), not per row."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 # Canonical multimodal envelope: opaque payload + typed metadata struct.
 MEDIA_SCHEMA = T.StructType(
@@ -79,6 +95,58 @@ def decode_image_stub(payload: bytes, fake_features: bool = False) -> dict:
     }
 
 
+IMAGE_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+        T.StructField("format", T.StringType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes, image_mod=None) -> dict:
+    """REAL image decode kernel (PIL): header-only open — no pixel load —
+    returning (width, height, mode, format). Raises NotImplementedError
+    where pillow is absent; callers that want the deterministic test
+    kernel instead use :func:`decode_image_stub`."""
+    Image = image_mod if image_mod is not None else _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "real image decoding requires pillow on the executors; "
+            "install it or use decode_image_stub(fake_features=True)"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "width": im.width,
+            "height": im.height,
+            "mode": im.mode,
+            "format": im.format,
+        }
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real-codec decode over the media envelope via mapInPandas — the
+    graduated form of :func:`extract_features`: same Arrow batching and
+    iterator-kernel shape, but the per-task setup resolves the actual
+    codec once and each payload decodes to real image metadata. Runs
+    wherever pillow is importable on executors (skip-if-absent tested);
+    raises NotImplementedError per task otherwise."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()  # per-task setup: resolve the codec once
+        for pdf in batches:
+            feats = [decode_image(p, image_mod=Image) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, schema=IMAGE_DECODE_SCHEMA)
+
+
 def attach_media(df: DataFrame, id_col: str, payload_col, modality: str = "image") -> DataFrame:
     """Wrap a binary payload column into the canonical media envelope."""
     return df.select(
@@ -116,12 +184,26 @@ def extract_features(media: DataFrame, fake_features: bool = True) -> DataFrame:
 
 
 def resize_stub(payload: bytes, target: tuple[int, int], fake: bool = False) -> bytes:
-    """Resize kernel stub. Real implementation needs PIL/ffmpeg (absent in
-    this container); the fake path deterministically truncates/pads the
-    byte stream to target_w*target_h bytes so the distributed plumbing
-    (binary in → binary out, metadata update) is testable."""
+    """Resize kernel. With ``fake=False`` the real PIL path runs where
+    pillow is importable (decode → bilinear resize → re-encode in the
+    source format) and raises NotImplementedError where it is not; the
+    fake path deterministically truncates/pads the byte stream to
+    target_w*target_h bytes so the distributed plumbing (binary in →
+    binary out, metadata update) is testable codec-free."""
     if not fake:
-        raise NotImplementedError("image resize requires codec libraries")
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "image resize requires pillow on the executors; "
+                "install it or pass fake=True for the test kernel"
+            )
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            fmt = im.format or "PNG"
+            buf = io.BytesIO()
+            im.resize(target).save(buf, format=fmt)
+            return buf.getvalue()
     n = target[0] * target[1]
     src = payload or b"\x00"  # empty payload -> zero-fill frame
     return (src * (n // len(src) + 1))[:n]

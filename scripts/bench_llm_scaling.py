@@ -71,6 +71,44 @@ def build_docs(mult: int) -> str:
     return out
 
 
+def build_embs(mult: int) -> str:
+    """xN replicas of the embeddings corpus. Each copy's vectors are
+    circularly shifted by a copy-specific lag: rotation preserves every
+    within-copy inner product exactly (same pair structure per copy),
+    while cross-copy similarities fall to the corpus's background level
+    (a lag-k autocorrelation of effectively-random 64-dim vectors) —
+    pair counts grow like a genuinely larger corpus, not like cross-copy
+    duplicate cliques of identical vectors."""
+    import duckdb
+
+    out = os.path.join(ROOT, f"embs_x{mult}")
+    marker = os.path.join(out, ".done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    span = con.execute(
+        f"SELECT max(vec_id) + 1 FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0]
+    parts = []
+    for i in range(mult):
+        shift = (7 * i) % 64  # distinct lags for i < 10
+        vec = (
+            "embedding"
+            if shift == 0
+            else f"embedding[{shift + 1}:64] || embedding[1:{shift}]"
+        )
+        parts.append(
+            f"SELECT vec_id + {i * span} AS vec_id, {vec} AS embedding "
+            f"FROM read_parquet('{SRC}/embeddings.parquet')"
+        )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    open(marker, "w").close()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,3,10")
@@ -120,6 +158,43 @@ def main() -> None:
             n = QUERIES[qname](spark, data_dir).count()
             dt = time.perf_counter() - t0
             row[qname] = {"sec": round(dt, 2), "rows": n, "docs_per_sec": round(n_docs / dt)}
+
+        # semantic-dedup pair generation: exact all-pairs (quadratic flops)
+        # vs cluster-first SemDeDup with n_cells grown with the corpus
+        # (constant expected cell size -> linear flops). The per-vector
+        # throughput column is what must stay flat on the semdedup row and
+        # fall on the exact row.
+        from ray_beam_runner_spark.functions.similarity import (
+            blocked_cosine_pairs,
+            semdedup_pairs,
+        )
+
+        emb_dir = build_embs(mult)
+        embs = spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+        n_vecs = embs.count()
+        row["n_vecs"] = n_vecs
+        t0 = time.perf_counter()
+        n_exact = blocked_cosine_pairs(
+            embs, "vec_id", "embedding", threshold=0.4, n_blocks=16
+        ).count()
+        dt = time.perf_counter() - t0
+        row["semantic_exact"] = {
+            "sec": round(dt, 2),
+            "pairs": n_exact,
+            "vecs_per_sec": round(n_vecs / dt),
+        }
+        t0 = time.perf_counter()
+        n_sd = semdedup_pairs(
+            embs, "vec_id", "embedding",
+            threshold=0.4, n_cells=16 * mult, n_blocks=4,
+        ).count()
+        dt = time.perf_counter() - t0
+        row["semantic_semdedup"] = {
+            "sec": round(dt, 2),
+            "pairs": n_sd,
+            "n_cells": 16 * mult,
+            "vecs_per_sec": round(n_vecs / dt),
+        }
 
         results[f"x{mult}"] = row
         print(json.dumps({f"x{mult}": row}), flush=True)

@@ -121,17 +121,27 @@ def time_duckdb(data_dir: str) -> dict[str, float]:
     return out
 
 
-def time_spark(data_dir: str, warmups: int = 3, timed: int = 2) -> dict[str, float]:
+def time_spark(data_dir: str, mult: int, warmups: int = 3, timed: int = 2) -> dict[str, float]:
     from ray_beam_runner_spark import get_spark
     from ray_beam_runner_spark.queries import QUERIES
 
-    spark = get_spark("bench-scaling", shuffle_partitions=8)
-    # Local scan parallelism: the scaled corpus is a handful of files, so
-    # the cluster-sized 128m split would scan a 1 GB lineitem in ~8 tasks
-    # on 32 cores (and the x10 one in a single task). 8m splits ~= DuckDB's
-    # row-group parallelism on the same files. On a real cluster file count
-    # x 128m already saturates the executors — this knob is local-only.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    spark = get_spark("bench-scaling")
+    # Size the session to the leg's input, the same way bench.py sizes
+    # sf0.1 (and a cluster deployment sizes shuffle partitions to its
+    # executors) — one fixed conf either starves the x1 leg with reduce
+    # tasks or scans the x100 leg too coarsely:
+    # - scan splits: biggest table / ~2 tasks per core, floored at bench.py's
+    #   2 MB; matches DuckDB's row-group parallelism on the same files.
+    # - shuffle partitions: scheduling cost dominates under ~50 MB of
+    #   shuffle input, so grow with the leg instead of paying 32 reduce
+    #   tasks on a 16 MB corpus.
+    biggest = max(
+        os.path.getsize(os.path.join(data_dir, f"{t}.parquet")) for t in TABLES
+    )
+    split = max(2 * 1024 * 1024, biggest // 64)
+    shuffle = {1: 4, 10: 8}.get(mult, 16)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     out: dict[str, float] = {}
     for _ in range(warmups):
         for name in BENCH_SET:
@@ -154,7 +164,7 @@ def main() -> None:
     for mult in [int(m) for m in args.mults.split(",")]:
         data_dir = SRC if mult == 1 else build_scaled(mult)
         duck = time_duckdb(data_dir)
-        spark = time_spark(data_dir)
+        spark = time_spark(data_dir, mult)
         d_sum = round(sum(duck.values()), 4)
         s_sum = round(sum(spark.values()), 4)
         results[f"x{mult}"] = {

@@ -215,3 +215,61 @@ def test_repeated_span_stats_invariants(spark, sf_dir):
     # min_docs=1 makes every span "hot": n_dup_spans == n_spans everywhere
     all_hot = repeated_span_stats(docs, "doc_id", "text", n=20, min_docs=1).collect()
     assert all(r.n_dup_spans == r.n_spans for r in all_hot)
+
+
+def test_span_stats_min_docs_monotone(spark, sf_dir):
+    # raising min_docs can only shrink the hot-span set, so every
+    # document's n_dup_spans is non-increasing in min_docs — the skew
+    # knob is monotone, never surprising
+    from ray_beam_runner_spark.functions.dedup import repeated_span_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    by_k = {}
+    for k in (2, 3, 5):
+        by_k[k] = {
+            r.doc_id: r.n_dup_spans
+            for r in repeated_span_stats(docs, "doc_id", "text", n=20, min_docs=k).collect()
+        }
+    assert set(by_k[2]) == set(by_k[3]) == set(by_k[5])
+    for d in by_k[2]:
+        assert by_k[2][d] >= by_k[3][d] >= by_k[5][d]
+
+
+def test_max_doc_freq_cap_monotone_candidates(spark, sf_dir):
+    # the hot-shingle cap is conservative on the CANDIDATE set: capped
+    # postings are a subset of uncapped, so the candidate pairs (threshold
+    # 0 = every pair sharing a surviving shingle) shrink monotonically as
+    # the cap tightens, for both the Jaccard and the containment operator;
+    # and a cap larger than the corpus is an exact no-op (values included)
+    from ray_beam_runner_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 150")
+    n_docs = docs.count()
+
+    def pairs(fn, cap):
+        return {
+            (r.d1, r.d2)
+            for r in fn(docs, "doc_id", "text", n=3, threshold=0.0, max_doc_freq=cap).collect()
+        }
+
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        uncapped = pairs(fn, None)
+        loose = pairs(fn, 20)
+        tight = pairs(fn, 5)
+        assert tight <= loose <= uncapped
+        assert pairs(fn, n_docs + 1) == uncapped  # cap beyond corpus = no-op
+        # no-op cap must also preserve the similarity VALUES, not just ids
+        full = {
+            tuple(r)
+            for r in fn(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+        }
+        noop = {
+            tuple(r)
+            for r in fn(
+                docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=n_docs + 1
+            ).collect()
+        }
+        assert noop == full
