@@ -112,6 +112,10 @@ def build_embs(mult: int) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,3,10")
+    # embeddings scale one leg further: the semantic ops are cheap enough
+    # that the exact path's quadratic flops only separate from the
+    # cluster-first path's linear flops past ~50k vectors
+    ap.add_argument("--emb-mults", default="1,3,10,30")
     ap.add_argument("--out", default="BENCH_LLM_SCALING.json")
     args = ap.parse_args()
 
@@ -134,12 +138,16 @@ def main() -> None:
         n_docs = docs.count()
         row: dict = {"n_docs": n_docs}
 
-        t0 = time.perf_counter()
-        pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-        n_pairs = pairs.count()
-        dt = time.perf_counter() - t0
-        release_tracked()
-        spark.catalog.clearCache()
+        # min of 2 timed runs: the first sweep at x1 otherwise pays the
+        # whole JVM/JIT warmup and reads as slower than x3
+        dt, n_pairs = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5).count()
+            dt1 = time.perf_counter() - t0
+            release_tracked()
+            spark.catalog.clearCache()
+            dt = dt1 if dt is None else min(dt, dt1)
         row["minhash_lsh"] = {
             "sec": round(dt, 2),
             "pairs": n_pairs,
@@ -159,45 +167,67 @@ def main() -> None:
             dt = time.perf_counter() - t0
             row[qname] = {"sec": round(dt, 2), "rows": n, "docs_per_sec": round(n_docs / dt)}
 
-        # semantic-dedup pair generation: exact all-pairs (quadratic flops)
-        # vs cluster-first SemDeDup with n_cells grown with the corpus
-        # (constant expected cell size -> linear flops). The per-vector
-        # throughput column is what must stay flat on the semdedup row and
-        # fall on the exact row.
-        from ray_beam_runner_spark.functions.similarity import (
-            blocked_cosine_pairs,
-            semdedup_pairs,
-        )
+        results[f"x{mult}"] = row
+        print(json.dumps({f"x{mult}": row}), flush=True)
 
+    # Semantic-dedup pair generation: exact all-pairs (quadratic flops) vs
+    # cluster-first SemDeDup with n_cells grown with the corpus (constant
+    # expected cell size -> linear flops). The quantizer FIT is timed
+    # separately: it is one linear training pass, amortized across dedup
+    # runs in production (and sample-trainable at 100 TB), while the PAIR
+    # stage is what must stay subquadratic — so pairs_sec is the column
+    # to read: exact vecs_per_sec must fall as n grows, semdedup's must
+    # hold roughly flat.
+    from ray_beam_runner_spark.functions.similarity import (
+        blocked_cosine_pairs,
+        ivf_fit,
+        semdedup_pairs,
+    )
+
+    sem = {}
+    for mult in [int(m) for m in args.emb_mults.split(",")]:
         emb_dir = build_embs(mult)
         embs = spark.read.parquet(f"{emb_dir}/embeddings.parquet")
         n_vecs = embs.count()
-        row["n_vecs"] = n_vecs
-        t0 = time.perf_counter()
-        n_exact = blocked_cosine_pairs(
-            embs, "vec_id", "embedding", threshold=0.4, n_blocks=16
-        ).count()
-        dt = time.perf_counter() - t0
-        row["semantic_exact"] = {
+        row = {"n_vecs": n_vecs}
+
+        dt, n_exact = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_exact = blocked_cosine_pairs(
+                embs, "vec_id", "embedding", threshold=0.4, n_blocks=16
+            ).count()
+            dt1 = time.perf_counter() - t0
+            dt = dt1 if dt is None else min(dt, dt1)
+        row["exact_pairs"] = {
             "sec": round(dt, 2),
             "pairs": n_exact,
             "vecs_per_sec": round(n_vecs / dt),
         }
+
+        n_cells = 16 * mult
         t0 = time.perf_counter()
-        n_sd = semdedup_pairs(
-            embs, "vec_id", "embedding",
-            threshold=0.4, n_cells=16 * mult, n_blocks=4,
-        ).count()
-        dt = time.perf_counter() - t0
-        row["semantic_semdedup"] = {
+        model = ivf_fit(embs, "embedding", n_cells=n_cells, max_iter=8)
+        fit_sec = time.perf_counter() - t0
+        dt, n_sd = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_sd = semdedup_pairs(
+                embs, "vec_id", "embedding",
+                threshold=0.4, n_cells=n_cells, n_blocks=4, model=model,
+            ).count()
+            dt1 = time.perf_counter() - t0
+            dt = dt1 if dt is None else min(dt, dt1)
+        row["ivf_fit_sec"] = round(fit_sec, 2)
+        row["semdedup_pairs"] = {
             "sec": round(dt, 2),
             "pairs": n_sd,
-            "n_cells": 16 * mult,
+            "n_cells": n_cells,
             "vecs_per_sec": round(n_vecs / dt),
         }
-
-        results[f"x{mult}"] = row
-        print(json.dumps({f"x{mult}": row}), flush=True)
+        sem[f"x{mult}"] = row
+        print(json.dumps({f"semantic_x{mult}": row}), flush=True)
+    results["semantic"] = sem
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 
