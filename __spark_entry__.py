@@ -66,8 +66,11 @@ _GATE_FIRST = (
     # multimodal envelope — never driver-gated (codec kernels are
     # documented stubs; the envelope/batching plumbing is what's checked)
     "q_multimodal",
-    # code changed this round — fresh driver row wanted
-    "q_dedup_semantic", "q_streaming_stateful", "q_streaming_outer_join",
+    # code changed/added this round — fresh driver row wanted.
+    # (q_streaming_stateful stays OUT of the window: its aIPWS query is
+    # unchanged and hash-green in CORRECTNESS_r05.json; the slot goes to
+    # the new snapshot-table MERGE query instead.)
+    "q_dedup_semantic", "q_streaming_outer_join", "q_snapshot_upsert",
 )
 
 

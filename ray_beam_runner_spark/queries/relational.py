@@ -2036,3 +2036,66 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orphan_orders", "n_nonpositive_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-table MERGE (sources/snapshots.py): atomic manifest commits.
+# The reference has no table format; this is the incremental-corpus
+# maintenance path (new capability). The oracle states MERGE semantics
+# directly: updates win on key match, inserts append, the rest survive.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_snapshot_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 14 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 21 = 0)
+    SELECT * FROM upd
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE through the snapshot-manifest table format
+    (sources/snapshots.py): build a snapshot from every 7th order,
+    upsert a batch that doubles the price of every 14th (key match →
+    replace) and re-keys every 21st as a fresh insert, then read the
+    published snapshot back. Exercises the real write → atomic manifest
+    publish → file-pruned merge → read path end-to-end; the oracle is
+    the MERGE algebra (updates ∪ base-minus-updated). At scale the merge
+    reads and rewrites only files containing a matched key — driver
+    state is the file list, never rows."""
+    import tempfile
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    base = orders.filter(F.col("o_orderkey") % 7 == 0).select(*cols)
+    updates = orders.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 21 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    tdir = tempfile.mkdtemp(prefix="rbrs_snaptbl_")
+    snap.write_snapshot(base, tdir)
+    snap.upsert_snapshot(spark, tdir, updates.unionByName(inserts), ["o_orderkey"])
+    return snap.read_snapshot(spark, tdir)

@@ -1,0 +1,252 @@
+"""Snapshot-manifest parquet tables: atomic commits, MERGE, time travel.
+
+Closes the gap documented on :func:`ray_beam_runner_spark.sources.io.
+upsert_parquet` (its unpartitioned path swaps directories with
+os.rename, leaving a reader-visible instant where the table path is
+absent, and is local-filesystem-only). The fix is the standard
+log-structured table layout used by Delta Lake / Apache Iceberg
+(public designs; see the Delta Lake VLDB'20 paper, Armbrust et al.):
+
+    table_dir/
+      data/commit-<uuid>/part-*.parquet   immutable data files
+      _manifests/v0000000001.json         snapshot = list of data files
+
+* Data files are write-once: a commit writes NEW files under a fresh
+  ``data/commit-<uuid>/`` directory and never touches existing ones.
+* A snapshot becomes visible by publishing ONE small manifest file via
+  an atomic create-if-absent (POSIX hard-link trick here; put-if-absent
+  / conditional-PUT on an object store). Readers resolve the highest
+  manifest version and read exactly the files it lists — they see the
+  previous snapshot or the new one, never a torn or empty table.
+* Concurrent writers race on the same version number; the loser's
+  link() fails and we raise ``ConcurrentCommitError`` (optimistic
+  concurrency, same contract as Delta).
+* Old snapshots stay readable (time travel) until :func:`vacuum`
+  removes files no retained manifest references.
+
+At 100 TB this is the right shape: the driver only ever handles FILE
+LISTS (thousands of entries), never rows; MERGE reads and rewrites only
+the files that actually contain a matching key (file-level pruning via
+one semi-join on ``_metadata.file_path``), so a 100-key upsert into a
+million-file table rewrites a handful of files, not the table.
+
+Reference parity note: the reference has no table format (its sinks are
+WriteToText/TFRecord, e.g. ray_beam_runner/portability/execution.py
+write paths); this module is new capability that a training-data
+pipeline needs for incremental corpus maintenance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first (optimistic-concurrency loss)."""
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version:010d}.json")
+
+
+def _versions(table_dir: str) -> list[int]:
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(table_dir: str) -> int | None:
+    vs = _versions(table_dir)
+    return vs[-1] if vs else None
+
+
+def read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _publish(table_dir: str, version: int, manifest: dict) -> None:
+    """Atomically publish a manifest: full write to a temp name, then a
+    hard link into the final name. link(2) fails with EEXIST if a
+    concurrent writer took the version — the atomic create-if-absent
+    POSIX offers (object stores: conditional PUT / put-if-absent).
+    Readers therefore only ever observe complete manifest files."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    final = _manifest_path(table_dir, version)
+    try:
+        os.link(tmp, final)
+    except FileExistsError as e:
+        raise ConcurrentCommitError(
+            f"version {version} of {table_dir} was committed concurrently"
+        ) from e
+    finally:
+        os.unlink(tmp)
+
+
+def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
+    """Write df as immutable parquet files under a fresh commit dir;
+    return their table-relative paths. Executors stream rows straight to
+    the files — the driver touches only the resulting file listing."""
+    commit = os.path.join(_DATA_DIR, f"commit-{uuid.uuid4().hex}")
+    out_dir = os.path.join(table_dir, commit)
+    df.write.mode("errorifexists").parquet(out_dir)
+    return [
+        os.path.join(commit, name)
+        for name in sorted(os.listdir(out_dir))
+        if name.endswith(".parquet")
+    ]
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Create or fully replace the table contents as one atomic snapshot.
+
+    Returns the published version. Readers of the previous version are
+    unaffected — their files still exist until vacuum()."""
+    files = _write_data_files(df, table_dir)
+    prev = latest_version(table_dir)
+    version = 1 if prev is None else prev + 1
+    _publish(
+        table_dir,
+        version,
+        {"version": version, "parent": prev, "files": files, "op": "overwrite"},
+    )
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest by default; pass ``version`` to time-travel)."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    if not paths:
+        raise FileNotFoundError(f"snapshot v{version} of {table_dir} is empty")
+    return spark.read.parquet(*paths)
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """Keyed MERGE into a snapshot table: matching keys replaced, new
+    keys appended, untouched rows survive — published as one atomic
+    snapshot.
+
+    File-level pruning: one pass tags rows with ``_metadata.file_path``
+    and semi-joins against the update keys to find which files contain a
+    matching key. Only the file LIST (not rows) is collected; only those
+    files are re-read, anti-joined, and rewritten together with the
+    updates. Every other file is carried into the new manifest verbatim
+    — at scale the rewrite cost is proportional to the files actually
+    hit, exactly Delta/Iceberg MERGE behavior. Updates must carry at
+    most one row per key (last-writer-wins dedup is the caller's
+    policy).
+    """
+    base = latest_version(table_dir)
+    if base is None:
+        return write_snapshot(updates, table_dir)
+    manifest = read_manifest(table_dir, base)
+    rel_files = manifest["files"]
+    abs_of = {os.path.join(table_dir, rel): rel for rel in rel_files}
+    current = spark.read.parquet(*abs_of.keys())
+    key_set = updates.select(*keys).distinct()
+    touched_abs = {
+        r.f
+        for r in (
+            current.withColumn("f", F.col("_metadata.file_path"))
+            .join(key_set, keys, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        )
+    }
+    # file_path comes back URI-qualified (file://…); normalize to the
+    # manifest's path form by suffix match against the known file list.
+    touched_rel = {
+        rel for a, rel in abs_of.items() if any(t.endswith(a) for t in touched_abs)
+    }
+    untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
+    if touched_rel:
+        touched_df = spark.read.parquet(
+            *(os.path.join(table_dir, rel) for rel in touched_rel)
+        )
+        keep = touched_df.join(key_set, keys, "left_anti")
+        rewritten = keep.unionByName(updates)
+    else:
+        rewritten = updates
+    new_files = _write_data_files(rewritten, table_dir)
+    version = base + 1
+    _publish(
+        table_dir,
+        version,
+        {
+            "version": version,
+            "parent": base,
+            "files": [*untouched_rel, *new_files],
+            "op": "merge",
+            "rewrote": sorted(touched_rel),
+        },
+    )
+    return version
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Delete data files not referenced by the last ``keep_last``
+    manifests (and drop the older manifests). Returns deleted paths.
+    Readers of retained snapshots are unaffected; time travel beyond
+    ``keep_last`` versions is given up — the same contract as Delta's
+    VACUUM."""
+    vs = _versions(table_dir)
+    if len(vs) <= keep_last:
+        return []
+    keep_vs, drop_vs = vs[-keep_last:], vs[:-keep_last]
+    live: set[str] = set()
+    for v in keep_vs:
+        live.update(read_manifest(table_dir, v)["files"])
+    dead: set[str] = set()
+    for v in drop_vs:
+        dead.update(f for f in read_manifest(table_dir, v)["files"] if f not in live)
+    deleted = []
+    for rel in sorted(dead):
+        p = os.path.join(table_dir, rel)
+        if os.path.exists(p):
+            os.remove(p)
+            deleted.append(rel)
+    for v in drop_vs:
+        os.remove(_manifest_path(table_dir, v))
+    # prune empty commit dirs left behind
+    ddir = os.path.join(table_dir, _DATA_DIR)
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            sub = os.path.join(ddir, name)
+            if os.path.isdir(sub) and not os.listdir(sub):
+                os.rmdir(sub)
+    return deleted

@@ -1,0 +1,89 @@
+"""Snapshot-manifest table tests: atomic visibility, MERGE file pruning,
+time travel, concurrent-commit detection, vacuum."""
+
+import os
+import tempfile
+
+import pytest
+
+from ray_beam_runner_spark.sources import snapshots as snap
+
+
+def _tdir():
+    return tempfile.mkdtemp(prefix="rbrs_snap_")
+
+
+def _rows(df):
+    return sorted((r[0], r[1]) for r in df.select("k", "v").collect())
+
+
+def test_snapshot_roundtrip_and_time_travel(spark):
+    t = _tdir()
+    v1 = snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    v2 = snap.write_snapshot(spark.createDataFrame([(3, "c")], "k int, v string"), t)
+    assert (v1, v2) == (1, 2)
+    assert _rows(snap.read_snapshot(spark, t)) == [(3, "c")]
+    # time travel: v1 still fully readable after the overwrite
+    assert _rows(snap.read_snapshot(spark, t, version=1)) == [(1, "a"), (2, "b")]
+
+
+def test_upsert_replaces_appends_and_prunes_files(spark):
+    t = _tdir()
+    # two data files via two commits so file pruning has something to skip
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    v2 = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(3, "c"), (4, "d")], "k int, v string"), ["k"]
+    )
+    m2 = snap.read_manifest(t, v2)
+    assert m2["rewrote"] == []  # no key overlap -> pure append, zero files re-read
+    base_files = set(snap.read_manifest(t, 1)["files"])
+    assert base_files < set(m2["files"])  # original files carried verbatim
+    # now update key 3 only: the v1 files contain keys {1,2} and must NOT be rewritten
+    v3 = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(3, "C2"), (5, "e")], "k int, v string"), ["k"]
+    )
+    m3 = snap.read_manifest(t, v3)
+    assert base_files < set(m3["files"])
+    assert not any(f in m3["rewrote"] for f in base_files)
+    # only commit-2 files actually CONTAINING key 3 are rewritten —
+    # sibling part files of the same commit that hold other keys survive
+    assert m3["rewrote"] and set(m3["rewrote"]) <= set(m2["files"]) - base_files
+    assert _rows(snap.read_snapshot(spark, t)) == [
+        (1, "a"), (2, "b"), (3, "C2"), (4, "d"), (5, "e"),
+    ]
+    # previous snapshot untouched by the merge (reader isolation)
+    assert _rows(snap.read_snapshot(spark, t, version=v2)) == [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    ]
+
+
+def test_upsert_into_missing_table_creates_it(spark):
+    t = _tdir()
+    v = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "a")], "k int, v string"), ["k"]
+    )
+    assert v == 1
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "a")]
+
+
+def test_concurrent_commit_conflict_raises(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    # simulate a racing writer that already published v2
+    snap._publish(t, 2, {"version": 2, "parent": 1, "files": [], "op": "overwrite"})
+    with pytest.raises(snap.ConcurrentCommitError):
+        snap._publish(t, 2, {"version": 2, "parent": 1, "files": [], "op": "overwrite"})
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    snap.upsert_snapshot(spark, t, spark.createDataFrame([(1, "A")], "k int, v string"), ["k"])
+    v1_files = set(snap.read_manifest(t, 1)["files"])
+    live = set(snap.read_manifest(t, snap.latest_version(t))["files"])
+    deleted = snap.vacuum(t, keep_last=1)
+    assert set(deleted) == v1_files - live
+    assert snap.latest_version(t) == 2
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "A"), (2, "b")]
+    for rel in live:
+        assert os.path.exists(os.path.join(t, rel))
