@@ -2096,6 +2096,6 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"),
     )
     tdir = tempfile.mkdtemp(prefix="rbrs_snaptbl_")
-    snap.write_snapshot(base, tdir)
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
     snap.upsert_snapshot(spark, tdir, updates.unionByName(inserts), ["o_orderkey"])
     return snap.read_snapshot(spark, tdir)

@@ -105,33 +105,95 @@ def _publish(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
+def _rel_of(uri_path: str, rel_files: list[str], table_dir: str) -> str | None:
+    """Map an executor-reported file URI (file://…/table/data/…) back to
+    its table-relative manifest path by suffix match."""
+    for rel in rel_files:
+        if uri_path.endswith(os.path.join(table_dir, rel)):
+            return rel
+    return None
+
+
+def _write_data_files(
+    df: DataFrame, table_dir: str, stats_for: list[str] | None = None
+) -> tuple[list[str], dict[str, dict]]:
     """Write df as immutable parquet files under a fresh commit dir;
-    return their table-relative paths. Executors stream rows straight to
-    the files — the driver touches only the resulting file listing."""
+    return (table-relative paths, per-file column min/max stats).
+    Executors stream rows straight to the files — the driver touches
+    only the file listing and, when ``stats_for`` is set, one
+    (n_files × n_cols)-sized stats frame (never rows). Stats are the
+    manifest-level pruning index Iceberg keeps in its manifests: MERGE
+    uses them to skip files whose key range cannot contain an update."""
     commit = os.path.join(_DATA_DIR, f"commit-{uuid.uuid4().hex}")
     out_dir = os.path.join(table_dir, commit)
     df.write.mode("errorifexists").parquet(out_dir)
-    return [
+    rel_files = [
         os.path.join(commit, name)
         for name in sorted(os.listdir(out_dir))
         if name.endswith(".parquet")
     ]
+    stats: dict[str, dict] = {}
+    if stats_for and rel_files:
+        spark = df.sparkSession
+        aggs = []
+        for c in stats_for:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        rows = (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("_metadata.file_path").alias("_f"))
+            .agg(*aggs)
+            .collect()
+        )
+        json_native = (int, float, str, bool, type(None))
+        for r in rows:
+            rel = _rel_of(r._f, rel_files, table_dir)
+            if rel is not None:
+                stats[rel] = {
+                    c: [r[f"min_{c}"], r[f"max_{c}"]]
+                    for c in stats_for
+                    if isinstance(r[f"min_{c}"], json_native)
+                    and isinstance(r[f"max_{c}"], json_native)
+                }
+    return rel_files, stats
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    cluster_by: list[str] | None = None,
+    stats_for: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
     """Create or fully replace the table contents as one atomic snapshot.
 
-    Returns the published version. Readers of the previous version are
-    unaffected — their files still exist until vacuum()."""
-    files = _write_data_files(df, table_dir)
+    ``cluster_by``: range-partition + sort the data by these columns
+    before writing, so each file covers a narrow key range — the layout
+    that makes manifest-stats pruning effective (files then have
+    disjoint key ranges, and a MERGE touches only the files whose range
+    intersects the update keys). ``stats_for`` (defaults to
+    ``cluster_by``) records per-file min/max for those columns in the
+    manifest. Returns the published version. Readers of the previous
+    version are unaffected — their files still exist until vacuum()."""
+    if cluster_by:
+        # explicit n_files pins the file count (AQE otherwise coalesces
+        # small writes to one file, defeating range layout); default
+        # lets AQE size partitions to the data.
+        rng = (
+            df.repartitionByRange(n_files, *cluster_by)
+            if n_files
+            else df.repartitionByRange(*cluster_by)
+        )
+        df = rng.sortWithinPartitions(*cluster_by)
+        if stats_for is None:
+            stats_for = cluster_by
+    files, stats = _write_data_files(df, table_dir, stats_for)
     prev = latest_version(table_dir)
     version = 1 if prev is None else prev + 1
-    _publish(
-        table_dir,
-        version,
-        {"version": version, "parent": prev, "files": files, "op": "overwrite"},
-    )
+    manifest = {"version": version, "parent": prev, "files": files, "op": "overwrite"}
+    if stats:
+        manifest["file_stats"] = stats
+    _publish(table_dir, version, manifest)
     return version
 
 
@@ -160,40 +222,98 @@ def upsert_snapshot(
     keys appended, untouched rows survive — published as one atomic
     snapshot.
 
-    File-level pruning: one pass tags rows with ``_metadata.file_path``
-    and semi-joins against the update keys to find which files contain a
-    matching key. Only the file LIST (not rows) is collected; only those
-    files are re-read, anti-joined, and rewritten together with the
-    updates. Every other file is carried into the new manifest verbatim
-    — at scale the rewrite cost is proportional to the files actually
-    hit, exactly Delta/Iceberg MERGE behavior. Updates must carry at
-    most one row per key (last-writer-wins dedup is the caller's
-    policy).
+    Two-level file pruning, Iceberg-style:
+
+    1. MANIFEST STATS (no data read): when the table was written with
+       ``cluster_by``/``stats_for``, each file's manifest entry carries
+       the key column's [min, max]; files whose range cannot contain
+       any update key are skipped outright — a broadcast range join
+       against the distinct update keys, update keys never on the
+       driver. On a clustered table this reduces the scan from "whole
+       table" to "files overlapping the update key range".
+    2. EXACT DETECTION: the surviving candidates get one
+       ``_metadata.file_path`` semi-join to find files truly containing
+       a matching key. Only the file LIST (not rows) is collected; only
+       those files are re-read, anti-joined, and rewritten together
+       with the updates (re-clustered, stats recorded, so pruning keeps
+       working across merge generations). Every other file is carried
+       into the new manifest verbatim — rewrite cost is proportional to
+       the files actually hit, exactly Delta/Iceberg MERGE behavior.
+
+    Updates must carry at most one row per key (last-writer-wins dedup
+    is the caller's policy).
     """
     base = latest_version(table_dir)
     if base is None:
         return write_snapshot(updates, table_dir)
     manifest = read_manifest(table_dir, base)
     rel_files = manifest["files"]
-    abs_of = {os.path.join(table_dir, rel): rel for rel in rel_files}
-    current = spark.read.parquet(*abs_of.keys())
+    file_stats: dict[str, dict] = manifest.get("file_stats", {})
+
+    # Phase 1 — manifest-stats pruning (no data read at all): a file
+    # whose recorded [min, max] range of the first key column cannot
+    # contain any update key is no candidate. The range check runs in
+    # Spark (update keys never land on the driver): broadcast the small
+    # (file, lo, hi) table against the distinct update keys. Files
+    # without stats are always candidates.
     key_set = updates.select(*keys).distinct()
-    touched_abs = {
-        r.f
-        for r in (
-            current.withColumn("f", F.col("_metadata.file_path"))
-            .join(key_set, keys, "left_semi")
-            .select("f")
+    k0 = keys[0]
+    ranged = [
+        (rel, file_stats[rel][k0][0], file_stats[rel][k0][1])
+        for rel in rel_files
+        if rel in file_stats
+        and k0 in file_stats[rel]
+        and file_stats[rel][k0][0] is not None
+    ]
+    candidates = [rel for rel in rel_files if rel not in {r[0] for r in ranged}]
+    if ranged:
+        ranges_df = spark.createDataFrame(ranged, ["_path", "_lo", "_hi"])
+        hit = (
+            key_set.select(F.col(k0).alias("_k"))
+            .join(
+                F.broadcast(ranges_df),
+                (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+            )
+            .select("_path")
             .distinct()
             .collect()
         )
-    }
-    # file_path comes back URI-qualified (file://…); normalize to the
-    # manifest's path form by suffix match against the known file list.
-    touched_rel = {
-        rel for a, rel in abs_of.items() if any(t.endswith(a) for t in touched_abs)
-    }
+        candidates += [r._path for r in hit]
+    pruned_by_stats = len(rel_files) - len(candidates)
+
+    # Phase 2 — exact touched-file detection, scanning ONLY candidates:
+    # one _metadata.file_path semi-join finds the files that truly
+    # contain a matching key.
+    touched_rel: set[str] = set()
+    if candidates:
+        cand_df = spark.read.parquet(
+            *(os.path.join(table_dir, rel) for rel in candidates)
+        )
+        touched_abs = {
+            r.f
+            for r in (
+                cand_df.withColumn("f", F.col("_metadata.file_path"))
+                .join(key_set, keys, "left_semi")
+                .select("f")
+                .distinct()
+                .collect()
+            )
+        }
+        # file_path comes back URI-qualified (file://…); normalize to
+        # the manifest's path form by suffix match.
+        touched_rel = {
+            rel
+            for rel in candidates
+            if any(t.endswith(os.path.join(table_dir, rel)) for t in touched_abs)
+        }
     untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
+
+    # Phase 3 — rewrite only touched files, publish atomically. New
+    # files inherit the parent's stats columns so pruning keeps working
+    # across merge generations.
+    stats_for = None
+    if file_stats:
+        stats_for = sorted({c for s in file_stats.values() for c in s})
     if touched_rel:
         touched_df = spark.read.parquet(
             *(os.path.join(table_dir, rel) for rel in touched_rel)
@@ -202,19 +322,25 @@ def upsert_snapshot(
         rewritten = keep.unionByName(updates)
     else:
         rewritten = updates
-    new_files = _write_data_files(rewritten, table_dir)
+    if stats_for:
+        rewritten = rewritten.repartitionByRange(*stats_for).sortWithinPartitions(
+            *stats_for
+        )
+    new_files, new_stats = _write_data_files(rewritten, table_dir, stats_for)
     version = base + 1
-    _publish(
-        table_dir,
-        version,
-        {
-            "version": version,
-            "parent": base,
-            "files": [*untouched_rel, *new_files],
-            "op": "merge",
-            "rewrote": sorted(touched_rel),
-        },
-    )
+    new_manifest = {
+        "version": version,
+        "parent": base,
+        "files": [*untouched_rel, *new_files],
+        "op": "merge",
+        "rewrote": sorted(touched_rel),
+        "pruned_by_stats": pruned_by_stats,
+    }
+    carried = {rel: file_stats[rel] for rel in untouched_rel if rel in file_stats}
+    carried.update(new_stats)
+    if carried:
+        new_manifest["file_stats"] = carried
+    _publish(table_dir, version, new_manifest)
     return version
 
 

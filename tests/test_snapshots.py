@@ -5,6 +5,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from ray_beam_runner_spark.sources import snapshots as snap
 
@@ -87,3 +88,30 @@ def test_vacuum_deletes_only_unreferenced_files(spark):
     assert _rows(snap.read_snapshot(spark, t)) == [(1, "A"), (2, "b")]
     for rel in live:
         assert os.path.exists(os.path.join(t, rel))
+
+
+def test_manifest_stats_pruning_on_clustered_table(spark):
+    t = _tdir()
+    big = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    snap.write_snapshot(big, t, cluster_by=["k"], n_files=8)
+    m1 = snap.read_manifest(t, 1)
+    assert len(m1["files"]) > 1 and set(m1.get("file_stats", {})) == set(m1["files"])
+    # ranges are disjoint after repartitionByRange
+    ranges = sorted(m1["file_stats"][f]["k"] for f in m1["files"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # update keys live in ONE file's range -> stats must prune the rest
+    lo, hi = ranges[0]
+    upd = spark.createDataFrame([(lo, "LO"), (hi, "HI")], "k long, v string")
+    v2 = snap.upsert_snapshot(spark, t, upd, ["k"])
+    m2 = snap.read_manifest(t, v2)
+    assert m2["pruned_by_stats"] == len(m1["files"]) - 1
+    assert len(m2["rewrote"]) == 1
+    # stats carried + recorded for rewritten files: next merge still prunes
+    assert set(m2["file_stats"]) == set(m2["files"])
+    # merged contents correct
+    got = dict(snap.read_snapshot(spark, t).collect())
+    assert got[lo] == "LO" and got[hi] == "HI" and got[lo + 1] == f"v{lo + 1}"
+    assert len(got) == 1000
