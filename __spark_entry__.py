@@ -51,8 +51,11 @@ _GATE_FIRST = (
     "q_semi_anti", "q_topk", "q_window_analytics", "q_rollup", "q_pivot",
     "q_subquery", "q_session_window", "q_asof_join", "q_range_join",
     "q_dedup_exact", "q_unpivot",
-    # scalar/JSON surface — last driver row r3 or earlier
-    "q_scalar_string", "q_scalar_mathdate", "q_json",
+    # scalar/JSON surface — last driver row r3 or earlier.
+    # (q_scalar_string and q_scalar_mathdate stay out: unchanged since
+    # their r3 gate rows and green in ORACLE_SWEEP_r06 at sf0.01; their
+    # slots go to the two new never-gated queries below.)
+    "q_json",
     # TPC-H-family shapes — never driver-gated
     "q_shipping_priority", "q_local_supplier_volume", "q_priority_counts",
     "q_percentiles", "q_approx_distinct", "q_skewed_agg", "q_moving_agg",
@@ -71,6 +74,7 @@ _GATE_FIRST = (
     # unchanged and hash-green in CORRECTNESS_r05.json; the slot goes to
     # the new snapshot-table MERGE query instead.)
     "q_dedup_semantic", "q_streaming_outer_join", "q_snapshot_upsert",
+    "q_sequence_pack", "q_corpus_shuffle",
 )
 
 

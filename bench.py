@@ -62,6 +62,9 @@ EXTRA_SET = (
     "q_funnel",
     "q_retention_cohorts",
     "q_data_quality",
+    # round 6
+    "q_sequence_pack",
+    "q_corpus_shuffle",
 )
 
 

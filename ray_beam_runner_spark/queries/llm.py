@@ -1370,3 +1370,109 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * F.exp(-age / 604800.0)), 6).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_TOKS})::BIGINT AS n_tok FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT source, doc_id, n_tok,
+           ((cum - n_tok) // 2048)::BIGINT AS seq_id,
+           ((cum - n_tok) % 2048)::BIGINT AS seq_offset
+    FROM packed
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split sequence packing: lay the corpus out as one
+    token stream per source (docs in doc_id order) and cut it into
+    fixed 2048-token training sequences — each doc gets the sequence id
+    and offset where its tokens start. This is the standard packing
+    recipe (no padding waste; a doc may straddle a boundary and the
+    loader masks across it). The whole assignment is ONE windowed
+    cumulative sum — no Python, no shuffle beyond the window's
+    hash-partition by source.
+
+    At 100 TB the packing domain must be data-parallel: partitioning by
+    source alone can skew (one giant crawl source = one giant window
+    partition). Production shape: domain = (source, shard) where shard
+    is a deterministic hash bucket sized to ~1 GB of tokens (see
+    text.hash_bucket) — same window expression, bounded partitions,
+    identical semantics per domain. Sequence ids are then
+    (domain, seq_id) pairs; nothing about the cumsum changes."""
+    from ray_beam_runner_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return base.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor(start / 2048).cast("long").alias("seq_id"),
+        (start % 2048).cast("long").alias("seq_offset"),
+    )
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('shuffle:42:' || doc_id::VARCHAR), doc_id
+           )::BIGINT AS position
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets a
+    stable pseudo-random position (seeded md5 of its id) — rerunning the
+    pipeline, on any cluster size, yields byte-identical training order.
+
+    The oracle is a single global row_number; the implementation is the
+    data-parallel equivalent a 100 TB corpus needs — a global window
+    would serialize the whole corpus through one task. Two-pass bucketed
+    rank: (1) bucket by the first hash byte (256 buckets), rank within
+    each bucket by a PARALLEL per-bucket window; (2) the per-bucket
+    counts (256 rows, the only driver traffic) prefix-sum into bucket
+    offsets, broadcast back, position = offset + intra-bucket rank.
+    Because buckets are ordered by hash prefix, offset+rank equals the
+    global rank exactly. Same trick scales to any bucket count."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
+    tagged = docs.select("doc_id", h.alias("_h")).withColumn(
+        "_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    )
+    rn = F.row_number().over(W.partitionBy("_b").orderBy("_h", "doc_id"))
+    ranked = tagged.withColumn("_rn", rn)
+    counts = sorted(
+        (r._b, r.n)
+        for r in ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, ["_b", "_off"])
+    return (
+        ranked.join(F.broadcast(off_df), "_b")
+        .select("doc_id", (F.col("_off") + F.col("_rn")).cast("long").alias("position"))
+    )
