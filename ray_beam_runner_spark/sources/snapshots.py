@@ -217,6 +217,8 @@ def upsert_snapshot(
     table_dir: str,
     updates: DataFrame,
     keys: list[str],
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Keyed MERGE into a snapshot table: matching keys replaced, new
     keys appended, untouched rows survive — published as one atomic
@@ -242,11 +244,35 @@ def upsert_snapshot(
 
     Updates must carry at most one row per key (last-writer-wins dedup
     is the caller's policy).
+
+    Idempotent writers (``txn_app``/``txn_version``, Delta's
+    transaction-identifier design): the manifest remembers the highest
+    version applied per application id; a replayed ``(app, version)``
+    is a NO-OP returning the current snapshot version. This is what
+    makes the streaming foreachBatch sink (:func:`stream_upsert`)
+    exactly-once — a micro-batch retried after a crash re-arrives with
+    the same epoch id and is skipped.
     """
     base = latest_version(table_dir)
     if base is None:
+        if txn_app is not None:
+            files, stats = _write_data_files(updates, table_dir)
+            manifest = {
+                "version": 1,
+                "parent": None,
+                "files": files,
+                "op": "merge",
+                "txns": {txn_app: txn_version},
+            }
+            _publish(table_dir, 1, manifest)
+            return 1
         return write_snapshot(updates, table_dir)
     manifest = read_manifest(table_dir, base)
+    txns: dict = dict(manifest.get("txns", {}))
+    if txn_app is not None and txns.get(txn_app, -1) >= (txn_version or 0):
+        return base  # replayed transaction: already applied, no-op
+    if txn_app is not None:
+        txns[txn_app] = txn_version
     rel_files = manifest["files"]
     file_stats: dict[str, dict] = manifest.get("file_stats", {})
 
@@ -336,12 +362,53 @@ def upsert_snapshot(
         "rewrote": sorted(touched_rel),
         "pruned_by_stats": pruned_by_stats,
     }
+    if txns:
+        new_manifest["txns"] = txns
     carried = {rel: file_stats[rel] for rel in untouched_rel if rel in file_stats}
     carried.update(new_stats)
     if carried:
         new_manifest["file_stats"] = carried
     _publish(table_dir, version, new_manifest)
     return version
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    app_id: str | None = None,
+):
+    """Continuously MERGE a stream into a snapshot table (CDC-style
+    upsert sink, the Delta streaming-MERGE pattern): each micro-batch
+    runs :func:`upsert_snapshot` inside foreachBatch with
+    ``(app_id, batch_id)`` as its transaction identifier, so a batch
+    replayed after a failure (Structured Streaming's at-least-once
+    foreachBatch contract) is detected in the manifest and skipped —
+    end-to-end exactly-once table state. Batches must carry at most one
+    row per key (dedupe upstream with dropDuplicates / aggregation).
+
+    Runs with availableNow so callers drain the backlog and terminate
+    (`q.awaitTermination()`); the checkpoint makes restarts resume from
+    the committed offset."""
+    app = app_id or f"stream-upsert:{os.path.basename(os.path.abspath(table_dir))}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_snapshot(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            keys,
+            txn_app=app,
+            txn_version=batch_id,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:

@@ -115,3 +115,58 @@ def test_manifest_stats_pruning_on_clustered_table(spark):
     got = dict(snap.read_snapshot(spark, t).collect())
     assert got[lo] == "LO" and got[hi] == "HI" and got[lo + 1] == f"v{lo + 1}"
     assert len(got) == 1000
+
+
+def test_txn_idempotency_replayed_batch_is_noop(spark):
+    t = _tdir()
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    v1 = snap.upsert_snapshot(spark, t, b0, ["k"], txn_app="app", txn_version=0)
+    # replay of batch 0 (crash-retry): no new version, no content change
+    v_replay = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "WRONG")], "k int, v string"),
+        ["k"], txn_app="app", txn_version=0,
+    )
+    assert (v1, v_replay) == (1, 1)
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "a"), (2, "b")]
+    # next batch applies; txn watermark advances and carries forward
+    v2 = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "A")], "k int, v string"),
+        ["k"], txn_app="app", txn_version=1,
+    )
+    assert v2 == 2
+    assert snap.read_manifest(t, v2)["txns"] == {"app": 1}
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "A"), (2, "b")]
+    # a different app id is independent
+    v3 = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(3, "c")], "k int, v string"),
+        ["k"], txn_app="other", txn_version=0,
+    )
+    assert snap.read_manifest(t, v3)["txns"] == {"app": 1, "other": 0}
+
+
+def test_stream_upsert_merges_and_survives_restart(spark, tmp_path):
+    from ray_beam_runner_spark.streaming import FileDropStream
+
+    t = _tdir()
+    cdc = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (1, "a2", 30), (3, "c", 40)],
+        "k int, v string, ts long",
+    )
+    drop = FileDropStream(spark, str(tmp_path / "cdc")).write_slices(cdc, "ts", 4)
+    ckpt = str(tmp_path / "ckpt")
+    q = snap.stream_upsert(drop.read_stream(), t, ["k"], ckpt)
+    q.awaitTermination()
+    got = {r[0]: r[1] for r in snap.read_snapshot(spark, t).select("k", "v").collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
+    n_versions = snap.latest_version(t)
+    # restart over the SAME checkpoint with no new data: no-op
+    q2 = snap.stream_upsert(drop.read_stream(), t, ["k"], ckpt)
+    q2.awaitTermination()
+    assert snap.latest_version(t) == n_versions
+    # late-arriving CDC records resume from the committed offset
+    more = spark.createDataFrame([(2, "b2", 50)], "k int, v string, ts long")
+    drop.append_slices(more, "ts", 1)
+    q3 = snap.stream_upsert(drop.read_stream(), t, ["k"], ckpt)
+    q3.awaitTermination()
+    got = {r[0]: r[1] for r in snap.read_snapshot(spark, t).select("k", "v").collect()}
+    assert got == {1: "a2", 2: "b2", 3: "c"}
