@@ -447,3 +447,23 @@ def test_tpch_partsupp_batch_plans(spark, sf_dir):
     # Q20: nested INs flattened to one composite-key shuffle join
     q20 = formatted_plan(QUERIES["q_excess_stock_supplier"](spark, sf_dir))
     assert "CartesianProduct" not in q20, q20[:3000]
+
+
+def test_sequence_pack_single_window_exchange(spark, sf_dir):
+    """Packing is one hash-partition-by-source window pass: exactly one
+    shuffle, no global (single-partition) sort, no Python."""
+    df = QUERIES["q_sequence_pack"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "Python" not in plan, plan[:3000]
+
+
+def test_corpus_shuffle_no_global_window(spark, sf_dir):
+    """The deterministic shuffle must NOT serialize through one task:
+    the rank window partitions by bucket (no SinglePartition exchange)
+    and the offset join is broadcast."""
+    df = QUERIES["q_corpus_shuffle"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert_broadcast_join(df)

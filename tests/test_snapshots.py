@@ -170,3 +170,24 @@ def test_stream_upsert_merges_and_survives_restart(spark, tmp_path):
     q3.awaitTermination()
     got = {r[0]: r[1] for r in snap.read_snapshot(spark, t).select("k", "v").collect()}
     assert got == {1: "a2", 2: "b2", 3: "c"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batch = st.dictionaries(st.integers(0, 9), st.integers(-100, 100), min_size=1, max_size=5)
+
+
+@given(st.lists(_batch, min_size=1, max_size=4))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_sequence_equals_dict_semantics(spark, batches):
+    """Any sequence of keyed upsert batches leaves the table exactly equal
+    to sequentially dict.update()-ing the same batches (MERGE algebra)."""
+    t = _tdir()
+    model = {}
+    for batch in batches:
+        df = spark.createDataFrame(sorted(batch.items()), "k int, v int")
+        snap.upsert_snapshot(spark, t, df, ["k"])
+        model.update(batch)
+    got = {r[0]: r[1] for r in snap.read_snapshot(spark, t).collect()}
+    assert got == model
