@@ -372,6 +372,48 @@ def upsert_snapshot(
     return version
 
 
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    n_files: int,
+) -> int:
+    """Small-file compaction (the OPTIMIZE half of a table format):
+    rewrite the current snapshot's data into ``n_files`` files and
+    publish as a new version — content-identical, fewer/larger files.
+    Streaming CDC upserts generate a few files per micro-batch; without
+    periodic compaction a long-lived table degenerates into thousands
+    of tiny files whose per-file open/footer cost dominates scans. If
+    the table tracks cluster/stats columns the rewrite re-range-
+    partitions by them, restoring the disjoint key ranges that make
+    MERGE's manifest-stats pruning effective. Readers of prior versions
+    are unaffected (old files stay until vacuum)."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    file_stats = manifest.get("file_stats", {})
+    stats_for = sorted({c for s in file_stats.values() for c in s}) or None
+    df = read_snapshot(spark, table_dir, base)
+    if stats_for:
+        df = df.repartitionByRange(n_files, *stats_for).sortWithinPartitions(*stats_for)
+    else:
+        df = df.repartition(n_files)
+    files, stats = _write_data_files(df, table_dir, stats_for)
+    version = base + 1
+    new_manifest = {
+        "version": version,
+        "parent": base,
+        "files": files,
+        "op": "compact",
+    }
+    if manifest.get("txns"):
+        new_manifest["txns"] = manifest["txns"]
+    if stats:
+        new_manifest["file_stats"] = stats
+    _publish(table_dir, version, new_manifest)
+    return version
+
+
 def stream_upsert(
     stream_df: DataFrame,
     table_dir: str,

@@ -191,3 +191,35 @@ def test_merge_sequence_equals_dict_semantics(spark, batches):
         model.update(batch)
     got = {r[0]: r[1] for r in snap.read_snapshot(spark, t).collect()}
     assert got == model
+
+
+def test_compact_preserves_content_and_restores_clustering(spark):
+    t = _tdir()
+    big = spark.range(0, 400).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    snap.write_snapshot(big, t, cluster_by=["k"], n_files=4)
+    # a burst of tiny CDC upserts fragments the table
+    for i in range(5):
+        snap.upsert_snapshot(
+            spark, t,
+            spark.createDataFrame([(1000 + i, -i)], "k long, v long"),
+            ["k"], txn_app="cdc", txn_version=i,
+        )
+    before = snap.read_manifest(t, snap.latest_version(t))
+    v = snap.compact(spark, t, n_files=4)
+    m = snap.read_manifest(t, v)
+    assert m["op"] == "compact" and len(m["files"]) == 4 < len(before["files"])
+    # content identical, clustering + stats restored, txn watermarks kept
+    assert set(m["file_stats"]) == set(m["files"])
+    ranges = sorted(m["file_stats"][f]["k"] for f in m["files"])
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert m["txns"] == {"cdc": 4}
+    exp = {i: 2 * i for i in range(400)} | {1000 + i: -i for i in range(5)}
+    got = {r[0]: r[1] for r in snap.read_snapshot(spark, t).collect()}
+    assert got == exp
+    # replaying an old CDC batch after compaction is still a no-op
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1000, 999)], "k long, v long"),
+        ["k"], txn_app="cdc", txn_version=2,
+    )
+    assert snap.latest_version(t) == v
