@@ -1,0 +1,95 @@
+"""Snapshot-table MERGE scaling: show that a narrow keyed upsert's cost
+is governed by the files it touches, not the table size.
+
+Three clustered tables at x1/x4/x16 rows get the same narrow-range
+100-key update + 50 inserts; manifest-stats pruning should hold the
+scanned-file count ~constant while the table (and its file count)
+grows 16x. A non-clustered control at the largest leg shows the
+alternative: no stats, every file scanned. Prints one JSON line;
+committed as BENCH_SNAPSHOTS.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark import get_spark
+from ray_beam_runner_spark.sources import snapshots as snap
+
+BASE_ROWS = 200_000
+ROWS_PER_FILE = 100_000
+
+
+def build(spark, rows: int, clustered: bool) -> str:
+    tdir = tempfile.mkdtemp(prefix="rbrs_snapbench_")
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    if clustered:
+        snap.write_snapshot(
+            df, tdir, cluster_by=["k"], n_files=max(2, rows // ROWS_PER_FILE)
+        )
+    else:
+        snap.write_snapshot(
+            df.repartition(max(2, rows // ROWS_PER_FILE)), tdir
+        )
+    return tdir
+
+
+def narrow_update(spark, rows: int):
+    # 100 updates confined to the lowest key range + 50 inserts past max
+    upd = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("UPDATED").alias("payload")
+    )
+    ins = spark.range(rows, rows + 50).select(
+        F.col("id").alias("k"), F.lit("NEW").alias("payload")
+    )
+    return upd.unionByName(ins)
+
+
+def leg(spark, mult: int, clustered: bool) -> dict:
+    rows = BASE_ROWS * mult
+    tdir = build(spark, rows, clustered)
+    try:
+        updates = narrow_update(spark, rows)
+        updates.collect()  # materialize input cost outside the timed merge
+        t0 = time.perf_counter()
+        v = snap.upsert_snapshot(spark, tdir, updates, ["k"])
+        dt = time.perf_counter() - t0
+        m = snap.read_manifest(tdir, v)
+        parent = snap.read_manifest(tdir, v - 1)
+        total = len(parent["files"])
+        pruned = m.get("pruned_by_stats", 0)
+        return {
+            "rows": rows,
+            "files_total": total,
+            "pruned_by_stats": pruned,
+            "files_scanned": total - pruned,
+            "files_rewritten": len(m["rewrote"]),
+            "merge_sec": round(dt, 3),
+        }
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("bench_snapshots")
+    out = {"clustered": {}, "control_unclustered": {}}
+    for mult in (1, 4, 16):
+        out["clustered"][f"x{mult}"] = leg(spark, mult, clustered=True)
+    out["control_unclustered"]["x16"] = leg(spark, 16, clustered=False)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
