@@ -198,18 +198,53 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    key_range: tuple[str, object, object] | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; pass ``version`` to time-travel)."""
+    """Read a snapshot (latest by default; pass ``version`` to
+    time-travel).
+
+    ``key_range=(col, lo, hi)`` is reader-side scan planning over the
+    manifest stats (Iceberg-style): files whose recorded [min, max] for
+    ``col`` cannot intersect [lo, hi] are excluded from the scan before
+    Spark ever opens them, and the matching row filter is applied on
+    top (file pruning is coarse; the filter also reaches the parquet
+    scan as a pushed predicate for row-group skipping). On a clustered
+    table a narrow range reads one file of N regardless of table size.
+    Files without stats for ``col`` are always scanned — correctness
+    never depends on stats presence."""
     if version is None:
         version = latest_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no snapshots in {table_dir}")
     manifest = read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    rel_files = manifest["files"]
+    if key_range is not None:
+        col, lo, hi = key_range
+        file_stats = manifest.get("file_stats", {})
+
+        def _keep(rel: str) -> bool:
+            s = file_stats.get(rel, {}).get(col)
+            if not s or s[0] is None or s[1] is None:
+                return True
+            return not (s[1] < lo or s[0] > hi)
+
+        rel_files = [rel for rel in rel_files if _keep(rel)]
+    paths = [os.path.join(table_dir, rel) for rel in rel_files]
     if not paths:
+        if key_range is not None:
+            # every file pruned: empty result with the table's schema
+            all_paths = [os.path.join(table_dir, r) for r in manifest["files"]]
+            df = spark.read.parquet(*all_paths).limit(0)
+            return df
         raise FileNotFoundError(f"snapshot v{version} of {table_dir} is empty")
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if key_range is not None:
+        col, lo, hi = key_range
+        df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return df
 
 
 def upsert_snapshot(

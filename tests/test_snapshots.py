@@ -223,3 +223,19 @@ def test_compact_preserves_content_and_restores_clustering(spark):
         ["k"], txn_app="cdc", txn_version=2,
     )
     assert snap.latest_version(t) == v
+
+
+def test_read_key_range_prunes_files_and_pushes_filter(spark):
+    from ray_beam_runner_spark.plans.explain import assert_pushed_filters
+
+    t = _tdir()
+    big = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    snap.write_snapshot(big, t, cluster_by=["k"], n_files=8)
+    full = snap.read_snapshot(spark, t)
+    narrow = snap.read_snapshot(spark, t, key_range=("k", 10, 20))
+    assert len(narrow.inputFiles()) == 1 < len(full.inputFiles())
+    assert_pushed_filters(narrow, "k")  # row-group skipping on top of file pruning
+    assert sorted(r[0] for r in narrow.collect()) == list(range(10, 21))
+    # range outside all stats: empty result, schema intact, no error
+    none = snap.read_snapshot(spark, t, key_range=("k", 5000, 6000))
+    assert none.count() == 0 and none.schema == full.schema
