@@ -254,6 +254,35 @@ def upsert_snapshot(
     keys: list[str],
     txn_app: str | None = None,
     txn_version: int | None = None,
+    retries: int = 2,
+) -> int:
+    """Keyed MERGE with optimistic-concurrency retry: on losing the
+    manifest-publish race to a concurrent writer, re-read the NEW
+    latest snapshot and re-run the merge against it (Delta's commit
+    loop). Each attempt is built entirely against the then-current
+    manifest, so a successful retry preserves the racer's rows; the
+    transaction-id check re-runs per attempt, keeping idempotent
+    writers idempotent even when the racer was the same application.
+    Raises ConcurrentCommitError after ``retries`` lost races. See
+    :func:`_upsert_once` for the merge algorithm itself."""
+    for attempt in range(retries + 1):
+        try:
+            return _upsert_once(
+                spark, table_dir, updates, keys, txn_app, txn_version
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _upsert_once(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Keyed MERGE into a snapshot table: matching keys replaced, new
     keys appended, untouched rows survive — published as one atomic

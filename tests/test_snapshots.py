@@ -239,3 +239,39 @@ def test_read_key_range_prunes_files_and_pushes_filter(spark):
     # range outside all stats: empty result, schema intact, no error
     none = snap.read_snapshot(spark, t, key_range=("k", 5000, 6000))
     assert none.count() == 0 and none.schema == full.schema
+
+
+def test_upsert_retries_after_losing_commit_race(spark, monkeypatch):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    racer_files, _ = snap._write_data_files(
+        spark.createDataFrame([(9, "racer")], "k int, v string"), t
+    )
+    orig = snap._publish
+    state = {"raced": False}
+
+    def flaky(table_dir, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            base = snap.read_manifest(table_dir, version - 1)
+            orig(table_dir, version, {
+                "version": version, "parent": version - 1,
+                "files": [*base["files"], *racer_files], "op": "merge",
+            })
+            return orig(table_dir, version, manifest)  # loses -> raises
+        return orig(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", flaky)
+    v = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "A")], "k int, v string"), ["k"]
+    )
+    # retry rebased on the racer's snapshot: both effects present
+    assert v == 3
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "A"), (2, "b"), (9, "racer")]
+    # with retries disabled the lost race surfaces
+    state["raced"] = False
+    with pytest.raises(snap.ConcurrentCommitError):
+        snap.upsert_snapshot(
+            spark, t, spark.createDataFrame([(2, "B")], "k int, v string"),
+            ["k"], retries=0,
+        )
