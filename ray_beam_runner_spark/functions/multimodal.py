@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are STUBS:
-``decode_image_stub`` raises NotImplementedError unless
-``fake_features=True``, in which case it computes deterministic
-content-derived pseudo-features (byte length, first byte, md5 prefix) so
-the Spark-side plumbing — schema, batching, partitioning, UDF signature —
-is fully real and oracle-testable. Swapping in PIL/librosa later only
-changes the per-batch kernel body.
+Codec status by modality: AUDIO decodes for real everywhere (stdlib
+``wave`` + numpy, :func:`decode_audio` — no external dependency). IMAGE
+runs the real PIL kernel wherever pillow is importable (optional-import
+seam, :func:`decode_image` / ``resize_stub(fake=False)``) and otherwise
+raises a documented NotImplementedError; ``decode_image_stub`` with
+``fake_features=True`` computes deterministic content-derived
+pseudo-features (byte length, first byte, md5 prefix) so the Spark-side
+plumbing — schema, batching, partitioning, UDF signature — stays fully
+real and oracle-testable in codec-less environments. VIDEO frame
+sampling is byte-slicing unless codec libraries exist. Swapping in a
+real library only ever changes the per-batch kernel body.
 """
 
 from __future__ import annotations
@@ -29,6 +33,9 @@ __all__ = [
     "resize_stub",
     "resize_media",
     "sample_frames",
+    "AUDIO_FEATURES_SCHEMA",
+    "decode_audio",
+    "extract_audio_features",
 ]
 
 
@@ -249,3 +256,67 @@ def sample_frames(media: DataFrame, frame_bytes: int, stride: int, fake: bool = 
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL decode via the stdlib wave module (no external codec needed)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real WAV decode: header fields + PCM frames via the stdlib
+    ``wave`` module, RMS amplitude via numpy over the raw samples. The
+    audio modality therefore runs a genuine codec everywhere (unlike
+    image/video, whose codecs are env-gated behind the PIL seam) —
+    reference parity: the reference's examples decode real arrays in
+    Python DoFns (tft_iris_example/preprocessing.py:56-67); here the
+    decode is the same per-element Python, but Arrow-batched."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        n = w.getnframes()
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(n)
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sw]
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0
+    return {
+        "sample_rate": sr,
+        "channels": ch,
+        "n_frames": n,
+        "duration_ms": int(n * 1000 // sr) if sr else 0,
+        "rms": rms,
+    }
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode a WAV-payload media frame into per-clip features
+    (sample_rate, channels, n_frames, duration_ms, RMS) — Arrow-batched
+    mapInPandas, one decode per element inside the batch loop; at scale
+    the cost is embarrassingly parallel over partitions and the payload
+    bytes never leave the executors."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_audio(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)

@@ -124,3 +124,40 @@ def test_cogroup_apply(spark, sf_dir):
     got = {r.o_custkey: r.n_orders for r in out.collect() if r.n_orders > 0}
     expected = {r.o_custkey: r.cnt for r in orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert got == expected
+
+
+def test_extract_audio_features_real_wav_decode(spark):
+    """The audio kernel is REAL everywhere: stdlib wave decode + numpy
+    RMS over generated PCM — no env-gated codec."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_audio_features,
+    )
+
+    def sine_wav(freq, sr=8000, seconds=0.25, amp=0.5):
+        t = np.arange(int(sr * seconds)) / sr
+        samples = (amp * np.iinfo(np.int16).max * np.sin(2 * np.pi * freq * t))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, sine_wav(440)), (2, sine_wav(880, seconds=0.5, amp=0.25))],
+        "id long, payload binary",
+    )
+    media = attach_media(df, "id", "payload", modality="audio")
+    rows = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert rows[1].sample_rate == 8000 and rows[1].channels == 1
+    assert rows[1].duration_ms == 250 and rows[2].duration_ms == 500
+    full = 0.5 * np.iinfo(np.int16).max / np.sqrt(2)
+    assert abs(rows[1].rms - full) / full < 0.01
+    assert abs(rows[2].rms - full / 2) / (full / 2) < 0.01
