@@ -52,10 +52,9 @@ _GATE_FIRST = (
     "q_subquery", "q_session_window", "q_asof_join", "q_range_join",
     "q_dedup_exact", "q_unpivot",
     # scalar/JSON surface — last driver row r3 or earlier.
-    # (q_scalar_string and q_scalar_mathdate stay out: unchanged since
-    # their r3 gate rows and green in ORACLE_SWEEP_r06 at sf0.01; their
-    # slots go to the two new never-gated queries below.)
-    "q_json",
+    # (q_scalar_string, q_scalar_mathdate and q_json stay out: unchanged
+    # since their r3 gate rows and green in ORACLE_SWEEP_r06 at sf0.01;
+    # their slots go to the never-gated new queries below.)
     # TPC-H-family shapes — never driver-gated
     "q_shipping_priority", "q_local_supplier_volume", "q_priority_counts",
     "q_percentiles", "q_approx_distinct", "q_skewed_agg", "q_moving_agg",
@@ -74,7 +73,7 @@ _GATE_FIRST = (
     # unchanged and hash-green in CORRECTNESS_r05.json; the slot goes to
     # the new snapshot-table MERGE query instead.)
     "q_dedup_semantic", "q_streaming_outer_join", "q_snapshot_upsert",
-    "q_sequence_pack", "q_corpus_shuffle",
+    "q_sequence_pack", "q_corpus_shuffle", "q_multimodal_audio",
 )
 
 

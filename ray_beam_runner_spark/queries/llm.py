@@ -562,6 +562,76 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_audio",
+    oracle="""
+    SELECT user_id,
+           8000::BIGINT AS sample_rate,
+           1::BIGINT AS channels,
+           (800 + (user_id % 10) * 80)::BIGINT AS n_frames,
+           ((800 + (user_id % 10) * 80) // 8)::BIGINT AS duration_ms
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end, driver-checkable: synthesize one
+    PCM sine WAV per user (n_frames = 800 + (uid % 10) * 80 at 8 kHz,
+    encoded with the stdlib wave module in an Arrow-batched kernel),
+    wrap it in the media envelope, then decode with
+    functions.multimodal.decode_audio — a genuine header+frame parse,
+    not a stub — and return the integer-exact features. The oracle
+    states the closed form of what was encoded; a decode that misreads
+    headers, frame counts, or sample width breaks the hash. RMS is
+    checked to analytic precision in pytest instead (floating sums
+    aren't cross-engine stable). Both synth and decode run distributed;
+    payload bytes never leave the executors."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_audio_features,
+    )
+
+    events = t(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for uid in pdf["user_id"]:
+                n = 800 + (int(uid) % 10) * 80
+                ts = np.arange(n) / 8000.0
+                samples = (
+                    0.5 * np.iinfo(np.int16).max
+                    * np.sin(2 * np.pi * (200 + int(uid) % 50) * ts)
+                ).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"user_id": pdf["user_id"], "payload": payloads})
+
+    wavs = users.mapInPandas(synth, schema="user_id long, payload binary")
+    media = attach_media(wavs, "user_id", "payload", modality="audio")
+    feats = extract_audio_features(media)
+    return feats.select(
+        F.col("media_id").alias("user_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("n_frames").alias("n_frames"),
+        F.col("duration_ms").alias("duration_ms"),
+    )
+
+
+@query(
     "q_wordcount",
     oracle=f"""
     SELECT t AS word, count(*) AS n FROM (
