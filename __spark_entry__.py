@@ -65,15 +65,17 @@ _GATE_FIRST = (
     "q_large_volume_customer", "q_disjunctive_revenue", "q_waiting_supplier",
     "q_min_cost_supplier", "q_important_stock", "q_supplier_relationship",
     "q_excess_stock_supplier",
-    # multimodal envelope — never driver-gated (codec kernels are
-    # documented stubs; the envelope/batching plumbing is what's checked)
-    "q_multimodal",
+    # (q_multimodal's envelope/batching plumbing is gate-checked through
+    # q_multimodal_audio below, which runs the same attach_media +
+    # mapInPandas path with a REAL codec kernel; q_multimodal itself is
+    # sweep-green at sf0.01.)
     # code changed/added this round — fresh driver row wanted.
     # (q_streaming_stateful stays OUT of the window: its aIPWS query is
     # unchanged and hash-green in CORRECTNESS_r05.json; the slot goes to
     # the new snapshot-table MERGE query instead.)
     "q_dedup_semantic", "q_streaming_outer_join", "q_snapshot_upsert",
     "q_sequence_pack", "q_corpus_shuffle", "q_multimodal_audio",
+    "q_streaming_full_outer",
 )
 
 

@@ -340,3 +340,98 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.select("user_id", "s_start", "n_events", "sum_value")
+
+
+@query(
+    "q_streaming_full_outer",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         wm AS (SELECT date_trunc('millisecond', least(max(p.ts), max(c.ts)))
+                       - INTERVAL 3 DAY AS w
+                FROM p, c),
+         m AS (SELECT p.user_id FROM p JOIN c ON c.user_id = p.user_id
+               AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts),
+         -- unmatched purchase: state closes when wm passes its ts
+         e AS (SELECT p.user_id FROM p
+               WHERE p.ts < (SELECT w FROM wm)
+                 AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                                 AND c.ts >= p.ts - INTERVAL 2 HOUR
+                                 AND c.ts <= p.ts)),
+         -- unmatched click: its future-match window is [ts, ts + 2h];
+         -- state closes when wm passes ts + 2h (strictly)
+         x AS (SELECT c.user_id FROM c
+               WHERE c.ts < (SELECT w FROM wm) - INTERVAL 2 HOUR
+                 AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                                 AND p.ts >= c.ts
+                                 AND p.ts <= c.ts + INTERVAL 2 HOUR)),
+         u AS (SELECT user_id FROM m UNION SELECT user_id FROM e
+               UNION SELECT user_id FROM x)
+    SELECT u.user_id,
+           (SELECT count(*) FROM m WHERE m.user_id = u.user_id)::BIGINT AS n_pairs,
+           (SELECT count(*) FROM e WHERE e.user_id = u.user_id)::BIGINT
+               AS n_expired_left,
+           (SELECT count(*) FROM x WHERE x.user_id = u.user_id)::BIGINT
+               AS n_expired_right
+    FROM u ORDER BY user_id
+    """,
+)
+def q_streaming_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: both sides null-emit on
+    state eviction, at DIFFERENT watermark boundaries — the asymmetry is
+    the point of the oracle. An unmatched purchase closes when the
+    global watermark passes its own timestamp (it can only match PAST
+    clicks), but an unmatched click must outlive its entire
+    future-match window [c_ts, c_ts + lookback]: measured (pinned in
+    tests/test_streaming.py::test_full_outer_join_null_emission), its
+    null row appears iff c_ts < wm - lookback strictly, where wm =
+    floor-to-ms(min(max p_ts, max c_ts)) - delay. Matched pairs emit
+    when formed; rows still inside their windows stay silent (the Beam
+    retraction divergence, as in q_streaming_outer_join). Ts-ordered
+    slice replay keeps matches from being lost to eviction on either
+    side."""
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_uid"), F.col("ts").alias("c_ts")
+    )
+    base = tempfile.mkdtemp(prefix="rbrs_sfjoin_")
+    sp = FileDropStream(spark, os.path.join(base, "p")).write_slices(
+        purchases, "p_ts", n_slices=3
+    ).read_stream()
+    sc = FileDropStream(spark, os.path.join(base, "c")).write_slices(
+        clicks, "c_ts", n_slices=3
+    ).read_stream()
+    l = sp.withWatermark("p_ts", "3 days")
+    r = sc.withWatermark("c_ts", "3 days")
+    cond = (
+        (l["uid"] == r["r_uid"])
+        & (r["c_ts"] >= l["p_ts"] - F.expr("INTERVAL 2 HOURS"))
+        & (r["c_ts"] <= l["p_ts"])
+    )
+    joined = l.join(r, cond, "full_outer")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = run_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        out.groupBy(F.coalesce(F.col("uid"), F.col("r_uid")).alias("user_id"))
+        .agg(
+            F.count(
+                F.when(F.col("p_ts").isNotNull() & F.col("c_ts").isNotNull(), 1)
+            ).alias("n_pairs"),
+            F.count(
+                F.when(F.col("p_ts").isNotNull() & F.col("c_ts").isNull(), 1)
+            ).alias("n_expired_left"),
+            F.count(
+                F.when(F.col("p_ts").isNull() & F.col("c_ts").isNotNull(), 1)
+            ).alias("n_expired_right"),
+        )
+        .orderBy("user_id")
+    )

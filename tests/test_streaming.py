@@ -339,3 +339,55 @@ def test_checkpoint_resume_exactly_once(spark, events, tmp_path):
     # re-draining with NO new data appends nothing (idempotent restart)
     drain()
     assert spark.read.parquet(out).count() == 400
+
+
+def test_full_outer_join_null_emission(spark, tmp_path):
+    # Pins the FULL OUTER emission asymmetry q_streaming_full_outer's
+    # oracle encodes (wm = min(max p_ts, max c_ts) - 2h = 10:00):
+    #   left (purchase) nulls: p_ts < wm strictly — same rule as the
+    #   left-outer join;
+    #   right (click) nulls: the click's future-match window is
+    #   [c_ts, c_ts + 2h], so its state closes iff c_ts + 2h < wm
+    #   strictly (c_ts < 8:00 here); at the boundary it stays silent.
+    import datetime as dt
+
+    D = dt.datetime
+    purch = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 1, 0)),      # matched by click 0:30
+            (3, D(2024, 1, 1, 9, 59, 59)), # unmatched < wm -> null right
+            (4, D(2024, 1, 1, 10, 0)),     # unmatched == wm -> silent
+            (6, D(2024, 1, 1, 12, 0)),     # filler: max p_ts
+        ],
+        "uid int, p_ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 0, 30)),     # matched
+            (21, D(2024, 1, 1, 7, 59, 59)),# unmatched, c+2h < wm -> null left
+            (22, D(2024, 1, 1, 8, 0)),     # unmatched, c+2h == wm -> silent
+            (23, D(2024, 1, 1, 9, 0)),     # unmatched, c+2h > wm -> silent
+            (24, D(2024, 1, 1, 12, 0)),    # filler: max c_ts
+        ],
+        "uid int, c_ts timestamp",
+    )
+    fd_p = FileDropStream(spark, str(tmp_path / "pf")).write_slices(purch, "p_ts", 2)
+    fd_c = FileDropStream(spark, str(tmp_path / "cf")).write_slices(clicks, "c_ts", 2)
+    l = fd_p.read_stream().withWatermark("p_ts", "2 hours")
+    r = (
+        fd_c.read_stream()
+        .withColumnRenamed("uid", "r_uid")
+        .withWatermark("c_ts", "2 hours")
+    )
+    cond = (
+        (l["uid"] == F.col("r_uid"))
+        & (F.col("c_ts") >= l["p_ts"] - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") <= l["p_ts"])
+    )
+    rows = run_to_memory(l.join(r, cond, "full_outer"), "append").collect()
+    pairs = {(x.uid, x.r_uid) for x in rows if x.uid is not None and x.r_uid is not None}
+    left_nulls = {x.uid for x in rows if x.r_uid is None}
+    right_nulls = {x.r_uid for x in rows if x.uid is None}
+    assert pairs == {(1, 1)}, rows
+    assert left_nulls == {3}, rows
+    assert right_nulls == {21}, rows
