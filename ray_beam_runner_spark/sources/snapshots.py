@@ -116,14 +116,18 @@ def _rel_of(uri_path: str, rel_files: list[str], table_dir: str) -> str | None:
 
 def _write_data_files(
     df: DataFrame, table_dir: str, stats_for: list[str] | None = None
-) -> tuple[list[str], dict[str, dict]]:
+) -> tuple[list[str], dict[str, dict], dict[str, int]]:
     """Write df as immutable parquet files under a fresh commit dir;
-    return (table-relative paths, per-file column min/max stats).
-    Executors stream rows straight to the files — the driver touches
-    only the file listing and, when ``stats_for`` is set, one
-    (n_files × n_cols)-sized stats frame (never rows). Stats are the
-    manifest-level pruning index Iceberg keeps in its manifests: MERGE
-    uses them to skip files whose key range cannot contain an update."""
+    return (table-relative paths, per-file stats). Executors stream
+    rows straight to the files — the driver touches only the file
+    listing and, when ``stats_for`` is set, one (n_files × n_cols)-sized
+    stats frame (never rows). Stats are the manifest-level pruning
+    index Iceberg keeps in its manifests: MERGE uses them to skip files
+    whose key range cannot contain an update. Every file additionally
+    gets its ROW COUNT from the parquet footer (metadata read, no row
+    data) into the manifest's ``file_rows`` — snapshot_rows() then
+    answers COUNT(*) from the manifest alone, and accounting stays
+    per-commit-bounded (only the new files' footers are read)."""
     commit = os.path.join(_DATA_DIR, f"commit-{uuid.uuid4().hex}")
     out_dir = os.path.join(table_dir, commit)
     df.write.mode("errorifexists").parquet(out_dir)
@@ -155,7 +159,13 @@ def _write_data_files(
                     if isinstance(r[f"min_{c}"], json_native)
                     and isinstance(r[f"max_{c}"], json_native)
                 }
-    return rel_files, stats
+    import pyarrow.parquet as pq
+
+    rows_map = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
+        for rel in rel_files
+    }
+    return rel_files, stats, rows_map
 
 
 def write_snapshot(
@@ -187,12 +197,13 @@ def write_snapshot(
         df = rng.sortWithinPartitions(*cluster_by)
         if stats_for is None:
             stats_for = cluster_by
-    files, stats = _write_data_files(df, table_dir, stats_for)
+    files, stats, rows_map = _write_data_files(df, table_dir, stats_for)
     prev = latest_version(table_dir)
     version = 1 if prev is None else prev + 1
     manifest = {"version": version, "parent": prev, "files": files, "op": "overwrite"}
     if stats:
         manifest["file_stats"] = stats
+    manifest["file_rows"] = rows_map
     _publish(table_dir, version, manifest)
     return version
 
@@ -320,13 +331,14 @@ def _upsert_once(
     base = latest_version(table_dir)
     if base is None:
         if txn_app is not None:
-            files, stats = _write_data_files(updates, table_dir)
+            files, stats, rows_map = _write_data_files(updates, table_dir)
             manifest = {
                 "version": 1,
                 "parent": None,
                 "files": files,
                 "op": "merge",
                 "txns": {txn_app: txn_version},
+                "file_rows": rows_map,
             }
             _publish(table_dir, 1, manifest)
             return 1
@@ -416,7 +428,7 @@ def _upsert_once(
         rewritten = rewritten.repartitionByRange(*stats_for).sortWithinPartitions(
             *stats_for
         )
-    new_files, new_stats = _write_data_files(rewritten, table_dir, stats_for)
+    new_files, new_stats, new_rows = _write_data_files(rewritten, table_dir, stats_for)
     version = base + 1
     new_manifest = {
         "version": version,
@@ -432,8 +444,64 @@ def _upsert_once(
     carried.update(new_stats)
     if carried:
         new_manifest["file_stats"] = carried
+    old_rows = manifest.get("file_rows", {})
+    new_manifest["file_rows"] = {
+        **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
+        **new_rows,
+    }
     _publish(table_dir, version, new_manifest)
     return version
+
+
+def snapshot_rows(table_dir: str, version: int | None = None) -> int | None:
+    """COUNT(*) from the manifest alone — zero data files opened. Row
+    counts come from parquet footers recorded at commit time, so this
+    stays O(manifest) at any table size (Delta answers plain counts the
+    same way). Returns None when any file predates row accounting."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, version)
+    rows = manifest.get("file_rows", {})
+    if any(rel not in rows for rel in manifest["files"]):
+        return None
+    return sum(rows[rel] for rel in manifest["files"])
+
+
+def snapshot_diff(
+    spark: SparkSession, table_dir: str, v_old: int, v_new: int
+) -> DataFrame:
+    """Change data feed between two snapshot versions: returns the row
+    deltas with a ``_change`` column ('insert' rows present in v_new but
+    not v_old, 'delete' the reverse; an update appears as its
+    delete+insert pair — standard keyless CDF).
+
+    Cost is proportional to CHANGE, not table size: files shared by both
+    manifests are identical (immutable) and skipped outright; only the
+    files added/removed between the versions are read, then one
+    exceptAll each way cancels rows that merely moved files during a
+    rewrite (a MERGE's untouched neighbors inside a rewritten file).
+    At 100 TB a narrow MERGE's diff reads the one rewritten file and
+    its replacement, nothing else."""
+    mo = read_manifest(table_dir, v_old)
+    mn = read_manifest(table_dir, v_new)
+    old_only = [r for r in mo["files"] if r not in set(mn["files"])]
+    new_only = [r for r in mn["files"] if r not in set(mo["files"])]
+
+    def _read(rels: list[str]) -> DataFrame:
+        if rels:
+            return spark.read.parquet(*(os.path.join(table_dir, r) for r in rels))
+        # empty side: schema from the other manifest's files
+        anchor = new_only or old_only or mn["files"] or mo["files"]
+        return spark.read.parquet(
+            *(os.path.join(table_dir, r) for r in anchor)
+        ).limit(0)
+
+    df_old, df_new = _read(old_only), _read(new_only)
+    inserts = df_new.exceptAll(df_old).withColumn("_change", F.lit("insert"))
+    deletes = df_old.exceptAll(df_new).withColumn("_change", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def compact(
@@ -462,13 +530,14 @@ def compact(
         df = df.repartitionByRange(n_files, *stats_for).sortWithinPartitions(*stats_for)
     else:
         df = df.repartition(n_files)
-    files, stats = _write_data_files(df, table_dir, stats_for)
+    files, stats, rows_map = _write_data_files(df, table_dir, stats_for)
     version = base + 1
     new_manifest = {
         "version": version,
         "parent": base,
         "files": files,
         "op": "compact",
+        "file_rows": rows_map,
     }
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]

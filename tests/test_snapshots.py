@@ -244,7 +244,7 @@ def test_read_key_range_prunes_files_and_pushes_filter(spark):
 def test_upsert_retries_after_losing_commit_race(spark, monkeypatch):
     t = _tdir()
     snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
-    racer_files, _ = snap._write_data_files(
+    racer_files, _, _ = snap._write_data_files(
         spark.createDataFrame([(9, "racer")], "k int, v string"), t
     )
     orig = snap._publish
@@ -275,3 +275,32 @@ def test_upsert_retries_after_losing_commit_race(spark, monkeypatch):
             spark, t, spark.createDataFrame([(2, "B")], "k int, v string"),
             ["k"], retries=0,
         )
+
+
+def test_snapshot_rows_and_diff_cdf(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(50)], "k int, v string"),
+        t, cluster_by=["k"], n_files=4,
+    )
+    assert snap.snapshot_rows(t) == 50
+    v2 = snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, "UPD"), (100, "NEW")], "k int, v string"),
+        ["k"],
+    )
+    assert snap.snapshot_rows(t) == 51
+    assert snap.snapshot_rows(t, version=1) == 50
+    diff = snap.snapshot_diff(spark, t, 1, v2)
+    changes = {(r.k, r.v, r._change) for r in diff.collect()}
+    # update = delete+insert pair; pure insert has no delete; rows that
+    # merely moved files during the rewrite cancel out
+    assert changes == {
+        (3, "v3", "delete"), (3, "UPD", "insert"), (100, "NEW", "insert"),
+    }
+    # diff reads only the changed files, not the table
+    m1, m2 = snap.read_manifest(t, 1), snap.read_manifest(t, v2)
+    changed = (set(m1["files"]) ^ set(m2["files"]))
+    assert set(diff.inputFiles()) <= {
+        "file://" + __import__("os").path.join(t, rel) for rel in changed
+    } | {__import__("os").path.join(t, rel) for rel in changed}
