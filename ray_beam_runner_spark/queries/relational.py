@@ -2099,3 +2099,61 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
     snap.upsert_snapshot(spark, tdir, updates.unionByName(inserts), ["o_orderkey"])
     return snap.read_snapshot(spark, tdir)
+
+
+@query(
+    "q_snapshot_cdf",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 14 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 21 = 0)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change
+    FROM upd
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus,
+           'delete' AS _change
+    FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across a snapshot MERGE: build v1 from every 7th
+    order, merge the doubled-price %14 updates and re-keyed %21 inserts
+    (the q_snapshot_upsert batch), then ask snapshot_diff(v1, v2) for
+    the row deltas. The oracle is the CDC algebra — every update batch
+    row as 'insert', the pre-image of every matched key as 'delete' —
+    which only holds if the diff's exceptAll exactly cancels the
+    unchanged rows that moved files during the rewrite; reading only
+    manifest-differing files keeps the cost proportional to the change,
+    not the table."""
+    import tempfile
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    base = orders.filter(F.col("o_orderkey") % 7 == 0).select(*cols)
+    updates = orders.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 21 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    tdir = tempfile.mkdtemp(prefix="rbrs_snapcdf_")
+    v1 = snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
+    v2 = snap.upsert_snapshot(spark, tdir, updates.unionByName(inserts), ["o_orderkey"])
+    return snap.snapshot_diff(spark, tdir, v1, v2)

@@ -213,6 +213,7 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     key_range: tuple[str, object, object] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a snapshot (latest by default; pass ``version`` to
     time-travel).
@@ -243,15 +244,17 @@ def read_snapshot(
             return not (s[1] < lo or s[0] > hi)
 
         rel_files = [rel for rel in rel_files if _keep(rel)]
+    reader = (
+        spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+    )
     paths = [os.path.join(table_dir, rel) for rel in rel_files]
     if not paths:
         if key_range is not None:
             # every file pruned: empty result with the table's schema
             all_paths = [os.path.join(table_dir, r) for r in manifest["files"]]
-            df = spark.read.parquet(*all_paths).limit(0)
-            return df
+            return reader.parquet(*all_paths).limit(0)
         raise FileNotFoundError(f"snapshot v{version} of {table_dir} is empty")
-    df = spark.read.parquet(*paths)
+    df = reader.parquet(*paths)
     if key_range is not None:
         col, lo, hi = key_range
         df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
@@ -266,6 +269,7 @@ def upsert_snapshot(
     txn_app: str | None = None,
     txn_version: int | None = None,
     retries: int = 2,
+    evolve_schema: bool = False,
 ) -> int:
     """Keyed MERGE with optimistic-concurrency retry: on losing the
     manifest-publish race to a concurrent writer, re-read the NEW
@@ -279,7 +283,8 @@ def upsert_snapshot(
     for attempt in range(retries + 1):
         try:
             return _upsert_once(
-                spark, table_dir, updates, keys, txn_app, txn_version
+                spark, table_dir, updates, keys, txn_app, txn_version,
+                evolve_schema,
             )
         except ConcurrentCommitError:
             if attempt == retries:
@@ -294,6 +299,7 @@ def _upsert_once(
     keys: list[str],
     txn_app: str | None = None,
     txn_version: int | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Keyed MERGE into a snapshot table: matching keys replaced, new
     keys appended, untouched rows survive — published as one atomic
@@ -352,6 +358,21 @@ def _upsert_once(
     rel_files = manifest["files"]
     file_stats: dict[str, dict] = manifest.get("file_stats", {})
 
+    # Schema guard: without evolve_schema, a batch whose columns differ
+    # from the table's is an error — otherwise a no-touch append would
+    # silently commit mixed-schema files that a plain read mis-reads.
+    tbl_fields = {
+        f.name for f in spark.read.parquet(
+            os.path.join(table_dir, rel_files[0])
+        ).schema.fields
+    }
+    upd_fields = {f.name for f in updates.schema.fields}
+    if not evolve_schema and upd_fields != tbl_fields:
+        raise ValueError(
+            f"update schema {sorted(upd_fields)} != table schema "
+            f"{sorted(tbl_fields)}; pass evolve_schema=True to merge schemas"
+        )
+
     # Phase 1 — manifest-stats pruning (no data read at all): a file
     # whose recorded [min, max] range of the first key column cannot
     # contain any update key is no candidate. The range check runs in
@@ -387,8 +408,11 @@ def _upsert_once(
     # one _metadata.file_path semi-join finds the files that truly
     # contain a matching key.
     touched_rel: set[str] = set()
+    reader = (
+        spark.read.option("mergeSchema", "true") if evolve_schema else spark.read
+    )
     if candidates:
-        cand_df = spark.read.parquet(
+        cand_df = reader.parquet(
             *(os.path.join(table_dir, rel) for rel in candidates)
         )
         touched_abs = {
@@ -417,11 +441,13 @@ def _upsert_once(
     if file_stats:
         stats_for = sorted({c for s in file_stats.values() for c in s})
     if touched_rel:
-        touched_df = spark.read.parquet(
+        touched_df = reader.parquet(
             *(os.path.join(table_dir, rel) for rel in touched_rel)
         )
         keep = touched_df.join(key_set, keys, "left_anti")
-        rewritten = keep.unionByName(updates)
+        # evolve_schema: new columns in updates null-backfill kept rows,
+        # dropped columns null-fill the updates (Delta mergeSchema)
+        rewritten = keep.unionByName(updates, allowMissingColumns=evolve_schema)
     else:
         rewritten = updates
     if stats_for:

@@ -304,3 +304,26 @@ def test_snapshot_rows_and_diff_cdf(spark):
     assert set(diff.inputFiles()) <= {
         "file://" + __import__("os").path.join(t, rel) for rel in changed
     } | {__import__("os").path.join(t, rel) for rel in changed}
+
+
+def test_upsert_schema_evolution(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    # updates carry a NEW column: kept rows null-backfill it
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(2, "B", 7.5), (3, "c", 1.0)], "k int, v string, score double"),
+        ["k"], evolve_schema=True,
+    )
+    got = {
+        r.k: (r.v, r.score)
+        for r in snap.read_snapshot(spark, t, merge_schema=True).collect()
+    }
+    assert got == {1: ("a", None), 2: ("B", 7.5), 3: ("c", 1.0)}
+    # without evolve_schema a mismatched batch fails loudly, not silently
+    with pytest.raises(Exception):
+        snap.upsert_snapshot(
+            spark, t,
+            spark.createDataFrame([(4, "d", 1.0, True)], "k int, v string, score double, flag boolean"),
+            ["k"],
+        )
