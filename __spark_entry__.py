@@ -50,7 +50,9 @@ _GATE_FIRST = (
     "q_gbk", "q_combine_global", "q_cogroup", "q_flatten", "q_setops",
     "q_semi_anti", "q_topk", "q_window_analytics", "q_rollup", "q_pivot",
     "q_subquery", "q_session_window", "q_asof_join", "q_range_join",
-    "q_dedup_exact", "q_unpivot",
+    "q_dedup_exact",
+    # (q_unpivot yields its slot to q_streaming_cdc below: unchanged
+    # since its r3 gate row, green in ORACLE_SWEEP_r06 at sf0.01.)
     # scalar/JSON surface — last driver row r3 or earlier.
     # (q_scalar_string, q_scalar_mathdate and q_json stay out: unchanged
     # since their r3 gate rows and green in ORACLE_SWEEP_r06 at sf0.01;
@@ -75,7 +77,7 @@ _GATE_FIRST = (
     # the new snapshot-table MERGE query instead.)
     "q_dedup_semantic", "q_streaming_outer_join", "q_snapshot_upsert",
     "q_sequence_pack", "q_corpus_shuffle", "q_multimodal_audio",
-    "q_streaming_full_outer",
+    "q_streaming_full_outer", "q_streaming_cdc",
 )
 
 

@@ -435,3 +435,48 @@ def q_streaming_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_streaming_cdc",
+    oracle="""
+    SELECT user_id, ts, event_id, value FROM (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC into a snapshot table, end-to-end: the events
+    stream replays as ts-ordered micro-batches into
+    sources.snapshots.stream_upsert (foreachBatch MERGE keyed on
+    user_id, per-batch last-wins compaction by (ts, event_id), batch-id
+    transaction markers), and the published table must converge to
+    exactly SQL's latest-row-per-key — each user's state is their most
+    recent event. The oracle is that window; a sink that loses a batch,
+    double-applies a replay, or compacts to the wrong row diverges.
+    At scale this is the standing-state table a feature store keeps:
+    per-batch cost is one bounded window + one stats-pruned merge."""
+    from ray_beam_runner_spark.streaming import FileDropStream
+
+    events = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    base = tempfile.mkdtemp(prefix="rbrs_scdc_")
+    stream = FileDropStream(spark, os.path.join(base, "drop")).write_slices(
+        events, "ts", n_slices=4
+    ).read_stream()
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    table = os.path.join(base, "state")
+    q = snap.stream_upsert(
+        stream,
+        table,
+        keys=["user_id"],
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        dedupe_last_by=["ts", "event_id"],
+    )
+    q.awaitTermination()
+    return snap.read_snapshot(spark, table).orderBy("user_id")

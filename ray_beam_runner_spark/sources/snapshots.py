@@ -579,6 +579,7 @@ def stream_upsert(
     keys: list[str],
     checkpoint_dir: str,
     app_id: str | None = None,
+    dedupe_last_by: list[str] | None = None,
 ):
     """Continuously MERGE a stream into a snapshot table (CDC-style
     upsert sink, the Delta streaming-MERGE pattern): each micro-batch
@@ -587,14 +588,29 @@ def stream_upsert(
     replayed after a failure (Structured Streaming's at-least-once
     foreachBatch contract) is detected in the manifest and skipped —
     end-to-end exactly-once table state. Batches must carry at most one
-    row per key (dedupe upstream with dropDuplicates / aggregation).
+    row per key — either dedupe upstream, or pass ``dedupe_last_by``
+    (ordering columns): each batch is then compacted to the LAST row
+    per key by that ordering before the merge (CDC batch compaction; a
+    per-key window inside the batch, so with ts-ordered input the table
+    converges to the globally-latest row per key).
 
     Runs with availableNow so callers drain the backlog and terminate
     (`q.awaitTermination()`); the checkpoint makes restarts resume from
     the committed offset."""
+    from pyspark.sql import Window
+
     app = app_id or f"stream-upsert:{os.path.basename(os.path.abspath(table_dir))}"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if dedupe_last_by:
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in dedupe_last_by]
+            )
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         upsert_snapshot(
             batch_df.sparkSession,
             table_dir,
