@@ -480,3 +480,58 @@ def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return snap.read_snapshot(spark, table).orderBy("user_id")
+
+
+@query(
+    "q_streaming_enrich",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS final_wm FROM events)
+    SELECT date_trunc('hour', e.ts) AS w_start, c.c_mktsegment,
+           count(*) AS cnt, round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY w_start, c_mktsegment
+    HAVING w_start + INTERVAL '1 hour' <= (SELECT final_wm FROM wm)
+    ORDER BY w_start, c_mktsegment
+    """,
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the static
+    customer dimension per micro-batch (STATELESS — the static side is
+    broadcast, no join state, no watermark interaction; the canonical
+    dimension-enrichment pattern), then a watermarked tumbling window
+    aggregates per market segment, emitting exactly the closed windows.
+    At scale the dim broadcast is per-executor-once and the stream never
+    shuffles for the join — only the windowed agg pays its keyed
+    exchange."""
+    from ray_beam_runner_spark.streaming import (
+        FileDropStream,
+        run_to_memory,
+        windowed_agg_stream,
+    )
+
+    events = t(spark, sf_dir, "events")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_senrich_"), "events")
+    stream = (
+        FileDropStream(spark, drop_dir)
+        .write_slices(events, "ts", n_slices=3)
+        .read_stream()
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner")
+    )
+    agg = windowed_agg_stream(
+        stream,
+        "ts",
+        "1 hour",
+        ["c_mktsegment"],
+        [F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value")],
+        watermark_delay="10 minutes",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = run_to_memory(agg, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("w_start", "c_mktsegment")
