@@ -1,0 +1,64 @@
+"""Pre-flight the driver's correctness gate exactly as the driver runs it:
+import __spark_entry__ by file path, build a VANILLA SparkSession (none of
+get_spark()'s tuned configs), smoke-run entry(), then compare the FIRST 50
+declared queries against their oracles at sf0.01.
+
+Catches anything that only works under the tuned session (configs set in
+ray_beam_runner_spark.session but absent in the driver's), wrong gate
+ordering, or a missing oracle entry — before the driver does.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    n = len(mod.entry(spark).collect())
+    print(f"entry(): {n} rows")
+
+    from ray_beam_runner_spark.plans.differential import compare
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    failures = 0
+    for name in list(queries)[:50]:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            if name in oracles:
+                ok, msg = compare(df, oracles[name], sf_dir)
+            else:
+                ok, msg = df.count() >= 0, "rows-only"
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        print(f"[{'PASS' if ok else 'FAIL'}] {name:28s} {time.time() - t0:6.2f}s  {msg}")
+        failures += 0 if ok else 1
+    print(f"\ngate pre-flight: 50 queries, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
