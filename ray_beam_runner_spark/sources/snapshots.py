@@ -168,12 +168,47 @@ def _write_data_files(
     return rel_files, stats, rows_map
 
 
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = 10):
+    """Morton (Z-order) key as a pure column expression: min/max-scale
+    each column to ``bits`` bits (one tiny agg for the bounds — 2×n_cols
+    scalars to the driver), then interleave the bits so nearby values in
+    ANY dimension land near each other in the one-dimensional sort key.
+    Files clustered by this key have narrow ranges in EVERY z column at
+    once, which is what makes manifest-stats pruning effective for
+    predicates on any of them (Delta OPTIMIZE ZORDER BY's layout).
+    Min/max scaling is skew-sensitive; swap the scale step for
+    approxQuantile cut points if a column is pathological."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+            )
+    return z
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
     cluster_by: list[str] | None = None,
     stats_for: list[str] | None = None,
     n_files: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Create or fully replace the table contents as one atomic snapshot.
 
@@ -185,7 +220,21 @@ def write_snapshot(
     ``cluster_by``) records per-file min/max for those columns in the
     manifest. Returns the published version. Readers of the previous
     version are unaffected — their files still exist until vacuum()."""
-    if cluster_by:
+    if zorder_by:
+        # multi-dimensional clustering: range-partition + sort on the
+        # Morton key, record min/max stats for EVERY z column so reads
+        # and merges prune on any of them.
+        z = _zorder_key(df, zorder_by)
+        zdf = df.withColumn("_z", z)
+        rng = (
+            zdf.repartitionByRange(n_files, "_z")
+            if n_files
+            else zdf.repartitionByRange("_z")
+        )
+        df = rng.sortWithinPartitions("_z").drop("_z")
+        if stats_for is None:
+            stats_for = zorder_by
+    elif cluster_by:
         # explicit n_files pins the file count (AQE otherwise coalesces
         # small writes to one file, defeating range layout); default
         # lets AQE size partitions to the data.

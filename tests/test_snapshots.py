@@ -327,3 +327,27 @@ def test_upsert_schema_evolution(spark):
             spark.createDataFrame([(4, "d", 1.0, True)], "k int, v string, score double, flag boolean"),
             ["k"],
         )
+
+
+def test_zorder_prunes_on_both_dimensions(spark):
+    t = _tdir()
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / F.lit(64)).cast("long").alias("b"),
+        F.col("id").alias("v"),
+    )
+    snap.write_snapshot(df, t, zorder_by=["a", "b"], n_files=16)
+    m = snap.read_manifest(t, 1)
+    assert len(m["files"]) == 16
+    # every z column has per-file stats
+    for f in m["files"]:
+        assert set(m["file_stats"][f]) == {"a", "b"}
+    full = snap.read_snapshot(spark, t)
+    # narrow predicates on EITHER dimension skip most files; a
+    # lexicographic (a, b) layout could never prune on b alone
+    for col in ("a", "b"):
+        narrow = snap.read_snapshot(spark, t, key_range=(col, 10, 13))
+        n = len(narrow.inputFiles())
+        assert n <= len(m["files"]) // 2, (col, n)
+        assert narrow.count() == 4 * 64
+    assert full.count() == 4096
