@@ -351,3 +351,29 @@ def test_zorder_prunes_on_both_dimensions(spark):
         assert n <= len(m["files"]) // 2, (col, n)
         assert narrow.count() == 4 * 64
     assert full.count() == 4096
+
+
+def test_cdf_applies_cleanly_across_versions(spark):
+    """diff(v1, v3) must be a valid patch: v1 minus its deletes plus its
+    inserts reproduces v3 exactly (multiset semantics), even across TWO
+    merges that rewrote overlapping files."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(30)], "k int, v string"),
+        t, cluster_by=["k"], n_files=3,
+    )
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(5, "A"), (40, "x")], "k int, v string"), ["k"]
+    )
+    v3 = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(5, "B"), (12, "C")], "k int, v string"), ["k"]
+    )
+    diff = snap.snapshot_diff(spark, t, 1, v3)
+    v1_df = snap.read_snapshot(spark, t, version=1)
+    dels = diff.filter(F.col("_change") == "delete").drop("_change")
+    ins = diff.filter(F.col("_change") == "insert").drop("_change")
+    patched = v1_df.exceptAll(dels).unionAll(ins)
+    v3_df = snap.read_snapshot(spark, t, version=v3)
+    assert patched.exceptAll(v3_df).count() == 0
+    assert v3_df.exceptAll(patched).count() == 0
+    assert patched.count() == v3_df.count() == 31
