@@ -377,3 +377,38 @@ def test_cdf_applies_cleanly_across_versions(spark):
     assert patched.exceptAll(v3_df).count() == 0
     assert v3_df.exceptAll(patched).count() == 0
     assert patched.count() == v3_df.count() == 31
+
+
+def test_concurrent_writers_all_commit_with_retries(spark):
+    """Four threads race 12 real merges into one table; optimistic
+    retries must serialize them losslessly — every batch's rows present,
+    version count == commits, no ConcurrentCommitError escapes."""
+    import threading
+
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(-1, "seed")], "k int, v string"), t)
+    errors = []
+
+    def writer(wid):
+        try:
+            for j in range(3):
+                base = 1000 * wid + 10 * j
+                df = spark.createDataFrame(
+                    [(base + i, f"w{wid}b{j}") for i in range(3)], "k int, v string"
+                )
+                snap.upsert_snapshot(spark, t, df, ["k"], retries=20)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    assert snap.latest_version(t) == 13  # seed + 12 serialized merges
+    rows = snap.read_snapshot(spark, t).collect()
+    assert len(rows) == 1 + 4 * 3 * 3
+    got = {r.k for r in rows}
+    exp = {-1} | {1000 * w + 10 * j + i for w in range(4) for j in range(3) for i in range(3)}
+    assert got == exp
