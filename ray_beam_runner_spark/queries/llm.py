@@ -1546,3 +1546,89 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(F.broadcast(off_df), "_b")
         .select("doc_id", (F.col("_off") + F.col("_rn")).cast("long").alias("position"))
     )
+
+
+@query(
+    "q_pmi_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    pairs_raw AS (
+      SELECT least(w[i], w[i+1]) AS w1, greatest(w[i], w[i+1]) AS w2
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      UNION ALL
+      SELECT least(w[i], w[i+2]), greatest(w[i], w[i+2])
+      FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+    uni AS (SELECT unnest(w) AS t FROM toks),
+    cw AS (SELECT t, count(*)::DOUBLE AS c FROM uni GROUP BY t),
+    n AS (SELECT count(*)::DOUBLE AS n FROM uni),
+    cp AS (SELECT w1, w2, count(*) AS c FROM pairs_raw GROUP BY w1, w2),
+    p AS (SELECT count(*)::DOUBLE AS p FROM pairs_raw)
+    SELECT w1, w2, cp.c::BIGINT AS n_pair,
+           round(ln((cp.c / (SELECT p FROM p))
+                 / ((c1.c / (SELECT n FROM n)) * (c2.c / (SELECT n FROM n)))),
+                 6) AS pmi
+    FROM cp JOIN cw c1 ON c1.t = cp.w1 JOIN cw c2 ON c2.t = cp.w2
+    WHERE cp.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over token co-occurrences (window
+    ±2, unordered pairs): the distributional-semantics keyword-pair
+    statistic (word2vec's implicit matrix). Pair generation is a
+    doc-co-partitioned position self-join with fan-out bounded by the
+    window width — shuffle keyed on doc_id, never cross-document.
+    Unigram and pair vocabularies aggregate map-side; the two vocab
+    lookups broadcast (a token vocabulary is tiny next to the corpus;
+    at web scale swap for a shuffle join and the plan is otherwise
+    unchanged). Scalar totals ride in as broadcast 1-row frames. Top-50
+    by 6-decimal-rounded PMI with full lexical tie-break keeps the cut
+    cross-engine deterministic."""
+    from ray_beam_runner_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    e1 = ex.alias("e1")
+    e2 = ex.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("pos").alias("pos2"),
+        F.col("w").alias("w_2"),
+    )
+    pairs = e1.join(
+        e2,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("pos2") > F.col("pos"))
+        & (F.col("pos2") <= F.col("pos") + 2),
+    ).select(
+        F.least(F.col("w"), F.col("w_2")).alias("w1"),
+        F.greatest(F.col("w"), F.col("w_2")).alias("w2"),
+    )
+    cw = ex.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n_tot = ex.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cp = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    p_tot = pairs.agg(F.count(F.lit(1)).cast("double").alias("p"))
+    c1 = cw.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = cw.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        cp.filter(F.col("c") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("p"))
+                    / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(50)
+    )
