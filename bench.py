@@ -65,6 +65,7 @@ EXTRA_SET = (
     # round 6
     "q_sequence_pack",
     "q_corpus_shuffle",
+    "q_pmi_pairs",
 )
 
 

@@ -467,3 +467,13 @@ def test_corpus_shuffle_no_global_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert "SinglePartition" not in plan, plan[:3000]
     assert_broadcast_join(df)
+
+
+def test_pmi_pairs_plan_broadcasts_and_bounds_fanout(spark, sf_dir):
+    """Vocab lookups and scalar totals broadcast; the position self-join
+    is keyed on doc_id (no cartesian/nested-loop over the corpus)."""
+    df = QUERIES["q_pmi_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_broadcast_join(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
