@@ -1632,3 +1632,81 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "q_bigram_logppl",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS c
+           FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+           GROUP BY doc_id, w1, w2),
+    lm12 AS (SELECT w1, w2, sum(c) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (SELECT t, count(*) AS c1
+            FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+    v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    scored AS (
+      SELECT doc_id, sum(bg.c) AS n_big,
+             sum(bg.c * -ln((c12 + 1) / (c1 + (SELECT v FROM v)))) AS nll
+      FROM bg JOIN lm12 USING (w1, w2) JOIN uni ON uni.t = bg.w1
+      GROUP BY doc_id)
+    SELECT doc_id, n_big::BIGINT AS n_bigrams, round(nll / n_big, 6) AS log_ppl2
+    FROM scored
+    """,
+)
+def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model log-perplexity per document (add-one
+    smoothed): the order-sensitive upgrade of q_unigram_logppl — a doc
+    of plausible words in implausible ORDER scores high here while the
+    unigram filter cannot see it (word-salad/ngram-spam detection).
+    Train on the corpus itself: P(w2|w1) = (c12+1)/(c1+V). Same scale
+    shape as the unigram path — every aggregate map-side combinable,
+    LM tables join on token keys (vocabulary-sized), the per-doc
+    bigram frame persisted once since it feeds both the LM lineage and
+    the scoring join."""
+    from ray_beam_runner_spark.caches import track
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("w"))
+    # consecutive pairs in ONE narrow pass: zip the token array against
+    # its own tail and explode — no join, no extra shuffle
+    bg = track(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm12 = bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return (
+        bg.join(lm12, ["w1", "w2"])
+        .join(uni.withColumnRenamed("t", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_big"),
+            F.sum(
+                F.col("c")
+                * -F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))
+            ).alias("_nll"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_big").alias("n_bigrams"),
+            F.round(F.col("_nll") / F.col("n_big"), 6).alias("log_ppl2"),
+        )
+    )
