@@ -214,3 +214,26 @@ def test_quantize_int8_bounds_and_fidelity(spark, sf_dir):
         assert np.max(np.abs(orig - deq)) <= r.q_scale * 0.5000001
         cos = deq @ orig / (np.linalg.norm(deq) * np.linalg.norm(orig))
         assert cos > 0.999
+
+
+def test_ivf_index_persists_and_reloads_identically(spark, sf_dir, tmp_path):
+    """ANN index lifecycle: the IVF coarse quantizer persists via Spark
+    ML's native writer and a reloaded index assigns every vector to the
+    same cell — incremental ingestion can reuse yesterday's index
+    instead of refitting (fit once, probe forever)."""
+    from pyspark.ml.clustering import KMeansModel
+
+    from ray_beam_runner_spark.functions.similarity import ivf_assign, ivf_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = ivf_fit(emb, "embedding", n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    model.write().overwrite().save(path)
+    loaded = KMeansModel.load(path)
+    a1 = {r.vec_id: r.cell for r in ivf_assign(model, emb, "embedding").collect()}
+    a2 = {r.vec_id: r.cell for r in ivf_assign(loaded, emb, "embedding").collect()}
+    assert a1 == a2 and len(a1) == emb.count()
+    # the increment path: new vectors assigned by the LOADED index only
+    inc = emb.limit(20).withColumn("vec_id", F.col("vec_id") + 10_000)
+    a_inc = ivf_assign(loaded, inc, "embedding").select("vec_id", "cell")
+    assert a_inc.count() == 20
