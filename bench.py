@@ -66,6 +66,7 @@ EXTRA_SET = (
     "q_sequence_pack",
     "q_corpus_shuffle",
     "q_pmi_pairs",
+    "q_bigram_logppl",
 )
 
 
