@@ -98,11 +98,14 @@ def upsert_parquet(
       seeing a half-written table). LOCAL-FILESYSTEM ONLY: the swap
       uses os.rename/shutil.rmtree, which do not exist as atomic ops
       on HDFS/S3, and a concurrent reader can hit the instant between
-      the two renames when the table path is absent. On remote
-      storage, route this path through the Hadoop FileSystem API with
-      a _committed-marker protocol, or use a table format (Delta/
-      Iceberg MERGE) — the partitioned path above has no such
-      restriction (dynamic partition overwrite is storage-agnostic).
+      the two renames when the table path is absent. For
+      remote-storage-safe atomic MERGE use
+      :mod:`ray_beam_runner_spark.sources.snapshots` instead — its
+      manifest publish is a single create-if-absent (conditional PUT
+      on object stores), readers never see a gap, and it adds stats
+      pruning, time travel, and an exactly-once streaming sink. The
+      partitioned path above has no such restriction (dynamic
+      partition overwrite is storage-agnostic).
 
     The anti-join shuffles on the key; at scale that is one co-located
     shuffle per upsert batch, which is exactly what table formats do
