@@ -293,8 +293,22 @@ def decode_audio(payload: bytes) -> dict:
         ch = w.getnchannels()
         sw = w.getsampwidth()
         raw = w.readframes(n)
-    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sw]
-    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        # 8-bit WAV PCM is UNSIGNED (silence = 0x80): center before RMS
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif sw == 3:
+        # 24-bit little-endian PCM: widen each 3-byte sample to int32
+        # with sign extension (no 3-byte numpy dtype exists)
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (b.size // 3) * 3].reshape(-1, 3).astype(np.int32)
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr = np.where(vals >= 1 << 23, vals - (1 << 24), vals).astype(np.float64)
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw} bytes")
     rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0
     return {
         "sample_rate": sr,

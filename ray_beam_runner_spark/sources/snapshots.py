@@ -105,11 +105,29 @@ def _publish(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def _uri_to_path(uri_path: str) -> str:
+    """Decode an executor-reported file URI (file://…, percent-encoded)
+    to a plain filesystem path. A raw suffix match against the URI would
+    silently miss every file when the table path contains characters
+    Spark percent-encodes (space → %20), making MERGE detect zero
+    touched files and duplicate matched keys."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in uri_path or uri_path.startswith("file:"):
+        parsed = urlparse(uri_path)
+        return unquote(parsed.path)
+    return uri_path
+
+
 def _rel_of(uri_path: str, rel_files: list[str], table_dir: str) -> str | None:
-    """Map an executor-reported file URI (file://…/table/data/…) back to
-    its table-relative manifest path by suffix match."""
+    """Map an executor-reported file URI back to its table-relative
+    manifest path (decode, then exact path comparison)."""
+    p = os.path.normpath(_uri_to_path(uri_path))
+    base = os.path.normpath(os.path.abspath(table_dir))
     for rel in rel_files:
-        if uri_path.endswith(os.path.join(table_dir, rel)):
+        if p == os.path.normpath(os.path.join(base, rel)) or p == os.path.normpath(
+            os.path.join(table_dir, rel)
+        ):
             return rel
     return None
 
@@ -249,7 +267,13 @@ def write_snapshot(
     files, stats, rows_map = _write_data_files(df, table_dir, stats_for)
     prev = latest_version(table_dir)
     version = 1 if prev is None else prev + 1
-    manifest = {"version": version, "parent": prev, "files": files, "op": "overwrite"}
+    manifest = {
+        "version": version,
+        "parent": prev,
+        "files": files,
+        "op": "overwrite",
+        "schema": sorted(f.name for f in df.schema.fields),
+    }
     if stats:
         manifest["file_stats"] = stats
     manifest["file_rows"] = rows_map
@@ -383,6 +407,11 @@ def _upsert_once(
     exactly-once — a micro-batch retried after a crash re-arrives with
     the same epoch id and is skipped.
     """
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app and txn_version must be passed together: storing a "
+            "None watermark would wedge every later merge for that app"
+        )
     base = latest_version(table_dir)
     if base is None:
         if txn_app is not None:
@@ -392,29 +421,39 @@ def _upsert_once(
                 "parent": None,
                 "files": files,
                 "op": "merge",
-                "txns": {txn_app: txn_version},
+                "txns": {txn_app: int(txn_version)},
                 "file_rows": rows_map,
+                "schema": sorted(f.name for f in updates.schema.fields),
             }
             _publish(table_dir, 1, manifest)
             return 1
         return write_snapshot(updates, table_dir)
     manifest = read_manifest(table_dir, base)
     txns: dict = dict(manifest.get("txns", {}))
-    if txn_app is not None and txns.get(txn_app, -1) >= (txn_version or 0):
+    if txn_app is not None and txns.get(txn_app, -1) >= txn_version:
         return base  # replayed transaction: already applied, no-op
     if txn_app is not None:
-        txns[txn_app] = txn_version
+        txns[txn_app] = int(txn_version)
     rel_files = manifest["files"]
     file_stats: dict[str, dict] = manifest.get("file_stats", {})
 
     # Schema guard: without evolve_schema, a batch whose columns differ
     # from the table's is an error — otherwise a no-touch append would
     # silently commit mixed-schema files that a plain read mis-reads.
-    tbl_fields = {
-        f.name for f in spark.read.parquet(
-            os.path.join(table_dir, rel_files[0])
-        ).schema.fields
-    }
+    # The table's LOGICAL schema lives in the manifest (recorded at
+    # every commit); after an evolving merge the manifest holds
+    # mixed-generation files, so no single file's footer is
+    # authoritative. Manifests predating schema recording fall back to
+    # the mergeSchema union over live files (footer reads only).
+    tbl_fields = set(
+        manifest.get("schema")
+        or (
+            f.name
+            for f in spark.read.option("mergeSchema", "true")
+            .parquet(*(os.path.join(table_dir, rel) for rel in rel_files))
+            .schema.fields
+        )
+    )
     upd_fields = {f.name for f in updates.schema.fields}
     if not evolve_schema and upd_fields != tbl_fields:
         raise ValueError(
@@ -428,7 +467,24 @@ def _upsert_once(
     # Spark (update keys never land on the driver): broadcast the small
     # (file, lo, hi) table against the distinct update keys. Files
     # without stats are always candidates.
-    key_set = updates.select(*keys).distinct()
+    # Persisted: each phase's action (range-join collect, semi-join
+    # collect, anti-join write) would otherwise re-evaluate the whole
+    # updates lineage — 3x the upstream cost per merge, 3x the dedupe
+    # window per streaming micro-batch.
+    key_set = updates.select(*keys).distinct().persist()
+    try:
+        return _merge_phases(
+            spark, table_dir, updates, keys, key_set, base, manifest, rel_files,
+            file_stats, txns, tbl_fields, upd_fields, evolve_schema,
+        )
+    finally:
+        key_set.unpersist()
+
+
+def _merge_phases(
+    spark, table_dir, updates, keys, key_set, base, manifest, rel_files,
+    file_stats, txns, tbl_fields, upd_fields, evolve_schema,
+):
     k0 = keys[0]
     ranged = [
         (rel, file_stats[rel][k0][0], file_stats[rel][k0][1])
@@ -474,12 +530,13 @@ def _upsert_once(
                 .collect()
             )
         }
-        # file_path comes back URI-qualified (file://…); normalize to
-        # the manifest's path form by suffix match.
+        # file_path comes back URI-qualified (file://…, percent-encoded);
+        # decode and map exactly — a raw suffix match would miss every
+        # file on URI-encodable table paths and duplicate matched keys.
         touched_rel = {
             rel
-            for rel in candidates
-            if any(t.endswith(os.path.join(table_dir, rel)) for t in touched_abs)
+            for t in touched_abs
+            if (rel := _rel_of(t, candidates, table_dir)) is not None
         }
     untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
 
@@ -512,6 +569,7 @@ def _upsert_once(
         "op": "merge",
         "rewrote": sorted(touched_rel),
         "pruned_by_stats": pruned_by_stats,
+        "schema": sorted(tbl_fields | upd_fields if evolve_schema else tbl_fields),
     }
     if txns:
         new_manifest["txns"] = txns
@@ -558,22 +616,42 @@ def snapshot_diff(
     exceptAll each way cancels rows that merely moved files during a
     rewrite (a MERGE's untouched neighbors inside a rewritten file).
     At 100 TB a narrow MERGE's diff reads the one rewritten file and
-    its replacement, nothing else."""
+    its replacement, nothing else.
+
+    Schema evolution: both sides read with mergeSchema (a side can span
+    schema generations) and are aligned to the UNION of their columns
+    with null backfill before the exceptAll — a column added between
+    the versions appears as null on the old side, exactly how the
+    evolved rows differ from their pre-images."""
     mo = read_manifest(table_dir, v_old)
     mn = read_manifest(table_dir, v_new)
     old_only = [r for r in mo["files"] if r not in set(mn["files"])]
     new_only = [r for r in mn["files"] if r not in set(mo["files"])]
 
     def _read(rels: list[str]) -> DataFrame:
-        if rels:
-            return spark.read.parquet(*(os.path.join(table_dir, r) for r in rels))
-        # empty side: schema from the other manifest's files
-        anchor = new_only or old_only or mn["files"] or mo["files"]
-        return spark.read.parquet(
+        anchor = rels or new_only or old_only or mn["files"] or mo["files"]
+        df = spark.read.option("mergeSchema", "true").parquet(
             *(os.path.join(table_dir, r) for r in anchor)
-        ).limit(0)
+        )
+        return df if rels else df.limit(0)
 
     df_old, df_new = _read(old_only), _read(new_only)
+    # align to the union of columns (null backfill) so exceptAll sees
+    # identical shapes even across an evolve_schema merge
+    all_cols = list(
+        dict.fromkeys([*df_old.columns, *df_new.columns])
+    )
+    type_of = {f.name: f.dataType for f in [*df_old.schema.fields, *df_new.schema.fields]}
+
+    def _align(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).cast(type_of[c]).alias(c)
+                for c in all_cols
+            ]
+        )
+
+    df_old, df_new = _align(df_old), _align(df_new)
     inserts = df_new.exceptAll(df_old).withColumn("_change", F.lit("insert"))
     deletes = df_old.exceptAll(df_new).withColumn("_change", F.lit("delete"))
     return inserts.unionByName(deletes)
@@ -614,6 +692,8 @@ def compact(
         "op": "compact",
         "file_rows": rows_map,
     }
+    if manifest.get("schema"):
+        new_manifest["schema"] = manifest["schema"]
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]
     if stats:
@@ -677,14 +757,26 @@ def stream_upsert(
     )
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str, keep_last: int = 1, orphan_ttl_seconds: float = 24 * 3600
+) -> list[str]:
     """Delete data files not referenced by the last ``keep_last``
-    manifests (and drop the older manifests). Returns deleted paths.
-    Readers of retained snapshots are unaffected; time travel beyond
-    ``keep_last`` versions is given up — the same contract as Delta's
-    VACUUM."""
+    manifests (and drop the older manifests), plus ORPHANS — files on
+    disk referenced by NO manifest at all (a crashed writer or the
+    loser of a commit race writes its full file set before the publish
+    fails; without orphan collection those grow unboundedly under
+    contended CDC). Orphans are only reclaimed once older than
+    ``orphan_ttl_seconds`` so an in-flight writer's just-written,
+    not-yet-published commit is never swept (Delta VACUUM's retention
+    guard). Returns deleted table-relative paths. Readers of retained
+    snapshots are unaffected; time travel beyond ``keep_last`` versions
+    is given up — the same contract as Delta's VACUUM."""
+    import time as _time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot must survive)")
     vs = _versions(table_dir)
-    if len(vs) <= keep_last:
+    if not vs:
         return []
     keep_vs, drop_vs = vs[-keep_last:], vs[:-keep_last]
     live: set[str] = set()
@@ -693,6 +785,29 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
     dead: set[str] = set()
     for v in drop_vs:
         dead.update(f for f in read_manifest(table_dir, v)["files"] if f not in live)
+    # orphan scan: anything under data/ that no manifest (kept or
+    # dropped) references and that is older than the TTL
+    referenced: set[str] = set(live)
+    for v in drop_vs:
+        referenced.update(read_manifest(table_dir, v)["files"])
+    ddir = os.path.join(table_dir, _DATA_DIR)
+    now = _time.time()
+    referenced_dirs = {os.path.dirname(rel) for rel in referenced}
+    if os.path.isdir(ddir):
+        for root, _dirs, names in os.walk(ddir):
+            rel_dir = os.path.relpath(root, table_dir)
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, table_dir)
+                if rel in referenced or now - os.path.getmtime(full) <= orphan_ttl_seconds:
+                    continue
+                # sidecars (_SUCCESS, .crc) follow their commit dir's
+                # fate: reclaimed only when the dir holds no referenced
+                # data files, so live commits keep their markers
+                is_sidecar = name.startswith((".", "_"))
+                if is_sidecar and rel_dir in referenced_dirs:
+                    continue
+                dead.add(rel)
     deleted = []
     for rel in sorted(dead):
         p = os.path.join(table_dir, rel)
@@ -702,7 +817,6 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
     for v in drop_vs:
         os.remove(_manifest_path(table_dir, v))
     # prune empty commit dirs left behind
-    ddir = os.path.join(table_dir, _DATA_DIR)
     if os.path.isdir(ddir):
         for name in os.listdir(ddir):
             sub = os.path.join(ddir, name)

@@ -412,3 +412,123 @@ def test_concurrent_writers_all_commit_with_retries(spark):
     got = {r.k for r in rows}
     exp = {-1} | {1000 * w + 10 * j + i for w in range(4) for j in range(3) for i in range(3)}
     assert got == exp
+
+
+def test_merge_on_uri_encodable_table_path(spark):
+    """Table paths with URI-encodable characters (space -> %20 in
+    Spark's file:// URIs) must still detect touched files — a suffix
+    match on the raw URI silently duplicated matched keys."""
+    import os as _os
+
+    t = _os.path.join(_tdir(), "my corpus v1")
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    v2 = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "A")], "k int, v string"), ["k"]
+    )
+    assert snap.read_manifest(t, v2)["rewrote"] != []
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "A"), (2, "b")]
+
+
+def test_txn_app_without_version_rejected(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    with pytest.raises(ValueError, match="txn_app and txn_version"):
+        snap.upsert_snapshot(
+            spark, t, spark.createDataFrame([(2, "b")], "k int, v string"),
+            ["k"], txn_app="app",
+        )
+
+
+def test_schema_guard_uses_manifest_schema_after_evolution(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, "c", 1.0)], "k int, v string, score double"),
+        ["k"], evolve_schema=True,
+    )
+    # a correctly-shaped post-evolution batch passes WITHOUT the flag,
+    # regardless of which generation's file sits first in the manifest
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(4, "d", 2.0)], "k int, v string, score double"),
+        ["k"],
+    )
+    # a stale pre-evolution batch is rejected
+    with pytest.raises(ValueError, match="pass evolve_schema=True"):
+        snap.upsert_snapshot(
+            spark, t, spark.createDataFrame([(5, "e")], "k int, v string"), ["k"]
+        )
+    got = {r.k: (r.v, r.score) for r in
+           snap.read_snapshot(spark, t, merge_schema=True).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 1.0), 4: ("d", 2.0)}
+
+
+def test_cdf_across_schema_evolution(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    v2 = snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(2, "B", 9.0), (3, "c", 1.0)], "k int, v string, score double"),
+        ["k"], evolve_schema=True,
+    )
+    changes = {(r.k, r.v, r.score, r._change)
+               for r in snap.snapshot_diff(spark, t, 1, v2).collect()}
+    assert changes == {
+        (2, "b", None, "delete"),
+        (2, "B", 9.0, "insert"),
+        (3, "c", 1.0, "insert"),
+    }
+
+
+def test_vacuum_reclaims_orphans_and_guards_keep_last(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    # a crashed/raced writer: full data files, no manifest references them
+    orphans, _, _ = snap._write_data_files(
+        spark.createDataFrame([(9, "lost")], "k int, v string"), t
+    )
+    with pytest.raises(ValueError, match="keep_last"):
+        snap.vacuum(t, keep_last=0)
+    # default TTL protects a fresh in-flight commit
+    assert snap.vacuum(t, keep_last=1) == []
+    # ttl=0 reclaims it (plus the orphaned commit's sidecar markers)
+    deleted = snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    assert set(orphans) <= set(deleted)
+    # nothing from a LIVE commit dir was touched
+    live = set(snap.read_manifest(t, 1)["files"])
+    live_dirs = {f.rsplit("/", 1)[0] for f in live}
+    assert all(d.rsplit("/", 1)[0] not in live_dirs for d in deleted)
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "a")]
+
+
+def test_decode_audio_unsigned8_and_24bit():
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import decode_audio
+
+    # 8-bit silence is 0x80: RMS must be ~0, not 128
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(1); w.setframerate(8000)
+        w.writeframes(bytes([0x80]) * 800)
+    f8 = decode_audio(buf.getvalue())
+    assert f8["sample_rate"] == 8000 and f8["n_frames"] == 800
+    assert abs(f8["rms"]) < 1.0
+    # 24-bit PCM: constant amplitude decodes exactly
+    amp = -(1 << 20)
+    frames = b"".join(struct.pack("<i", amp)[:3] for _ in range(100))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1); w.setsampwidth(3); w.setframerate(8000)
+        w.writeframes(frames)
+    f24 = decode_audio(buf.getvalue())
+    assert f24["n_frames"] == 100
+    assert abs(f24["rms"] - abs(amp)) < 1e-6
+    # unsupported widths fail loudly, not with a bare KeyError
+    with pytest.raises(Exception):
+        decode_audio(b"not a wav")
