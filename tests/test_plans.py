@@ -477,3 +477,12 @@ def test_pmi_pairs_plan_broadcasts_and_bounds_fanout(spark, sf_dir):
     assert_broadcast_join(df)
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_bigram_logppl_plan_no_join_for_pairs(spark, sf_dir):
+    """Bigram pair generation is a zip-explode projection (no self-join,
+    no cartesian); counts aggregate with a partial phase."""
+    df = QUERIES["q_bigram_logppl"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert_partial_aggregation(df)
