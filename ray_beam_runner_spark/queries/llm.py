@@ -1710,3 +1710,65 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_nll") / F.col("n_big"), 6).alias("log_ppl2"),
         )
     )
+
+
+@query(
+    "q_sketch_distinct",
+    oracle=f"""
+    WITH fp AS (SELECT source, md5({_NORM}) AS fp FROM documents),
+    per_src AS (SELECT source, count(DISTINCT fp) AS n_exact FROM fp GROUP BY source),
+    tot AS (SELECT count(DISTINCT fp) AS total_exact FROM fp)
+    SELECT source, n_exact::BIGINT AS n_exact, TRUE AS src_est_ok,
+           (SELECT total_exact FROM tot)::BIGINT AS total_exact,
+           TRUE AS union_est_ok
+    FROM per_src ORDER BY source
+    """,
+)
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg/hll_union_agg): one pass builds a compact
+    per-source sketch of document fingerprints, and the CORPUS-WIDE
+    distinct count comes from unioning the 20 sketch blobs — never
+    re-scanning the data. This is the incremental-ingestion shape: keep
+    yesterday's per-shard sketches (bytes, not rows), union in today's
+    increment, report corpus cardinality in O(sketches). Sketch values
+    are engine-specific so, like q_approx_distinct, the gate checks the
+    documented ERROR BOUND in-query: per-source and unioned estimates
+    must land within 5% of exact (lgK=12 → ~1.6% rsd; deterministic for
+    fixed input), emitted as booleans the oracle expects TRUE."""
+    from ray_beam_runner_spark.functions.text import fingerprint_md5
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.expr("hll_sketch_agg(fp, 12)").alias("_sk"),
+        F.count_distinct("fp").alias("n_exact"),
+    )
+    union_est = per_src.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(_sk))").alias("_uest")
+    )
+    total_exact = docs.agg(F.count_distinct("fp").alias("total_exact"))
+    return (
+        per_src.withColumn(
+            "_est", F.expr("hll_sketch_estimate(_sk)")
+        )
+        .crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            "source",
+            "n_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_exact"))
+                / F.greatest(F.col("n_exact"), F.lit(1))
+                <= 0.05
+            ).alias("src_est_ok"),
+            "total_exact",
+            (
+                F.abs(F.col("_uest") - F.col("total_exact"))
+                / F.greatest(F.col("total_exact"), F.lit(1))
+                <= 0.05
+            ).alias("union_est_ok"),
+        )
+        .orderBy("source")
+    )
