@@ -67,6 +67,7 @@ EXTRA_SET = (
     "q_corpus_shuffle",
     "q_pmi_pairs",
     "q_bigram_logppl",
+    "q_sketch_distinct",
 )
 
 
