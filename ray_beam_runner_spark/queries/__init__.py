@@ -34,6 +34,26 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_SCRATCH_ROOT: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch dir under ONE process-scoped root removed at
+    interpreter exit — repeated gate/sweep/bench invocations no longer
+    leak table copies / stream fixtures across runs (r6 ADVICE).
+    Cleanup is deferred to atexit so returned DataFrames stay readable
+    until the driver has consumed them."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="rbrs_scratch_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table. The (immutable) DataFrame handle is cached
     ON the session object: repeated reads re-open parquet footers through

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ray_beam_runner_spark.queries import query, t
+from ray_beam_runner_spark.queries import query, scratch_dir, t
 
 # ---------------------------------------------------------------------------
 # Aggregation (GroupByKey / CombinePerKey / packed combiners —
@@ -2046,6 +2046,8 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+
 @query(
     "q_snapshot_upsert",
     oracle="""
@@ -2076,8 +2078,6 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MERGE algebra (updates ∪ base-minus-updated). At scale the merge
     reads and rewrites only files containing a matched key — driver
     state is the file list, never rows."""
-    import tempfile
-
     from ray_beam_runner_spark.sources import snapshots as snap
 
     orders = t(spark, sf_dir, "orders")
@@ -2095,7 +2095,7 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit("N").alias("o_orderstatus"),
     )
-    tdir = tempfile.mkdtemp(prefix="rbrs_snaptbl_")
+    tdir = scratch_dir("rbrs_snaptbl_")
     snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
     snap.upsert_snapshot(spark, tdir, updates.unionByName(inserts), ["o_orderkey"])
     return snap.read_snapshot(spark, tdir)
@@ -2134,8 +2134,6 @@ def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged rows that moved files during the rewrite; reading only
     manifest-differing files keeps the cost proportional to the change,
     not the table."""
-    import tempfile
-
     from ray_beam_runner_spark.sources import snapshots as snap
 
     orders = t(spark, sf_dir, "orders")
@@ -2153,7 +2151,7 @@ def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit("N").alias("o_orderstatus"),
     )
-    tdir = tempfile.mkdtemp(prefix="rbrs_snapcdf_")
+    tdir = scratch_dir("rbrs_snapcdf_")
     v1 = snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
     v2 = snap.upsert_snapshot(spark, tdir, updates.unionByName(inserts), ["o_orderkey"])
     return snap.snapshot_diff(spark, tdir, v1, v2)

@@ -12,12 +12,11 @@ that same closed-window subset from the batch table.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ray_beam_runner_spark.queries import query, t
+from ray_beam_runner_spark.queries import query, scratch_dir, t
 
 
 @query(
@@ -40,7 +39,7 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory, windowed_agg_stream
 
     events = t(spark, sf_dir, "events")
-    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_stream_"), "events")
+    drop_dir = os.path.join(scratch_dir("rbrs_stream_"), "events")
     stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
     agg = windowed_agg_stream(
         stream,
@@ -81,7 +80,7 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ray_beam_runner_spark.streaming.stateful import running_aggregate
 
     events = t(spark, sf_dir, "events")
-    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_stateful_"), "events")
+    drop_dir = os.path.join(scratch_dir("rbrs_stateful_"), "events")
     stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
     agg = running_aggregate(stream, "event_type", "value")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -125,7 +124,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
 
     events = t(spark, sf_dir, "events")
-    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_dedup_"), "events")
+    drop_dir = os.path.join(scratch_dir("rbrs_dedup_"), "events")
     stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
     dedup = (
         stream.select("user_id", "event_type", "ts")
@@ -177,7 +176,7 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("uid"), F.col("ts").alias("c_ts")
     )
-    base = tempfile.mkdtemp(prefix="rbrs_sjoin_")
+    base = scratch_dir("rbrs_sjoin_")
     sp = FileDropStream(spark, os.path.join(base, "p")).write_slices(
         purchases, "p_ts", n_slices=3
     ).read_stream()
@@ -251,7 +250,7 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("r_uid"), F.col("ts").alias("c_ts")
     )
-    base = tempfile.mkdtemp(prefix="rbrs_sojoin_")
+    base = scratch_dir("rbrs_sojoin_")
     sp = FileDropStream(spark, os.path.join(base, "p")).write_slices(
         purchases, "p_ts", n_slices=3
     ).read_stream()
@@ -322,7 +321,7 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
 
     events = t(spark, sf_dir, "events")
-    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_sess_"), "events")
+    drop_dir = os.path.join(scratch_dir("rbrs_sess_"), "events")
     stream = FileDropStream(spark, drop_dir).write_slices(events, "ts", n_slices=3).read_stream()
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -399,7 +398,7 @@ def q_streaming_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("r_uid"), F.col("ts").alias("c_ts")
     )
-    base = tempfile.mkdtemp(prefix="rbrs_sfjoin_")
+    base = scratch_dir("rbrs_sfjoin_")
     sp = FileDropStream(spark, os.path.join(base, "p")).write_slices(
         purchases, "p_ts", n_slices=3
     ).read_stream()
@@ -464,7 +463,7 @@ def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    base = tempfile.mkdtemp(prefix="rbrs_scdc_")
+    base = scratch_dir("rbrs_scdc_")
     stream = FileDropStream(spark, os.path.join(base, "drop")).write_slices(
         events, "ts", n_slices=4
     ).read_stream()
@@ -513,7 +512,7 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = t(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
-    drop_dir = os.path.join(tempfile.mkdtemp(prefix="rbrs_senrich_"), "events")
+    drop_dir = os.path.join(scratch_dir("rbrs_senrich_"), "events")
     stream = (
         FileDropStream(spark, drop_dir)
         .write_slices(events, "ts", n_slices=3)

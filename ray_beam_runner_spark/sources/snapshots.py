@@ -105,6 +105,51 @@ def _publish(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def _schema_struct(manifest: dict):
+    """The table's authoritative typed schema, recorded in the manifest
+    at commit time (Delta keeps it in the transaction log the same way).
+    After an ``evolve_schema`` MERGE the manifest lists mixed-generation
+    files, so NO single parquet footer is authoritative — readers must
+    take the schema from here and let the parquet reader null-backfill
+    columns a given file predates. Returns None for manifests written
+    before schema recording (callers fall back to mergeSchema)."""
+    sj = manifest.get("schema_json")
+    if not sj:
+        return None
+    from pyspark.sql.types import StructType
+
+    def _as_nullable(node):
+        # file sources force every read column nullable; mirror that in
+        # the recorded schema so empty-table reads and file-backed reads
+        # report the identical StructType
+        if isinstance(node, dict):
+            if "nullable" in node:
+                node["nullable"] = True
+            if "containsNull" in node:
+                node["containsNull"] = True
+            if "valueContainsNull" in node:
+                node["valueContainsNull"] = True
+            for v in node.values():
+                _as_nullable(v)
+        elif isinstance(node, list):
+            for v in node:
+                _as_nullable(v)
+        return node
+
+    return StructType.fromJson(_as_nullable(json.loads(sj)))
+
+
+def _manifest_reader(spark: SparkSession, manifest: dict):
+    """Parquet reader pinned to the manifest's recorded schema; falls
+    back to mergeSchema footer-union for pre-schema manifests. Explicit
+    schema beats mergeSchema at scale: zero footer reads for planning,
+    and deterministic column set on mixed-generation tables."""
+    struct = _schema_struct(manifest)
+    if struct is not None:
+        return spark.read.schema(struct)
+    return spark.read.option("mergeSchema", "true")
+
+
 def _uri_to_path(uri_path: str) -> str:
     """Decode an executor-reported file URI (file://…, percent-encoded)
     to a plain filesystem path. A raw suffix match against the URI would
@@ -273,6 +318,7 @@ def write_snapshot(
         "files": files,
         "op": "overwrite",
         "schema": sorted(f.name for f in df.schema.fields),
+        "schema_json": df.schema.json(),
     }
     if stats:
         manifest["file_stats"] = stats
@@ -317,11 +363,23 @@ def read_snapshot(
             return not (s[1] < lo or s[0] > hi)
 
         rel_files = [rel for rel in rel_files if _keep(rel)]
-    reader = (
-        spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-    )
+    struct = _schema_struct(manifest)
+    if struct is not None:
+        # authoritative typed schema from the manifest (Delta's
+        # log-owns-the-schema design): correct on mixed-generation
+        # tables regardless of which file Spark would sample, no footer
+        # reads for planning, and missing columns null-backfill.
+        reader = spark.read.schema(struct)
+    elif merge_schema:
+        reader = spark.read.option("mergeSchema", "true")
+    else:
+        reader = spark.read
     paths = [os.path.join(table_dir, rel) for rel in rel_files]
     if not paths:
+        if struct is not None:
+            # legitimately empty table (or every file stats-pruned):
+            # empty DataFrame with the recorded schema
+            return spark.createDataFrame([], struct)
         if key_range is not None:
             # every file pruned: empty result with the table's schema
             all_paths = [os.path.join(table_dir, r) for r in manifest["files"]]
@@ -424,6 +482,7 @@ def _upsert_once(
                 "txns": {txn_app: int(txn_version)},
                 "file_rows": rows_map,
                 "schema": sorted(f.name for f in updates.schema.fields),
+                "schema_json": updates.schema.json(),
             }
             _publish(table_dir, 1, manifest)
             return 1
@@ -511,11 +570,13 @@ def _merge_phases(
 
     # Phase 2 — exact touched-file detection, scanning ONLY candidates:
     # one _metadata.file_path semi-join finds the files that truly
-    # contain a matching key.
+    # contain a matching key. The reader is pinned to the manifest's
+    # recorded schema: on a mixed-generation table (after a past
+    # evolve_schema merge) plain spark.read would sample an arbitrary
+    # file's footer and could miss the evolved column, making the
+    # unionByName below fail or null-backfill non-deterministically.
     touched_rel: set[str] = set()
-    reader = (
-        spark.read.option("mergeSchema", "true") if evolve_schema else spark.read
-    )
+    reader = _manifest_reader(spark, manifest)
     if candidates:
         cand_df = reader.parquet(
             *(os.path.join(table_dir, rel) for rel in candidates)
@@ -561,6 +622,24 @@ def _merge_phases(
             *stats_for
         )
     new_files, new_stats, new_rows = _write_data_files(rewritten, table_dir, stats_for)
+    # Record the merged TYPED schema: parent's fields (order and types
+    # preserved) plus any columns the updates introduced. This — not any
+    # file footer — is what every later read/merge/compact pins to.
+    from pyspark.sql.types import StructType
+
+    old_struct = _schema_struct(manifest)
+    if old_struct is None:
+        old_struct = reader.parquet(
+            *(os.path.join(table_dir, rel) for rel in rel_files)
+        ).schema
+    if evolve_schema:
+        old_names = {f.name for f in old_struct.fields}
+        new_struct = StructType(
+            list(old_struct.fields)
+            + [f for f in updates.schema.fields if f.name not in old_names]
+        )
+    else:
+        new_struct = old_struct
     version = base + 1
     new_manifest = {
         "version": version,
@@ -570,6 +649,7 @@ def _merge_phases(
         "rewrote": sorted(touched_rel),
         "pruned_by_stats": pruned_by_stats,
         "schema": sorted(tbl_fields | upd_fields if evolve_schema else tbl_fields),
+        "schema_json": new_struct.json(),
     }
     if txns:
         new_manifest["txns"] = txns
@@ -628,14 +708,17 @@ def snapshot_diff(
     old_only = [r for r in mo["files"] if r not in set(mn["files"])]
     new_only = [r for r in mn["files"] if r not in set(mo["files"])]
 
-    def _read(rels: list[str]) -> DataFrame:
+    def _read(rels: list[str], manifest: dict) -> DataFrame:
+        struct = _schema_struct(manifest)
+        if struct is not None and not rels:
+            return spark.createDataFrame([], struct)
         anchor = rels or new_only or old_only or mn["files"] or mo["files"]
-        df = spark.read.option("mergeSchema", "true").parquet(
+        df = _manifest_reader(spark, manifest).parquet(
             *(os.path.join(table_dir, r) for r in anchor)
         )
         return df if rels else df.limit(0)
 
-    df_old, df_new = _read(old_only), _read(new_only)
+    df_old, df_new = _read(old_only, mo), _read(new_only, mn)
     # align to the union of columns (null backfill) so exceptAll sees
     # identical shapes even across an evolve_schema merge
     all_cols = list(
@@ -694,6 +777,13 @@ def compact(
     }
     if manifest.get("schema"):
         new_manifest["schema"] = manifest["schema"]
+    # read_snapshot above pinned the scan to this recorded schema, so
+    # the compacted files physically contain every evolved column
+    # (null-backfilled where a source file predates it) — compaction
+    # after an evolve_schema merge preserves, and normalizes, the
+    # evolved table; carry the authoritative schema forward.
+    if manifest.get("schema_json"):
+        new_manifest["schema_json"] = manifest["schema_json"]
     if manifest.get("txns"):
         new_manifest["txns"] = manifest["txns"]
     if stats:

@@ -532,3 +532,64 @@ def test_decode_audio_unsigned8_and_24bit():
     # unsupported widths fail loudly, not with a bare KeyError
     with pytest.raises(Exception):
         decode_audio(b"not a wav")
+
+
+def test_compact_after_schema_evolution_preserves_evolved_column(spark):
+    # r6 ADVICE (medium): compact() on a mixed-generation table must not
+    # let footer sampling drop the evolved column
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(2, "B", 7.5), (3, "c", 1.0)], "k int, v string, score double"),
+        ["k"], evolve_schema=True,
+    )
+    v = snap.compact(spark, t, n_files=1)
+    m = snap.read_manifest(t, v)
+    assert len(m["files"]) == 1
+    df = snap.read_snapshot(spark, t)
+    assert set(df.columns) == {"k", "v", "score"}
+    got = {r.k: (r.v, r.score) for r in df.collect()}
+    assert got == {1: ("a", None), 2: ("B", 7.5), 3: ("c", 1.0)}
+    # the compacted FILE physically carries the evolved column (plain
+    # read, no schema hints) — generations normalized, not just masked
+    plain = spark.read.parquet(os.path.join(t, m["files"][0]))
+    assert "score" in plain.columns
+
+
+def test_empty_snapshot_is_readable_with_schema(spark):
+    # r6 ADVICE (low): write_snapshot of an empty DataFrame must produce
+    # a readable (empty) table, not FileNotFoundError
+    t = _tdir()
+    empty = spark.createDataFrame([], "k int, v string")
+    snap.write_snapshot(empty, t)
+    df = snap.read_snapshot(spark, t)
+    assert df.columns == ["k", "v"] and df.count() == 0
+    # and an upsert into the empty table works
+    snap.upsert_snapshot(spark, t, spark.createDataFrame([(1, "a")], "k int, v string"), ["k"])
+    assert _rows(snap.read_snapshot(spark, t)) == [(1, "a")]
+
+
+def test_post_evolution_merge_reads_are_deterministic(spark):
+    # r6 ADVICE (low): Phase 2/3 readers must pin to the manifest schema
+    # so a non-evolving merge on a mixed-generation table never depends
+    # on which file's footer Spark samples. Touch BOTH generations.
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(i, "old%d" % i) for i in range(10)], "k int, v string"), t
+    )
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(10, "new", 1.0)], "k int, v string, score double"),
+        ["k"], evolve_schema=True,
+    )
+    # plain merge (no evolve flag) with keys hitting old-generation files
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, "upd", 3.0), (10, "upd2", 2.0)],
+                              "k int, v string, score double"),
+        ["k"],
+    )
+    got = {r.k: (r.v, r.score) for r in snap.read_snapshot(spark, t).collect()}
+    assert got[3] == ("upd", 3.0) and got[10] == ("upd2", 2.0)
+    assert got[0] == ("old0", None) and len(got) == 11
