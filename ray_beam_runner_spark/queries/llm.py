@@ -1503,6 +1503,67 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sequence_pack_sharded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 8
+               AS shard,
+             len({_TOKS})::BIGINT AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT source, shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM toks)
+    SELECT source, shard, doc_id, n_tok,
+           ((cum - n_tok) // 2048)::BIGINT AS seq_id,
+           ((cum - n_tok) % 2048)::BIGINT AS seq_offset
+    FROM packed
+    """,
+)
+def q_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the PRODUCTION domain (r6 verdict ask #6):
+    (source, shard) where shard is a deterministic engine-portable hash
+    bucket of the doc id (functions.text.hash_bucket — md5-based, so
+    the oracle states the identical bucketing in SQL). q_sequence_pack
+    documents why source-only packing skews at 100 TB (one giant crawl
+    source = one giant window partition); this is that documented
+    answer, oracle-checked: the same single windowed cumsum, but every
+    window partition is bounded at ~1/n_shards of a source, so the
+    biggest task stays O(source/shards) no matter how skewed the source
+    mix. Sequence ids are per-(source, shard); a loader consumes shards
+    independently, which is exactly how a 1000-executor job wants the
+    batches laid out. In production size n_shards to ~1 GB of tokens;
+    8 keeps the sf0.01 oracle readable."""
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        X.hash_bucket(F.col("doc_id"), 8, "pack").cast("long").alias("shard"),
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = base.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return packed.select(
+        "source",
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.floor(start / 2048).cast("long").alias("seq_id"),
+        (start % 2048).cast("long").alias("seq_offset"),
+    )
+
+
+@query(
     "q_corpus_shuffle",
     oracle="""
     SELECT doc_id,
@@ -1575,36 +1636,45 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information over token co-occurrences (window
     ±2, unordered pairs): the distributional-semantics keyword-pair
-    statistic (word2vec's implicit matrix). Pair generation is a
-    doc-co-partitioned position self-join with fan-out bounded by the
-    window width — shuffle keyed on doc_id, never cross-document.
-    Unigram and pair vocabularies aggregate map-side; the two vocab
-    lookups broadcast (a token vocabulary is tiny next to the corpus;
-    at web scale swap for a shuffle join and the plan is otherwise
-    unchanged). Scalar totals ride in as broadcast 1-row frames. Top-50
-    by 6-decimal-rounded PMI with full lexical tie-break keeps the cut
-    cross-engine deterministic."""
+    statistic (word2vec's implicit matrix). Pair generation is JOIN-FREE
+    (r6 verdict ask #5): the (w[i], w[i+1]) and (w[i], w[i+2]) pairs
+    come from zipping the token array against its own 1- and 2-shifted
+    tails inside one narrow projection — the q_bigram_logppl pattern —
+    so the exploded token table is never self-joined and never shuffled
+    twice. Unigram and pair vocabularies aggregate map-side; the two
+    vocab lookups broadcast (a token vocabulary is tiny next to the
+    corpus; at web scale swap for a shuffle join and the plan is
+    otherwise unchanged). Scalar totals ride in as broadcast 1-row
+    frames. Top-50 by 6-decimal-rounded PMI with full lexical tie-break
+    keeps the cut cross-engine deterministic."""
     from ray_beam_runner_spark.functions.text import tokens
 
     docs = t(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    # ±1 and ±2 neighbor pairs in ONE narrow pass: concat of two
+    # zip-against-tail arrays, then a single explode. greatest(…, 0)
+    # guards slice() against negative lengths on 1-token docs.
+    pairs = (
+        toks.select(
+            F.explode(
+                F.concat(
+                    F.arrays_zip(
+                        F.expr("slice(w, 1, greatest(size(w) - 1, 0))"),
+                        F.expr("slice(w, 2, greatest(size(w) - 1, 0))"),
+                    ),
+                    F.arrays_zip(
+                        F.expr("slice(w, 1, greatest(size(w) - 2, 0))"),
+                        F.expr("slice(w, 3, greatest(size(w) - 2, 0))"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.least(F.col("p.0"), F.col("p.1")).alias("w1"),
+            F.greatest(F.col("p.0"), F.col("p.1")).alias("w2"),
+        )
     )
-    e1 = ex.alias("e1")
-    e2 = ex.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("pos").alias("pos2"),
-        F.col("w").alias("w_2"),
-    )
-    pairs = e1.join(
-        e2,
-        (F.col("doc_id") == F.col("doc_id2"))
-        & (F.col("pos2") > F.col("pos"))
-        & (F.col("pos2") <= F.col("pos") + 2),
-    ).select(
-        F.least(F.col("w"), F.col("w_2")).alias("w1"),
-        F.greatest(F.col("w"), F.col("w_2")).alias("w2"),
-    )
+    ex = toks.select(F.explode("w").alias("w"))
     cw = ex.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
     n_tot = ex.agg(F.count(F.lit(1)).cast("double").alias("n"))
     cp = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))

@@ -459,6 +459,19 @@ def test_sequence_pack_single_window_exchange(spark, sf_dir):
     assert "Python" not in plan, plan[:3000]
 
 
+def test_sequence_pack_sharded_bounded_window_partitions(spark, sf_dir):
+    """The production packing domain windows on (source, shard): the
+    window partition spec must carry BOTH keys (bounded partitions even
+    under source skew), still one shuffle, no global sort, no Python."""
+    df = QUERIES["q_sequence_pack_sharded"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 1, plan[:3000]
+    assert "SinglePartition" not in plan, plan[:3000]
+    assert "Python" not in plan, plan[:3000]
+    win = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win and all("source" in ln and "shard" in ln for ln in win), plan[:3000]
+
+
 def test_corpus_shuffle_no_global_window(spark, sf_dir):
     """The deterministic shuffle must NOT serialize through one task:
     the rank window partitions by bucket (no SinglePartition exchange)
@@ -470,12 +483,15 @@ def test_corpus_shuffle_no_global_window(spark, sf_dir):
 
 
 def test_pmi_pairs_plan_broadcasts_and_bounds_fanout(spark, sf_dir):
-    """Vocab lookups and scalar totals broadcast; the position self-join
-    is keyed on doc_id (no cartesian/nested-loop over the corpus)."""
+    """Vocab lookups and scalar totals broadcast; pair generation is a
+    join-free zip-explode projection, so the ONLY joins in the plan are
+    broadcast vocab lookups — no shuffle join anywhere (r6 ask #5)."""
     df = QUERIES["q_pmi_pairs"](spark, sf_dir)
     plan = formatted_plan(df)
     assert_broadcast_join(df)
     assert "CartesianProduct" not in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "ShuffledHashJoin" not in plan, plan[:3000]
     assert "TakeOrderedAndProject" in plan, plan[:3000]
 
 
