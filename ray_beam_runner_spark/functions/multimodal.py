@@ -3,15 +3,17 @@ with typed metadata, processed by Arrow-batched pandas UDFs via mapInPandas.
 
 Codec status by modality: AUDIO decodes for real everywhere (stdlib
 ``wave`` + numpy, :func:`decode_audio` — no external dependency). IMAGE
-runs the real PIL kernel wherever pillow is importable (optional-import
-seam, :func:`decode_image` / ``resize_stub(fake=False)``) and otherwise
-raises a documented NotImplementedError; ``decode_image_stub`` with
-``fake_features=True`` computes deterministic content-derived
-pseudo-features (byte length, first byte, md5 prefix) so the Spark-side
-plumbing — schema, batching, partitioning, UDF signature — stays fully
-real and oracle-testable in codec-less environments. VIDEO frame
-sampling is byte-slicing unless codec libraries exist. Swapping in a
-real library only ever changes the per-batch kernel body.
+now ALSO decodes for real everywhere for PNG payloads: a pure
+stdlib-zlib + numpy codec (:func:`decode_png` — full chunk/CRC parse,
+all five scanline filters, grayscale/RGB/RGBA/palette) with a matching
+:func:`encode_png` for fixture synthesis; non-PNG formats (JPEG, …)
+still route through the optional-import PIL seam (:func:`decode_image`)
+and raise a documented NotImplementedError where pillow is absent.
+``decode_image_stub`` with ``fake_features=True`` remains the
+deterministic content-derived pseudo-feature kernel for format-agnostic
+plumbing tests. VIDEO frame sampling is byte-slicing unless codec
+libraries exist. Swapping in a real library only ever changes the
+per-batch kernel body.
 """
 
 from __future__ import annotations
@@ -36,6 +38,10 @@ __all__ = [
     "AUDIO_FEATURES_SCHEMA",
     "decode_audio",
     "extract_audio_features",
+    "IMAGE_FEATURES_SCHEMA",
+    "encode_png",
+    "decode_png",
+    "extract_image_features",
 ]
 
 
@@ -114,14 +120,27 @@ IMAGE_DECODE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes, image_mod=None) -> dict:
-    """REAL image decode kernel (PIL): header-only open — no pixel load —
-    returning (width, height, mode, format). Raises NotImplementedError
-    where pillow is absent; callers that want the deterministic test
-    kernel instead use :func:`decode_image_stub`."""
+    """REAL image decode kernel returning (width, height, mode, format).
+    PIL when importable (header-only open, any format); otherwise PNG
+    payloads decode through the dependency-free stdlib codec
+    (:func:`decode_png`) with the mode named post-palette-expansion
+    (palette PNGs report RGB where PIL would say P). Only a non-PNG
+    payload with no PIL raises NotImplementedError; callers that want
+    the deterministic format-agnostic test kernel use
+    :func:`decode_image_stub`."""
     Image = image_mod if image_mod is not None else _pil()
     if Image is None:
+        if bytes(payload[:8]) == _PNG_SIG:
+            f = decode_png(payload)
+            mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[f["channels"]]
+            return {
+                "width": f["width"],
+                "height": f["height"],
+                "mode": mode,
+                "format": "PNG",
+            }
         raise NotImplementedError(
-            "real image decoding requires pillow on the executors; "
+            "decoding non-PNG images requires pillow on the executors; "
             "install it or use decode_image_stub(fake_features=True)"
         )
     import io
@@ -139,9 +158,10 @@ def decode_media(media: DataFrame) -> DataFrame:
     """Real-codec decode over the media envelope via mapInPandas — the
     graduated form of :func:`extract_features`: same Arrow batching and
     iterator-kernel shape, but the per-task setup resolves the actual
-    codec once and each payload decodes to real image metadata. Runs
-    wherever pillow is importable on executors (skip-if-absent tested);
-    raises NotImplementedError per task otherwise."""
+    codec once and each payload decodes to real image metadata. PNG
+    payloads decode everywhere (stdlib codec); other formats need
+    pillow importable on the executors (skip-if-absent tested) and
+    raise NotImplementedError per task otherwise."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = _pil()  # per-task setup: resolve the codec once
@@ -334,3 +354,214 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image: REAL PNG codec via stdlib zlib + numpy (no external dependency).
+# Graduates the image modality the way audio graduated (r6 verdict ask
+# #3): pillow cannot be installed in this container (no network — see
+# COVERAGE.md), so the real kernel is a from-scratch implementation of
+# the public PNG spec (RFC 2083): chunk framing with CRC-32 verification,
+# IDAT inflate, all five scanline filters, gray/RGB/RGBA/palette. The
+# reference's examples decode real arrays in Python DoFns
+# (examples/tft_iris_example/preprocessing.py:56-67); here the decode is
+# the same per-element Python, Arrow-batched over executors.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (PNG filter 4), vectorized over int arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr, filter_type: int = 0) -> bytes:
+    """Encode an HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 array as
+    a real PNG byte stream (8-bit, non-interlaced). ``filter_type``
+    selects the scanline filter applied to EVERY row (0=None, 1=Sub,
+    2=Up, 3=Average, 4=Paeth) — used by tests to round-trip each filter
+    through the decoder's unfilter path, since a filter-0-only encoder
+    would leave filters 1-4 untested."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = a.reshape(h, w * ch).astype(np.int16)
+    zero = np.zeros(w * ch, dtype=np.int16)
+    raw = bytearray()
+    for y in range(h):
+        row, prev = rows[y], (rows[y - 1] if y else zero)
+        left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]]) if w * ch > ch else np.zeros_like(row)
+        upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]]) if w * ch > ch else np.zeros_like(row)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        elif filter_type == 4:
+            filt = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        raw.append(filter_type)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes, return_pixels: bool = False) -> dict:
+    """REAL PNG decode with no external codec: verify the signature and
+    every chunk CRC, inflate the IDAT stream, undo the per-scanline
+    filter (all five types), expand palettes, and return integer-exact
+    features: width, height, channels (post-palette), bit_depth and
+    px_sum (the exact integer sum of every sample — any mis-parse of
+    dimensions, filters, or palette changes it, which is what makes the
+    q_multimodal_image oracle a genuine codec check). Supports the
+    dominant web PNG shape (8-bit, non-interlaced, color types
+    0/2/3/4/6); 16-bit and Adam7 raise NotImplementedError loudly.
+    ``return_pixels=True`` adds the decoded HxWxC array under "pixels"
+    (kept off the Spark path — features only cross Arrow)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, plte, trns, ihdr = 8, [], None, None, None
+    view = bytes(payload)
+    while pos + 12 <= len(view):
+        (ln,) = struct.unpack(">I", view[pos : pos + 4])
+        typ = view[pos + 4 : pos + 8]
+        data = view[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", view[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _fm, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    rec = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, offset=off + 1).astype(np.int32)
+        if ft == 0:
+            out = line
+        elif ft == 1:  # Sub: per-byte-lane cumulative sum (mod 256)
+            out = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            out = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+            out = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = out[i - ch] if i >= ch else 0
+                b = prev[i]
+                if ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} in row {y}")
+        rec[y] = out
+        prev = out
+    arr = rec.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        arr = plte[arr[:, :, 0]]
+        ch = 3
+    feats = {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(ch),
+        "bit_depth": int(depth),
+        "px_sum": int(arr.astype(np.int64).sum()),
+    }
+    if return_pixels:
+        feats["pixels"] = arr
+    return feats
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads in a media envelope into integer-exact image
+    features via the real stdlib codec — Arrow-batched mapInPandas, one
+    decode per element inside the batch loop; payload bytes never leave
+    the executors, only the fixed-width feature rows cross Arrow."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_png(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)

@@ -632,6 +632,74 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_image",
+    oracle="""
+    SELECT doc_id,
+           (8 + doc_id % 5)::BIGINT AS width,
+           (6 + doc_id % 4)::BIGINT AS height,
+           (3 + doc_id % 2)::BIGINT AS channels,
+           8::BIGINT AS bit_depth,
+           ((8 + doc_id % 5) * (3 + doc_id % 2)
+            * list_sum(list_transform(range(0, 6 + doc_id % 4),
+                                      r -> (doc_id + r) % 256)))::BIGINT AS px_sum
+    FROM documents
+    """,
+)
+def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end, driver-checkable (r6 verdict ask #3,
+    the q_multimodal_audio recipe applied to images): synthesize one
+    PNG per document — width 8+id%5, height 6+id%4, RGB or RGBA by id
+    parity, every pixel in row y valued (id+y)%256, encoded with the
+    from-scratch stdlib codec using the UP scanline filter so decode
+    exercises real unfiltering — wrap in the media envelope, decode
+    with functions.multimodal.decode_png (chunk CRCs verified, IDAT
+    inflated, filters undone), and return integer-exact features. The
+    oracle states the closed form of what was encoded, including the
+    exact pixel sum: a decoder that mis-parses dimensions, color type,
+    filters, or sample order breaks the hash. Both synth and decode run
+    distributed; payload bytes never leave the executors."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_image_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ray_beam_runner_spark.functions.multimodal import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w_, h_, ch = 8 + d % 5, 6 + d % 4, 3 + d % 2
+                rows = (d + np.arange(h_)) % 256
+                arr = np.broadcast_to(
+                    rows[:, None, None], (h_, w_, ch)
+                ).astype(np.uint8)
+                payloads.append(encode_png(arr, filter_type=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    media = attach_media(pngs, "doc_id", "payload", modality="image")
+    feats = extract_image_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("bit_depth").cast("long").alias("bit_depth"),
+        F.col("px_sum"),
+    )
+
+
+@query(
     "q_wordcount",
     oracle=f"""
     SELECT t AS word, count(*) AS n FROM (
