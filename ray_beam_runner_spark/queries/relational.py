@@ -2155,3 +2155,69 @@ def q_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
     v2 = snap.upsert_snapshot(spark, tdir, updates.unionByName(inserts), ["o_orderkey"])
     return snap.snapshot_diff(spark, tdir, v1, v2)
+
+
+@query(
+    "q_snapshot_cdf_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 14 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 21 = 0)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change, 1::BIGINT AS _commit_version
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           'insert' AS _change, 2::BIGINT AS _commit_version
+    FROM upd
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus,
+           'delete' AS _change, 2::BIGINT AS _commit_version
+    FROM base b WHERE b.o_orderkey IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def q_snapshot_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change feed over a snapshot table (r6 verdict ask #4,
+    Delta readChangeFeed analog): build v1 (every 7th order), MERGE the
+    q_snapshot_cdf batch with ``cdc=True`` so the commit writes its
+    change sidecar, then open read_snapshot_stream from version 1 and
+    drain with availableNow. The feed must replay table creation as
+    inserts @v1 and the merge's sidecar deltas @v2 — the oracle states
+    both, so a source that mis-plans version ranges, re-emits, or drops
+    a commit breaks the hash. Offsets are snapshot versions checkpointed
+    by the engine (restart/exactly-once covered in pytest); per-trigger
+    cost at scale is reading pre-written sidecar files only, never
+    diffing the table."""
+    from ray_beam_runner_spark.sources import snapshots as snap
+    from ray_beam_runner_spark.streaming.ops import run_to_memory
+
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    base = orders.filter(F.col("o_orderkey") % 7 == 0).select(*cols)
+    updates = orders.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 21 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    tdir = scratch_dir("rbrs_snapcdfs_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
+    snap.upsert_snapshot(
+        spark, tdir, updates.unionByName(inserts), ["o_orderkey"], cdc=True
+    )
+    feed = snap.read_snapshot_stream(spark, tdir, starting_version=1)
+    return run_to_memory(feed, output_mode="append")

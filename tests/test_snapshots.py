@@ -593,3 +593,65 @@ def test_post_evolution_merge_reads_are_deterministic(spark):
     got = {r.k: (r.v, r.score) for r in snap.read_snapshot(spark, t).collect()}
     assert got[3] == ("upd", 3.0) and got[10] == ("upd2", 2.0)
     assert got[0] == ("old0", None) and len(got) == 11
+
+
+def test_change_feed_commit_types_and_restart_exactly_once(spark, tmp_path):
+    # r6 verdict ask #4: streaming change-feed source over the snapshot
+    # log. Covers every commit type, then restart-from-checkpoint.
+    t = _tdir()
+    ckpt = str(tmp_path / "ckpt")
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t)
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        ["k"], cdc=True,
+    )
+    snap.compact(spark, t, n_files=1)
+
+    got: list[tuple] = []
+
+    def drain():
+        feed = snap.read_snapshot_stream(spark, t)
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda df, _bid: got.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    first = sorted(got)
+    assert first == sorted([
+        (1, "a", "insert", 1), (2, "b", "insert", 1),      # create: all insert
+        (2, "b", "delete", 2), (2, "B", "insert", 2),      # cdc merge sidecar
+        (3, "c", "insert", 2),
+    ])  # compact (v3) emits nothing: content-identical
+    # restart with NO new commits: nothing re-emitted (offset committed)
+    got.clear()
+    drain()
+    assert got == []
+    # new commits after restart: ONLY their deltas arrive (v4 merge
+    # without sidecars exercises the file-diff fallback path)
+    snap.upsert_snapshot(spark, t, spark.createDataFrame([(1, "A2")], "k int, v string"), ["k"])
+    got.clear()
+    drain()
+    assert sorted(got) == [(1, "A2", "insert", 4), (1, "a", "delete", 4)]
+
+
+def test_change_feed_sidecars_survive_vacuum_and_get_reclaimed(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    v2 = snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "A")], "k int, v string"), ["k"], cdc=True
+    )
+    cdc_rel = snap.read_manifest(t, v2)["cdc_files"]
+    assert cdc_rel
+    # v2 retained: its sidecars are live, vacuum must not touch them
+    deleted = snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    assert not set(cdc_rel) & set(deleted)
+    # push v2 out of retention: sidecars are reclaimed with its files
+    snap.write_snapshot(spark.createDataFrame([(9, "z")], "k int, v string"), t)
+    deleted = snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    assert set(cdc_rel) <= set(deleted)
