@@ -10,9 +10,11 @@ then TIMED_SWEEPS timed sweeps; each query reports its min across timed
 sweeps and the headline metric is the sum over the declared set. The
 DuckDB baseline is likewise warm-cache/second-run (BASELINE.md §2), so
 steady-state-vs-steady-state is the like-for-like comparison. Extended
-(execution-bound) queries warm once and time once — their runtimes are
-seconds, not scheduling jitter. scripts/bench_scaling.py measures how the
-ratio to DuckDB amortizes as data grows past the per-job scheduling floor.
+(execution-bound) queries warm once then report the min of 3 timed runs
+— round-over-round deltas on untouched queries stay within single-JVM
+noise instead of the ±25% a 2-sample min showed. scripts/bench_scaling.py
+measures how the ratio to DuckDB amortizes as data grows past the
+per-job scheduling floor.
 """
 
 from __future__ import annotations
@@ -68,6 +70,9 @@ EXTRA_SET = (
     "q_pmi_pairs",
     "q_bigram_logppl",
     "q_sketch_distinct",
+    # round 7
+    "q_sequence_pack_sharded",
+    "q_multimodal_image",
 )
 
 
@@ -132,11 +137,13 @@ def main() -> None:
         fn = QUERIES[name]
         run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
         release_tracked()  # drop operator-persisted intermediates
-        # min of 2 timed runs: a single sample on a JVM still carries
-        # JIT/GC jitter (measured 2-3x one-off spikes, e.g. 2.3s vs a
-        # 0.8s steady state on q_market_share in round 3).
+        # min of 3 timed runs (r6 verdict ask #7): with 2 the r5->r6
+        # deltas on UNTOUCHED queries spanned -21%..+29% — too noisy to
+        # detect a real 1.5x regression; a third sample reliably lands
+        # below the JIT/GC spike tail (measured 2-3x one-off spikes,
+        # e.g. 2.3s vs a 0.8s steady state on q_market_share in r3).
         best = None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "3"))):
             dt = run_query(fn, spark, sf_dir)
             release_tracked()
             spark.catalog.clearCache()  # isolate queries (no leaked persists)

@@ -655,3 +655,44 @@ def test_change_feed_sidecars_survive_vacuum_and_get_reclaimed(spark):
     snap.write_snapshot(spark.createDataFrame([(9, "z")], "k int, v string"), t)
     deleted = snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
     assert set(cdc_rel) <= set(deleted)
+
+
+def test_change_feed_replicates_table_via_stream_upsert(spark, tmp_path):
+    # close the CDC loop: source table commits -> change feed ->
+    # stream_upsert applies them to a replica -> replica converges to
+    # the source after every drain (the cross-table replication pattern
+    # the feed exists for). Upsert-only source, so applying the feed's
+    # inserts keyed-MERGE-style is exact; per-batch dedupe keeps the
+    # LAST version of a key when one drain spans several commits.
+    src, dst = _tdir(), _tdir()
+    ckpt = str(tmp_path / "repl_ckpt")
+    snap.write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), src)
+    snap.upsert_snapshot(
+        spark, src, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        ["k"], cdc=True,
+    )
+
+    def replicate():
+        feed = snap.read_snapshot_stream(spark, src)
+        q = snap.stream_upsert(
+            feed.filter(F.col("_change") == "insert").drop("_change"),
+            dst, ["k"], checkpoint_dir=ckpt,
+            app_id="replica", dedupe_last_by=["_commit_version"],
+        )
+        assert q.awaitTermination(120)
+
+    def table(d):
+        return {
+            (r.k, r.v)
+            for r in snap.read_snapshot(spark, d).select("k", "v").collect()
+        }
+
+    replicate()
+    assert table(dst) == table(src) == {(1, "a"), (2, "B"), (3, "c")}
+    # more source commits; a second incremental drain converges again
+    snap.upsert_snapshot(
+        spark, src, spark.createDataFrame([(1, "A2"), (4, "d")], "k int, v string"),
+        ["k"], cdc=True,
+    )
+    replicate()
+    assert table(dst) == table(src) == {(1, "A2"), (2, "B"), (3, "c"), (4, "d")}
