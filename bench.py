@@ -73,6 +73,7 @@ EXTRA_SET = (
     # round 7
     "q_sequence_pack_sharded",
     "q_multimodal_image",
+    "q_multimodal_video",
 )
 
 

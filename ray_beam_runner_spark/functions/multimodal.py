@@ -11,9 +11,14 @@ still route through the optional-import PIL seam (:func:`decode_image`)
 and raise a documented NotImplementedError where pillow is absent.
 ``decode_image_stub`` with ``fake_features=True`` remains the
 deterministic content-derived pseudo-feature kernel for format-agnostic
-plumbing tests. VIDEO frame sampling is byte-slicing unless codec
-libraries exist. Swapping in a real library only ever changes the
-per-batch kernel body.
+plumbing tests. VIDEO also decodes for real everywhere for animated
+GIF payloads: a pure-Python LZW codec (:func:`decode_gif` /
+:func:`encode_gif` — GIF87a/89a, global/local color tables, interlace)
+whose :func:`sample_gif_frames` emits real frames re-encoded as PNG, so
+video -> frames -> image-features runs genuinely end to end with zero
+external codecs; non-GIF video remains the byte-slicing
+:func:`sample_frames` stub. Swapping in a real library only ever
+changes the per-batch kernel body.
 """
 
 from __future__ import annotations
@@ -42,6 +47,11 @@ __all__ = [
     "encode_png",
     "decode_png",
     "extract_image_features",
+    "VIDEO_FEATURES_SCHEMA",
+    "encode_gif",
+    "decode_gif",
+    "extract_video_features",
+    "sample_gif_frames",
 ]
 
 
@@ -565,3 +575,287 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: REAL animated-GIF codec (pure Python LZW + numpy) — graduates
+# the video modality's frame sampling from byte-slicing stub to genuine
+# frame decode, with no external dependency (GIF87a/89a is a public
+# spec). A sampled frame re-encodes as PNG through encode_png, so the
+# video -> frames -> image-features pipeline is real end to end.
+# ---------------------------------------------------------------------------
+
+_GIF_SIG = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting min_code_size+1,
+    CLEAR/END codes, dict reset before overflowing 12 bits, LSB-first
+    bit packing."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[tuple[int, int]] = []
+    code_size = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+
+    def emit(code: int) -> None:
+        out_bits.append((code, code_size))
+
+    emit(clear)
+    buf: tuple = ()
+    for sym in indices:
+        cand = buf + (int(sym),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        buf = (int(sym),)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    acc = bits = 0
+    data = bytearray()
+    for code, size in out_bits:
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`_lzw_encode` (standard "increase width when the
+    table fills the current code space" rule, KwKwK case handled)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    acc = bits = pos = 0
+    while True:
+        while bits < code_size:
+            if pos >= len(data):
+                return bytes(out)
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK: code references the entry being defined
+            entry = prev + prev[:1]
+            table.append(entry)
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Chunk a byte stream into GIF's <=255-byte length-prefixed
+    sub-blocks with the 0 terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames, palette, delay_cs: int = 4) -> bytes:
+    """Encode HxW uint8 INDEX arrays (all same shape) + an Nx3 palette
+    as an animated GIF89a (global color table, one image descriptor per
+    frame, graphics-control delay of ``delay_cs`` hundredths). Palette
+    is padded to the next power of two (>= 4, GIF's min code size 2)."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.ascontiguousarray(np.asarray(f, dtype=np.uint8)) for f in frames]
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all GIF frames must share one shape")
+    pal = np.asarray(palette, dtype=np.uint8)
+    bits = max(2, int(len(pal) - 1).bit_length())
+    n_pal = 1 << bits
+    full = np.zeros((n_pal, 3), np.uint8)
+    full[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += full.tobytes()
+    for f in frames:
+        if int(f.max(initial=0)) >= len(pal):
+            raise ValueError("frame index out of palette range")
+        # graphics control extension: frame delay
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # descriptor
+        out.append(bits)  # LZW min code size
+        out += _gif_subblocks(_lzw_encode(f.reshape(-1), bits))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes, return_frames: bool = False) -> dict:
+    """REAL animated-GIF decode with no external codec: header + screen
+    descriptor, global/local color tables, per-frame LZW decompression,
+    interlace reorder, extension skipping. Returns integer-exact
+    features — width, height, n_frames, palette_size, and px_sum (the
+    exact integer sum of every frame's palette-mapped RGB samples over
+    the frame's own rectangle; a mis-parse of the LZW stream, palette,
+    or frame geometry changes it). ``return_frames=True`` adds the list
+    of decoded HxWx3 RGB arrays (frames composited onto their own
+    rectangle only — disposal semantics are the caller's concern)."""
+    import struct
+
+    import numpy as np
+
+    view = bytes(payload)
+    if view[:6] not in _GIF_SIG:
+        raise ValueError("not a GIF: bad signature")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", view[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(view, np.uint8, n * 3, offset=pos).reshape(-1, 3)
+        pos += n * 3
+    frames = []
+    px_sum = 0
+    while pos < len(view):
+        block = view[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while view[pos]:
+                pos += 1 + view[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos - 1}")
+        fl, ft, fw, fh, fpacked = struct.unpack("<HHHHB", view[pos : pos + 9])
+        pos += 9
+        pal = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            pal = np.frombuffer(view, np.uint8, n * 3, offset=pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = view[pos]
+        pos += 1
+        comp = bytearray()
+        while view[pos]:
+            ln = view[pos]
+            comp += view[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(comp), mcs), np.uint8)
+        if idx.size < fw * fh:
+            raise ValueError("GIF frame pixel data truncated")
+        idx = idx[: fw * fh].reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows stored in 4 passes
+            order = [*range(0, fh, 8), *range(4, fh, 8),
+                     *range(2, fh, 4), *range(1, fh, 2)]
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        rgb = pal[np.minimum(idx, len(pal) - 1)]
+        px_sum += int(rgb.astype(np.int64).sum())
+        frames.append(rgb)
+    feats = {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": len(frames),
+        "palette_size": int(len(gct)) if gct is not None else 0,
+        "px_sum": px_sum,
+    }
+    if return_frames:
+        feats["frames"] = frames
+    return feats
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("palette_size", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+    ]
+)
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """Decode animated-GIF payloads into integer-exact per-clip features
+    via the real pure-Python codec (Arrow-batched mapInPandas; payload
+    bytes never leave the executors)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_gif(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def sample_gif_frames(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL frame sampling (the graduated form of the byte-slicing
+    :func:`sample_frames` stub): decode each GIF payload, keep every
+    ``stride``-th frame, re-encode it as PNG via :func:`encode_png`,
+    and emit one image-modality media row per sampled frame with the
+    frame index in meta.duration_ms (1→N splittable-read analog, same
+    envelope contract as the stub). Downstream stages compose
+    unchanged: sample_gif_frames |> extract_image_features runs a real
+    video -> frames -> features pipeline with zero external codecs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                decoded = decode_gif(payload, return_frames=True)
+                for f_idx in range(0, decoded["n_frames"], stride):
+                    m = dict(meta)
+                    m["modality"] = "image"
+                    m["mime"] = "image/png"
+                    m["width"], m["height"] = decoded["width"], decoded["height"]
+                    m["duration_ms"] = f_idx
+                    rows.append(
+                        (mid, encode_png(decoded["frames"][f_idx]), m)
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)

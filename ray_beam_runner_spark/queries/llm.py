@@ -700,6 +700,79 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_video",
+    oracle="""
+    SELECT doc_id,
+           (6 + doc_id % 4)::BIGINT AS width,
+           (5 + doc_id % 3)::BIGINT AS height,
+           (2 + doc_id % 3)::BIGINT AS n_frames,
+           256::BIGINT AS palette_size,
+           ((6 + doc_id % 4) * (5 + doc_id % 3) * 3
+            * list_sum(list_transform(range(0, 2 + doc_id % 3),
+                                      f -> (doc_id + f) % 256)))::BIGINT AS px_sum
+    FROM documents
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end, driver-checkable (the audio/image
+    recipe applied to the video modality): synthesize one animated GIF
+    per document — width 6+id%4, height 5+id%3, 2+id%3 frames, frame f
+    a constant (id+f)%256 over a 256-entry grayscale palette, encoded
+    with the from-scratch pure-Python LZW codec — wrap in the media
+    envelope, decode with functions.multimodal.decode_gif (header +
+    color table + per-frame LZW inflate), and return integer-exact
+    per-clip features. The oracle states the closed form of what was
+    encoded, including the exact palette-mapped pixel sum across ALL
+    frames: a codec that mis-parses the LZW stream, palette, frame
+    count, or geometry breaks the hash. Both synth and decode run
+    distributed; payload bytes never leave the executors. The sampled
+    frames themselves feed extract_image_features via
+    sample_gif_frames (pytest-covered pipeline)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_video_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ray_beam_runner_spark.functions.multimodal import encode_gif
+
+        pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w_, h_, nf = 6 + d % 4, 5 + d % 3, 2 + d % 3
+                payloads.append(
+                    encode_gif(
+                        [np.full((h_, w_), (d + f) % 256, np.uint8)
+                         for f in range(nf)],
+                        pal,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    gifs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    media = attach_media(gifs, "doc_id", "payload", modality="video")
+    feats = extract_video_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("palette_size").cast("long").alias("palette_size"),
+        F.col("px_sum"),
+    )
+
+
+@query(
     "q_wordcount",
     oracle=f"""
     SELECT t AS word, count(*) AS n FROM (

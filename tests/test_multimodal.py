@@ -262,3 +262,101 @@ def test_extract_image_features_distributed(spark):
     assert rows[1].px_sum == 4 * 6 * 3 * 100
     assert (rows[2].width, rows[2].channels) == (8, 1)
     assert rows[2].px_sum == sum(range(64))
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (pure Python LZW + numpy): the graduated video modality
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_palettes_and_compression_stress():
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    for n_pal in [3, 4, 16, 200, 256]:
+        pal = rng.randint(0, 256, size=(n_pal, 3)).astype(np.uint8)
+        frames = [rng.randint(0, n_pal, size=(7, 9)).astype(np.uint8) for _ in range(4)]
+        d = decode_gif(encode_gif(frames, pal), return_frames=True)
+        assert (d["width"], d["height"], d["n_frames"]) == (9, 7, 4)
+        for f_idx, f in enumerate(frames):
+            assert np.array_equal(d["frames"][f_idx], pal[f]), (n_pal, f_idx)
+        assert d["px_sum"] == sum(int(pal[f].astype(np.int64).sum()) for f in frames)
+    # LZW dict-reset stress (random 21k-pixel frame) + max-compression frame
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    for fr in (
+        rng.randint(0, 256, size=(100, 211)).astype(np.uint8),
+        np.full((50, 60), 7, np.uint8),
+    ):
+        d = decode_gif(encode_gif([fr], pal), return_frames=True)
+        assert np.array_equal(d["frames"][0], pal[fr])
+
+
+def test_gif_interlaced_and_error_paths():
+    import struct
+
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        _gif_subblocks,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    # hand-built interlaced frame: rows stored in 4-pass order, flag 0x40
+    h, w = 10, 4
+    frame = np.arange(h * w, dtype=np.uint8).reshape(h, w) % 16
+    order = [*range(0, h, 8), *range(4, h, 8), *range(2, h, 4), *range(1, h, 2)]
+    stored = frame[order]  # what an interlacing encoder writes
+    pal = np.arange(16, dtype=np.uint8).repeat(3).reshape(16, 3)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)  # GCT 16 entries
+    gif += pal.tobytes()
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)
+    gif.append(4)
+    gif += _gif_subblocks(_lzw_encode(stored.reshape(-1), 4))
+    gif.append(0x3B)
+    d = decode_gif(bytes(gif), return_frames=True)
+    assert np.array_equal(d["frames"][0], pal[frame])  # de-interlaced
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"PNG pretending")
+
+
+def test_sample_gif_frames_to_image_features_pipeline(spark):
+    # video -> real frame decode -> PNG re-encode -> image features,
+    # fully distributed and codec-free
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        encode_gif,
+        extract_image_features,
+        sample_gif_frames,
+    )
+
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+
+    def clip(seed, n_frames):
+        return encode_gif(
+            [np.full((4, 5), (seed + f) % 256, np.uint8) for f in range(n_frames)],
+            pal,
+        )
+
+    df = spark.createDataFrame(
+        [(1, clip(10, 4)), (2, clip(200, 2))], "id long, payload binary"
+    )
+    media = attach_media(df, "id", "payload", modality="video")
+    frames = sample_gif_frames(media, stride=2)
+    out = frames.collect()
+    # stride 2: clip 1 keeps frames 0,2; clip 2 keeps frame 0
+    assert sorted((r.media_id, r.meta.duration_ms) for r in out) == [
+        (1, 0), (1, 2), (2, 0)
+    ]
+    assert all(r.meta.modality == "image" and r.meta.mime == "image/png" for r in out)
+    feats = {
+        (r.media_id, r.px_sum)
+        for r in extract_image_features(frames).collect()
+    }
+    # each PNG frame is a constant (seed+f) image: px_sum = 4*5*3*(seed+f)
+    assert feats == {(1, 60 * 10), (1, 60 * 12), (2, 60 * 200)}
