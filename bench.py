@@ -10,9 +10,16 @@ then TIMED_SWEEPS timed sweeps; each query reports its min across timed
 sweeps and the headline metric is the sum over the declared set. The
 DuckDB baseline is likewise warm-cache/second-run (BASELINE.md §2), so
 steady-state-vs-steady-state is the like-for-like comparison. Extended
-(execution-bound) queries warm once then report the min of 3 timed runs
-— round-over-round deltas on untouched queries stay within single-JVM
-noise instead of the ±25% a 2-sample min showed. scripts/bench_scaling.py
+queries warm once then report a time-budgeted min: >=3 timed runs, and
+sub-second queries keep sampling to ~2 s of timed data (cap 8) — on
+those, scheduling jitter IS the runtime and a fixed-small-N min left
+±16-39% tails between identical-code runs. Measured repeatability of
+THIS protocol (two identical-code runs, this VM): median |delta| ~8%,
+tails to ~30% under external load — the residual is machine-level
+throughput drift (multi-second execution-bound queries swing 28%
+between runs), so treat single-round deltas under ~1.3x as noise and
+trust direction only when it persists across rounds.
+scripts/bench_scaling.py
 measures how the ratio to DuckDB amortizes as data grows past the
 per-job scheduling floor.
 """
@@ -138,17 +145,25 @@ def main() -> None:
         fn = QUERIES[name]
         run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
         release_tracked()  # drop operator-persisted intermediates
-        # min of 3 timed runs (r6 verdict ask #7): with 2 the r5->r6
-        # deltas on UNTOUCHED queries spanned -21%..+29% — too noisy to
-        # detect a real 1.5x regression; a third sample reliably lands
-        # below the JIT/GC spike tail (measured 2-3x one-off spikes,
-        # e.g. 2.3s vs a 0.8s steady state on q_market_share in r3).
-        best = None
-        for _ in range(int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "3"))):
+        # Time-budgeted min (r6 verdict ask #7, tightened): at least 3
+        # timed runs, and keep sampling sub-second queries until ~2 s of
+        # timed samples (cap 8). Rationale, measured on this VM: with a
+        # fixed min-of-2 the round-over-round deltas on UNTOUCHED
+        # queries spanned -21%..+29%, and even back-to-back min-of-3
+        # runs left ±16-39% tails on ~0.2-0.5 s queries — there, per-
+        # stage scheduling jitter IS the runtime, and the min only
+        # converges with sample count. Slow queries (>=1 s) are
+        # execution-bound and stable at 3 samples.
+        min_runs = max(1, int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "3")))
+        budget = float(os.environ.get("SPARK_GRAFT_EXTRA_BUDGET_SEC", "2.0"))
+        best, n, spent = None, 0, 0.0
+        while n < min_runs or (spent < budget and n < 8):
             dt = run_query(fn, spark, sf_dir)
             release_tracked()
             spark.catalog.clearCache()  # isolate queries (no leaked persists)
             best = dt if best is None else min(best, dt)
+            n += 1
+            spent += dt
         timings[name] = round(best, 4)
 
     total = round(sum(timings[n] for n in BENCH_SET if n in timings), 4)

@@ -470,7 +470,7 @@ def decode_png(payload: bytes, return_pixels: bool = False) -> dict:
 
     if bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
-    pos, idat, plte, trns, ihdr = 8, [], None, None, None
+    pos, idat, plte, ihdr = 8, [], None, None
     view = bytes(payload)
     while pos + 12 <= len(view):
         (ln,) = struct.unpack(">I", view[pos : pos + 4])
@@ -790,7 +790,12 @@ def decode_gif(payload: bytes, return_frames: bool = False) -> dict:
             de = np.empty_like(idx)
             de[order] = idx
             idx = de
-        rgb = pal[np.minimum(idx, len(pal) - 1)]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                "GIF pixel index out of palette range (corrupt LZW stream "
+                "or color table)"
+            )
+        rgb = pal[idx]
         px_sum += int(rgb.astype(np.int64).sum())
         frames.append(rgb)
     feats = {
@@ -848,14 +853,17 @@ def sample_gif_frames(media: DataFrame, stride: int = 1) -> DataFrame:
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 decoded = decode_gif(payload, return_frames=True)
                 for f_idx in range(0, decoded["n_frames"], stride):
+                    frame = decoded["frames"][f_idx]
                     m = dict(meta)
                     m["modality"] = "image"
                     m["mime"] = "image/png"
-                    m["width"], m["height"] = decoded["width"], decoded["height"]
+                    # the payload encodes the FRAME RECT (real-world
+                    # GIFs write sub-rectangle frames), so the envelope
+                    # metadata must carry the frame's own dimensions,
+                    # not the logical screen's
+                    m["width"], m["height"] = int(frame.shape[1]), int(frame.shape[0])
                     m["duration_ms"] = f_idx
-                    rows.append(
-                        (mid, encode_png(decoded["frames"][f_idx]), m)
-                    )
+                    rows.append((mid, encode_png(frame), m))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)

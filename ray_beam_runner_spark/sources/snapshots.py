@@ -532,6 +532,11 @@ def _upsert_once(
     # collect, anti-join write) would otherwise re-evaluate the whole
     # updates lineage — 3x the upstream cost per merge, 3x the dedupe
     # window per streaming micro-batch.
+    if cdc:
+        # the CDC sidecar write is a second action over the updates
+        # lineage (phase 3's rewrite is the first) — persist it for the
+        # merge duration, same rationale as key_set below
+        updates = updates.persist()
     key_set = updates.select(*keys).distinct().persist()
     try:
         return _merge_phases(
@@ -540,6 +545,8 @@ def _upsert_once(
         )
     finally:
         key_set.unpersist()
+        if cdc:
+            updates.unpersist()
 
 
 def _merge_phases(
@@ -992,10 +999,19 @@ def _cdc_read_pdf(table_dir: str, rels: list[str], columns: list[str]):
 
 
 def _pyval(v):
+    import numpy as np
     import pandas as pd
 
     if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
         return None
+    if isinstance(v, np.ndarray):
+        # array-typed column (e.g. embeddings): tolist() gives python
+        # natives; tuple keeps diff-mode Counter rows hashable and
+        # yields fine as an ArrayType value. (.item() on a >1-element
+        # ndarray would raise.)
+        return tuple(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_pyval(x) for x in v)
     return v.item() if hasattr(v, "item") else v
 
 
@@ -1067,7 +1083,18 @@ class _SnapshotCdcStreamReader(_DSSR):
                     for rel in manifest["files"]
                 )
                 continue
-            pm = read_manifest(self.table_dir, parent)
+            try:
+                pm = read_manifest(self.table_dir, parent)
+            except FileNotFoundError:
+                # parent vacuumed away: every version <= parent was also
+                # skipped above, so none of their rows entered THIS
+                # stream — the oldest retained version is the stream's
+                # initial snapshot and replays as pure inserts
+                parts.extend(
+                    _CdcPartition(self.table_dir, v, "insert", [rel], columns=self.cols)
+                    for rel in manifest["files"]
+                )
+                continue
             old_only = [r for r in pm["files"] if r not in set(manifest["files"])]
             new_only = [r for r in manifest["files"] if r not in set(pm["files"])]
             if op == "overwrite":

@@ -360,3 +360,74 @@ def test_sample_gif_frames_to_image_features_pipeline(spark):
     }
     # each PNG frame is a constant (seed+f) image: px_sum = 4*5*3*(seed+f)
     assert feats == {(1, 60 * 10), (1, 60 * 12), (2, 60 * 200)}
+
+
+def test_gif_subrect_frame_meta_and_palette_range_error():
+    import struct
+
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        _gif_subblocks,
+        _lzw_encode,
+        decode_gif,
+    )
+
+    # hand-built GIF whose single frame is a SUB-RECTANGLE of the
+    # logical screen (standard real-world optimization): 2x3 frame at
+    # offset (1,1) on a 10x8 screen
+    pal = np.arange(16, dtype=np.uint8).repeat(3).reshape(16, 3)
+    frame = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 10, 8, 0x80 | 0x03, 0, 0)
+    gif += pal.tobytes()
+    gif += struct.pack("<BHHHHB", 0x2C, 1, 1, 3, 2, 0)
+    gif.append(4)
+    gif += _gif_subblocks(_lzw_encode(frame.reshape(-1), 4))
+    gif.append(0x3B)
+    d = decode_gif(bytes(gif), return_frames=True)
+    assert (d["width"], d["height"]) == (10, 8)  # screen dims
+    assert d["frames"][0].shape == (2, 3, 3)     # frame-rect dims
+    # out-of-palette index raises instead of silently clamping
+    bad = bytearray(b"GIF89a")
+    bad += struct.pack("<HHBBB", 2, 1, 0x80 | 0x00, 0, 0)  # 2-entry GCT
+    bad += bytes(6)
+    bad += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    bad.append(2)
+    bad += _gif_subblocks(_lzw_encode([0, 3], 2))  # index 3 >= 2 entries
+    bad.append(0x3B)
+    with pytest.raises(ValueError, match="palette range"):
+        decode_gif(bytes(bad))
+
+
+def test_sample_gif_frames_meta_uses_frame_rect_dims(spark):
+    import struct
+
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        _gif_subblocks,
+        _lzw_encode,
+        attach_media,
+        decode_png,
+        sample_gif_frames,
+    )
+
+    pal = np.arange(16, dtype=np.uint8).repeat(3).reshape(16, 3)
+    frame = np.full((2, 3), 5, np.uint8)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 10, 8, 0x80 | 0x03, 0, 0)
+    gif += pal.tobytes()
+    gif += struct.pack("<BHHHHB", 0x2C, 4, 4, 3, 2, 0)
+    gif.append(4)
+    gif += _gif_subblocks(_lzw_encode(frame.reshape(-1), 4))
+    gif.append(0x3B)
+    df = spark.createDataFrame([(1, bytes(gif))], "id long, payload binary")
+    rows = sample_gif_frames(
+        attach_media(df, "id", "payload", modality="video")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # envelope metadata matches the PNG payload's actual dimensions
+    png = decode_png(r.payload)
+    assert (r.meta.width, r.meta.height) == (png["width"], png["height"]) == (3, 2)

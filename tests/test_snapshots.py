@@ -696,3 +696,59 @@ def test_change_feed_replicates_table_via_stream_upsert(spark, tmp_path):
     )
     replicate()
     assert table(dst) == table(src) == {(1, "A2"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_change_feed_array_columns_and_vacuumed_parent(spark, tmp_path):
+    # review fixes: (a) array-typed columns must flow through the feed
+    # (embeddings tables are a core domain); (b) a retained version
+    # whose parent manifest was vacuumed replays as the stream's
+    # initial snapshot instead of crashing
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, [0.1, 0.2]), (2, [0.3, 0.4])], "k int, emb array<double>"
+        ),
+        t,
+    )
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(2, [9.0, 9.0])], "k int, emb array<double>"),
+        ["k"], cdc=True,
+    )
+    # a sidecar-less merge too (diff mode hashes rows -> tuples)
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, [5.0, 5.0])], "k int, emb array<double>"),
+        ["k"],
+    )
+
+    def drain(ckpt):
+        got = []
+        feed = snap.read_snapshot_stream(spark, t)
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda df, _b: got.extend(
+                    (r.k, tuple(r.emb), r._change, r._commit_version)
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain("a") == sorted([
+        (1, (0.1, 0.2), "insert", 1), (2, (0.3, 0.4), "insert", 1),
+        (2, (0.3, 0.4), "delete", 2), (2, (9.0, 9.0), "insert", 2),
+        (3, (5.0, 5.0), "insert", 3),
+    ])
+    # vacuum away v1/v2 manifests; a FRESH stream sees v3 (parent gone)
+    # as its initial snapshot: pure inserts of the retained content
+    snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    got = drain("b")
+    assert [g[2] for g in got] == ["insert"] * 3
+    assert {(g[0], g[1]) for g in got} == {
+        (1, (0.1, 0.2)), (2, (9.0, 9.0)), (3, (5.0, 5.0))
+    }
