@@ -1049,7 +1049,13 @@ class _SnapshotCdcStreamReader(_DSSR):
         if not self.table_dir:
             raise ValueError("snapshot_cdf requires .option('path', table_dir)")
         self.starting_version = int(options.get("startingversion", "1"))
+        # Delta's maxFilesPerTrigger analog: bound how many COMMITS one
+        # micro-batch covers, so a stream started against a year of
+        # backlog chews through it in bounded batches instead of one
+        # giant catch-up batch. 0/absent = unbounded.
+        self.max_versions = int(options.get("maxversionspertrigger", "0"))
         self.cols = schema_cols  # table columns (no _change/_commit_version)
+        self._cursor: int | None = None  # last batch end this reader planned
 
     def initialOffset(self):
         return {"version": self.starting_version - 1}
@@ -1057,9 +1063,26 @@ class _SnapshotCdcStreamReader(_DSSR):
     def latestOffset(self):
         latest = latest_version(self.table_dir)
         base = self.starting_version - 1
-        return {"version": base if latest is None else max(latest, base)}
+        latest = base if latest is None else max(latest, base)
+        if not self.max_versions:
+            self._cursor = latest
+            return {"version": latest}
+        # rate-limited: advance at most max_versions past the cursor.
+        # A reader reconstructed mid-stream starts with cursor=None and
+        # may propose an end BEHIND the checkpointed start — partitions()
+        # guards backward ranges and fast-forwards the cursor (same
+        # restart contract as the counter-stream source).
+        lo = self._cursor if self._cursor is not None else base
+        end = max(min(latest, lo + self.max_versions), base)
+        self._cursor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        if end["version"] < start["version"]:
+            # stale post-restart proposal: no work, resync the cursor
+            self._cursor = max(self._cursor or -1, start["version"])
+            return []
+        self._cursor = max(self._cursor or -1, end["version"])
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
             try:
@@ -1116,8 +1139,9 @@ class _SnapshotCdcStreamReader(_DSSR):
         return parts
 
     def commit(self, end: dict) -> None:
-        # manifests/files stay until vacuum(); nothing to release here
-        return
+        # manifests/files stay until vacuum(); just keep the
+        # rate-limiting cursor monotonic across reader reconstruction
+        self._cursor = max(self._cursor or -1, end["version"])
 
     def read(self, partition: _CdcPartition):
         # NOTE: itertuples(name=None) everywhere — named tuples would
@@ -1194,16 +1218,25 @@ class SnapshotChangeFeedDataSource(_DS):
 
 
 def read_snapshot_stream(
-    spark: SparkSession, table_dir: str, starting_version: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    starting_version: int = 1,
+    max_versions_per_trigger: int = 0,
 ) -> DataFrame:
     """Open a snapshot table's change feed as a streaming DataFrame
     (rows = table columns + _change + _commit_version). Offsets are
     snapshot versions, checkpointed by the engine: a restarted query
-    resumes from the last committed version and never re-emits it."""
+    resumes from the last committed version and never re-emits it.
+    ``max_versions_per_trigger`` bounds how many commits one
+    micro-batch covers (Delta's maxFilesPerTrigger analog) — note the
+    Python data-source engine runs availableNow as a single batch, so a
+    rate-limited drain consumes up to the bound per START; continuous
+    triggers chew through the backlog batch by batch."""
     spark.dataSource.register(SnapshotChangeFeedDataSource)
     return (
         spark.readStream.format("snapshot_cdf")
         .option("path", table_dir)
         .option("startingVersion", str(starting_version))
+        .option("maxVersionsPerTrigger", str(max_versions_per_trigger))
         .load()
     )

@@ -752,3 +752,37 @@ def test_change_feed_array_columns_and_vacuumed_parent(spark, tmp_path):
     assert {(g[0], g[1]) for g in got} == {
         (1, (0.1, 0.2)), (2, (9.0, 9.0)), (3, (5.0, 5.0))
     }
+
+
+def test_change_feed_rate_limit_bounds_batch_and_resumes(spark, tmp_path):
+    # maxVersionsPerTrigger: a stream starting against a 3-commit
+    # backlog consumes at most N commits per start (the Python DS
+    # engine runs availableNow as one batch), resuming from the
+    # checkpoint each time — bounded catch-up, no re-emission
+    t = _tdir()
+    ckpt = str(tmp_path / "rl_ckpt")
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    for i, (k, v) in enumerate([(2, "b"), (3, "c")]):
+        snap.upsert_snapshot(
+            spark, t, spark.createDataFrame([(k, v)], "k int, v string"),
+            ["k"], cdc=True,
+        )
+
+    def drain():
+        got = []
+        feed = snap.read_snapshot_stream(spark, t, max_versions_per_trigger=1)
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda df, _b: got.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain() == [(1, "a", "insert", 1)]           # v1 only
+    assert drain() == [(2, "b", "insert", 2)]           # then v2
+    assert drain() == [(3, "c", "insert", 3)]           # then v3
+    assert drain() == []                                # caught up
