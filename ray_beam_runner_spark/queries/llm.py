@@ -700,6 +700,57 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    p AS (SELECT unnest(list_transform(range(1, strlen(w)),
+                                       i -> substr(w, CAST(i AS INT), 2))) AS pair
+          FROM w WHERE strlen(w) >= 2)
+    SELECT pair, count(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's first-iteration statistic, distributed: adjacent
+    character pairs inside every word occurrence, counted corpus-wide
+    (functions.bpe.char_pair_counts — pure Catalyst expressions, no
+    Python). This is the corpus-sized half of tokenizer training; the
+    merge loop itself then runs over the vocabulary-sized frequency
+    table (q_bpe_merges). Top-30 with lexical tie-break keeps the cut
+    cross-engine deterministic."""
+    from ray_beam_runner_spark.functions.bpe import char_pair_counts
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        char_pair_counts(docs, "text")
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+@query("q_bpe_merges")  # iterative merge learning: not SQL-expressible,
+# driver records the rows-only check; the algorithm is differentially
+# tested against an independent naive trainer in tests/test_bpe.py
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 40-merge BPE tokenizer from the corpus (functions.bpe):
+    ONE distributed word-frequency aggregation (the only corpus-sized
+    pass), then the classic Sennrich merge loop over the vocab-sized
+    table — the production trainer recipe, where corpus scale changes
+    only the aggregation cost. Returns (rank, left, right, merged);
+    deterministic across runs and cluster sizes (lexicographic tie
+    break)."""
+    from ray_beam_runner_spark.functions.bpe import bpe_learn
+
+    docs = t(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, "text", n_merges=40)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+@query(
     "q_multimodal_video",
     oracle="""
     SELECT doc_id,
