@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank"]
 
 
 def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
@@ -153,3 +153,63 @@ def dedup_clusters(
         cluster.alias("cluster"),
         (cluster == F.col(id_col)).alias("is_survivor"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    undirected: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank as pure DataFrame algebra: returns
+    (node, rank) after ``n_iter`` power-iteration rounds with uniform
+    1/N initialization. ``undirected=True`` (default) symmetrizes the
+    edge list first, which also guarantees every participating node has
+    out-degree >= 1 — no dangling-mass redistribution step needed (the
+    usual extra global aggregate per round on directed graphs).
+
+    Shape per round: one join of ranks to edges (co-partitioned on the
+    node key once the first round establishes the hash partitioning —
+    Exchange reuse keeps later rounds join-only) and one map-side
+    combinable sum per destination. Lineage grows linearly with
+    n_iter; for large n_iter localCheckpoint per round like
+    connected_components (n_iter here is small and fixed so the plain
+    plan is cheaper). The fixed iteration count is what makes the
+    result deterministic and ORACLE-EXPRESSIBLE (each round is one SQL
+    CTE) — convergence-threshold variants trade that for adaptivity."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_total = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_total)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

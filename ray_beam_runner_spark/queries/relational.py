@@ -2221,3 +2221,66 @@ def q_snapshot_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = snap.read_snapshot_stream(spark, tdir, starting_version=1)
     return run_to_memory(feed, output_mode="append")
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Build the fixed-iteration PageRank SQL: one CTE per round —
+    exactly the power iteration the Spark operator runs."""
+    head = """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes)"""
+    steps = []
+    for k in range(1, n_iter + 1):
+        steps.append(f""",
+    r{k} AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM n) + 0.85 * coalesce(c.sum_c, 0) AS rank
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, sum(r{k - 1}.rank / deg.deg) AS sum_c
+        FROM r{k - 1} JOIN e ON e.src = r{k - 1}.node JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) c ON c.node = nodes.node)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, round(rank, 9) AS rank
+    FROM r{n_iter}
+    ORDER BY round(rank, 9) DESC, node LIMIT 100
+    """
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(3))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trade graph (edges = distinct
+    (customer, supplier) pairs doing business via orders x lineitem,
+    symmetrized), 3 fixed power-iteration rounds, damping 0.85 — the
+    canonical iterative-graph workload expressed as pure DataFrame
+    algebra (functions.graph.pagerank). Fixed iterations keep the
+    result deterministic and let the oracle state each round as one
+    CTE. Per round: one node-keyed join + one map-side-combinable sum;
+    no driver-side graph, no collect. Top-100 by 9-decimal-rounded rank
+    with node tie-break keeps the cut cross-engine deterministic."""
+    from ray_beam_runner_spark.functions.graph import pagerank
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, "src", "dst", n_iter=3, damping=0.85)
+    return (
+        pr.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(100)
+    )

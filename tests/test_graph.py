@@ -48,3 +48,42 @@ def test_dedup_clusters_singletons_and_survivors(spark):
         0: (0, True), 3: (0, False), 5: (0, False),  # one component, min survives
         1: (1, True), 2: (2, True), 4: (4, True),    # untouched docs are singletons
     }
+
+
+def test_pagerank_path_graph_matches_hand_iteration(spark):
+    import pytest as _pt
+
+    from ray_beam_runner_spark.functions.graph import pagerank
+
+    # undirected path a-b-c: degrees 1,2,1; N=3, d=0.85, uniform start
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "s string, t string")
+    got = {r.node: r.rank for r in pagerank(edges, "s", "t", n_iter=2).collect()}
+
+    def step(r):
+        base = 0.15 / 3
+        return {
+            "a": base + 0.85 * (r["b"] / 2),
+            "b": base + 0.85 * (r["a"] / 1 + r["c"] / 1),
+            "c": base + 0.85 * (r["b"] / 2),
+        }
+
+    exp = step(step({k: 1 / 3 for k in "abc"}))
+    for k in "abc":
+        assert got[k] == _pt.approx(exp[k], abs=1e-12)
+    # symmetry: a and c are graph-isomorphic, ranks identical
+    assert got["a"] == _pt.approx(got["c"], abs=1e-15)
+    # probability mass is conserved (no dangling leakage when symmetrized)
+    assert sum(got.values()) == _pt.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_directed_mode_and_duplicate_edges(spark):
+    from ray_beam_runner_spark.functions.graph import pagerank
+
+    # duplicate edges collapse (distinct); directed mode keeps direction
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], "s string, t string"
+    )
+    got = {r.node: r.rank
+           for r in pagerank(edges, "s", "t", n_iter=5, undirected=False).collect()}
+    # a<->b two-cycle: symmetric stationary ranks 0.5/0.5
+    assert abs(got["a"] - 0.5) < 1e-9 and abs(got["b"] - 0.5) < 1e-9
