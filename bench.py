@@ -81,6 +81,8 @@ EXTRA_SET = (
     "q_sequence_pack_sharded",
     "q_multimodal_image",
     "q_multimodal_video",
+    "q_bpe_pair_counts",
+    "q_pagerank",
 )
 
 

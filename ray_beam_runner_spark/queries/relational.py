@@ -2284,3 +2284,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(100)
     )
+
+
+@query(
+    "q_snapshot_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_custkey BETWEEN 100 AND 200
+    """,
+)
+def q_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered snapshot write + stats-pruned ranged read,
+    content-checked end to end: lay orders out on a Morton key over
+    (o_custkey, o_totalprice) so BOTH dimensions get narrow per-file
+    ranges in the manifest, then read back a o_custkey slice through
+    read_snapshot's manifest-stats file pruning + pushed row filter.
+    The oracle is the plain relational answer — a Z-order layout, stats
+    recording, pruning, or filter bug all surface as missing/extra
+    rows. (File-count pruning effectiveness is plan-asserted in
+    tests/test_snapshots.py::test_zorder_prunes_on_both_dimensions.)"""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tdir = scratch_dir("rbrs_zorder_")
+    snap.write_snapshot(orders, tdir, zorder_by=["o_custkey", "o_totalprice"], n_files=8)
+    return snap.read_snapshot(spark, tdir, key_range=("o_custkey", 100, 200))
