@@ -103,3 +103,179 @@ def test_running_aggregate_stream(spark, tmp_path):
         for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total")).collect()
     }
     assert final == expected, (final, expected)
+
+
+# ---------------------------------------------------------------------------
+# tWS processor conformance WITHOUT protobuf: the StatefulProcessor ABC
+# is pure Python, so the state/timer LOGIC executes here against a
+# mock handle implementing the engine's contract (per-key-scoped state,
+# timer register/delete/list, expiry once the watermark passes). Only
+# the engine wiring (transformWithStateInPandas itself) stays gated.
+# Mirrors reference cases ray_runner_test.py:363-393 (running state)
+# and 428-602 (timer set/re-set/clear dedupe).
+# ---------------------------------------------------------------------------
+
+
+class _MockTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._wm
+
+
+class _MockExpiredTimerInfo:
+    def __init__(self, ts):
+        self._ts = ts
+
+    def getExpiryTimeInMs(self):
+        return self._ts
+
+
+class _MockHandle:
+    """Engine-contract double: state cells scoped to the current key,
+    timers per key, no protobuf anywhere."""
+
+    def __init__(self):
+        self.store = {}
+        self.timers = {}
+        self.key = None
+
+    def getValueState(self, name, schema):
+        handle = self
+
+        class _VS:
+            def get(self):
+                return handle.store.get((name, handle.key))
+
+            def update(self, v):
+                handle.store[(name, handle.key)] = tuple(v)
+
+            def clear(self):
+                handle.store.pop((name, handle.key), None)
+
+            def exists(self):
+                return (name, handle.key) in handle.store
+
+        return _VS()
+
+    def registerTimer(self, ts):
+        self.timers.setdefault(self.key, set()).add(int(ts))
+
+    def deleteTimer(self, ts):
+        self.timers.get(self.key, set()).discard(int(ts))
+
+    def listTimers(self):
+        return list(self.timers.get(self.key, set()))
+
+
+def _run_mock_batches(processor, batches):
+    """Drive the processor through micro-batches: for each (key->pdfs,
+    watermark) step, feed input rows, then fire timers the watermark
+    passed (each exactly once, removed on fire)."""
+    handle = _MockHandle()
+    processor.init(handle)
+    out = []
+    for batch, wm in batches:
+        tv = _MockTimerValues(wm)
+        for key, pdfs in batch.items():
+            handle.key = (key,)
+            out.extend(processor.handleInputRows((key,), iter(pdfs), tv))
+        for key, ts_set in list(handle.timers.items()):
+            for ts in sorted(ts_set):
+                if ts < wm:
+                    handle.key = key
+                    out.extend(
+                        processor.handleExpiredTimer(
+                            key, _MockTimerValues(wm), _MockExpiredTimerInfo(ts)
+                        )
+                    )
+                    ts_set.discard(ts)
+    import pandas as pd
+
+    return (
+        pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+    ), handle
+
+
+def _pdf(vals):
+    import pandas as pd
+
+    return pd.DataFrame({"v": vals})
+
+
+def test_tws_processor_running_state_across_batches():
+    from ray_beam_runner_spark.streaming.stateful import RunningCountProcessor
+
+    out, handle = _run_mock_batches(
+        RunningCountProcessor("v"),
+        [
+            ({"a": [_pdf([1.0, 2.0])], "b": [_pdf([10.0])]}, 0),
+            ({"a": [_pdf([3.0]), _pdf([4.0])]}, 0),  # two pdfs, one batch
+            ({"b": [_pdf([20.0])]}, 0),
+        ],
+    )
+    per_key = {
+        k: g.sort_values("cnt").iloc[-1]
+        for k, g in out.groupby("key")
+    }
+    assert (per_key["a"].cnt, per_key["a"].total) == (4, 10.0)
+    assert (per_key["b"].cnt, per_key["b"].total) == (2, 30.0)
+    # running emissions: 'a' emitted cnt=2 then cnt=4 (state carried)
+    assert sorted(out[out.key == "a"].cnt) == [2, 4]
+
+
+def test_tws_processor_timer_reset_dedupe_and_flush_once():
+    from ray_beam_runner_spark.streaming.stateful import RunningCountProcessor
+
+    proc = RunningCountProcessor("v", inactivity_ms=1000)
+    out, handle = _run_mock_batches(
+        proc,
+        [
+            ({"a": [_pdf([1.0])]}, 0),      # registers timer @1000
+            ({"a": [_pdf([2.0])]}, 500),    # RE-SETS (delete+register @1500)
+            ({}, 2000),                     # watermark passes: flush fires
+            ({}, 5000),                     # nothing left: no second flush
+        ],
+    )
+    finals = out[out.final]
+    assert len(finals) == 1                     # re-set dedupe: ONE flush
+    assert (finals.iloc[0].cnt, finals.iloc[0].total) == (2, 3.0)
+    assert handle.store == {}                   # state cleared on flush
+    assert handle.timers.get(("a",), set()) == set()
+    # after at most one timer existed at any time (delete-then-register)
+    # a fresh key restart counts from zero (reference clear semantics)
+    out2, _ = _run_mock_batches(
+        RunningCountProcessor("v", inactivity_ms=1000),
+        [({"a": [_pdf([7.0])]}, 0)],
+    )
+    assert (out2.iloc[0].cnt, out2.iloc[0].total) == (1, 7.0)
+
+
+def test_tws_processor_expired_timer_without_state_is_silent():
+    from ray_beam_runner_spark.streaming.stateful import RunningCountProcessor
+
+    proc = RunningCountProcessor("v", inactivity_ms=10)
+    handle = _MockHandle()
+    proc.init(handle)
+    handle.key = ("ghost",)
+    handle.registerTimer(5)
+    rows = list(
+        proc.handleExpiredTimer(("ghost",), _MockTimerValues(100), _MockExpiredTimerInfo(5))
+    )
+    assert rows == []  # no state -> no flush row, just cleanup
+
+
+def test_tws_engine_wiring_raises_cleanly_without_protobuf():
+    from ray_beam_runner_spark.streaming.stateful import (
+        running_aggregate_tws,
+        tws_available,
+    )
+
+    if tws_available():
+        pytest.skip("protobuf present; wiring covered by test_tws_running_aggregate")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        running_aggregate_tws(None, "key", "v")
