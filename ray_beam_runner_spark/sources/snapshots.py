@@ -688,7 +688,13 @@ def _merge_phases(
             cdc_df = pre.unionByName(ins, allowMissingColumns=True)
         else:
             cdc_df = ins
-        cdc_rel, _, _ = _write_data_files(cdc_df, table_dir)
+        # bound the sidecar file count: the delta frame inherits the
+        # session's shuffle partitioning (dozens of tiny files for a
+        # small change — measured 65 files for a 250-row delta); the
+        # feed then pays per-file open cost every drain. Deltas are
+        # change-sized, so a handful of files keeps both writer
+        # parallelism and reader cost sane.
+        cdc_rel, _, _ = _write_data_files(cdc_df.coalesce(8), table_dir)
         if cdc_rel:
             new_manifest["cdc_files"] = cdc_rel
     _publish(table_dir, version, new_manifest)

@@ -82,12 +82,51 @@ def leg(spark, mult: int, clustered: bool) -> dict:
         shutil.rmtree(tdir, ignore_errors=True)
 
 
+def feed_leg(spark, mult: int) -> dict:
+    """Change-feed trigger cost vs table size: a cdc=True narrow merge
+    writes its delta sidecar at commit; draining the feed for THAT
+    version reads only the sidecar — wall time must stay flat while the
+    table grows 16x (cost tracks the CHANGE, not the table)."""
+    rows = BASE_ROWS * mult
+    tdir = build(spark, rows, clustered=True)
+    ckpt = tempfile.mkdtemp(prefix="rbrs_feedbench_ckpt_")
+    try:
+        updates = narrow_update(spark, rows)
+        updates.collect()
+        v = snap.upsert_snapshot(spark, tdir, updates, ["k"], cdc=True)
+        emitted = []
+        t0 = time.perf_counter()
+        feed = snap.read_snapshot_stream(spark, tdir, starting_version=v)
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda df, _b: emitted.append(df.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        dt = time.perf_counter() - t0
+        m = snap.read_manifest(tdir, v)
+        return {
+            "table_rows": rows,
+            "cdc_files": len(m.get("cdc_files", [])),
+            "rows_emitted": int(sum(emitted)),
+            "drain_sec": round(dt, 3),
+        }
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("bench_snapshots")
-    out = {"clustered": {}, "control_unclustered": {}}
+    out = {"clustered": {}, "control_unclustered": {}, "change_feed": {}}
     for mult in (1, 4, 16):
         out["clustered"][f"x{mult}"] = leg(spark, mult, clustered=True)
     out["control_unclustered"]["x16"] = leg(spark, 16, clustered=False)
+    for mult in (1, 4, 16):
+        out["change_feed"][f"x{mult}"] = feed_leg(spark, mult)
     print(json.dumps(out))
 
 
