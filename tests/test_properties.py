@@ -273,3 +273,85 @@ def test_max_doc_freq_cap_monotone_candidates(spark, sf_dir):
             ).collect()
         }
         assert noop == full
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=3000),
+)
+@settings(max_examples=150, deadline=None)
+def test_gif_lzw_roundtrip_property(min_code_size, syms):
+    from ray_beam_runner_spark.functions.multimodal import _lzw_decode, _lzw_encode
+
+    syms = [s % (1 << min_code_size) for s in syms]
+    assert _lzw_decode(_lzw_encode(syms, min_code_size), min_code_size) == bytes(syms)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_roundtrip_property(h, w, ch, filter_type, seed):
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import decode_png, encode_png
+
+    arr = np.random.RandomState(seed).randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    d = decode_png(encode_png(arr, filter_type=filter_type), return_pixels=True)
+    assert np.array_equal(d["pixels"], arr)
+    assert d["px_sum"] == int(arr.astype(np.int64).sum())
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=2, max_value=256),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_gif_roundtrip_property(h, w, n_frames, n_pal, seed):
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(n_pal, 3)).astype(np.uint8)
+    frames = [rng.randint(0, n_pal, size=(h, w)).astype(np.uint8) for _ in range(n_frames)]
+    d = decode_gif(encode_gif(frames, pal), return_frames=True)
+    assert d["n_frames"] == n_frames and (d["width"], d["height"]) == (w, h)
+    for i, f in enumerate(frames):
+        assert np.array_equal(d["frames"][i], pal[f])
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=1, max_value=15),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_encode_reconstructs_and_respects_merges(word_counts, n_merges):
+    from ray_beam_runner_spark.functions.bpe import (
+        EOW,
+        _learn_from_counts,
+        bpe_encode_word,
+    )
+
+    merges = _learn_from_counts(word_counts, n_merges, min_freq=1)
+    ranks = {m: i for i, m in enumerate(merges)}
+    vocab = {EOW, *"abcdef", *(a + b for a, b in merges)}
+    for w, _ in word_counts:
+        toks = bpe_encode_word(w, ranks)
+        assert "".join(toks) == w + EOW          # lossless segmentation
+        assert all(t in vocab for t in toks)     # only learned symbols
+        # greedy completeness: no adjacent pair is still mergeable
+        assert all(
+            (toks[i], toks[i + 1]) not in ranks for i in range(len(toks) - 1)
+        )
