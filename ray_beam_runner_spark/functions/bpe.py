@@ -22,7 +22,7 @@ lexicographically for cross-run determinism) in every word.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ray_beam_runner_spark.functions.text import tokens
