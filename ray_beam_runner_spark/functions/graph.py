@@ -179,17 +179,21 @@ def pagerank(
     plan is cheaper). The fixed iteration count is what makes the
     result deterministic and ORACLE-EXPRESSIBLE (each round is one SQL
     CTE) — convergence-threshold variants trade that for adaptivity."""
+    from ray_beam_runner_spark.caches import track
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if undirected:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-    e = e.persist()
-    nodes = (
+    # tracked persists (session cache registry): e feeds every round's
+    # join and nodes every round's backfill — without release_tracked()
+    # awareness these would pin executor storage for session lifetime
+    e = track(e)
+    nodes = track(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     n_total = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
