@@ -502,3 +502,14 @@ def test_bigram_logppl_plan_no_join_for_pairs(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:3000]
     assert_partial_aggregation(df)
+
+
+def test_pagerank_plan_no_cartesian_partial_agg(spark, sf_dir):
+    """Each power-iteration round is keyed joins + a map-side-combinable
+    sum — no cartesian anywhere, contributions aggregate partially, and
+    the final cut is TakeOrderedAndProject, not a global sort."""
+    df = QUERIES["q_pagerank"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert_partial_aggregation(df)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
