@@ -2312,3 +2312,79 @@ def q_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = scratch_dir("rbrs_zorder_")
     snap.write_snapshot(orders, tdir, zorder_by=["o_custkey", "o_totalprice"], n_files=8)
     return snap.read_snapshot(spark, tdir, key_range=("o_custkey", 100, 200))
+
+
+@query(
+    "q_snapshot_ivm",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 14 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 21 = 0),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
+    SELECT o_orderstatus, count(*)::BIGINT AS cnt,
+           round(sum(o_totalprice), 4) AS sum_totalprice
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end to end: source
+    snapshot table (every 7th order) takes the q_snapshot_upsert CDC
+    merge; the change feed streams the deltas into
+    stream_maintain_aggregate, which folds them into a per-status
+    (cnt, sum) AGGREGATE TABLE without rescanning the source. The
+    oracle aggregates the merged source directly — the maintained view
+    must equal it exactly (counts) and to float-sum stability (sums,
+    4 dp). Per-trigger work is O(change + affected keys); offsets +
+    manifest txn ids make the whole source->feed->view chain
+    exactly-once."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    base = orders.filter(F.col("o_orderkey") % 7 == 0).select(*cols)
+    updates = orders.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 21 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    src = scratch_dir("rbrs_ivmsrc_")
+    agg = scratch_dir("rbrs_ivmagg_")
+    ckpt = scratch_dir("rbrs_ivmckpt_")
+    snap.write_snapshot(base, src, cluster_by=["o_orderkey"], n_files=8)
+    snap.upsert_snapshot(
+        spark, src, updates.unionByName(inserts), ["o_orderkey"], cdc=True
+    )
+    feed = snap.read_snapshot_stream(spark, src)
+    q = snap.stream_maintain_aggregate(
+        feed, agg, ["o_orderstatus"], ["o_totalprice"], checkpoint_dir=ckpt
+    )
+    q.awaitTermination(300)
+    return (
+        snap.read_snapshot(spark, agg)
+        .filter(F.col("cnt") > 0)
+        .select(
+            "o_orderstatus",
+            "cnt",
+            F.round("sum_o_totalprice", 4).alias("sum_totalprice"),
+        )
+    )

@@ -1246,3 +1246,79 @@ def read_snapshot_stream(
         .option("maxVersionsPerTrigger", str(max_versions_per_trigger))
         .load()
     )
+
+
+def stream_maintain_aggregate(
+    feed: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    app_id: str | None = None,
+):
+    """Incremental materialized-view maintenance from a change feed:
+    keep a per-key (cnt, sum_<col>...) aggregate TABLE continuously
+    equal to aggregating the source — without ever rescanning the
+    source. Classic IVM over a delta stream: count and sum are
+    self-maintainable, so each micro-batch folds its deltas
+    (+row for _change='insert', -row for 'delete' — an update's
+    delete+insert pair nets to the value change) into per-key
+    adjustments, joins ONLY the affected keys against the current
+    aggregate snapshot, and MERGEs the adjusted rows back. Work per
+    trigger is O(change + affected-key rows), independent of source
+    table size — at 100 TB the aggregate refresh never touches the
+    fact table.
+
+    Exactly-once composition all the way down: the feed's offsets are
+    checkpointed snapshot versions; the MERGE carries (app, batch) txn
+    ids, so a replayed micro-batch is a manifest-detected no-op. A key
+    whose rows are all deleted remains with cnt=0 (relational IVM
+    convention; filter cnt > 0 on read if absence is required).
+
+    Avg/min/max note: avg derives from (sum, cnt); min/max are NOT
+    self-maintainable under deletes (a retracted maximum needs a
+    rescan of that key's rows) — by design this maintains the additive
+    family only."""
+    app = app_id or f"ivm:{os.path.basename(os.path.abspath(table_dir))}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        delta = batch_df.groupBy(*keys).agg(
+            F.sum(sign).alias("_d_cnt"),
+            *[
+                F.sum(sign * F.coalesce(F.col(c), F.lit(0))).alias(f"_d_{c}")
+                for c in sum_cols
+            ],
+        )
+        if latest_version(table_dir) is not None:
+            cur = read_snapshot(spark, table_dir)
+            updates = delta.join(cur, keys, "left").select(
+                *keys,
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("_d_cnt"))
+                .cast("long")
+                .alias("cnt"),
+                *[
+                    (
+                        F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+                        + F.col(f"_d_{c}")
+                    ).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        else:
+            updates = delta.select(
+                *keys,
+                F.col("_d_cnt").cast("long").alias("cnt"),
+                *[F.col(f"_d_{c}").alias(f"sum_{c}") for c in sum_cols],
+            )
+        upsert_snapshot(
+            spark, table_dir, updates, keys, txn_app=app, txn_version=batch_id
+        )
+
+    return (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

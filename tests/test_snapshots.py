@@ -786,3 +786,66 @@ def test_change_feed_rate_limit_bounds_batch_and_resumes(spark, tmp_path):
     assert drain() == [(2, "b", "insert", 2)]           # then v2
     assert drain() == [(3, "c", "insert", 3)]           # then v3
     assert drain() == []                                # caught up
+
+
+def test_stream_maintain_aggregate_tracks_source(spark, tmp_path):
+    # incremental materialized view: feed deltas fold into a per-key
+    # (cnt, sum) table that stays equal to aggregating the source,
+    # without rescanning it
+    src, agg = _tdir(), _tdir()
+    ckpt = str(tmp_path / "ivm_ckpt")
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 5.0)],
+            "k int, grp string, v double",
+        ),
+        src,
+    )
+    # update k=2 (g1 sum changes), insert k=4 into g2
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame([(2, "g1", 25.0), (4, "g2", 7.0)],
+                              "k int, grp string, v double"),
+        ["k"], cdc=True,
+    )
+
+    def refresh():
+        feed = snap.read_snapshot_stream(spark, src)
+        q = snap.stream_maintain_aggregate(
+            feed, agg, ["grp"], ["v"], checkpoint_dir=ckpt, app_id="ivm-test"
+        )
+        assert q.awaitTermination(180)
+
+    def agg_table():
+        return {
+            r.grp: (r.cnt, round(r.sum_v, 6))
+            for r in snap.read_snapshot(spark, agg).collect()
+            if r.cnt > 0
+        }
+
+    def direct():
+        from pyspark.sql import functions as SF
+
+        return {
+            r.grp: (r.cnt, round(r.s, 6))
+            for r in snap.read_snapshot(spark, src)
+            .groupBy("grp")
+            .agg(SF.count(SF.lit(1)).alias("cnt"), SF.sum("v").alias("s"))
+            .collect()
+        }
+
+    refresh()
+    assert agg_table() == direct() == {"g1": (2, 35.0), "g2": (2, 12.0)}
+    # no new commits: drain is a no-op (offsets + txn ids)
+    v_before = snap.latest_version(agg)
+    refresh()
+    assert snap.latest_version(agg) == v_before
+    # more source commits, including a group emptied by an update that
+    # MOVES a key to another group (delete g2-side, insert g1-side)
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame([(3, "g1", 5.0)], "k int, grp string, v double"),
+        ["k"], cdc=True,
+    )
+    refresh()
+    assert agg_table() == direct() == {"g1": (3, 40.0), "g2": (1, 7.0)}
