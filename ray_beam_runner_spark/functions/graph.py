@@ -196,6 +196,12 @@ def pagerank(
         .distinct()
     )
     n_total = nodes.count()
+    if n_total == 0:
+        # empty edge frame (e.g. an upstream filter matched nothing):
+        # empty (node, rank) result, and drop the tracked persists now
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
     for _ in range(n_iter):

@@ -703,9 +703,9 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_bpe_pair_counts",
     oracle=f"""
     WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
-    p AS (SELECT unnest(list_transform(range(1, strlen(w)),
+    p AS (SELECT unnest(list_transform(range(1, length(w)),
                                        i -> substr(w, CAST(i AS INT), 2))) AS pair
-          FROM w WHERE strlen(w) >= 2)
+          FROM w WHERE length(w) >= 2)
     SELECT pair, count(*) AS n
     FROM p GROUP BY pair
     ORDER BY n DESC, pair LIMIT 30

@@ -2378,7 +2378,11 @@ def q_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = snap.stream_maintain_aggregate(
         feed, agg, ["o_orderstatus"], ["o_totalprice"], checkpoint_dir=ckpt
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # returning the half-maintained table would read as an engine
+        # mismatch; surface the timeout instead (run_to_memory contract)
+        q.stop()
+        raise TimeoutError("IVM drain exceeded 300s")
     return (
         snap.read_snapshot(spark, agg)
         .filter(F.col("cnt") > 0)

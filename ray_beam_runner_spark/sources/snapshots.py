@@ -691,10 +691,12 @@ def _merge_phases(
         # bound the sidecar file count: the delta frame inherits the
         # session's shuffle partitioning (dozens of tiny files for a
         # small change — measured 65 files for a 250-row delta); the
-        # feed then pays per-file open cost every drain. Deltas are
-        # change-sized, so a handful of files keeps both writer
-        # parallelism and reader cost sane.
-        cdc_rel, _, _ = _write_data_files(cdc_df.coalesce(8), table_dir)
+        # feed then pays per-file open cost every drain. repartition,
+        # NOT coalesce: coalesce would cap the pre-image scan and
+        # semi-join upstream of the write at 8 tasks, serializing a
+        # bulk merge's change-proportional work; one change-sized
+        # shuffle buys full scan parallelism plus bounded files.
+        cdc_rel, _, _ = _write_data_files(cdc_df.repartition(8), table_dir)
         if cdc_rel:
             new_manifest["cdc_files"] = cdc_rel
     _publish(table_dir, version, new_manifest)
@@ -1302,15 +1304,23 @@ def stream_maintain_aggregate(
                     (
                         F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
                         + F.col(f"_d_{c}")
-                    ).alias(f"sum_{c}")
+                    ).cast("double").alias(f"sum_{c}")
                     for c in sum_cols
                 ],
             )
         else:
+            # sums are DOUBLE from the first commit: an integer source
+            # column would otherwise create the table as BIGINT while
+            # later refreshes write coalesce(.., 0.0)+delta doubles —
+            # parquet/manifest type divergence that breaks every
+            # subsequent read
             updates = delta.select(
                 *keys,
                 F.col("_d_cnt").cast("long").alias("cnt"),
-                *[F.col(f"_d_{c}").alias(f"sum_{c}") for c in sum_cols],
+                *[
+                    F.col(f"_d_{c}").cast("double").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
             )
         upsert_snapshot(
             spark, table_dir, updates, keys, txn_app=app, txn_version=batch_id

@@ -87,3 +87,11 @@ def test_pagerank_directed_mode_and_duplicate_edges(spark):
            for r in pagerank(edges, "s", "t", n_iter=5, undirected=False).collect()}
     # a<->b two-cycle: symmetric stationary ranks 0.5/0.5
     assert abs(got["a"] - 0.5) < 1e-9 and abs(got["b"] - 0.5) < 1e-9
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from ray_beam_runner_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "s string, t string")
+    out = pagerank(empty, "s", "t", n_iter=3)
+    assert out.columns == ["node", "rank"] and out.count() == 0

@@ -849,3 +849,30 @@ def test_stream_maintain_aggregate_tracks_source(spark, tmp_path):
     )
     refresh()
     assert agg_table() == direct() == {"g1": (3, 40.0), "g2": (1, 7.0)}
+
+
+def test_stream_maintain_aggregate_integer_sum_column(spark, tmp_path):
+    # review fix: an INTEGER sum column must not fork the table schema
+    # (bigint at creation vs double on refresh broke every later read)
+    src, agg = _tdir(), _tdir()
+    ckpt = str(tmp_path / "ivm_int_ckpt")
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "g", 10), (2, "g", 20)], "k int, grp string, qty int"),
+        src,
+    )
+
+    def refresh():
+        q = snap.stream_maintain_aggregate(
+            snap.read_snapshot_stream(spark, src), agg, ["grp"], ["qty"],
+            checkpoint_dir=ckpt, app_id="ivm-int",
+        )
+        assert q.awaitTermination(180)
+
+    refresh()
+    snap.upsert_snapshot(
+        spark, src, spark.createDataFrame([(3, "g", 5)], "k int, grp string, qty int"),
+        ["k"], cdc=True,
+    )
+    refresh()  # second refresh reads + rewrites the table: types must agree
+    rows = {r.grp: (r.cnt, r.sum_qty) for r in snap.read_snapshot(spark, agg).collect()}
+    assert rows == {"g": (3, 35.0)}
