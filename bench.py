@@ -83,6 +83,7 @@ EXTRA_SET = (
     "q_multimodal_video",
     "q_bpe_pair_counts",
     "q_pagerank",
+    "q_bigram_kn_logppl",
 )
 
 

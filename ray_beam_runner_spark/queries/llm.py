@@ -1975,6 +1975,93 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bigram_kn_logppl",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS c
+           FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+           GROUP BY doc_id, w1, w2),
+    lm12 AS (SELECT w1, w2, sum(c) AS c12 FROM bg GROUP BY w1, w2),
+    hist AS (SELECT w1, sum(c12)::DOUBLE AS c1, count(*)::DOUBLE AS n1f
+             FROM lm12 GROUP BY w1),
+    cont AS (SELECT w2, count(*)::DOUBLE AS n1b FROM lm12 GROUP BY w2),
+    tt AS (SELECT count(*)::DOUBLE AS t FROM lm12),
+    scored AS (
+      SELECT doc_id, sum(bg.c) AS n_big,
+             sum(bg.c * -ln(
+               greatest(c12 - 0.75, 0) / c1
+               + (0.75 * n1f / c1) * (n1b / (SELECT t FROM tt))
+             )) AS nll
+      FROM bg JOIN lm12 USING (w1, w2)
+              JOIN hist USING (w1)
+              JOIN cont USING (w2)
+      GROUP BY doc_id)
+    SELECT doc_id, n_big::BIGINT AS n_bigrams, round(nll / n_big, 6) AS log_ppl_kn
+    FROM scored
+    """,
+)
+def q_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram log-perplexity per document — the
+    production-grade upgrade of q_bigram_logppl's add-one smoothing
+    (absolute discount D=0.75 with the CONTINUATION back-off: a word is
+    likely after an unseen history in proportion to how many DISTINCT
+    histories it follows, the insight that makes KN the standard n-gram
+    smoother). Scoring the training corpus itself means every scored
+    bigram has c12 >= 1, so the discounted term never hits zero and the
+    whole model is closed-form SQL. Same scale shape as the add-one
+    path: join-free pair generation (zip-against-tail), every aggregate
+    map-side combinable, the LM tables vocabulary-sized, history /
+    continuation statistics two more small group-bys over the distinct
+    bigram table."""
+    from ray_beam_runner_spark.caches import track
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("w"))
+    bg = track(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm12 = track(bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12")))
+    hist = lm12.groupBy("w1").agg(
+        F.sum("c12").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1f"),
+    )
+    cont = lm12.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n1b"))
+    tt = lm12.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    p_kn = (
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+        + (0.75 * F.col("n1f") / F.col("c1")) * (F.col("n1b") / F.col("t"))
+    )
+    return (
+        bg.join(lm12, ["w1", "w2"])
+        .join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_big"),
+            F.sum(F.col("c") * -F.log(p_kn)).alias("_nll"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_big").alias("n_bigrams"),
+            F.round(F.col("_nll") / F.col("n_big"), 6).alias("log_ppl_kn"),
+        )
+    )
+
+
+@query(
     "q_sketch_distinct",
     oracle=f"""
     WITH fp AS (SELECT source, md5({_NORM}) AS fp FROM documents),

@@ -293,3 +293,55 @@ def test_incremental_corpus_maintenance_with_snapshot_table(spark, sf_dir, tmp_p
     # compaction restores file hygiene without changing contents
     v3 = snap.compact(spark, table, n_files=4)
     assert snap.snapshot_rows(table, version=v3) == n_standing + fresh.count()
+
+
+def test_kneser_ney_bigram_probabilities_normalize(spark):
+    # interpolated KN must be a proper distribution: for every history
+    # w1, sum over the continuation vocabulary of P_KN(w2|w1) == 1
+    # (discount mass exactly redistributed). Computed with the same
+    # formula q_bigram_kn_logppl uses, over a tiny corpus with repeats.
+    import itertools
+    from collections import Counter
+
+    docs = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+    ]
+    pairs = Counter(
+        p
+        for d in docs
+        for p in itertools.pairwise(d.split())
+    )
+    c1 = Counter()
+    n1f = Counter()
+    n1b = Counter()
+    for (w1, w2), c in pairs.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    t_types = len(pairs)
+    vocab_w2 = set(n1b)
+    d_const = 0.75
+    for w1 in c1:
+        total = sum(
+            max(pairs.get((w1, w2), 0) - d_const, 0) / c1[w1]
+            + (d_const * n1f[w1] / c1[w1]) * (n1b[w2] / t_types)
+            for w2 in vocab_w2
+        )
+        assert abs(total - 1.0) < 1e-12, (w1, total)
+    # and the Spark query runs + scores every multi-token doc
+    from ray_beam_runner_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(i, d, "en", "s", len(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="rbrs_kn_")
+    df.write.parquet(os.path.join(tmp, "documents.parquet"))
+    rows = {r.doc_id: r for r in QUERIES["q_bigram_kn_logppl"](spark, tmp).collect()}
+    assert len(rows) == 3
+    assert all(r.n_bigrams >= 4 and r.log_ppl_kn > 0 for r in rows.values())
