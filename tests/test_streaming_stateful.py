@@ -279,3 +279,54 @@ def test_tws_engine_wiring_raises_cleanly_without_protobuf():
         pytest.skip("protobuf present; wiring covered by test_tws_running_aggregate")
     with pytest.raises(NotImplementedError, match="protobuf"):
         running_aggregate_tws(None, "key", "v")
+
+
+def test_tws_processor_dynamic_timers_fire_each_once_in_order():
+    # reference test_pardo_dynamic_timer (ray_runner_test.py:577-602):
+    # one key arms MULTIPLE independent timers; each fires exactly once,
+    # in timestamp order, and firing one must not disturb the others.
+    # tWS expresses dynamic tags as distinct timer timestamps per key.
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class MultiTimerProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+            self.seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            for pdf in rows:
+                for ts in pdf["fire_at"]:
+                    self.handle.registerTimer(int(ts))
+            self.seen.update((len(self.handle.listTimers()),))
+            yield pd.DataFrame({"key": [key[0]], "event": ["armed"], "ts": [-1]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {"key": [key[0]], "event": ["fired"],
+                 "ts": [expiredTimerInfo.getExpiryTimeInMs()]}
+            )
+
+        def close(self):
+            pass
+
+    import pandas as pd
+
+    out, handle = _run_mock_batches(
+        MultiTimerProcessor(),
+        [
+            ({"a": [pd.DataFrame({"fire_at": [100, 300]})]}, 0),
+            ({"a": [pd.DataFrame({"fire_at": [200]})]}, 150),  # 100 fires first
+            ({}, 250),   # 200 fires
+            ({}, 1000),  # 300 fires
+            ({}, 2000),  # nothing left: no re-fires
+        ],
+    )
+    fired = out[out.event == "fired"]
+    assert list(fired.key) == ["a", "a", "a"]
+    assert list(fired.ts) == [100, 200, 300]  # each once, timestamp order
+    # all three were simultaneously armed at some point
+    assert handle.store[("seen", ("a",))][0] >= 2
