@@ -1896,14 +1896,48 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bigram_logppl",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+# Shared bigram lineage (add-one + KN LM queries): per-doc bigram
+# counts via the join-free zip-against-tail pass, and the matching
+# oracle CTE prefix — ONE definition so the two smoothers can never
+# silently diverge on tokenization/pair semantics.
+_BIGRAM_CTE = f"""toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
     bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS c
            FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
            GROUP BY doc_id, w1, w2),
-    lm12 AS (SELECT w1, w2, sum(c) AS c12 FROM bg GROUP BY w1, w2),
+    lm12 AS (SELECT w1, w2, sum(c) AS c12 FROM bg GROUP BY w1, w2)"""
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, c): consecutive pairs in ONE narrow pass —
+    zip the token array against its own tail and explode (no join, no
+    extra shuffle; plan-asserted in test_bigram_logppl_plan_no_join_
+    for_pairs). Tracked-persisted: feeds both the LM lineage and the
+    per-doc scoring join."""
+    from ray_beam_runner_spark.caches import track
+    from ray_beam_runner_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("w"))
+    return track(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)"),
+                    F.expr("slice(w, 2, size(w) - 1)"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@query(
+    "q_bigram_logppl",
+    oracle=f"""
+    WITH {_BIGRAM_CTE},
     uni AS (SELECT t, count(*) AS c1
             FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
     v AS (SELECT count(*)::DOUBLE AS v FROM uni),
@@ -1926,27 +1960,11 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM tables join on token keys (vocabulary-sized), the per-doc
     bigram frame persisted once since it feeds both the LM lineage and
     the scoring join."""
-    from ray_beam_runner_spark.caches import track
     from ray_beam_runner_spark.functions import text as X
 
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("w"))
-    # consecutive pairs in ONE narrow pass: zip the token array against
-    # its own tail and explode — no join, no extra shuffle
-    bg = track(
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.expr("slice(w, 1, size(w) - 1)"),
-                    F.expr("slice(w, 2, size(w) - 1)"),
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    bg = _doc_bigrams(spark, sf_dir)
     lm12 = bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
     uni = (
         toks.select(F.explode("w").alias("t"))
@@ -1977,11 +1995,7 @@ def q_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_bigram_kn_logppl",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS c
-           FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
-           GROUP BY doc_id, w1, w2),
-    lm12 AS (SELECT w1, w2, sum(c) AS c12 FROM bg GROUP BY w1, w2),
+    WITH {_BIGRAM_CTE},
     hist AS (SELECT w1, sum(c12)::DOUBLE AS c1, count(*)::DOUBLE AS n1f
              FROM lm12 GROUP BY w1),
     cont AS (SELECT w2, count(*)::DOUBLE AS n1b FROM lm12 GROUP BY w2),
@@ -2014,24 +2028,8 @@ def q_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuation statistics two more small group-bys over the distinct
     bigram table."""
     from ray_beam_runner_spark.caches import track
-    from ray_beam_runner_spark.functions import text as X
 
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("w"))
-    bg = track(
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.arrays_zip(
-                    F.expr("slice(w, 1, size(w) - 1)"),
-                    F.expr("slice(w, 2, size(w) - 1)"),
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-        .groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    bg = _doc_bigrams(spark, sf_dir)
     lm12 = track(bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12")))
     hist = lm12.groupBy("w1").agg(
         F.sum("c12").cast("double").alias("c1"),

@@ -328,5 +328,6 @@ def test_tws_processor_dynamic_timers_fire_each_once_in_order():
     fired = out[out.event == "fired"]
     assert list(fired.key) == ["a", "a", "a"]
     assert list(fired.ts) == [100, 200, 300]  # each once, timestamp order
-    # all three were simultaneously armed at some point
-    assert handle.store[("seen", ("a",))][0] >= 2
+    # batch 2 armed its new timer while 100 and 300 were still live:
+    # all three coexisted (the harness feeds input before expiry)
+    assert handle.store[("seen", ("a",))][0] == 3

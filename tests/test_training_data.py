@@ -295,7 +295,7 @@ def test_incremental_corpus_maintenance_with_snapshot_table(spark, sf_dir, tmp_p
     assert snap.snapshot_rows(table, version=v3) == n_standing + fresh.count()
 
 
-def test_kneser_ney_bigram_probabilities_normalize(spark):
+def test_kneser_ney_bigram_probabilities_normalize(spark, tmp_path):
     # interpolated KN must be a proper distribution: for every history
     # w1, sum over the continuation vocabulary of P_KN(w2|w1) == 1
     # (discount mass exactly redistributed). Computed with the same
@@ -337,11 +337,8 @@ def test_kneser_ney_bigram_probabilities_normalize(spark):
         [(i, d, "en", "s", len(d)) for i, d in enumerate(docs)],
         "doc_id long, text string, lang string, source string, n_chars int",
     )
-    import os
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="rbrs_kn_")
-    df.write.parquet(os.path.join(tmp, "documents.parquet"))
-    rows = {r.doc_id: r for r in QUERIES["q_bigram_kn_logppl"](spark, tmp).collect()}
+    corpus = str(tmp_path / "kn_corpus")
+    df.write.parquet(f"{corpus}/documents.parquet")
+    rows = {r.doc_id: r for r in QUERIES["q_bigram_kn_logppl"](spark, corpus).collect()}
     assert len(rows) == 3
     assert all(r.n_bigrams >= 4 and r.log_ppl_kn > 0 for r in rows.values())
