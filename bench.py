@@ -5,15 +5,17 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Protocol follows BASELINE.md (as amended): warm session at JVM steady
 state. The declared set is swept WARMUP_SWEEPS times un-timed (JVM JIT
 compilation dominates the first sweeps: measured 11.0s -> 2.2s -> 1.6s ->
-1.3s -> steady ~1.2s at sf0.1 — standard JMH practice for JVM engines),
-then TIMED_SWEEPS timed sweeps; each query reports its min across timed
-sweeps and the headline metric is the sum over the declared set. The
-DuckDB baseline is likewise warm-cache/second-run (BASELINE.md §2), so
-steady-state-vs-steady-state is the like-for-like comparison. Extended
-queries warm once then report a time-budgeted min: >=3 timed runs, and
-sub-second queries keep sampling to ~2 s of timed data (cap 8) — on
-those, scheduling jitter IS the runtime and a fixed-small-N min left
-±16-39% tails between identical-code runs. Measured repeatability of
+1.3s -> steady ~1.2s at sf0.1 — standard JMH practice for JVM engines).
+Every query — headline AND extended (unified in round 8; the headline
+set previously used a fixed 4-sweep min and absorbed ±14-47% scheduler
+jitter the extended set no longer suffered) — then reports a
+time-budgeted min: >=3 timed runs, and sub-second queries keep sampling
+to ~2 s of timed data (cap 8) — on those, scheduling jitter IS the
+runtime and a fixed-small-N min left ±16-39% tails between
+identical-code runs. The headline metric is the sum over the declared
+set. The DuckDB baseline is likewise warm-cache/second-run (BASELINE.md
+§2), so steady-state-vs-steady-state is the like-for-like comparison.
+Measured repeatability of
 THIS protocol (two identical-code runs, this VM): median |delta| ~8%,
 tails to ~30% under external load — the residual is machine-level
 throughput drift (multi-second execution-bound queries swing 28%
@@ -129,45 +131,48 @@ def main() -> None:
         },
     )
 
-    timings: dict[str, float] = {}
-    # 5 warm-up sweeps: the JIT curve at sf0.1 is still descending at 3
-    # (measured 0.78s headline after 3+2 sweeps vs 0.69s after 5+4).
-    warmup_sweeps = int(os.environ.get("SPARK_GRAFT_WARMUP_SWEEPS", "5"))
-    timed_sweeps = int(os.environ.get("SPARK_GRAFT_TIMED_SWEEPS", "4"))
-    headline = [n for n in BENCH_SET if n in QUERIES]
-    for _ in range(warmup_sweeps):  # JVM JIT + page cache warm-up
-        for name in headline:
-            run_query(QUERIES[name], spark, sf_dir)
-    for _ in range(timed_sweeps):
-        for name in headline:
-            dt = round(run_query(QUERIES[name], spark, sf_dir), 4)
-            timings[name] = min(timings.get(name, dt), dt)
     from ray_beam_runner_spark.caches import release_tracked
 
-    for name in (n for n in EXTRA_SET if n in QUERIES):
-        fn = QUERIES[name]
-        run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
-        release_tracked()  # drop operator-persisted intermediates
-        # Time-budgeted min (r6 verdict ask #7, tightened): at least 3
-        # timed runs, and keep sampling sub-second queries until ~2 s of
-        # timed samples (cap 8). Rationale, measured on this VM: with a
-        # fixed min-of-2 the round-over-round deltas on UNTOUCHED
-        # queries spanned -21%..+29%, and even back-to-back min-of-3
-        # runs left ±16-39% tails on ~0.2-0.5 s queries — there, per-
-        # stage scheduling jitter IS the runtime, and the min only
-        # converges with sample count. Slow queries (>=1 s) are
-        # execution-bound and stable at 3 samples.
+    def budgeted_min(fn) -> float:
+        # Time-budgeted min (r6 verdict ask #7; unified protocol per r7
+        # verdict ask #2 — headline and extended sets now measure
+        # identically): at least 3 timed runs, and keep sampling
+        # sub-second queries until ~2 s of timed samples (cap 8).
+        # Rationale, measured on this VM: with a fixed min-of-2 the
+        # round-over-round deltas on UNTOUCHED queries spanned
+        # -21%..+29%, and even back-to-back min-of-3 runs left ±16-39%
+        # tails on ~0.2-0.5 s queries — there, per-stage scheduling
+        # jitter IS the runtime, and the min only converges with sample
+        # count. Slow queries (>=1 s) are execution-bound and stable at
+        # 3 samples.
         min_runs = max(1, int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "3")))
         budget = float(os.environ.get("SPARK_GRAFT_EXTRA_BUDGET_SEC", "2.0"))
         best, n, spent = None, 0, 0.0
         while n < min_runs or (spent < budget and n < 8):
             dt = run_query(fn, spark, sf_dir)
-            release_tracked()
+            release_tracked()  # drop operator-persisted intermediates
             spark.catalog.clearCache()  # isolate queries (no leaked persists)
             best = dt if best is None else min(best, dt)
             n += 1
             spent += dt
-        timings[name] = round(best, 4)
+        return round(best, 4)
+
+    timings: dict[str, float] = {}
+    # 5 warm-up sweeps: the JIT curve at sf0.1 is still descending at 3
+    # (measured 0.78s headline after 3+2 sweeps vs 0.69s after 5+4).
+    warmup_sweeps = int(os.environ.get("SPARK_GRAFT_WARMUP_SWEEPS", "5"))
+    headline = [n for n in BENCH_SET if n in QUERIES]
+    for _ in range(warmup_sweeps):  # JVM JIT + page cache warm-up
+        for name in headline:
+            run_query(QUERIES[name], spark, sf_dir)
+    for name in headline:
+        timings[name] = budgeted_min(QUERIES[name])
+
+    for name in (n for n in EXTRA_SET if n in QUERIES):
+        fn = QUERIES[name]
+        run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
+        release_tracked()
+        timings[name] = budgeted_min(fn)
 
     total = round(sum(timings[n] for n in BENCH_SET if n in timings), 4)
     print(
