@@ -86,6 +86,8 @@ EXTRA_SET = (
     "q_bpe_pair_counts",
     "q_pagerank",
     "q_bigram_kn_logppl",
+    # round 8
+    "q_dedup_span_removal",
 )
 
 

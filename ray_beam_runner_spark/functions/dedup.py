@@ -36,6 +36,7 @@ __all__ = [
     "ngram_containment_pairs",
     "decontaminate_hits",
     "repeated_span_stats",
+    "remove_repeated_spans",
     "lsh_banding",
     "minhash_signatures",
     "minhash_lsh_candidates",
@@ -616,4 +617,74 @@ def repeated_span_stats(
                 6,
             ).alias("dup_frac"),
         )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup REMOVAL (the rewrite step of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+    ``repeated_span_stats`` only *measures* duplicated spans; this
+    operator deletes them. A span (word n-gram) is "hot" when it occurs
+    in >= ``min_docs`` distinct documents; every token covered by any
+    occurrence of a hot span is removed, and the surviving tokens are
+    re-joined in original order. Guarantee (tested as a property): no
+    original-contiguous window of the surviving text is a hot span —
+    every such window was an occurrence and would have been covered.
+    (Removal can create NEW adjacencies whose concatenation happens to
+    equal a hot span; Lee et al.'s cut semantics share this property.)
+
+    Scale shape (100 TB): the postings pass is persisted and reused;
+    document frequency, the hot filter, and the occurrence semi join are
+    all shuffles keyed by the span (the hot side is tiny after the
+    ``min_docs`` filter). Covered positions explode hot occurrences by
+    ``n`` — bounded by (duplicated spans x n), the same order as the
+    text being deleted. Reconstruction is ONE doc-keyed aggregation
+    (``collect_list`` bounded by document length, the working set any
+    per-document text operator already carries); no text ever reaches
+    the driver. Returns (id_col, n_tok, n_kept, clean_text).
+    """
+    from ray_beam_runner_spark.caches import track
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    # Every span occurrence with its 0-based token start (word_ngrams
+    # emits overlapping grams in token order: gram i starts at token i).
+    occ = track(base.select("id", F.posexplode(word_ngrams(F.col("_t"), n)).alias("p", "g")))
+    hot = (
+        occ.select("id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("g")
+    )
+    covered = (
+        occ.join(hot, "g", "left_semi")
+        .select("id", F.explode(F.sequence(F.col("p"), F.col("p") + F.lit(n - 1))).alias("q"))
+        .distinct()
+    )
+    words = base.select("id", F.posexplode(tokens(F.col("_t"))).alias("q", "word"))
+    kept = words.join(covered, ["id", "q"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q", "word"))), lambda x: x["word"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    sizes = base.select("id", F.size(tokens(F.col("_t"))).cast("long").alias("n_tok"))
+    return sizes.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tok",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

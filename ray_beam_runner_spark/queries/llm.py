@@ -1446,6 +1446,57 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    occ AS (
+      SELECT doc_id, i, array_to_string(w[i:i+19], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 19)) AS i FROM toks)),
+    hot AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+      GROUP BY g HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, q FROM (
+        SELECT doc_id, unnest(generate_series(i, i + 19)) AS q
+        FROM occ WHERE g IN (SELECT g FROM hot))),
+    words AS (
+      SELECT doc_id, q, w[q] AS word
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS q FROM toks)),
+    kept AS (
+      SELECT words.doc_id, words.q, words.word
+      FROM words LEFT JOIN covered c ON c.doc_id = words.doc_id AND c.q = words.q
+      WHERE c.q IS NULL),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(word, ' ' ORDER BY q)) AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.w)::BIGINT AS n_tok,
+           coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(r.clean_md5, md5('')) AS clean_md5
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup REMOVAL (Lee et al. ACL 2022 rewrite step):
+    delete every token covered by an occurrence of a 20-token span that
+    appears in 2+ documents, then rebuild the surviving text in order.
+    q_dedup_spans measures the boilerplate; this query cuts it. All
+    shuffles span- or doc-keyed over one persisted postings pass; the
+    result hashes the cleaned text so the oracle compare stays compact.
+    See functions.dedup.remove_repeated_spans."""
+    from ray_beam_runner_spark.functions.dedup import remove_repeated_spans
+
+    out = remove_repeated_spans(t(spark, sf_dir, "documents"), "doc_id", "text", n=20, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
+@query(
     "q_token_entropy",
     oracle=f"""
     WITH tf AS (

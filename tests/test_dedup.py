@@ -81,3 +81,120 @@ def test_simhash_pairs_banding(docs):
     pairs = {(r.d1, r.d2): r.hamming for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
     assert pairs.get((0, 3)) == 0 and pairs.get((0, 4)) == 0 and pairs.get((3, 4)) == 0
     assert all(h <= 3 for h in pairs.values())
+
+
+# ---------------------------------------------------------------------------
+# Substring-level span REMOVAL (Lee et al. 2022 rewrite step)
+# ---------------------------------------------------------------------------
+
+
+def _py_remove_spans(texts: dict, n: int, min_docs: int):
+    """Independent pure-Python oracle for remove_repeated_spans: same
+    normalization (lower, collapse whitespace, strip), word n-gram spans,
+    hot = span in >= min_docs distinct docs, cut every covered token."""
+    import re
+    from collections import Counter
+
+    toks = {i: re.sub(r"\s+", " ", t.lower()).strip().split(" ") for i, t in texts.items()}
+    occ = {
+        i: [(p, " ".join(w[p : p + n])) for p in range(len(w) - n + 1)]
+        for i, w in toks.items()
+    }
+    dfreq = Counter()
+    for i, os_ in occ.items():
+        for g in {g for _, g in os_}:
+            dfreq[g] += 1
+    hot = {g for g, c in dfreq.items() if c >= min_docs}
+    out = {}
+    for i, w in toks.items():
+        covered = set()
+        for p, g in occ[i]:
+            if g in hot:
+                covered.update(range(p, p + n))
+        kept = [(q, x) for q, x in enumerate(w) if q not in covered]
+        out[i] = (len(w), len(kept), " ".join(x for _, x in kept), [q for q, _ in kept])
+    return out, hot
+
+
+def _random_corpus(seed: int, n_docs: int, vocab: int, max_len: int) -> dict:
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{k}" for k in range(vocab)]
+    # Seed shared boilerplate so hot spans actually occur.
+    boiler = " ".join(rng.choices(words, k=rng.randint(3, 8)))
+    docs = {}
+    for i in range(n_docs):
+        body = rng.choices(words, k=rng.randint(0, max_len))
+        if rng.random() < 0.7:
+            at = rng.randint(0, len(body))
+            body = body[:at] + boiler.split(" ") + body[at:]
+        docs[i] = " ".join(body)
+    return docs
+
+
+def test_remove_repeated_spans_cuts_boilerplate(spark):
+    from ray_beam_runner_spark.functions.dedup import remove_repeated_spans
+
+    rows = [
+        (0, "alpha beta gamma unique zero tail"),
+        (1, "intro one alpha beta gamma closing words"),
+        (2, "totally unrelated text with nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_repeated_spans(df, "doc_id", "text", n=3, min_docs=2).collect()}
+    # "alpha beta gamma" appears in docs 0 and 1 -> hot; covered tokens cut.
+    assert out[0].clean_text == "unique zero tail"
+    assert out[1].clean_text == "intro one closing words"
+    assert out[2].clean_text == "totally unrelated text with nothing shared"
+    assert out[0].n_tok == 6 and out[0].n_kept == 3
+    # surviving text contains no flagged span
+    for r in out.values():
+        assert "alpha beta gamma" not in r.clean_text
+
+
+def test_remove_repeated_spans_differential(spark):
+    """Spark output == independent Python oracle on randomized corpora
+    (boilerplate-injected, empty docs, short docs, within-doc repeats)."""
+    from ray_beam_runner_spark.functions.dedup import remove_repeated_spans
+
+    for seed, n, min_docs in ((1, 3, 2), (2, 2, 2), (3, 4, 3), (4, 3, 2)):
+        texts = _random_corpus(seed, n_docs=12, vocab=9, max_len=30)
+        expect, _ = _py_remove_spans(texts, n, min_docs)
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tok, r.n_kept, r.clean_text)
+            for r in remove_repeated_spans(df, "doc_id", "text", n=n, min_docs=min_docs).collect()
+        }
+        assert got == {i: (a, b, c) for i, (a, b, c, _) in expect.items()}, f"seed={seed}"
+
+
+def test_remove_repeated_spans_no_surviving_hot_window():
+    """Property (hypothesis): after removal, NO original-contiguous window
+    of n surviving tokens is a hot span — every such window was an
+    occurrence and must have been covered. Pure-Python oracle side (the
+    differential test pins Spark == oracle)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=2, max_value=3),
+    )
+    @settings(max_examples=150, deadline=None)
+    def run(seed, n, min_docs):
+        import re
+
+        texts = _random_corpus(seed, n_docs=8, vocab=6, max_len=20)
+        out, hot = _py_remove_spans(texts, n, min_docs)
+        for i, (_, _, _, kept_pos) in out.items():
+            w = re.sub(r"\s+", " ", texts[i].lower()).strip().split(" ")
+            # runs of original-consecutive kept positions
+            for s in range(len(kept_pos) - n + 1):
+                window = kept_pos[s : s + n]
+                if window[-1] - window[0] == n - 1:  # contiguous originally
+                    gram = " ".join(w[q] for q in window)
+                    assert gram not in hot
+
+    run()
