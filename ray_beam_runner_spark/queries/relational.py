@@ -2334,7 +2334,9 @@ def q_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b.* FROM base b
       WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd))
     SELECT o_orderstatus, count(*)::BIGINT AS cnt,
-           round(sum(o_totalprice), 4) AS sum_totalprice
+           round(sum(o_totalprice), 4) AS sum_totalprice,
+           round(min(o_totalprice), 4) AS min_totalprice,
+           round(max(o_totalprice), 4) AS max_totalprice
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -2343,12 +2345,15 @@ def q_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot table (every 7th order) takes the q_snapshot_upsert CDC
     merge; the change feed streams the deltas into
     stream_maintain_aggregate, which folds them into a per-status
-    (cnt, sum) AGGREGATE TABLE without rescanning the source. The
-    oracle aggregates the merged source directly — the maintained view
-    must equal it exactly (counts) and to float-sum stability (sums,
-    4 dp). Per-trigger work is O(change + affected keys); offsets +
-    manifest txn ids make the whole source->feed->view chain
-    exactly-once."""
+    (cnt, sum, min, max) AGGREGATE TABLE — the additive family without
+    rescanning the source, min/max via affected-key rescan when a batch
+    retracts a key's extremum (updates move orders across status
+    groups, deleting the old group's rows — the retraction path runs
+    for real here). The oracle aggregates the merged source directly —
+    the maintained view must equal it exactly (counts, extrema) and to
+    float-sum stability (sums, 4 dp). Per-trigger work is
+    O(change + affected keys); offsets + manifest txn ids make the
+    whole source->feed->view chain exactly-once."""
     from ray_beam_runner_spark.queries import scratch_dir
     from ray_beam_runner_spark.sources import snapshots as snap
 
@@ -2370,19 +2375,29 @@ def q_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = scratch_dir("rbrs_ivmsrc_")
     agg = scratch_dir("rbrs_ivmagg_")
     ckpt = scratch_dir("rbrs_ivmckpt_")
+
+    def drain():
+        q = snap.stream_maintain_aggregate(
+            snap.read_snapshot_stream(spark, src), agg,
+            ["o_orderstatus"], ["o_totalprice"], checkpoint_dir=ckpt,
+            min_cols=["o_totalprice"], max_cols=["o_totalprice"], source_dir=src,
+        )
+        if not q.awaitTermination(300):
+            # returning the half-maintained table would read as an
+            # engine mismatch; surface the timeout instead
+            # (run_to_memory contract)
+            q.stop()
+            raise TimeoutError("IVM drain exceeded 300s")
+
     snap.write_snapshot(base, src, cluster_by=["o_orderkey"], n_files=8)
+    drain()  # batch 1: creates the aggregate table from the base load
     snap.upsert_snapshot(
         spark, src, updates.unionByName(inserts), ["o_orderkey"], cdc=True
     )
-    feed = snap.read_snapshot_stream(spark, src)
-    q = snap.stream_maintain_aggregate(
-        feed, agg, ["o_orderstatus"], ["o_totalprice"], checkpoint_dir=ckpt
-    )
-    if not q.awaitTermination(300):
-        # returning the half-maintained table would read as an engine
-        # mismatch; surface the timeout instead (run_to_memory contract)
-        q.stop()
-        raise TimeoutError("IVM drain exceeded 300s")
+    # batch 2 folds the merge deltas against the EXISTING table: status
+    # changes delete rows from their old group, so retracted extrema
+    # take the affected-key rescan path for real here
+    drain()
     return (
         snap.read_snapshot(spark, agg)
         .filter(F.col("cnt") > 0)
@@ -2390,5 +2405,7 @@ def q_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "cnt",
             F.round("sum_o_totalprice", 4).alias("sum_totalprice"),
+            F.round("min_o_totalprice", 4).alias("min_totalprice"),
+            F.round("max_o_totalprice", 4).alias("max_totalprice"),
         )
     )

@@ -1257,31 +1257,50 @@ def stream_maintain_aggregate(
     sum_cols: list[str],
     checkpoint_dir: str,
     app_id: str | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    source_dir: str | None = None,
 ):
     """Incremental materialized-view maintenance from a change feed:
-    keep a per-key (cnt, sum_<col>...) aggregate TABLE continuously
-    equal to aggregating the source — without ever rescanning the
-    source. Classic IVM over a delta stream: count and sum are
+    keep a per-key (cnt, sum_<col>..., min_<col>..., max_<col>...)
+    aggregate TABLE continuously equal to aggregating the source —
+    without rescanning the source except where algebra forces it.
+    Classic IVM over a delta stream: count and sum are
     self-maintainable, so each micro-batch folds its deltas
     (+row for _change='insert', -row for 'delete' — an update's
     delete+insert pair nets to the value change) into per-key
     adjustments, joins ONLY the affected keys against the current
-    aggregate snapshot, and MERGEs the adjusted rows back. Work per
-    trigger is O(change + affected-key rows), independent of source
-    table size — at 100 TB the aggregate refresh never touches the
-    fact table.
+    aggregate snapshot, and MERGEs the adjusted rows back.
+
+    Min/max are NOT self-maintainable under deletes, so they get the
+    affected-key-rescan treatment: per batch, each extremum column's
+    NET per-(key, value) multiset splits into net-insert / net-delete
+    stats (within-batch insert+delete of the same value cancels). A
+    key's new extremum is computable locally unless the batch deletes
+    its current extremum without inserting an equal-or-better one —
+    exactly those keys are rescanned from ``source_dir`` AT the batch's
+    max commit version (time travel keeps the rescan consistent with
+    the feed position), manifest-stats-pruned to the affected key range
+    and semi-joined to the affected keys only. Per-trigger work stays
+    O(change + affected-key rows): at 100 TB the fact table is touched
+    only for the keys whose maximum was retracted, never scanned whole.
 
     Exactly-once composition all the way down: the feed's offsets are
     checkpointed snapshot versions; the MERGE carries (app, batch) txn
-    ids, so a replayed micro-batch is a manifest-detected no-op. A key
-    whose rows are all deleted remains with cnt=0 (relational IVM
-    convention; filter cnt > 0 on read if absence is required).
-
-    Avg/min/max note: avg derives from (sum, cnt); min/max are NOT
-    self-maintainable under deletes (a retracted maximum needs a
-    rescan of that key's rows) — by design this maintains the additive
-    family only."""
+    ids, so a replayed micro-batch is a manifest-detected no-op (the
+    rescan re-reads an immutable version, so a replayed rescan is
+    deterministic too). A key whose rows are all deleted remains with
+    cnt=0 and NULL extrema (relational IVM convention; filter cnt > 0
+    on read if absence is required). Avg derives from (sum, cnt)."""
     app = app_id or f"ivm:{os.path.basename(os.path.abspath(table_dir))}"
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    ext_cols = sorted(set(min_cols) | set(max_cols))
+    if ext_cols and not source_dir:
+        raise ValueError(
+            "min_cols/max_cols maintenance needs source_dir: a retracted "
+            "extremum is repaired by an affected-key rescan of the source"
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1293,33 +1312,122 @@ def stream_maintain_aggregate(
                 for c in sum_cols
             ],
         )
-        if latest_version(table_dir) is not None:
-            cur = read_snapshot(spark, table_dir)
-            updates = delta.join(cur, keys, "left").select(
-                *keys,
-                (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("_d_cnt"))
-                .cast("long")
-                .alias("cnt"),
-                *[
-                    (
-                        F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
-                        + F.col(f"_d_{c}")
-                    ).cast("double").alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
+        for c in ext_cols:
+            net = batch_df.groupBy(*keys, c).agg(F.sum(sign).alias("_net"))
+            ins = (
+                net.filter(F.col("_net") > 0)
+                .groupBy(*keys)
+                .agg(F.max(c).alias(f"_ins_max_{c}"), F.min(c).alias(f"_ins_min_{c}"))
             )
+            dele = (
+                net.filter(F.col("_net") < 0)
+                .groupBy(*keys)
+                .agg(F.max(c).alias(f"_del_max_{c}"), F.min(c).alias(f"_del_min_{c}"))
+            )
+            delta = delta.join(ins, keys, "left").join(dele, keys, "left")
+        def sums() -> list:
+            return [
+                (F.coalesce(F.col(f"sum_{c}"), F.lit(0.0)) + F.col(f"_d_{c}"))
+                .cast("double")
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ]
+        if latest_version(table_dir) is not None:
+            joined = delta.join(read_snapshot(spark, table_dir), keys, "left")
+            new_cnt = (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("_d_cnt")).cast("long")
+            # local candidates: valid whenever the batch did not retract
+            # the current extremum (or bettered it from the insert side)
+            cand = {
+                ("max", c): F.when(new_cnt <= 0, F.lit(None)).otherwise(
+                    F.greatest(F.col(f"max_{c}"), F.col(f"_ins_max_{c}"))
+                )
+                for c in max_cols
+            } | {
+                ("min", c): F.when(new_cnt <= 0, F.lit(None)).otherwise(
+                    F.least(F.col(f"min_{c}"), F.col(f"_ins_min_{c}"))
+                )
+                for c in min_cols
+            }
+            retract = F.lit(False)
+            for c in max_cols:
+                retract = retract | (
+                    F.col(f"max_{c}").isNotNull()
+                    & F.col(f"_del_max_{c}").isNotNull()
+                    & (F.col(f"_del_max_{c}") >= F.col(f"max_{c}"))
+                    & (
+                        F.col(f"_ins_max_{c}").isNull()
+                        | (F.col(f"_ins_max_{c}") < F.col(f"max_{c}"))
+                    )
+                )
+            for c in min_cols:
+                retract = retract | (
+                    F.col(f"min_{c}").isNotNull()
+                    & F.col(f"_del_min_{c}").isNotNull()
+                    & (F.col(f"_del_min_{c}") <= F.col(f"min_{c}"))
+                    & (
+                        F.col(f"_ins_min_{c}").isNull()
+                        | (F.col(f"_ins_min_{c}") > F.col(f"min_{c}"))
+                    )
+                )
+            joined = joined.withColumn("_rescan", retract & (new_cnt > 0))
+            if ext_cols:
+                joined = joined.localCheckpoint(eager=True)  # reused 2-3x below
+            updates = joined.filter(~F.col("_rescan")).select(
+                *keys,
+                new_cnt.alias("cnt"),
+                *sums(),
+                *[cand[("min", c)].alias(f"min_{c}") for c in min_cols],
+                *[cand[("max", c)].alias(f"max_{c}") for c in max_cols],
+            )
+            if ext_cols:
+                probe = joined.filter(F.col("_rescan"))
+                # 1-row control-plane read: any retracted extrema this
+                # batch, and the affected range of the leading key (for
+                # manifest-stats file pruning on clustered sources)
+                k0 = keys[0]
+                lo, hi = probe.agg(F.min(k0), F.max(k0)).first()
+                if lo is not None:
+                    vmax = batch_df.agg(F.max("_commit_version")).first()[0]
+                    src = read_snapshot(
+                        spark, source_dir, version=vmax, key_range=(k0, lo, hi)
+                    )
+                    aff = src.join(
+                        F.broadcast(probe.select(*keys)), keys, "left_semi"
+                    )
+                    re_stats = aff.groupBy(*keys).agg(
+                        *[F.min(c).alias(f"_rs_min_{c}") for c in min_cols],
+                        *[F.max(c).alias(f"_rs_max_{c}") for c in max_cols],
+                    )
+                    repaired = probe.join(re_stats, keys, "left").select(
+                        *keys,
+                        new_cnt.alias("cnt"),
+                        *sums(),
+                        *[F.col(f"_rs_min_{c}").alias(f"min_{c}") for c in min_cols],
+                        *[F.col(f"_rs_max_{c}").alias(f"max_{c}") for c in max_cols],
+                    )
+                    updates = updates.unionByName(repaired)
         else:
             # sums are DOUBLE from the first commit: an integer source
             # column would otherwise create the table as BIGINT while
             # later refreshes write coalesce(.., 0.0)+delta doubles —
             # parquet/manifest type divergence that breaks every
             # subsequent read
+            first_cnt = F.col("_d_cnt").cast("long")
             updates = delta.select(
                 *keys,
-                F.col("_d_cnt").cast("long").alias("cnt"),
+                first_cnt.alias("cnt"),
+                *[F.col(f"_d_{c}").cast("double").alias(f"sum_{c}") for c in sum_cols],
                 *[
-                    F.col(f"_d_{c}").cast("double").alias(f"sum_{c}")
-                    for c in sum_cols
+                    F.when(first_cnt <= 0, F.lit(None))
+                    .otherwise(F.col(f"_ins_min_{c}"))
+                    .alias(f"min_{c}")
+                    for c in min_cols
+                ],
+                *[
+                    F.when(first_cnt <= 0, F.lit(None))
+                    .otherwise(F.col(f"_ins_max_{c}"))
+                    .alias(f"max_{c}")
+                    for c in max_cols
                 ],
             )
         upsert_snapshot(

@@ -876,3 +876,93 @@ def test_stream_maintain_aggregate_integer_sum_column(spark, tmp_path):
     refresh()  # second refresh reads + rewrites the table: types must agree
     rows = {r.grp: (r.cnt, r.sum_qty) for r in snap.read_snapshot(spark, agg).collect()}
     assert rows == {"g": (3, 35.0)}
+
+
+def test_stream_maintain_aggregate_minmax_rescan(spark, tmp_path):
+    # min/max IVM: self-maintained while inserts dominate; a batch that
+    # deletes a key's current extremum triggers the affected-key rescan
+    # (time-traveled, stats-pruned, semi-joined) and repairs the row
+    from pyspark.sql import functions as SF
+
+    src, agg = _tdir(), _tdir()
+    ckpt = str(tmp_path / "ivm_mm_ckpt")
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g1", 15.0),
+             (5, "g2", 5.0), (6, "g3", 9.0)],
+            "k int, grp string, v double",
+        ),
+        src, cluster_by=["k"],
+    )
+
+    def refresh():
+        q = snap.stream_maintain_aggregate(
+            snap.read_snapshot_stream(spark, src), agg, ["grp"], ["v"],
+            checkpoint_dir=ckpt, app_id="ivm-mm",
+            min_cols=["v"], max_cols=["v"], source_dir=src,
+        )
+        assert q.awaitTermination(180)
+
+    def view():
+        return {
+            r.grp: (r.cnt, r.sum_v, r.min_v, r.max_v)
+            for r in snap.read_snapshot(spark, agg).collect()
+            if r.cnt > 0
+        }
+
+    def direct():
+        return {
+            r.grp: (r.cnt, r.s, r.lo, r.hi)
+            for r in snap.read_snapshot(spark, src)
+            .groupBy("grp")
+            .agg(
+                SF.count(SF.lit(1)).alias("cnt"), SF.sum("v").alias("s"),
+                SF.min("v").alias("lo"), SF.max("v").alias("hi"),
+            )
+            .collect()
+        }
+
+    refresh()
+    assert view() == direct() == {
+        "g1": (3, 45.0, 10.0, 20.0), "g2": (1, 5.0, 5.0, 5.0), "g3": (1, 9.0, 9.0, 9.0)
+    }
+    # one commit retracts g1's MAX (k=2 moves to g2) and g2's MIN
+    # (k=5's value rises 5->25): both sides must rescan-repair
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame([(2, "g2", 20.0), (5, "g2", 25.0)],
+                              "k int, grp string, v double"),
+        ["k"], cdc=True,
+    )
+    refresh()
+    assert view() == direct() == {
+        "g1": (2, 25.0, 10.0, 15.0), "g2": (2, 45.0, 20.0, 25.0), "g3": (1, 9.0, 9.0, 9.0)
+    }
+    # empty g3 entirely (k=6 moves to g1): cnt=0 row keeps NULL extrema
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame([(6, "g1", 30.0)], "k int, grp string, v double"),
+        ["k"], cdc=True,
+    )
+    refresh()
+    assert view() == direct() == {
+        "g1": (3, 55.0, 10.0, 30.0), "g2": (2, 45.0, 20.0, 25.0)
+    }
+    raw = {r.grp: r for r in snap.read_snapshot(spark, agg).collect()}
+    assert raw["g3"].cnt == 0 and raw["g3"].min_v is None and raw["g3"].max_v is None
+    # no new commits: drain is a no-op (offsets + txn ids), rescan or not
+    v_before = snap.latest_version(agg)
+    refresh()
+    assert snap.latest_version(agg) == v_before
+
+
+def test_stream_maintain_aggregate_minmax_needs_source(spark, tmp_path):
+    src = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "g", 1.0)], "k int, grp string, v double"), src
+    )
+    with pytest.raises(ValueError, match="source_dir"):
+        snap.stream_maintain_aggregate(
+            snap.read_snapshot_stream(spark, src), _tdir(), ["grp"], ["v"],
+            checkpoint_dir=str(tmp_path / "c"), max_cols=["v"],
+        )
