@@ -2377,8 +2377,13 @@ def q_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = scratch_dir("rbrs_ivmckpt_")
 
     def drain():
+        # column-pruned feed: the view maintains (status, totalprice)
+        # aggregates, so each trigger decodes 2 of the 4 source columns
+        feed = snap.read_snapshot_stream(
+            spark, src, columns=["o_orderstatus", "o_totalprice"]
+        )
         q = snap.stream_maintain_aggregate(
-            snap.read_snapshot_stream(spark, src), agg,
+            feed, agg,
             ["o_orderstatus"], ["o_totalprice"], checkpoint_dir=ckpt,
             min_cols=["o_totalprice"], max_cols=["o_totalprice"], source_dir=src,
         )

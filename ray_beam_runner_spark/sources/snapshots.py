@@ -986,15 +986,24 @@ def vacuum(
 
 def _cdc_read_pdf(table_dir: str, rels: list[str], columns: list[str]):
     """Executor-side parquet read of table-relative files via pyarrow
-    (no SparkSession exists inside a data source worker), aligned to the
-    table's column list (missing columns null-backfill — mixed
+    (no SparkSession exists inside a data source worker), COLUMN-PRUNED
+    to the requested list (only those column chunks are decoded — a
+    2-column feed over a 50-column table reads 2 columns per trigger)
+    and aligned to it (missing columns null-backfill — mixed
     generations after schema evolution)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
-    frames = [
-        pq.read_table(os.path.join(table_dir, rel)).to_pandas() for rel in rels
-    ]
+    frames = []
+    for rel in rels:
+        pf = pq.ParquetFile(os.path.join(table_dir, rel))
+        have = [c for c in columns if c in pf.schema_arrow.names]
+        if not have:
+            # file predates every projected column: decode the cheapest
+            # real column purely to preserve the row COUNT (the rows
+            # exist and null-backfill below)
+            have = [pf.schema_arrow.names[0]]
+        frames.append(pf.read(columns=have).to_pandas())
     pdf = (
         pd.concat(frames, ignore_index=True)
         if frames
@@ -1051,18 +1060,88 @@ class _CdcPartition(_IP):
         self.columns = columns or []
 
 
+def _version_plan(table_dir: str, v: int, cols: list[str]) -> list[_CdcPartition]:
+    """Change-feed work units for ONE version step — shared by
+    partitions() (execution) and the byte-based rate limiter (costing),
+    so the two can never disagree about what a version reads."""
+    try:
+        manifest = read_manifest(table_dir, v)
+    except FileNotFoundError:
+        return []  # version numbers are dense, but be tolerant
+    op = manifest.get("op")
+    parent = manifest.get("parent")
+    if op == "compact":
+        return []  # content-identical by construction: no deltas
+    if op == "merge" and manifest.get("cdc_files"):
+        return [
+            _CdcPartition(table_dir, v, "labeled", [rel], columns=cols)
+            for rel in manifest["cdc_files"]
+        ]
+    if parent is not None:
+        try:
+            pm = read_manifest(table_dir, parent)
+        except FileNotFoundError:
+            pm = None
+            # parent vacuumed away: every version <= parent was also
+            # skipped, so none of their rows entered THIS stream — the
+            # oldest retained version is the stream's initial snapshot
+            # and replays as pure inserts
+    else:
+        pm = None  # table creation (overwrite or first merge): all insert
+    if pm is None:
+        return [
+            _CdcPartition(table_dir, v, "insert", [rel], columns=cols)
+            for rel in manifest["files"]
+        ]
+    old_only = [r for r in pm["files"] if r not in set(manifest["files"])]
+    new_only = [r for r in manifest["files"] if r not in set(pm["files"])]
+    if op == "overwrite":
+        return [
+            *(
+                _CdcPartition(table_dir, v, "insert", [rel], columns=cols)
+                for rel in new_only
+            ),
+            *(
+                _CdcPartition(table_dir, v, "delete", [rel], columns=cols)
+                for rel in old_only
+            ),
+        ]
+    # merge without sidecars: one file-diff task per step
+    return [
+        _CdcPartition(table_dir, v, "diff", new_only, old_rels=old_only, columns=cols)
+    ]
+
+
+def _version_bytes(table_dir: str, v: int) -> int:
+    """On-disk bytes a version step's change-feed read touches (delta
+    files only, never the whole table) — the costing side of
+    maxBytesPerTrigger. Missing files cost 0 (tolerant, like the read)."""
+    total = 0
+    for p in _version_plan(table_dir, v, []):
+        for rel in [*p.rels, *p.old_rels]:
+            try:
+                total += os.path.getsize(os.path.join(table_dir, rel))
+            except OSError:
+                pass
+    return total
+
+
 class _SnapshotCdcStreamReader(_DSSR):
     def __init__(self, options, schema_cols):
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("snapshot_cdf requires .option('path', table_dir)")
         self.starting_version = int(options.get("startingversion", "1"))
-        # Delta's maxFilesPerTrigger analog: bound how many COMMITS one
-        # micro-batch covers, so a stream started against a year of
-        # backlog chews through it in bounded batches instead of one
-        # giant catch-up batch. 0/absent = unbounded.
+        # Delta's maxFilesPerTrigger/maxBytesPerTrigger analogs: bound
+        # how many COMMITS / how many delta-file BYTES one micro-batch
+        # covers, so a stream started against a year of backlog chews
+        # through it in bounded batches instead of one giant catch-up
+        # batch. 0/absent = unbounded. Bytes is a soft max (Delta
+        # semantics): every batch takes at least one version, and stops
+        # after the version that crosses the budget.
         self.max_versions = int(options.get("maxversionspertrigger", "0"))
-        self.cols = schema_cols  # table columns (no _change/_commit_version)
+        self.max_bytes = int(options.get("maxbytespertrigger", "0"))
+        self.cols = schema_cols  # feed columns (no _change/_commit_version)
         self._cursor: int | None = None  # last batch end this reader planned
 
     def initialOffset(self):
@@ -1072,16 +1151,24 @@ class _SnapshotCdcStreamReader(_DSSR):
         latest = latest_version(self.table_dir)
         base = self.starting_version - 1
         latest = base if latest is None else max(latest, base)
-        if not self.max_versions:
+        if not self.max_versions and not self.max_bytes:
             self._cursor = latest
             return {"version": latest}
-        # rate-limited: advance at most max_versions past the cursor.
+        # rate-limited: advance past the cursor until a bound trips.
         # A reader reconstructed mid-stream starts with cursor=None and
         # may propose an end BEHIND the checkpointed start — partitions()
         # guards backward ranges and fast-forwards the cursor (same
         # restart contract as the counter-stream source).
         lo = self._cursor if self._cursor is not None else base
-        end = max(min(latest, lo + self.max_versions), base)
+        lo = min(max(lo, base), latest)
+        end, spent = lo, 0
+        while end < latest:
+            if self.max_versions and end - lo >= self.max_versions:
+                break
+            spent += _version_bytes(self.table_dir, end + 1)
+            end += 1
+            if self.max_bytes and spent >= self.max_bytes:
+                break
         self._cursor = end
         return {"version": end}
 
@@ -1093,57 +1180,7 @@ class _SnapshotCdcStreamReader(_DSSR):
         self._cursor = max(self._cursor or -1, end["version"])
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            try:
-                manifest = read_manifest(self.table_dir, v)
-            except FileNotFoundError:
-                continue  # version numbers are dense, but be tolerant
-            op = manifest.get("op")
-            parent = manifest.get("parent")
-            if op == "compact":
-                continue  # content-identical by construction: no deltas
-            if op == "merge" and manifest.get("cdc_files"):
-                parts.extend(
-                    _CdcPartition(self.table_dir, v, "labeled", [rel], columns=self.cols)
-                    for rel in manifest["cdc_files"]
-                )
-                continue
-            if parent is None:
-                # table creation (overwrite or first merge): all insert
-                parts.extend(
-                    _CdcPartition(self.table_dir, v, "insert", [rel], columns=self.cols)
-                    for rel in manifest["files"]
-                )
-                continue
-            try:
-                pm = read_manifest(self.table_dir, parent)
-            except FileNotFoundError:
-                # parent vacuumed away: every version <= parent was also
-                # skipped above, so none of their rows entered THIS
-                # stream — the oldest retained version is the stream's
-                # initial snapshot and replays as pure inserts
-                parts.extend(
-                    _CdcPartition(self.table_dir, v, "insert", [rel], columns=self.cols)
-                    for rel in manifest["files"]
-                )
-                continue
-            old_only = [r for r in pm["files"] if r not in set(manifest["files"])]
-            new_only = [r for r in manifest["files"] if r not in set(pm["files"])]
-            if op == "overwrite":
-                parts.extend(
-                    _CdcPartition(self.table_dir, v, "insert", [rel], columns=self.cols)
-                    for rel in new_only
-                )
-                parts.extend(
-                    _CdcPartition(self.table_dir, v, "delete", [rel], columns=self.cols)
-                    for rel in old_only
-                )
-            else:  # merge without sidecars: one file-diff task per step
-                parts.append(
-                    _CdcPartition(
-                        self.table_dir, v, "diff", new_only,
-                        old_rels=old_only, columns=self.cols,
-                    )
-                )
+            parts.extend(_version_plan(self.table_dir, v, self.cols))
         return parts
 
     def commit(self, end: dict) -> None:
@@ -1214,8 +1251,19 @@ class SnapshotChangeFeedDataSource(_DS):
             raise ValueError(
                 "snapshot_cdf requires manifests with recorded schema_json"
             )
+        fields = list(struct.fields)
+        req = self.options.get("columns")
+        if req:
+            want = [c.strip() for c in req.split(",") if c.strip()]
+            have = {f.name: f for f in fields}
+            missing = [c for c in want if c not in have]
+            if missing:
+                raise ValueError(
+                    f"snapshot_cdf columns not in table schema: {missing}"
+                )
+            fields = [have[c] for c in want]
         return StructType(
-            [*struct.fields,
+            [*fields,
              StructField("_change", StringType(), False),
              StructField("_commit_version", LongType(), False)]
         )
@@ -1230,24 +1278,41 @@ def read_snapshot_stream(
     table_dir: str,
     starting_version: int = 1,
     max_versions_per_trigger: int = 0,
+    max_bytes_per_trigger: int = 0,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Open a snapshot table's change feed as a streaming DataFrame
     (rows = table columns + _change + _commit_version). Offsets are
     snapshot versions, checkpointed by the engine: a restarted query
     resumes from the last committed version and never re-emits it.
+
     ``max_versions_per_trigger`` bounds how many commits one
-    micro-batch covers (Delta's maxFilesPerTrigger analog) — note the
-    Python data-source engine runs availableNow as a single batch, so a
-    rate-limited drain consumes up to the bound per START; continuous
-    triggers chew through the backlog batch by batch."""
+    micro-batch covers (Delta's maxFilesPerTrigger analog);
+    ``max_bytes_per_trigger`` bounds the delta-file bytes a batch reads
+    (soft max, Delta semantics: at least one version per batch, stop
+    after crossing the budget). Note the Python data-source engine runs
+    availableNow as a single batch, so a rate-limited drain consumes up
+    to the bound per START; continuous triggers chew through the
+    backlog batch by batch.
+
+    ``columns`` projects the feed to a subset of table columns: only
+    those parquet column chunks are decoded per trigger — the pruning
+    an IVM view over 2 columns of a wide fact table needs. Contract:
+    the pruned feed equals the change feed OF THE PRUNED TABLE — in
+    file-diff fallback mode a rewrite that only changes unprojected
+    columns nets to no delta (which is exactly what any consumer of the
+    projected columns should see)."""
     spark.dataSource.register(SnapshotChangeFeedDataSource)
-    return (
+    reader = (
         spark.readStream.format("snapshot_cdf")
         .option("path", table_dir)
         .option("startingVersion", str(starting_version))
         .option("maxVersionsPerTrigger", str(max_versions_per_trigger))
-        .load()
+        .option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     )
+    if columns:
+        reader = reader.option("columns", ",".join(columns))
+    return reader.load()
 
 
 def stream_maintain_aggregate(

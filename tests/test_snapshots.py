@@ -966,3 +966,104 @@ def test_stream_maintain_aggregate_minmax_needs_source(spark, tmp_path):
             snap.read_snapshot_stream(spark, src), _tdir(), ["grp"], ["v"],
             checkpoint_dir=str(tmp_path / "c"), max_cols=["v"],
         )
+
+
+def test_change_feed_max_bytes_bounds_batches(spark, tmp_path):
+    # maxBytesPerTrigger (soft max): with a budget below one version's
+    # delta-file size, each start consumes exactly one version — the
+    # crossing version completes, then the batch stops
+    t = _tdir()
+    ckpt = str(tmp_path / "mb_ckpt")
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    for k, v in [(2, "b"), (3, "c")]:
+        snap.upsert_snapshot(
+            spark, t, spark.createDataFrame([(k, v)], "k int, v string"),
+            ["k"], cdc=True,
+        )
+
+    def drain():
+        got = []
+        feed = snap.read_snapshot_stream(spark, t, max_bytes_per_trigger=1)
+        q = (
+            feed.writeStream.foreachBatch(
+                lambda df, _b: got.extend(map(tuple, df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(got)
+
+    assert drain() == [(1, "a", "insert", 1)]
+    assert drain() == [(2, "b", "insert", 2)]
+    assert drain() == [(3, "c", "insert", 3)]
+    assert drain() == []
+    # a budget bigger than the whole backlog drains in one start
+    t2, ckpt2 = _tdir(), str(tmp_path / "mb2_ckpt")
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t2)
+    snap.upsert_snapshot(
+        spark, t2, spark.createDataFrame([(2, "b")], "k int, v string"),
+        ["k"], cdc=True,
+    )
+    got = []
+    q = (
+        snap.read_snapshot_stream(spark, t2, max_bytes_per_trigger=1 << 30)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(map(tuple, df.collect())))
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(got) == [(1, "a", "insert", 1), (2, "b", "insert", 2)]
+
+
+def test_change_feed_column_pruning(spark, tmp_path):
+    # columns= projects the feed: schema narrows, per-trigger reads
+    # decode only the projected column chunks, and files that predate a
+    # projected column null-backfill with the row count preserved
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "k int, v string, w double"),
+        t,
+    )
+    # schema evolution: new column arrives after the first file
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, "c", 30.0, "x")], "k int, v string, w double, extra string"),
+        ["k"], cdc=True, evolve_schema=True,
+    )
+    feed = snap.read_snapshot_stream(spark, t, columns=["k", "extra"])
+    assert [f.name for f in feed.schema.fields] == ["k", "extra", "_change", "_commit_version"]
+    got = []
+    q = (
+        feed.writeStream.foreachBatch(lambda df, _b: got.extend(map(tuple, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "cp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # v1's file has no 'extra': rows survive with nulls; v2 carries it
+    assert sorted(got) == [
+        (1, None, "insert", 1), (2, None, "insert", 1), (3, "x", "insert", 2)
+    ]
+    # unknown column is a loud error
+    with pytest.raises(Exception, match="columns not in table schema"):
+        snap.read_snapshot_stream(spark, t, columns=["nope"]).schema
+
+
+def test_cdc_read_pdf_prunes_columns(tmp_path):
+    # the reader-side primitive decodes ONLY the requested columns
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "f.parquet"
+    pq.write_table(
+        pa.table({"a": [1, 2], "b": ["x", "y"], "c": [1.0, 2.0]}), str(p)
+    )
+    pdf = snap._cdc_read_pdf(str(tmp_path), ["f.parquet"], ["a", "c"])
+    assert list(pdf.columns) == ["a", "c"]  # 'b' never materialized
+    # no requested column present: row count still preserved, all null
+    pdf2 = snap._cdc_read_pdf(str(tmp_path), ["f.parquet"], ["z"])
+    assert len(pdf2) == 2 and pdf2["z"].isna().all()
