@@ -162,23 +162,33 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     undirected: bool = True,
+    tol: float | None = None,
 ) -> DataFrame:
-    """Fixed-iteration PageRank as pure DataFrame algebra: returns
-    (node, rank) after ``n_iter`` power-iteration rounds with uniform
-    1/N initialization. ``undirected=True`` (default) symmetrizes the
-    edge list first, which also guarantees every participating node has
-    out-degree >= 1 — no dangling-mass redistribution step needed (the
-    usual extra global aggregate per round on directed graphs).
+    """PageRank as pure DataFrame algebra: returns (node, rank) after
+    power-iteration rounds with uniform 1/N initialization.
+    ``undirected=True`` (default) symmetrizes the edge list first,
+    which also guarantees every participating node has out-degree >= 1
+    — no dangling-mass redistribution step needed (the usual extra
+    global aggregate per round on directed graphs).
+
+    Two modes:
+    - fixed-iteration (``tol=None``): exactly ``n_iter`` rounds —
+      deterministic and ORACLE-EXPRESSIBLE (each round is one SQL CTE).
+    - convergence (``tol=`` set): stop as soon as the L1 rank delta of
+      a round falls below ``tol`` (the 1-row signature pattern of
+      ``connected_components``: one tiny aggregate per round, never a
+      collected rank vector); ``n_iter`` becomes the safety cap — pass
+      it large (e.g. 50). Matches fixed-iteration run to the same
+      depth exactly (pinned by test).
 
     Shape per round: one join of ranks to edges (co-partitioned on the
     node key once the first round establishes the hash partitioning —
     Exchange reuse keeps later rounds join-only) and one map-side
-    combinable sum per destination. Lineage grows linearly with
-    n_iter; for large n_iter localCheckpoint per round like
-    connected_components (n_iter here is small and fixed so the plain
-    plan is cheaper). The fixed iteration count is what makes the
-    result deterministic and ORACLE-EXPRESSIBLE (each round is one SQL
-    CTE) — convergence-threshold variants trade that for adaptivity."""
+    combinable sum per destination. Lineage: linear in rounds for the
+    short fixed plans; in convergence mode or past 5 rounds each
+    round's ranks are eagerly localCheckpoint-ed (the
+    connected_components recipe) so the plan stays one round deep no
+    matter how many rounds convergence takes."""
     from ray_beam_runner_spark.caches import track
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -204,6 +214,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    truncate = tol is not None or n_iter > 5
     for _ in range(n_iter):
         contrib = (
             ranks.join(e, ranks["node"] == e["src"])
@@ -212,7 +223,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -222,4 +233,20 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if truncate:
+            # eager: also makes the convergence probe below read the
+            # materialized round instead of recomputing it
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            old = ranks.select("node", F.col("rank").alias("_pr_old"))
+            delta = (
+                new_ranks.join(old, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_pr_old"))).alias("d"))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

@@ -95,3 +95,28 @@ def test_pagerank_empty_edges_returns_empty(spark):
     empty = spark.createDataFrame([], "s string, t string")
     out = pagerank(empty, "s", "t", n_iter=3)
     assert out.columns == ["node", "rank"] and out.count() == 0
+
+
+def test_pagerank_convergence_matches_fixed_iteration(spark):
+    # tol-mode must equal a fixed-iteration run of the same depth, stop
+    # early once the L1 delta drops below tol, and conserve rank mass
+    from ray_beam_runner_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 0)], "s long, d long"
+    )
+    # huge tol: stops after exactly one round == fixed n_iter=1
+    one = {r.node: r.rank for r in pagerank(edges, "s", "d", n_iter=1).collect()}
+    early = {
+        r.node: r.rank
+        for r in pagerank(edges, "s", "d", n_iter=50, tol=10.0).collect()
+    }
+    assert early == pytest.approx(one)
+    # tight tol: converged ranks match a deep fixed run and sum to 1
+    conv = {
+        r.node: r.rank
+        for r in pagerank(edges, "s", "d", n_iter=60, tol=1e-10).collect()
+    }
+    deep = {r.node: r.rank for r in pagerank(edges, "s", "d", n_iter=40).collect()}
+    assert conv == pytest.approx(deep, abs=1e-8)
+    assert sum(conv.values()) == pytest.approx(1.0, abs=1e-9)
