@@ -137,28 +137,45 @@ class _MockExpiredTimerInfo:
 
 class _MockHandle:
     """Engine-contract double: state cells scoped to the current key,
-    timers per key, no protobuf anywhere."""
+    timers per key, optional per-cell TTL against the batch clock
+    (tWS TTL is processing-time: a value expires ttlDurationMs after
+    its last update), no protobuf anywhere."""
 
     def __init__(self):
         self.store = {}
+        self.stamps = {}  # (name, key) -> last-update time (for TTL)
         self.timers = {}
         self.key = None
+        self.now_ms = 0  # batch clock, set by the harness
 
-    def getValueState(self, name, schema):
+    def getValueState(self, name, schema, ttlDurationMs=None):
         handle = self
 
         class _VS:
+            def _expired(self):
+                if ttlDurationMs is None:
+                    return False
+                stamp = handle.stamps.get((name, handle.key))
+                return (
+                    stamp is not None
+                    and handle.now_ms - stamp >= ttlDurationMs
+                )
+
             def get(self):
+                if self._expired():
+                    return None
                 return handle.store.get((name, handle.key))
 
             def update(self, v):
                 handle.store[(name, handle.key)] = tuple(v)
+                handle.stamps[(name, handle.key)] = handle.now_ms
 
             def clear(self):
                 handle.store.pop((name, handle.key), None)
+                handle.stamps.pop((name, handle.key), None)
 
             def exists(self):
-                return (name, handle.key) in handle.store
+                return not self._expired() and (name, handle.key) in handle.store
 
         return _VS()
 
@@ -174,26 +191,35 @@ class _MockHandle:
 
 def _run_mock_batches(processor, batches):
     """Drive the processor through micro-batches: for each (key->pdfs,
-    watermark) step, feed input rows, then fire timers the watermark
-    passed (each exactly once, removed on fire)."""
+    watermark) step, feed input rows, then fire every timer the
+    watermark passed — GLOBALLY ordered by (timestamp, key) across all
+    keys, the engine's expiry order — each exactly once, removed on
+    fire."""
     handle = _MockHandle()
     processor.init(handle)
     out = []
     for batch, wm in batches:
+        handle.now_ms = wm
         tv = _MockTimerValues(wm)
         for key, pdfs in batch.items():
             handle.key = (key,)
             out.extend(processor.handleInputRows((key,), iter(pdfs), tv))
-        for key, ts_set in list(handle.timers.items()):
-            for ts in sorted(ts_set):
-                if ts < wm:
-                    handle.key = key
-                    out.extend(
-                        processor.handleExpiredTimer(
-                            key, _MockTimerValues(wm), _MockExpiredTimerInfo(ts)
-                        )
-                    )
-                    ts_set.discard(ts)
+        due = sorted(
+            (ts, key)
+            for key, ts_set in handle.timers.items()
+            for ts in ts_set
+            if ts < wm
+        )
+        for ts, key in due:
+            if ts not in handle.timers.get(key, set()):
+                continue  # deleted by an earlier expiry callback
+            handle.key = key
+            out.extend(
+                processor.handleExpiredTimer(
+                    key, _MockTimerValues(wm), _MockExpiredTimerInfo(ts)
+                )
+            )
+            handle.timers[key].discard(ts)
     import pandas as pd
 
     return (
@@ -331,3 +357,181 @@ def test_tws_processor_dynamic_timers_fire_each_once_in_order():
     # batch 2 armed its new timer while 100 and 300 were still live:
     # all three coexisted (the harness feeds input before expiry)
     assert handle.store[("seen", ("a",))][0] == 3
+
+
+def test_tws_processor_timer_clear_bit_across_batches():
+    # reference clear-bit dedupe (ray_fn_runner.py:429-442): a timer SET
+    # in one batch and CLEARED in a later batch (before its time) must
+    # never fire; a subsequent re-set fires at the NEW time exactly once
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    import pandas as pd
+
+    class ClearableTimerProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for action, ts in zip(pdf["action"], pdf["ts"]):
+                    if action == "set":
+                        self.handle.registerTimer(int(ts))
+                    else:  # "clear"
+                        self.handle.deleteTimer(int(ts))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame(
+                {"key": [key[0]], "event": ["fired"],
+                 "ts": [expiredTimerInfo.getExpiryTimeInMs()]}
+            )
+
+        def close(self):
+            pass
+
+    def act(action, ts):
+        return pd.DataFrame({"action": [action], "ts": [ts]})
+
+    out, handle = _run_mock_batches(
+        ClearableTimerProcessor(),
+        [
+            ({"a": [act("set", 100)]}, 0),
+            ({"a": [act("clear", 100)]}, 50),   # cleared BEFORE expiry
+            ({}, 500),                          # wm passes 100: no fire
+            ({"a": [act("set", 600)]}, 500),    # re-set at a new time
+            ({}, 1000),                         # fires once at 600
+            ({}, 2000),                         # no re-fire
+        ],
+    )
+    fired = out[out.event == "fired"] if len(out) else out
+    assert len(fired) == 1 and list(fired.ts) == [600]
+    assert handle.timers.get(("a",), set()) == set()
+
+
+def test_tws_processor_combining_value_rmw():
+    # reference CombiningValueStateSpec sum-combiner case
+    # (ray_runner_test.py:363-393): read-modify-write an accumulating
+    # cell across batches; clear resets the accumulator to identity
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    import pandas as pd
+
+    class CombiningCellProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.cell = handle.getValueState("acc", "s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            add, reset = 0.0, False
+            for pdf in rows:
+                if "reset" in pdf.columns and pdf["reset"].any():
+                    reset = True
+                add += float(pdf["v"].sum())
+            if reset:
+                self.cell.clear()  # adds in a reset batch apply after
+            prev = self.cell.get()
+            combined = (prev[0] if prev else 0.0) + add  # RMW: read, combine, write
+            self.cell.update((combined,))
+            yield pd.DataFrame({"key": [key[0]], "combined": [combined]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def close(self):
+            pass
+
+    def vals(*v, reset=False):
+        return pd.DataFrame({"v": list(v), "reset": [reset] * len(v)})
+
+    out, _ = _run_mock_batches(
+        CombiningCellProcessor(),
+        [
+            ({"a": [vals(1.0, 2.0)]}, 0),            # 3
+            ({"a": [vals(3.0), vals(4.0)]}, 0),      # 10 (two pdfs, one RMW)
+            ({"b": [vals(5.0)]}, 0),                 # b isolated: 5
+            ({"a": [vals(0.0, reset=True)]}, 0),     # clear -> identity
+            ({"a": [vals(7.0)]}, 0),                 # counts from zero
+        ],
+    )
+    assert list(out[out.key == "a"].combined) == [3.0, 10.0, 0.0, 7.0]
+    assert list(out[out.key == "b"].combined) == [5.0]
+
+
+def test_tws_processor_state_ttl_expires():
+    # TTL state: a value written with ttlDurationMs is readable before
+    # the deadline and GONE after it — the processor restarts its count
+    # without any explicit clear
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    import pandas as pd
+
+    class TtlCountProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.cnt = handle.getValueState("cnt", "n long", ttlDurationMs=1000)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self.cnt.get()  # None once TTL has lapsed
+            n += prev[0] if prev else 0
+            self.cnt.update((n,))
+            yield pd.DataFrame({"key": [key[0]], "cnt": [n]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            return iter(())
+
+        def close(self):
+            pass
+
+    out, _ = _run_mock_batches(
+        TtlCountProcessor(),
+        [
+            ({"a": [_pdf([1.0])]}, 0),     # cnt=1, stamped t=0
+            ({"a": [_pdf([1.0])]}, 500),   # within TTL: cnt=2, re-stamped
+            ({"a": [_pdf([1.0])]}, 1200),  # within TTL of t=500: cnt=3
+            ({"a": [_pdf([1.0])]}, 9000),  # TTL lapsed: restart at 1
+        ],
+    )
+    assert list(out.cnt) == [1, 2, 3, 1]
+
+
+def test_tws_processor_interleaved_multikey_timer_order():
+    # timers across DIFFERENT keys must fire in global timestamp order
+    # within a batch (the engine's expiry order), interleaving keys —
+    # per-key-then-time ordering would be wrong
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    import pandas as pd
+
+    class ArmProcessor(StatefulProcessor):
+        def init(self, handle):
+            self.handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for ts in pdf["fire_at"]:
+                    self.handle.registerTimer(int(ts))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            yield pd.DataFrame(
+                {"key": [key[0]], "ts": [expiredTimerInfo.getExpiryTimeInMs()]}
+            )
+
+        def close(self):
+            pass
+
+    out, _ = _run_mock_batches(
+        ArmProcessor(),
+        [
+            (
+                {
+                    "a": [pd.DataFrame({"fire_at": [100, 200]})],
+                    "b": [pd.DataFrame({"fire_at": [50, 150]})],
+                },
+                0,
+            ),
+            ({}, 1000),  # all four due: global (ts, key) order
+        ],
+    )
+    assert list(zip(out.key, out.ts)) == [
+        ("b", 50), ("a", 100), ("b", 150), ("a", 200)
+    ]
