@@ -88,6 +88,7 @@ EXTRA_SET = (
     "q_bigram_kn_logppl",
     # round 8
     "q_dedup_span_removal",
+    "q_kmeans",
 )
 
 

@@ -1,0 +1,119 @@
+"""Distributed k-means as pure DataFrame algebra.
+
+The IVF/SemDeDup family trains its coarse quantizer with Spark ML KMeans
+(`functions.similarity.ivf_fit` — sampled, convergence-based, fast), which
+is NOT SQL-expressible, so those queries verify rows-only. This module is
+the differential-testable twin: fixed-iteration Lloyd iteration (Lloyd,
+"Least squares quantization in PCM", IEEE Trans. IT 1982) with
+deterministic initialization, where every round is plain DataFrame
+algebra and therefore one SQL CTE — the same design that made PageRank
+hash-checkable against DuckDB (`functions.graph.pagerank`).
+
+Scale shape (100 TB): centroids are a k x dim table, BROADCAST into the
+assignment join every round — the corpus is touched with one broadcast
+join + two map-side-combinable aggregations per round (the argmin by
+vector id reuses the vectors' hash partitioning; the per-cell mean is
+one shuffle of k x dim partials thanks to 64 avg(element_at) columns
+instead of a posexplode). The corpus frame is persisted once (tracked)
+and reused across rounds; centroid lineage is truncated per round with
+localCheckpoint so plan depth stays constant in n_iter. Empty clusters
+follow Lloyd convention: a cell that loses all members vanishes
+(k shrinks) — deterministic on both engines.
+
+Formulations measured and rejected (sf0.01, 500 x 64): driver-literal
+centroids with zip_with against a literal array (interpreted HOFs
+re-evaluate argument expressions PER ELEMENT — k x dim literals become
+k x dim^2 evaluations/row; 2x slower) and an explicit k x dim flat
+term chain (4000-node expression tree, whole-stage codegen compile
+dominates; 3.5x slower). Column-to-column zip_with + broadcast join is
+both the fastest here and the only shape whose cost model survives
+k, dim growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_lloyd"]
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means over an embedding column. Returns
+    (id_col, cell): each vector's cluster after ``n_iter``
+    (assign, update) rounds and one final assignment against the final
+    centroids.
+
+    Deterministic by construction — what makes it ORACLE-EXPRESSIBLE:
+    - init: the vectors of the ``k`` smallest ids, cell = rank - 1;
+    - assignment: argmin squared L2 distance, ties to the lowest cell
+      (min over (distance, cell) structs);
+    - distances fold dimension-index order on both engines, so the
+      double arithmetic agrees bit-for-bit.
+
+    For the production ANN path use ``similarity.ivf_fit`` (Spark ML,
+    sampled); this is the exact, differentially-checkable formulation.
+    """
+    from ray_beam_runner_spark.caches import track
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
+    v = track(
+        ensure_min_parallelism(df).select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+    )
+    first = v.select(F.size("e").alias("n")).limit(1).collect()
+    if not first:
+        v.unpersist()
+        return v.select(F.col("vid").alias(id_col), F.lit(0).cast("long").alias("cell"))
+    dim = first[0].n
+    from pyspark.sql import Window as W
+
+    cent = (
+        v.orderBy("vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("vid")) - 1).cast("long").alias("cell"),
+            F.col("e").alias("c"),
+        )
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        # column-to-column zip_with: HOF argument evaluation is plain
+        # attribute access (no literal re-evaluation trap)
+        d = v.crossJoin(F.broadcast(cent_df)).select(
+            "vid",
+            "cell",
+            F.aggregate(
+                F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        return (
+            d.groupBy("vid")
+            .agg(F.min(F.struct("d", "cell")).alias("m"))
+            .select("vid", F.col("m.cell").alias("cell"))
+        )
+
+    for _ in range(n_iter):
+        cent = (
+            assign(cent)
+            .join(v, "vid")
+            .groupBy("cell")
+            # 64 avg columns = ONE map-side-combinable shuffle of
+            # k x dim partials; a posexplode mean costs two keyed
+            # aggregations and a collect_list re-assembly
+            .agg(F.array(*[F.avg(F.element_at("e", i + 1)) for i in range(dim)]).alias("c"))
+            # k x dim rows: eager checkpoint is ~free and keeps the plan
+            # one round deep however large n_iter grows
+            .localCheckpoint(eager=True)
+        )
+    return assign(cent).select(F.col("vid").alias(id_col), "cell")

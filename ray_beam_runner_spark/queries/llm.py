@@ -263,6 +263,68 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(q, corpus, dim=64, k=5, n_cells=8, n_probe=8)
 
 
+def _kmeans_oracle(k: int, n_iter: int) -> str:
+    """Per-round CTE oracle for fixed-iteration Lloyd k-means (the
+    pagerank oracle pattern): c0 = vectors of the k smallest ids;
+    each round computes exact squared-L2 assignments (tie to lowest
+    cell) then per-(cell, dim) means; one final assignment. Distances
+    fold dimension order with the same double subtract-square-add as
+    the Spark side, so argmins agree exactly."""
+    sq = (
+        "(CAST(v.e[i] AS DOUBLE) - CAST({c}.c[i] AS DOUBLE))"
+        " * (CAST(v.e[i] AS DOUBLE) - CAST({c}.c[i] AS DOUBLE))"
+    )
+
+    def d_cte(r, csrc):
+        return f"""
+    d{r} AS (
+      SELECT v.vid, {csrc}.cell,
+             list_sum(list_transform(generate_series(1, len(v.e)),
+                      i -> {sq.format(c=csrc)})) AS d
+      FROM v, {csrc}),
+    a{r} AS (SELECT vid, cell FROM (
+        SELECT vid, cell, row_number() OVER (PARTITION BY vid ORDER BY d, cell) AS rn
+        FROM d{r}) WHERE rn = 1)"""
+
+    parts = [
+        f"""WITH v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings),
+    c0 AS (
+      SELECT (row_number() OVER (ORDER BY vid) - 1) AS cell, e AS c
+      FROM (SELECT vid, e FROM v ORDER BY vid LIMIT {k}))"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(d_cte(r, f"c{r - 1}"))
+        parts.append(f"""
+    ex{r} AS (
+      SELECT a{r}.cell, v.e, unnest(generate_series(1, len(v.e))) AS i
+      FROM a{r} JOIN v USING (vid)),
+    c{r} AS (
+      SELECT cell, list(m ORDER BY i) AS c
+      FROM (SELECT cell, i, avg(CAST(e[i] AS DOUBLE)) AS m
+            FROM ex{r} GROUP BY cell, i)
+      GROUP BY cell)""")
+    parts.append(d_cte(n_iter + 1, f"c{n_iter}"))
+    return (
+        ",".join(parts)
+        + f"\n    SELECT vid AS vec_id, cell FROM a{n_iter + 1}"
+    )
+
+
+@query("q_kmeans", oracle=_kmeans_oracle(k=8, n_iter=2))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (fixed-iteration Lloyd) as pure DataFrame
+    algebra over the embedding corpus — the exact, hash-checkable twin
+    of the Spark-ML quantizer behind IVF/SemDeDup (whose training was
+    previously the one rows-only-verified piece of the ANN family).
+    Deterministic init (k smallest ids), argmin ties to the lowest
+    cell, 2 (assign, update) rounds + final assignment; per round ONE
+    broadcast join + map-side-combinable mean over the corpus. See
+    functions.clustering.kmeans_lloyd."""
+    from ray_beam_runner_spark.functions.clustering import kmeans_lloyd
+
+    return kmeans_lloyd(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, n_iter=2)
+
+
 @query(
     "q_embedding_stats",
     oracle="""

@@ -237,3 +237,63 @@ def test_ivf_index_persists_and_reloads_identically(spark, sf_dir, tmp_path):
     inc = emb.limit(20).withColumn("vec_id", F.col("vec_id") + 10_000)
     a_inc = ivf_assign(loaded, inc, "embedding").select("vec_id", "cell")
     assert a_inc.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration Lloyd k-means (functions.clustering)
+# ---------------------------------------------------------------------------
+
+
+def _py_lloyd(vecs: dict, k: int, n_iter: int) -> dict:
+    """Independent naive Lloyd oracle: init = k smallest ids, argmin
+    squared L2 with ties to lowest cell, (assign, update) x n_iter,
+    final assign."""
+    cent = {i: list(vecs[vid]) for i, vid in enumerate(sorted(vecs)[:k])}
+
+    def best(e, cents):
+        return min(
+            (sum((x - y) * (x - y) for x, y in zip(e, c)), cell)
+            for cell, c in cents.items()
+        )[1]
+
+    for _ in range(n_iter):
+        assign = {vid: best(e, cent) for vid, e in vecs.items()}
+        new = {}
+        for cell in set(assign.values()):
+            members = [vecs[vid] for vid, c in assign.items() if c == cell]
+            new[cell] = [sum(col) / len(members) for col in zip(*members)]
+        cent = new
+    return {vid: best(e, cent) for vid, e in vecs.items()}
+
+
+def test_kmeans_lloyd_differential(spark):
+    import random
+
+    from ray_beam_runner_spark.functions.clustering import kmeans_lloyd
+
+    rng = random.Random(7)
+    vecs = {
+        vid: [rng.gauss(vid % 3, 0.3) for _ in range(6)] for vid in range(40)
+    }
+    df = spark.createDataFrame(
+        [(vid, e) for vid, e in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.cell for r in kmeans_lloyd(df, "vec_id", "embedding", k=4, n_iter=3).collect()}
+    assert got == _py_lloyd(vecs, 4, 3)
+    # clusters actually separate the three generating modes
+    assert len(set(got.values())) >= 3
+
+
+def test_kmeans_lloyd_edge_cases(spark):
+    from ray_beam_runner_spark.functions.clustering import kmeans_lloyd
+
+    # k > n: every vector seeds its own cluster and stays there
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: r.cell for r in kmeans_lloyd(df, "vec_id", "embedding", k=8, n_iter=2).collect()}
+    assert got == {1: 0, 2: 1}
+    # empty input: empty typed result
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(empty, "vec_id", "embedding", k=4, n_iter=1)
+    assert out.columns == ["vec_id", "cell"] and out.count() == 0
