@@ -161,6 +161,14 @@ def main() -> None:
         return round(best, 4)
 
     timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_TIMED_SWEEPS"):
+        print(
+            "bench.py: SPARK_GRAFT_TIMED_SWEEPS is obsolete since the "
+            "unified budgeted-min protocol (round 8) — every query, "
+            "headline included, is governed by SPARK_GRAFT_EXTRA_RUNS / "
+            "SPARK_GRAFT_EXTRA_BUDGET_SEC; the variable is ignored",
+            file=sys.stderr,
+        )
     # 5 warm-up sweeps: the JIT curve at sf0.1 is still descending at 3
     # (measured 0.78s headline after 3+2 sweeps vs 0.69s after 5+4).
     warmup_sweeps = int(os.environ.get("SPARK_GRAFT_WARMUP_SWEEPS", "5"))

@@ -55,7 +55,11 @@ def kmeans_lloyd(
     - assignment: argmin squared L2 distance, ties to the lowest cell
       (min over (distance, cell) structs);
     - distances fold dimension-index order on both engines, so the
-      double arithmetic agrees bit-for-bit.
+      double arithmetic agrees bit-for-bit;
+    - centroid means round to 9 dp before the next round — the raw avg
+      is only ulp-reproducible (partial-sum order is partition- and
+      engine-dependent), so rounding is what pins the iteration, not
+      luck.
 
     For the production ANN path use ``similarity.ivf_fit`` (Spark ML,
     sampled); this is the exact, differentially-checkable formulation.
@@ -69,11 +73,23 @@ def kmeans_lloyd(
             F.col(vec_col).cast("array<double>").alias("e"),
         )
     )
-    first = v.select(F.size("e").alias("n")).limit(1).collect()
-    if not first:
+    stats = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("e")).alias("mn"),
+        F.max(F.size("e")).alias("mx"),
+    ).first()
+    if stats.n == 0:
         v.unpersist()
         return v.select(F.col("vid").alias(id_col), F.lit(0).cast("long").alias("cell"))
-    dim = first[0].n
+    if stats.mn is None or stats.mn < 1 or stats.mn != stats.mx:
+        # size(NULL) = -1 and ragged corpora both land here: silent
+        # null-padding in zip_with would corrupt every distance
+        v.unpersist()
+        raise ValueError(
+            "kmeans_lloyd requires non-null, fixed-dimension vectors; "
+            f"observed size range [{stats.mn}, {stats.mx}]"
+        )
+    dim = stats.mx
     from pyspark.sql import Window as W
 
     cent = (
@@ -108,10 +124,19 @@ def kmeans_lloyd(
             assign(cent)
             .join(v, "vid")
             .groupBy("cell")
-            # 64 avg columns = ONE map-side-combinable shuffle of
+            # dim avg columns = ONE map-side-combinable shuffle of
             # k x dim partials; a posexplode mean costs two keyed
-            # aggregations and a collect_list re-assembly
-            .agg(F.array(*[F.avg(F.element_at("e", i + 1)) for i in range(dim)]).alias("c"))
+            # aggregations and a collect_list re-assembly. Means are
+            # ROUNDED to 9 dp: double partial-sum order is partition-
+            # dependent (and differs from DuckDB's), so raw avg is only
+            # ulp-reproducible — rounding pins the centroids bit-exactly
+            # across engines and runs, and the next round's distance
+            # folds then agree exactly
+            .agg(
+                F.array(
+                    *[F.round(F.avg(F.element_at("e", i + 1)), 9) for i in range(dim)]
+                ).alias("c")
+            )
             # k x dim rows: eager checkpoint is ~free and keeps the plan
             # one round deep however large n_iter grows
             .localCheckpoint(eager=True)

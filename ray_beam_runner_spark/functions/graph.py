@@ -159,7 +159,7 @@ def pagerank(
     edges: DataFrame,
     src: str,
     dst: str,
-    n_iter: int = 3,
+    n_iter: int | None = None,
     damping: float = 0.85,
     undirected: bool = True,
     tol: float | None = None,
@@ -172,13 +172,16 @@ def pagerank(
     global aggregate per round on directed graphs).
 
     Two modes:
-    - fixed-iteration (``tol=None``): exactly ``n_iter`` rounds —
-      deterministic and ORACLE-EXPRESSIBLE (each round is one SQL CTE).
+    - fixed-iteration (``tol=None``): exactly ``n_iter`` rounds
+      (default 3) — deterministic and ORACLE-EXPRESSIBLE (each round
+      is one SQL CTE).
     - convergence (``tol=`` set): stop as soon as the L1 rank delta of
       a round falls below ``tol`` (the 1-row signature pattern of
       ``connected_components``: one tiny aggregate per round, never a
-      collected rank vector); ``n_iter`` becomes the safety cap — pass
-      it large (e.g. 50). Matches fixed-iteration run to the same
+      collected rank vector); ``n_iter`` becomes the safety cap and
+      DEFAULTS TO 50 in this mode — a caller passing only ``tol``
+      gets a cap that can actually reach the fixed point, not the
+      fixed-mode default. Matches fixed-iteration run to the same
       depth exactly (pinned by test).
 
     Shape per round: one join of ranks to edges (co-partitioned on the
@@ -191,6 +194,8 @@ def pagerank(
     matter how many rounds convergence takes."""
     from ray_beam_runner_spark.caches import track
 
+    if n_iter is None:
+        n_iter = 3 if tol is None else 50
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     if undirected:
         e = e.unionByName(

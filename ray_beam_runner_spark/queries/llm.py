@@ -300,7 +300,7 @@ def _kmeans_oracle(k: int, n_iter: int) -> str:
       FROM a{r} JOIN v USING (vid)),
     c{r} AS (
       SELECT cell, list(m ORDER BY i) AS c
-      FROM (SELECT cell, i, avg(CAST(e[i] AS DOUBLE)) AS m
+      FROM (SELECT cell, i, round(avg(CAST(e[i] AS DOUBLE)), 9) AS m
             FROM ex{r} GROUP BY cell, i)
       GROUP BY cell)""")
     parts.append(d_cte(n_iter + 1, f"c{n_iter}"))
@@ -317,9 +317,10 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the Spark-ML quantizer behind IVF/SemDeDup (whose training was
     previously the one rows-only-verified piece of the ANN family).
     Deterministic init (k smallest ids), argmin ties to the lowest
-    cell, 2 (assign, update) rounds + final assignment; per round ONE
-    broadcast join + map-side-combinable mean over the corpus. See
-    functions.clustering.kmeans_lloyd."""
+    cell, 2 (assign, update) rounds + final assignment, centroid means
+    rounded to 9 dp so summation order cannot skew the iteration; per
+    round ONE broadcast join + map-side-combinable mean over the
+    corpus. See functions.clustering.kmeans_lloyd."""
     from ray_beam_runner_spark.functions.clustering import kmeans_lloyd
 
     return kmeans_lloyd(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, n_iter=2)

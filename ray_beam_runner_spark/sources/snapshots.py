@@ -998,12 +998,13 @@ def _cdc_read_pdf(table_dir: str, rels: list[str], columns: list[str]):
     for rel in rels:
         pf = pq.ParquetFile(os.path.join(table_dir, rel))
         have = [c for c in columns if c in pf.schema_arrow.names]
-        if not have:
-            # file predates every projected column: decode the cheapest
-            # real column purely to preserve the row COUNT (the rows
-            # exist and null-backfill below)
-            have = [pf.schema_arrow.names[0]]
-        frames.append(pf.read(columns=have).to_pandas())
+        if have:
+            frames.append(pf.read(columns=have).to_pandas())
+        else:
+            # file predates every projected column: the footer's row
+            # count preserves the rows (null-backfilled below) with
+            # ZERO column chunks decoded
+            frames.append(pd.DataFrame(index=pd.RangeIndex(pf.metadata.num_rows)))
     pdf = (
         pd.concat(frames, ignore_index=True)
         if frames
@@ -1093,8 +1094,9 @@ def _version_plan(table_dir: str, v: int, cols: list[str]) -> list[_CdcPartition
             _CdcPartition(table_dir, v, "insert", [rel], columns=cols)
             for rel in manifest["files"]
         ]
-    old_only = [r for r in pm["files"] if r not in set(manifest["files"])]
-    new_only = [r for r in manifest["files"] if r not in set(pm["files"])]
+    new_set, old_set = set(manifest["files"]), set(pm["files"])
+    old_only = [r for r in pm["files"] if r not in new_set]
+    new_only = [r for r in manifest["files"] if r not in old_set]
     if op == "overwrite":
         return [
             *(
@@ -1165,7 +1167,8 @@ class _SnapshotCdcStreamReader(_DSSR):
         while end < latest:
             if self.max_versions and end - lo >= self.max_versions:
                 break
-            spent += _version_bytes(self.table_dir, end + 1)
+            if self.max_bytes:  # costing only when the byte bound is on
+                spent += _version_bytes(self.table_dir, end + 1)
             end += 1
             if self.max_bytes and spent >= self.max_bytes:
                 break
@@ -1369,6 +1372,11 @@ def stream_maintain_aggregate(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if ext_cols:
+            # the batch feeds delta + per-col net-insert/net-delete
+            # stats + the vmax probe; without a persist each branch
+            # re-runs the data source's executor-side parquet read
+            batch_df = batch_df.persist()
         sign = F.when(F.col("_change") == "insert", F.lit(1)).otherwise(F.lit(-1))
         delta = batch_df.groupBy(*keys).agg(
             F.sum(sign).alias("_d_cnt"),
@@ -1495,9 +1503,13 @@ def stream_maintain_aggregate(
                     for c in max_cols
                 ],
             )
-        upsert_snapshot(
-            spark, table_dir, updates, keys, txn_app=app, txn_version=batch_id
-        )
+        try:
+            upsert_snapshot(
+                spark, table_dir, updates, keys, txn_app=app, txn_version=batch_id
+            )
+        finally:
+            if ext_cols:
+                batch_df.unpersist()
 
     return (
         feed.writeStream.foreachBatch(_apply)

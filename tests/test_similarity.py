@@ -261,7 +261,9 @@ def _py_lloyd(vecs: dict, k: int, n_iter: int) -> dict:
         new = {}
         for cell in set(assign.values()):
             members = [vecs[vid] for vid, c in assign.items() if c == cell]
-            new[cell] = [sum(col) / len(members) for col in zip(*members)]
+            # 9-dp centroid rounding mirrors the operator (summation-
+            # order independence)
+            new[cell] = [round(sum(col) / len(members), 9) for col in zip(*members)]
         cent = new
     return {vid: best(e, cent) for vid, e in vecs.items()}
 
