@@ -89,6 +89,7 @@ EXTRA_SET = (
     # round 8
     "q_dedup_span_removal",
     "q_kmeans",
+    "q_pq_topk",
 )
 
 

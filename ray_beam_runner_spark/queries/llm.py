@@ -326,6 +326,116 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, n_iter=2)
 
 
+def _pq_oracle(m: int, k: int, n_iter: int, dim: int) -> str:
+    """Full product-quantization pipeline oracle: per subspace the same
+    per-round Lloyd CTEs as q_kmeans (on the DuckDB 1-based slice
+    e[lo:hi]), then codes = final argmin, then ADC = j-ascending sum of
+    query->codebook partial distances, rounded 6 dp with id tie-break
+    (the q_similarity_topk determinism recipe)."""
+    d = dim // m
+
+    def sq(svar, cvar):
+        diff = f"(CAST({svar}[i] AS DOUBLE) - CAST({cvar}[i] AS DOUBLE))"
+        return f"{diff} * {diff}"
+
+    def dist(src, cb, alias):
+        return (
+            f"{alias} AS (SELECT {src}.vid, {cb}.cell,\n"
+            f"      list_sum(list_transform(generate_series(1, {d}),"
+            f" i -> {sq(f'{src}.s', f'{cb}.c')})) AS dd\n"
+            f"      FROM {src}, {cb})"
+        )
+
+    parts = [
+        "WITH v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings WHERE vec_id >= 8)",
+        "q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 8)",
+    ]
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        parts.append(f"s{j} AS (SELECT vid, e[{lo}:{hi}] AS s FROM v)")
+        parts.append(
+            f"cb{j}_0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1) AS cell,"
+            f" s AS c FROM (SELECT vid, s FROM s{j} ORDER BY vid LIMIT {k}))"
+        )
+        for r in range(1, n_iter + 1):
+            parts.append(dist(f"s{j}", f"cb{j}_{r - 1}", f"dd{j}_{r}"))
+            parts.append(
+                f"asg{j}_{r} AS (SELECT vid, cell FROM (SELECT vid, cell,"
+                f" row_number() OVER (PARTITION BY vid ORDER BY dd, cell) AS rn"
+                f" FROM dd{j}_{r}) WHERE rn = 1)"
+            )
+            parts.append(
+                f"cb{j}_{r} AS (SELECT cell, list(mm ORDER BY i) AS c FROM ("
+                f"SELECT a.cell, t.i, round(avg(CAST(s{j}.s[t.i] AS DOUBLE)), 9) AS mm"
+                f" FROM asg{j}_{r} a JOIN s{j} USING (vid),"
+                f" (SELECT unnest(generate_series(1, {d})) AS i) t"
+                f" GROUP BY a.cell, t.i) GROUP BY cell)"
+            )
+        fin = n_iter + 1
+        parts.append(dist(f"s{j}", f"cb{j}_{n_iter}", f"dd{j}_{fin}"))
+        parts.append(
+            f"code{j} AS (SELECT vid, cell FROM (SELECT vid, cell,"
+            f" row_number() OVER (PARTITION BY vid ORDER BY dd, cell) AS rn"
+            f" FROM dd{j}_{fin}) WHERE rn = 1)"
+        )
+        parts.append(f"qs{j} AS (SELECT qid AS vid, e[{lo}:{hi}] AS s FROM q)")
+        # query-side partials: same dist CTE with vid re-labeled qid
+        parts.append(
+            dist(f"qs{j}", f"cb{j}_{n_iter}", f"qd{j}").replace(
+                f"qd{j} AS (SELECT qs{j}.vid",
+                f"qd{j} AS (SELECT qs{j}.vid AS qid",
+            )
+        )
+    joins = " ".join(
+        f"JOIN code{j} c{j} USING (vid) JOIN qd{j} q{j} ON q{j}.cell = c{j}.cell"
+        + (" AND q{}.qid = q0.qid".format(j) if j else "")
+        for j in range(m)
+    )
+    adc = " + ".join(f"q{j}.dd" for j in range(m))
+    parts.append(
+        f"sc AS (SELECT q0.qid, b.vid, round({adc}, 6) AS adc\n"
+        f"      FROM (SELECT DISTINCT vid FROM v) b {joins})"
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT qid AS q_id, vid AS vec_id, adc, rank FROM (
+      SELECT qid, vid, adc,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, vid)::INT AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """
+    )
+
+
+@query("q_pq_topk", oracle=_pq_oracle(m=2, k=4, n_iter=1, dim=64))
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end to end, hash-checked: fit m=2
+    deterministic Lloyd codebooks on the corpus (vec_id >= 8), encode
+    it to 2 small codes per vector (64 floats -> 2 cells), then answer
+    the q_similarity query set (vec_id < 8) by asymmetric distance —
+    an m-term codebook lookup per candidate instead of a 64-term dot
+    product (Jegou et al. 2011, the economics of billion-vector
+    search). The oracle replays the IDENTICAL pipeline in SQL (per-
+    round Lloyd CTEs per subspace, j-ordered ADC fold, 6-dp rounding,
+    id tie-break), so training, encoding, and search are all inside
+    the hash. See functions.clustering.pq_fit/pq_encode/pq_adc_topk."""
+    from ray_beam_runner_spark.functions.clustering import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    books = pq_fit(corpus, "vec_id", "embedding", m=2, k=4, n_iter=1)
+    codes = pq_encode(corpus, books, "vec_id", "embedding")
+    return pq_adc_topk(queries, codes, books, k=5)
+
+
 @query(
     "q_embedding_stats",
     oracle="""

@@ -299,3 +299,109 @@ def test_kmeans_lloyd_edge_cases(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = kmeans_lloyd(empty, "vec_id", "embedding", k=4, n_iter=1)
     assert out.columns == ["vec_id", "cell"] and out.count() == 0
+
+
+def _py_pq(vecs: dict, m: int, k: int, n_iter: int):
+    """Independent naive PQ oracle: per-subspace Lloyd (9-dp rounded
+    means, ties to lowest cell), codes, and codebooks."""
+
+    def lloyd(sub):
+        cent = {i: list(sub[vid]) for i, vid in enumerate(sorted(sub)[:k])}
+
+        def best(e, cents):
+            return min(
+                (sum((x - y) * (x - y) for x, y in zip(e, c)), cell)
+                for cell, c in cents.items()
+            )[1]
+
+        for _ in range(n_iter):
+            assign = {vid: best(e, cent) for vid, e in sub.items()}
+            cent = {
+                cell: [
+                    round(sum(col) / n, 9)
+                    for col in zip(*(sub[vid] for vid, c in assign.items() if c == cell))
+                ]
+                for cell in set(assign.values())
+                for n in [sum(1 for c in assign.values() if c == cell)]
+            }
+        return cent, {vid: best(e, cent) for vid, e in sub.items()}
+
+    d = len(next(iter(vecs.values()))) // m
+    books, codes = {}, {vid: [] for vid in vecs}
+    for j in range(m):
+        sub = {vid: e[j * d : (j + 1) * d] for vid, e in vecs.items()}
+        cb, asg = lloyd(sub)
+        books[j] = cb
+        for vid in vecs:
+            codes[vid].append(asg[vid])
+    return books, codes
+
+
+def test_pq_fit_encode_differential(spark):
+    import random
+
+    from ray_beam_runner_spark.functions.clustering import pq_encode, pq_fit
+
+    rng = random.Random(11)
+    vecs = {vid: [rng.gauss(vid % 4, 0.4) for _ in range(8)] for vid in range(30)}
+    df = spark.createDataFrame(
+        [(vid, e) for vid, e in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    books = pq_fit(df, "vec_id", "embedding", m=2, k=3, n_iter=2)
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, books, "vec_id", "embedding").collect()}
+    exp_books, exp_codes = _py_pq(vecs, 2, 3, 2)
+    assert codes == exp_codes
+    got_books = {
+        (r.j, r.cell): [round(x, 9) for x in r.c] for r in books.collect()
+    }
+    assert got_books == {
+        (j, cell): c for j, cb in exp_books.items() for cell, c in cb.items()
+    }
+
+
+def test_pq_adc_ranks_by_reconstruction_distance(spark):
+    # ADC against a well-separated corpus must put same-mode vectors
+    # first: the query's nearest ADC neighbors share its generating mode
+    import random
+
+    from ray_beam_runner_spark.functions.clustering import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(3)
+    rows = [(vid, [rng.gauss(3.0 * (vid % 2), 0.05) for _ in range(8)]) for vid in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(SF.col("vec_id") >= 4)
+    queries = df.filter(SF.col("vec_id") < 4).select(
+        SF.col("vec_id").alias("q_id"), SF.col("embedding").alias("q_vec")
+    )
+    books = pq_fit(corpus, "vec_id", "embedding", m=2, k=4, n_iter=2)
+    codes = pq_encode(corpus, books, "vec_id", "embedding")
+    top = pq_adc_topk(queries, codes, books, k=5).collect()
+    assert {r.q_id for r in top} == {0, 1, 2, 3}
+    for r in top:
+        assert r.vec_id % 2 == r.q_id % 2  # same mode wins every slot
+        assert r.rank <= 5
+
+
+def test_pq_error_paths(spark):
+    from ray_beam_runner_spark.functions.clustering import pq_encode, pq_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(df, "vec_id", "embedding", m=2, k=2, n_iter=1)
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.0, 1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_fit(ok, "vec_id", "embedding", m=2, k=2, n_iter=1)
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 6)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        pq_encode(bad, books, "vec_id", "embedding")
