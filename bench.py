@@ -90,6 +90,7 @@ EXTRA_SET = (
     "q_dedup_span_removal",
     "q_kmeans",
     "q_pq_topk",
+    "q_snapshot_delete",
 )
 
 

@@ -2315,6 +2315,45 @@ def q_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_delete",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+      AND NOT (o_orderkey BETWEEN 5000 AND 15000 AND o_totalprice > 100000)
+    """,
+)
+def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE on a snapshot table, end to end: load every 5th
+    order into a key-clustered table, delete the expensive orders in a
+    key band (the key_range hint makes the rewrite file-pruned — files
+    outside [5000, 15000] are carried verbatim, Delta DELETE's cost
+    model), read the surviving snapshot back. The oracle applies the
+    same predicate with SQL NOT semantics — NULL-predicate rows kept.
+    See sources.snapshots.delete_where."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = scratch_dir("rbrs_del_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
+    snap.delete_where(
+        spark,
+        tdir,
+        (F.col("o_orderkey").between(5000, 15000)) & (F.col("o_totalprice") > 100000),
+        key_range=("o_orderkey", 5000, 15000),
+    )
+    return snap.read_snapshot(spark, tdir).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        "o_orderstatus",
+    )
+
+
+@query(
     "q_snapshot_ivm",
     oracle="""
     WITH base AS (

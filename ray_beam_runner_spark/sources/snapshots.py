@@ -961,6 +961,202 @@ def vacuum(
     return deleted
 
 
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+    cdc: bool = False,
+    key_range: tuple[str, object, object] | None = None,
+    retries: int = 2,
+) -> int:
+    """DELETE FROM table WHERE condition (Delta DELETE semantics):
+    rows where the predicate is TRUE are removed; rows where it is
+    FALSE **or NULL** are kept (SQL three-valued logic). Published as
+    one atomic snapshot; rewrite cost is proportional to the files
+    actually containing a match, never the table:
+
+    1. MANIFEST STATS (optional ``key_range=(col, lo, hi)`` hint, no
+       data read): files whose recorded [min, max] cannot intersect the
+       range are carried verbatim — a general predicate cannot be
+       interval-analyzed automatically, so the caller states the
+       range the way read_snapshot callers do.
+    2. EXACT DETECTION: candidates get one ``_metadata.file_path``
+       scan under the predicate; only files truly containing a match
+       are re-read, filtered, and rewritten (re-clustered, stats
+       recorded). Everything else is carried.
+
+    ``cdc=True`` writes the deleted rows as a 'delete' change sidecar
+    at commit time (the change feed then reads pre-written deltas with
+    zero diffing; without it the feed falls back to the file-diff
+    branch, which yields the same deltas from the rewritten files).
+    Idempotent via (txn_app, txn_version) like upsert_snapshot; a
+    predicate matching nothing is a metadata no-op unless a txn
+    watermark must be recorded. Optimistic-concurrency retry loop
+    shared with MERGE."""
+    for attempt in range(retries + 1):
+        try:
+            return _delete_once(
+                spark, table_dir, condition, txn_app, txn_version, cdc, key_range
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _delete_once(
+    spark, table_dir, condition, txn_app, txn_version, cdc, key_range
+) -> int:
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    txns: dict = dict(manifest.get("txns", {}))
+    if txn_app is not None and txns.get(txn_app, -1) >= txn_version:
+        return base  # replayed transaction: already applied, no-op
+    if txn_app is not None:
+        txns[txn_app] = int(txn_version)
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    rel_files = manifest["files"]
+    file_stats: dict[str, dict] = manifest.get("file_stats", {})
+
+    candidates = rel_files
+    if key_range is not None:
+        col, lo, hi = key_range
+
+        def _keep(rel: str) -> bool:
+            s = file_stats.get(rel, {}).get(col)
+            if not s or s[0] is None or s[1] is None:
+                return True
+            return not (s[1] < lo or s[0] > hi)
+
+        candidates = [rel for rel in rel_files if _keep(rel)]
+    pruned_by_stats = len(rel_files) - len(candidates)
+
+    reader = _manifest_reader(spark, manifest)
+    touched_rel: set[str] = set()
+    if candidates:
+        cand_df = reader.parquet(*(os.path.join(table_dir, rel) for rel in candidates))
+        hit = (
+            cand_df.filter(cond)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        )
+        touched_rel = {
+            rel
+            for r in hit
+            if (rel := _rel_of(r.f, candidates, table_dir)) is not None
+        }
+    if not touched_rel and txn_app is None:
+        return base  # nothing matched, nothing to record: no-op
+    untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
+
+    stats_for = None
+    if file_stats:
+        stats_for = sorted({c for s in file_stats.values() for c in s})
+    new_files: list[str] = []
+    new_stats: dict = {}
+    new_rows: dict = {}
+    if touched_rel:
+        touched_df = reader.parquet(
+            *(os.path.join(table_dir, rel) for rel in touched_rel)
+        )
+        # SQL DELETE keeps NULL-predicate rows: NOT(cond) alone would
+        # silently drop them
+        kept = touched_df.filter(~F.coalesce(cond, F.lit(False)))
+        if stats_for:
+            kept = kept.repartitionByRange(*stats_for).sortWithinPartitions(*stats_for)
+        new_files, new_stats, new_rows = _write_data_files(kept, table_dir, stats_for)
+    version = base + 1
+    new_manifest = {
+        "version": version,
+        "parent": base,
+        "files": [*untouched_rel, *new_files],
+        "op": "delete",
+        "rewrote": sorted(touched_rel),
+        "pruned_by_stats": pruned_by_stats,
+        "schema": manifest.get("schema"),
+        "schema_json": manifest.get("schema_json"),
+    }
+    if txns:
+        new_manifest["txns"] = txns
+    carried = {rel: file_stats[rel] for rel in untouched_rel if rel in file_stats}
+    carried.update(new_stats)
+    if carried:
+        new_manifest["file_stats"] = carried
+    old_rows = manifest.get("file_rows", {})
+    new_manifest["file_rows"] = {
+        **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
+        **new_rows,
+    }
+    if cdc and touched_rel:
+        deleted = (
+            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel))
+            .filter(F.coalesce(cond, F.lit(False)))
+            .withColumn("_change", F.lit("delete"))
+        )
+        cdc_rel, _, _ = _write_data_files(deleted.repartition(8), table_dir)
+        if cdc_rel:
+            new_manifest["cdc_files"] = cdc_rel
+    _publish(table_dir, version, new_manifest)
+    return version
+
+
+def restore_snapshot(table_dir: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF (Delta RESTORE): publish a NEW
+    version whose file set is an older version's — metadata-only, no
+    data copied, the restored-over versions stay in history (so a
+    restore can itself be rolled back). Transaction watermarks carry
+    from the CURRENT manifest, never the target's: idempotent writers
+    must not regress and replay old batches after a restore. Loud
+    error if the target's files were already vacuumed away, or if the
+    target manifest is gone. The change feed emits the net delta
+    between the current and restored states via the file-diff branch —
+    downstream IVM/replicas converge to the restored state
+    incrementally."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    if version == base:
+        return base
+    target = read_manifest(table_dir, version)  # FileNotFoundError if vacuumed
+    missing = [
+        rel
+        for rel in target["files"]
+        if not os.path.exists(os.path.join(table_dir, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to v{version} impossible: {len(missing)} data files "
+            f"already vacuumed (first: {missing[0]})"
+        )
+    current = read_manifest(table_dir, base)
+    new_version = base + 1
+    new_manifest = {
+        "version": new_version,
+        "parent": base,
+        "files": list(target["files"]),
+        "op": "restore",
+        "restored_from": version,
+        "schema": target.get("schema"),
+        "schema_json": target.get("schema_json"),
+    }
+    txns = current.get("txns")
+    if txns:
+        new_manifest["txns"] = dict(txns)
+    if target.get("file_stats"):
+        new_manifest["file_stats"] = target["file_stats"]
+    if target.get("file_rows"):
+        new_manifest["file_rows"] = target["file_rows"]
+    _publish(table_dir, new_version, new_manifest)
+    return new_version
+
+
 # ---------------------------------------------------------------------------
 # Streaming change feed (Delta's readChangeFeed analog): a Python Data
 # Source (Spark 4) whose stream OFFSET is the snapshot VERSION. Each
@@ -1073,7 +1269,7 @@ def _version_plan(table_dir: str, v: int, cols: list[str]) -> list[_CdcPartition
     parent = manifest.get("parent")
     if op == "compact":
         return []  # content-identical by construction: no deltas
-    if op == "merge" and manifest.get("cdc_files"):
+    if manifest.get("cdc_files"):  # merge or delete committed with cdc=True
         return [
             _CdcPartition(table_dir, v, "labeled", [rel], columns=cols)
             for rel in manifest["cdc_files"]

@@ -1067,3 +1067,115 @@ def test_cdc_read_pdf_prunes_columns(tmp_path):
     # no requested column present: row count still preserved, all null
     pdf2 = snap._cdc_read_pdf(str(tmp_path), ["f.parquet"], ["z"])
     assert len(pdf2) == 2 and pdf2["z"].isna().all()
+
+
+def test_delete_where_prunes_and_keeps_null_predicate_rows(spark):
+    from pyspark.sql import functions as SF
+
+    t = _tdir()
+    rows = [(i, float(i), "g" if i % 2 else None) for i in range(100)]
+    snap.write_snapshot(
+        spark.createDataFrame(rows, "k int, v double, tag string"),
+        t, cluster_by=["k"], n_files=8,
+    )
+    v1 = snap.read_manifest(t, 1)
+    # delete k in [10, 19] with a range hint: files outside [10, 19] carry
+    v2 = snap.delete_where(
+        spark, t, (SF.col("k") >= 10) & (SF.col("k") <= 19),
+        key_range=("k", 10, 19),
+    )
+    m2 = snap.read_manifest(t, v2)
+    assert m2["op"] == "delete" and m2["pruned_by_stats"] > 0
+    assert len(m2["rewrote"]) < len(v1["files"])  # file-pruned rewrite
+    got = sorted(r.k for r in snap.read_snapshot(spark, t).collect())
+    assert got == [i for i in range(100) if not (10 <= i <= 19)]
+    # NULL predicate rows are KEPT (SQL three-valued logic): tag = 'g'
+    # is NULL for even k — those rows must survive a tag-based delete
+    v3 = snap.delete_where(spark, t, SF.col("tag") != "g")
+    assert v3 == v2  # tag is only ever 'g' or NULL: nothing is TRUE
+    v4 = snap.delete_where(spark, t, SF.col("tag").isNull())
+    kept = {r.k for r in snap.read_snapshot(spark, t).collect()}
+    assert kept == {i for i in range(100) if i % 2 and not (10 <= i <= 19)}
+    assert v4 > v2
+    # time travel still sees the pre-delete content
+    assert len(snap.read_snapshot(spark, t, version=1).collect()) == 100
+
+
+def test_delete_where_txn_idempotent_and_cdc_feed(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"), t
+    )
+    v2 = snap.delete_where(
+        spark, t, SF.col("k") == 2, txn_app="del-app", txn_version=7, cdc=True
+    )
+    # replayed txn is a no-op
+    assert snap.delete_where(
+        spark, t, SF.col("k") == 2, txn_app="del-app", txn_version=7, cdc=True
+    ) == v2
+    # the change feed reads the delete from the pre-written sidecar
+    got = []
+    q = (
+        snap.read_snapshot_stream(spark, t, starting_version=v2)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(map(tuple, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "del_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert got == [(2, "b", "delete", v2)]
+    assert {r.k for r in snap.read_snapshot(spark, t).collect()} == {1, 3}
+
+
+def test_restore_snapshot_rolls_back_and_feeds_delta(spark, tmp_path):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t
+    )
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        ["k"], cdc=True, txn_app="writer", txn_version=5,
+    )
+    v3 = snap.restore_snapshot(t, 1)
+    assert v3 == 3
+    m3 = snap.read_manifest(t, v3)
+    assert m3["op"] == "restore" and m3["restored_from"] == 1
+    # restored content == v1, history intact, txn watermark carried
+    assert {(r.k, r.v) for r in snap.read_snapshot(spark, t).collect()} == {(1, "a"), (2, "b")}
+    assert {(r.k, r.v) for r in snap.read_snapshot(spark, t, version=2).collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    assert m3["txns"] == {"writer": 5}
+    # a replayed pre-restore batch stays a no-op (watermark not regressed)
+    assert snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(9, "x")], "k int, v string"),
+        ["k"], txn_app="writer", txn_version=4,
+    ) == v3
+    # the feed emits the net rollback delta via the file-diff branch
+    got = []
+    q = (
+        snap.read_snapshot_stream(spark, t, starting_version=v3)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(map(tuple, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "rst_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(got) == [
+        (2, "B", "delete", v3), (2, "b", "insert", v3), (3, "c", "delete", v3)
+    ]
+    # restore to the current version is a no-op
+    assert snap.restore_snapshot(t, v3) == v3
+
+
+def test_restore_after_vacuum_is_loud(spark):
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "a")], "k int, v string"), t)
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "A")], "k int, v string"), ["k"]
+    )
+    snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        snap.restore_snapshot(t, 1)
