@@ -231,6 +231,81 @@ def _write_data_files(
     return rel_files, stats, rows_map
 
 
+def _bloom_positions(col, bits: int, k: int) -> list:
+    """k bit positions in [0, bits) for a value — seeded xxhash64, the
+    standard k-independent-hash bloom construction. The seed rides as
+    an extra hashed column, so position streams are independent."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(s)), F.lit(bits)) for s in range(k)
+    ]
+
+
+def _compute_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    rel_files: list[str],
+    cols: list[str],
+    bits: int,
+    k: int,
+) -> dict[str, dict]:
+    """Per-file bloom bitsets for ``cols`` (Delta's bloom filter index
+    analog): one ``bits``-bit filter per (file, column), stored as
+    bits/64 signed words in the manifest. Cost: ONE scan of the listed
+    files (change-proportional at write/merge time) with bit_or
+    map-side-combinable aggregates — the driver receives only the
+    (n_files x n_words) bitset frame, never rows. NULLs contribute a
+    constant position (xxhash64 skips null inputs), harmless: point
+    lookups are for values, IS NULL never consults the bloom."""
+    if not rel_files or not cols:
+        return {}
+    n_words = bits // 64
+    df = spark.read.parquet(*(os.path.join(table_dir, rel) for rel in rel_files))
+    # SQL-string form: the pyspark shiftleft wrapper only takes a
+    # literal int shift; the SQL function shifts by a column
+    aggs = []
+    for ci, c in enumerate(cols):
+        for w in range(n_words):
+            terms = []
+            for s in range(k):
+                p = f"pmod(xxhash64(`{c}`, {s}), {bits})"
+                terms.append(
+                    f"(CASE WHEN {p} >= {w * 64} AND {p} < {w * 64 + 64} "
+                    f"THEN shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT)) "
+                    f"ELSE CAST(0 AS BIGINT) END)"
+                )
+            aggs.append(F.expr(f"bit_or({' | '.join(terms)})").alias(f"b_{ci}_{w}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("_f")).agg(*aggs).collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        rel = _rel_of(r._f, rel_files, table_dir)
+        if rel is not None:
+            out[rel] = {
+                c: [int(r[f"b_{ci}_{w}"] or 0) for w in range(n_words)]
+                for ci, c in enumerate(cols)
+            }
+    return out
+
+
+def _bloom_probe(spark: SparkSession, value, dtype: str, bits: int, k: int):
+    """(word, mask) membership probes for a point-lookup value. The
+    literal is CAST to the column's manifest type first — xxhash64
+    hashes by physical type, so an un-cast int literal would probe a
+    bigint column's filter at the wrong positions."""
+    row = spark.range(1).select(
+        *[
+            p.alias(f"p{i}")
+            for i, p in enumerate(
+                _bloom_positions(F.lit(value).cast(dtype), bits, k)
+            )
+        ]
+    ).first()
+    return [
+        (row[f"p{i}"] // 64, 1 << (row[f"p{i}"] % 64)) for i in range(k)
+    ]
+
+
 def _zorder_key(df: DataFrame, cols: list[str], bits: int = 10):
     """Morton (Z-order) key as a pure column expression: min/max-scale
     each column to ``bits`` bits (one tiny agg for the bounds — 2×n_cols
@@ -272,6 +347,9 @@ def write_snapshot(
     stats_for: list[str] | None = None,
     n_files: int | None = None,
     zorder_by: list[str] | None = None,
+    bloom_for: list[str] | None = None,
+    bloom_bits: int = 1024,
+    bloom_k: int = 3,
 ) -> int:
     """Create or fully replace the table contents as one atomic snapshot.
 
@@ -281,8 +359,15 @@ def write_snapshot(
     disjoint key ranges, and a MERGE touches only the files whose range
     intersects the update keys). ``stats_for`` (defaults to
     ``cluster_by``) records per-file min/max for those columns in the
-    manifest. Returns the published version. Readers of the previous
-    version are unaffected — their files still exist until vacuum()."""
+    manifest. ``bloom_for`` additionally records a per-file BLOOM
+    filter for those columns (Delta's bloom filter index): point
+    lookups on a column the table is NOT clustered by then prune files
+    via ``read_snapshot(point=(col, value))`` — min/max stats are
+    useless for a high-cardinality column scattered across every file,
+    the bloom is not. The config is carried in the manifest and
+    recomputed for rewritten files by MERGE/DELETE/compact. Returns
+    the published version. Readers of the previous version are
+    unaffected — their files still exist until vacuum()."""
     if zorder_by:
         # multi-dimensional clustering: range-partition + sort on the
         # Morton key, record min/max stats for EVERY z column so reads
@@ -323,6 +408,13 @@ def write_snapshot(
     if stats:
         manifest["file_stats"] = stats
     manifest["file_rows"] = rows_map
+    if bloom_for:
+        manifest["bloom_conf"] = {
+            "cols": sorted(bloom_for), "bits": bloom_bits, "k": bloom_k
+        }
+        manifest["file_blooms"] = _compute_blooms(
+            df.sparkSession, table_dir, files, sorted(bloom_for), bloom_bits, bloom_k
+        )
     _publish(table_dir, version, manifest)
     return version
 
@@ -333,6 +425,7 @@ def read_snapshot(
     version: int | None = None,
     key_range: tuple[str, object, object] | None = None,
     merge_schema: bool = False,
+    point: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; pass ``version`` to
     time-travel).
@@ -345,7 +438,16 @@ def read_snapshot(
     scan as a pushed predicate for row-group skipping). On a clustered
     table a narrow range reads one file of N regardless of table size.
     Files without stats for ``col`` are always scanned — correctness
-    never depends on stats presence."""
+    never depends on stats presence.
+
+    ``point=(col, value)`` is the bloom-index path: when the table was
+    written with ``bloom_for`` covering ``col``, files whose bloom
+    filter cannot contain the value are excluded (no false negatives
+    by construction — a bloom only ever over-approximates membership),
+    and the equality filter is applied on top. This is the point-
+    lookup plan for a column the table is NOT clustered by, where
+    min/max stats prune nothing. A NULL value or a column without a
+    bloom skips pruning (filter only)."""
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -363,6 +465,29 @@ def read_snapshot(
             return not (s[1] < lo or s[0] > hi)
 
         rel_files = [rel for rel in rel_files if _keep(rel)]
+    if point is not None:
+        pcol, pval = point
+        conf = manifest.get("bloom_conf") or {}
+        blooms = manifest.get("file_blooms", {})
+        if pval is not None and pcol in conf.get("cols", ()):
+            struct0 = _schema_struct(manifest)
+            dtype = None
+            if struct0 is not None:
+                dtype = next(
+                    (f.dataType.simpleString() for f in struct0.fields if f.name == pcol),
+                    None,
+                )
+            probes = _bloom_probe(
+                spark, pval, dtype or "string", conf["bits"], conf["k"]
+            )
+
+            def _maybe(rel: str) -> bool:
+                words = blooms.get(rel, {}).get(pcol)
+                if not words:
+                    return True  # no filter recorded: must scan
+                return all(words[w] & m for w, m in probes)
+
+            rel_files = [rel for rel in rel_files if _maybe(rel)]
     struct = _schema_struct(manifest)
     if struct is not None:
         # authoritative typed schema from the manifest (Delta's
@@ -380,7 +505,7 @@ def read_snapshot(
             # legitimately empty table (or every file stats-pruned):
             # empty DataFrame with the recorded schema
             return spark.createDataFrame([], struct)
-        if key_range is not None:
+        if key_range is not None or point is not None:
             # every file pruned: empty result with the table's schema
             all_paths = [os.path.join(table_dir, r) for r in manifest["files"]]
             return reader.parquet(*all_paths).limit(0)
@@ -389,6 +514,11 @@ def read_snapshot(
     if key_range is not None:
         col, lo, hi = key_range
         df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    if point is not None:
+        pcol, pval = point
+        df = df.filter(
+            F.col(pcol).isNull() if pval is None else F.col(pcol) == F.lit(pval)
+        )
     return df
 
 
@@ -666,6 +796,7 @@ def _merge_phases(
     carried.update(new_stats)
     if carried:
         new_manifest["file_stats"] = carried
+    _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
     old_rows = manifest.get("file_rows", {})
     new_manifest["file_rows"] = {
         **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
@@ -701,6 +832,26 @@ def _merge_phases(
             new_manifest["cdc_files"] = cdc_rel
     _publish(table_dir, version, new_manifest)
     return version
+
+
+def _carry_blooms(
+    spark, table_dir, manifest, new_manifest, untouched_rel, new_files
+) -> None:
+    """Carry the bloom index across a rewrite commit: untouched files
+    keep their filters, rewritten/new files get theirs recomputed under
+    the manifest's recorded bloom_conf (one change-proportional scan)."""
+    bconf = manifest.get("bloom_conf")
+    if not bconf:
+        return
+    new_manifest["bloom_conf"] = bconf
+    old_blooms = manifest.get("file_blooms", {})
+    blooms = {rel: old_blooms[rel] for rel in untouched_rel if rel in old_blooms}
+    blooms.update(
+        _compute_blooms(
+            spark, table_dir, new_files, bconf["cols"], bconf["bits"], bconf["k"]
+        )
+    )
+    new_manifest["file_blooms"] = blooms
 
 
 def snapshot_rows(table_dir: str, version: int | None = None) -> int | None:
@@ -825,6 +976,7 @@ def compact(
         new_manifest["txns"] = manifest["txns"]
     if stats:
         new_manifest["file_stats"] = stats
+    _carry_blooms(spark, table_dir, manifest, new_manifest, [], files)
     _publish(table_dir, version, new_manifest)
     return version
 
@@ -1089,6 +1241,7 @@ def _delete_once(
     carried.update(new_stats)
     if carried:
         new_manifest["file_stats"] = carried
+    _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
     old_rows = manifest.get("file_rows", {})
     new_manifest["file_rows"] = {
         **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
@@ -1153,6 +1306,9 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         new_manifest["file_stats"] = target["file_stats"]
     if target.get("file_rows"):
         new_manifest["file_rows"] = target["file_rows"]
+    if target.get("bloom_conf"):
+        new_manifest["bloom_conf"] = target["bloom_conf"]
+        new_manifest["file_blooms"] = target.get("file_blooms", {})
     _publish(table_dir, new_version, new_manifest)
     return new_version
 

