@@ -91,6 +91,7 @@ EXTRA_SET = (
     "q_kmeans",
     "q_pq_topk",
     "q_snapshot_delete",
+    "q_ivfpq_topk",
 )
 
 

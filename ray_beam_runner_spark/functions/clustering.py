@@ -42,7 +42,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_lloyd", "pq_fit", "pq_encode", "pq_adc_topk"]
+__all__ = [
+    "kmeans_lloyd",
+    "pq_fit",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_index",
+    "ivfpq_topk",
+]
 
 
 def _prepare(df: DataFrame, id_col: str, vec_col: str):
@@ -320,6 +327,185 @@ def pq_adc_topk(
         scored.select(
             F.col("qid").alias(query_id),
             F.col("vid").alias(code_id),
+            "adc",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+):
+    """Build a composed IVF-PQ index (FAISS IVFPQ, Jegou et al. 2011
+    §IV): a deterministic Lloyd COARSE quantizer partitions the corpus
+    into cells, and a product quantizer trained on the RESIDUALS
+    (vector minus its cell centroid — far lower variance than raw
+    vectors, so the same code budget quantizes much finer) compresses
+    each vector to m codes. Returns (coarse, books, index):
+    coarse = (cell, c), books = (j, cell, c) over residual subspaces,
+    index = (id_col, cell, codes). All three stages reuse the
+    deterministic Lloyd core, so the whole index is reproducible and
+    oracle-expressible.
+
+    Scale shape: coarse and books are model-sized and broadcast; the
+    corpus is touched by one assignment join per stage and one
+    residual projection — no vector ever shuffles except as cell-keyed
+    aggregate partials."""
+    v, dim = _prepare(df, id_col, vec_col)
+    if dim == 0:
+        v.unpersist()
+        raise ValueError("ivfpq_index on an empty corpus")
+    if dim % m:
+        v.unpersist()
+        raise ValueError(f"ivfpq_index: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    coarse = _lloyd_centroids(v, dim, n_cells, n_iter)
+    asg = _assign(v, coarse)
+    from ray_beam_runner_spark.caches import track
+
+    res = track(
+        asg.join(v, "vid")
+        .join(F.broadcast(coarse.withColumnRenamed("c", "cc").withColumnRenamed("cell", "vcell")),
+              F.col("cell") == F.col("vcell"))
+        .select(
+            "vid",
+            "cell",
+            F.zip_with("e", "cc", lambda x, y: x - y).alias("e"),
+        )
+    )
+    books = None
+    codes_parts = None
+    for j in range(m):
+        rj = res.select("vid", _sub(j, d_sub).alias("e"))
+        cb = _lloyd_centroids(rj, d_sub, k, n_iter)
+        books = (
+            cb.withColumn("j", F.lit(j))
+            if books is None
+            else books.unionByName(cb.withColumn("j", F.lit(j)))
+        )
+        aj = _assign(rj, cb).withColumnRenamed("cell", "code").withColumn("j", F.lit(j))
+        codes_parts = aj if codes_parts is None else codes_parts.unionByName(aj)
+    index = (
+        codes_parts.groupBy("vid")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
+        .join(res.select("vid", "cell"), "vid")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.transform("jc", lambda s: s["code"]).alias("codes"),
+        )
+    )
+    return coarse, books.select("j", "cell", "c"), index
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    n_probe: int | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    index_id: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ search: rank coarse cells per query by centroid distance,
+    probe the ``n_probe`` nearest (None = all — the exhaustive-probe
+    gating mode, where the result is pure residual-ADC and therefore
+    oracle-checkable), subtract the probed centroid from the query, and
+    score that cell's candidates by the j-ordered residual-ADC fold.
+    Candidates in unprobed cells never join a query partial — probe
+    semantics fall out of the (cell, j, code) equi-join. Returns
+    (q_id, vec_id, adc, rank), rank <= k (ties: adc then id)."""
+    from pyspark.sql import Window as W
+
+    d_sub = books.select(F.size("c")).first()[0]
+    m = books.agg(F.max("j")).first()[0] + 1
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("e"),
+    )
+    qcell = q.crossJoin(F.broadcast(coarse)).select(
+        "qid",
+        "cell",
+        F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cd"),
+    )
+    if n_probe is not None:
+        w = W.partitionBy("qid").orderBy(F.col("cd"), F.col("cell"))
+        qcell = (
+            qcell.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_probe)
+            .drop("_r")
+        )
+    qres = (
+        qcell.join(q, "qid")
+        .join(
+            F.broadcast(coarse.withColumnRenamed("c", "cc").withColumnRenamed("cell", "pcell")),
+            F.col("cell") == F.col("pcell"),
+        )
+        .select("qid", "cell", F.zip_with("e", "cc", lambda x, y: x - y).alias("e"))
+    )
+    qparts = None
+    for j in range(m):
+        pj = (
+            qres.select("qid", "cell", _sub(j, d_sub).alias("qe"))
+            .crossJoin(
+                F.broadcast(
+                    books.filter(F.col("j") == j).select(
+                        F.col("cell").alias("code"), "c"
+                    )
+                )
+            )
+            .select(
+                "qid",
+                "cell",
+                F.lit(j).alias("j"),
+                "code",
+                F.aggregate(
+                    F.zip_with("qe", "c", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dp"),
+            )
+        )
+        qparts = pj if qparts is None else qparts.unionByName(pj)
+    cand = index.select(
+        F.col(index_id).alias("vid"), "cell", F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        cand.join(F.broadcast(qparts), ["cell", "j", "code"])
+        .groupBy("qid", "vid")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "dp"))).alias("jd"))
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                F.aggregate(
+                    F.transform("jd", lambda s: s["dp"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_digits,
+            ).alias("adc"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc"), F.col("vid"))
+    return (
+        scored.select(
+            F.col("qid").alias(query_id),
+            F.col("vid").alias(index_id),
             "adc",
             F.row_number().over(w).alias("rank"),
         )

@@ -436,6 +436,132 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, codes, books, k=5)
 
 
+def _ivfpq_oracle(n_cells: int, m: int, k: int, n_iter: int, dim: int) -> str:
+    """Composed IVF-PQ oracle: coarse Lloyd CTEs on full vectors,
+    residuals against the final coarse centroids, per-subspace Lloyd
+    CTEs on the residuals, codes, then exhaustive-probe residual-ADC
+    (j-ascending fold, 6 dp, id tie-break)."""
+    d = dim // m
+
+    def sq(a, b):
+        t = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        return f"{t} * {t}"
+
+    def dist(src, cb, alias, length, id_cols="vid"):
+        return (
+            f"{alias} AS (SELECT {', '.join(f'{src}.{c}' for c in id_cols.split(','))},"
+            f" {cb}.cell AS ccell,\n"
+            f"      list_sum(list_transform(generate_series(1, {length}),"
+            f" i -> {sq(f'{src}.s', f'{cb}.c')})) AS dd\n"
+            f"      FROM {src}, {cb})"
+        )
+
+    def argmin(src, alias, id_cols="vid"):
+        ids = ", ".join(id_cols.split(","))
+        return (
+            f"{alias} AS (SELECT {ids}, ccell AS cell FROM (SELECT {ids}, ccell,"
+            f" row_number() OVER (PARTITION BY {ids} ORDER BY dd, ccell) AS rn"
+            f" FROM {src}) WHERE rn = 1)"
+        )
+
+    def lloyd(prefix, src, length, kk):
+        """CTEs prefix_0..prefix_{n_iter} codebooks over src(vid, s)."""
+        out = [
+            f"{prefix}_0 AS (SELECT (row_number() OVER (ORDER BY vid) - 1) AS cell,"
+            f" s AS c FROM (SELECT vid, s FROM {src} ORDER BY vid LIMIT {kk}))"
+        ]
+        for r in range(1, n_iter + 1):
+            out.append(dist(src, f"{prefix}_{r - 1}", f"{prefix}d{r}", length))
+            out.append(argmin(f"{prefix}d{r}", f"{prefix}a{r}"))
+            out.append(
+                f"{prefix}_{r} AS (SELECT cell, list(mm ORDER BY i) AS c FROM ("
+                f"SELECT a.cell, t.i, round(avg(CAST({src}.s[t.i] AS DOUBLE)), 9) AS mm"
+                f" FROM {prefix}a{r} a JOIN {src} USING (vid),"
+                f" (SELECT unnest(generate_series(1, {length})) AS i) t"
+                f" GROUP BY a.cell, t.i) GROUP BY cell)"
+            )
+        return out
+
+    parts = [
+        "WITH v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings WHERE vec_id >= 8)",
+        "q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 8)",
+        "vs AS (SELECT vid, e AS s FROM v)",
+    ]
+    parts += lloyd("gc", "vs", dim, n_cells)
+    parts.append(dist("vs", f"gc_{n_iter}", "gdF", dim))
+    parts.append(argmin("gdF", "gaF"))
+    parts.append(
+        f"res AS (SELECT v.vid, a.cell, list_transform(generate_series(1, {dim}),"
+        f" i -> CAST(v.e[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)) AS e\n"
+        f"      FROM v JOIN gaF a USING (vid) JOIN gc_{n_iter} c ON c.cell = a.cell)"
+    )
+    parts.append(
+        f"qres AS (SELECT q.qid, c.cell, list_transform(generate_series(1, {dim}),"
+        f" i -> CAST(q.e[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)) AS e\n"
+        f"      FROM q, gc_{n_iter} c)"
+    )
+    for j in range(m):
+        lo, hi = j * d + 1, (j + 1) * d
+        parts.append(f"rs{j} AS (SELECT vid, e[{lo}:{hi}] AS s FROM res)")
+        parts += lloyd(f"pb{j}", f"rs{j}", d, k)
+        parts.append(dist(f"rs{j}", f"pb{j}_{n_iter}", f"pd{j}F", d))
+        parts.append(argmin(f"pd{j}F", f"code{j}"))
+        parts.append(f"qrs{j} AS (SELECT qid, cell, e[{lo}:{hi}] AS s FROM qres)")
+        parts.append(
+            f"qd{j} AS (SELECT qrs{j}.qid, qrs{j}.cell, b.cell AS code,\n"
+            f"      list_sum(list_transform(generate_series(1, {d}),"
+            f" i -> {sq(f'qrs{j}.s', 'b.c')})) AS dp\n"
+            f"      FROM qrs{j}, pb{j}_{n_iter} b)"
+        )
+    code_joins = " ".join(
+        f"JOIN code{j} c{j} USING (vid) "
+        f"JOIN qd{j} q{j} ON q{j}.cell = a.cell AND q{j}.code = c{j}.cell"
+        + (f" AND q{j}.qid = q0.qid" if j else "")
+        for j in range(m)
+    )
+    adc = " + ".join(f"q{j}.dp" for j in range(m))
+    parts.append(
+        f"sc AS (SELECT q0.qid, a.vid, round({adc}, 6) AS adc\n"
+        f"      FROM gaF a {code_joins})"
+    )
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT qid AS q_id, vid AS vec_id, adc, rank FROM (
+      SELECT qid, vid, adc,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, vid)::INT AS rank
+      FROM sc)
+    WHERE rank <= 5
+    """
+    )
+
+
+@query("q_ivfpq_topk", oracle=_ivfpq_oracle(n_cells=4, m=2, k=4, n_iter=1, dim=64))
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (FAISS IVFPQ) end to end, hash-checked:
+    deterministic coarse Lloyd cells on the corpus (vec_id >= 8),
+    product-quantization codebooks trained on the RESIDUALS (vector
+    minus its cell centroid — the variance reduction that makes the
+    code budget count), per-vector (cell, codes) index, then
+    exhaustive-probe residual-ADC search for the query set (vec_id <
+    8). Exhaustive probing is the gating mode — the answer is pure
+    residual-ADC, fully deterministic, so the oracle replays the
+    ENTIRE composed pipeline in SQL; production uses n_probe <<
+    n_cells (recall-tested in test_ivfpq_recall). See
+    functions.clustering.ivfpq_index/ivfpq_topk."""
+    from ray_beam_runner_spark.functions.clustering import ivfpq_index, ivfpq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    coarse, books, index = ivfpq_index(
+        corpus, "vec_id", "embedding", n_cells=4, m=2, k=4, n_iter=1
+    )
+    return ivfpq_topk(queries, coarse, books, index, k=5)
+
+
 @query(
     "q_embedding_stats",
     oracle="""

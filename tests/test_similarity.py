@@ -405,3 +405,43 @@ def test_pq_error_paths(spark):
     )
     with pytest.raises(ValueError, match="incompatible"):
         pq_encode(bad, books, "vec_id", "embedding")
+
+
+def test_ivfpq_recall_and_probe_semantics(spark):
+    # composed IVF-PQ: with well-separated modes, probing ONE cell must
+    # still retrieve same-mode neighbors (the coarse quantizer routes
+    # the query to its mode's cell), and candidates never come from
+    # unprobed cells
+    import random
+
+    from ray_beam_runner_spark.functions.clustering import ivfpq_index, ivfpq_topk
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(5)
+    rows = [
+        (vid, [rng.gauss(4.0 * (vid % 2), 0.05) for _ in range(8)])
+        for vid in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(SF.col("vec_id") >= 4)
+    queries = df.filter(SF.col("vec_id") < 4).select(
+        SF.col("vec_id").alias("q_id"), SF.col("embedding").alias("q_vec")
+    )
+    coarse, books, index = ivfpq_index(
+        corpus, "vec_id", "embedding", n_cells=2, m=2, k=4, n_iter=2
+    )
+    # exhaustive probe == superset semantics: every query answered
+    full = ivfpq_topk(queries, coarse, books, index, k=5).collect()
+    assert {r.q_id for r in full} == {0, 1, 2, 3}
+    for r in full:
+        assert r.vec_id % 2 == r.q_id % 2  # same mode wins every slot
+    # n_probe=1: identical answers here (the right cell is probed), and
+    # all candidates share the probed cell
+    one = ivfpq_topk(queries, coarse, books, index, k=5, n_probe=1).collect()
+    assert sorted((r.q_id, r.vec_id, r.rank) for r in one) == sorted(
+        (r.q_id, r.vec_id, r.rank) for r in full
+    )
+    cells = {r.vec_id: r.cell for r in index.collect()}
+    for r in one:
+        probed_cells = {cells[x.vec_id] for x in one if x.q_id == r.q_id}
+        assert len(probed_cells) == 1  # one probe -> one cell's candidates
