@@ -92,6 +92,7 @@ EXTRA_SET = (
     "q_pq_topk",
     "q_snapshot_delete",
     "q_ivfpq_topk",
+    "q_scd2",
 )
 
 

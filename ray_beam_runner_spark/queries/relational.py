@@ -2354,6 +2354,70 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey % 4 = 0)
+    SELECT c_custkey, c_mktsegment AS segment, bal,
+           0::BIGINT AS effective_from,
+           CASE WHEN c_custkey % 12 = 0 THEN 100 END::BIGINT AS effective_to
+    FROM c
+    UNION ALL
+    SELECT c_custkey, c_mktsegment || '-v2', round(bal + 1000, 2),
+           100::BIGINT,
+           CASE WHEN c_custkey % 24 = 0 THEN 200 END::BIGINT
+    FROM c WHERE c_custkey % 12 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment || '-v3', round(bal + 2000, 2),
+           200::BIGINT, NULL::BIGINT
+    FROM c WHERE c_custkey % 24 = 0
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2, end to end: initial dimension
+    load (every 4th customer, open rows at t=0), then two SCD2 merges —
+    t=100 re-segments every 12th customer, t=200 every 24th — each
+    closing the prior version and appending the new one in a single
+    file-pruned snapshot commit. The output is the FULL history table;
+    the oracle constructs the same history relationally. See
+    sources.snapshots.scd2_upsert."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit(0).cast("long").alias("effective_from"),
+        F.lit(None).cast("long").alias("effective_to"),
+    )
+    tdir = scratch_dir("rbrs_scd2_")
+    snap.write_snapshot(base, tdir, cluster_by=["c_custkey"], n_files=8)
+
+    def batch(mod: int, at: int, suffix: str, bump: float) -> None:
+        upd = cust.filter(F.col("c_custkey") % mod == 0).select(
+            "c_custkey",
+            F.concat(F.col("segment"), F.lit(suffix)).alias("segment"),
+            F.round(F.col("bal") + bump, 2).alias("bal"),
+            F.lit(at).cast("long").alias("effective_from"),
+        )
+        snap.scd2_upsert(spark, tdir, upd, ["c_custkey"])
+
+    cust = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    batch(12, 100, "-v2", 1000.0)
+    batch(24, 200, "-v3", 2000.0)
+    return snap.read_snapshot(spark, tdir).select(
+        "c_custkey", "segment", "bal", "effective_from", "effective_to"
+    )
+
+
+@query(
     "q_snapshot_ivm",
     oracle="""
     WITH base AS (

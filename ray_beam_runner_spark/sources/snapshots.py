@@ -1260,6 +1260,65 @@ def _delete_once(
     return version
 
 
+def scd2_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    keys: list[str],
+    ts_col: str = "effective_from",
+    end_col: str = "effective_to",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """Slowly-changing-dimension Type 2 MERGE: instead of overwriting a
+    key's row, CLOSE the current version (set ``end_col`` to the
+    update's ``ts_col``) and append the new version with an open end —
+    the full attribute history stays queryable (``read_scd2_asof``).
+
+    Composed entirely on the keyed MERGE: the physical upsert key is
+    (business keys, ts_col), so closed rows REPLACE their old open
+    version while historical rows are never touched — one snapshot
+    commit, file-pruned like any merge, idempotent under
+    (txn_app, txn_version). Updates must carry one row per key with a
+    ``ts_col`` later than the key's current open row (monotone
+    effective times are the caller's contract, as in any warehouse
+    SCD2 load). New keys simply append an open row."""
+    cur = read_snapshot(spark, table_dir).filter(F.col(end_col).isNull())
+    new_from = updates.select(
+        *keys, F.col(ts_col).alias("_scd2_new_from")
+    )
+    closed = (
+        cur.join(new_from, keys)
+        .withColumn(end_col, F.col("_scd2_new_from"))
+        .drop("_scd2_new_from")
+    )
+    table_cols = [f.name for f in cur.schema.fields]
+    fresh = updates.withColumn(
+        end_col, F.lit(None).cast(cur.schema[end_col].dataType)
+    ).select(*table_cols)
+    batch = closed.select(*table_cols).unionByName(fresh)
+    return upsert_snapshot(
+        spark, table_dir, batch, [*keys, ts_col],
+        txn_app=txn_app, txn_version=txn_version,
+    )
+
+
+def read_scd2_asof(
+    spark: SparkSession,
+    table_dir: str,
+    at,
+    ts_col: str = "effective_from",
+    end_col: str = "effective_to",
+) -> DataFrame:
+    """Temporal dimension read: each key's version effective AT the
+    given time — ts_col <= at < end_col (open rows qualify for any at
+    past their start). The standard SCD2 point-in-time join input."""
+    return read_snapshot(spark, table_dir).filter(
+        (F.col(ts_col) <= F.lit(at))
+        & (F.col(end_col).isNull() | (F.col(end_col) > F.lit(at)))
+    )
+
+
 def restore_snapshot(table_dir: str, version: int) -> int:
     """RESTORE TABLE TO VERSION AS OF (Delta RESTORE): publish a NEW
     version whose file set is an older version's — metadata-only, no

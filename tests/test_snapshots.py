@@ -1249,3 +1249,53 @@ def test_bloom_index_survives_merge_delete_compact_restore(spark):
     mv = snap.read_manifest(t, v)
     assert set(mv["file_blooms"]) == set(mv["files"])
     assert {r.k for r in snap.read_snapshot(spark, t, point=("tag", "u7")).collect()} == {7}
+
+
+def test_scd2_history_and_asof_reads(spark):
+    from pyspark.sql import functions as SF
+
+    t = _tdir()
+    base = spark.createDataFrame(
+        [(1, "gold", 0, None), (2, "silver", 0, None)],
+        "k int, tier string, effective_from long, effective_to long",
+    )
+    snap.write_snapshot(base, t, cluster_by=["k"])
+    # t=10: k=1 upgrades; t=20: k=1 again + new key k=3
+    snap.scd2_upsert(
+        spark, t,
+        spark.createDataFrame([(1, "plat", 10)], "k int, tier string, effective_from long"),
+        ["k"],
+    )
+    snap.scd2_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "diamond", 20), (3, "bronze", 20)],
+            "k int, tier string, effective_from long",
+        ),
+        ["k"], txn_app="scd", txn_version=2,
+    )
+    hist = {(r.k, r.effective_from): (r.tier, r.effective_to)
+            for r in snap.read_snapshot(spark, t).collect()}
+    assert hist == {
+        (1, 0): ("gold", 10), (1, 10): ("plat", 20), (1, 20): ("diamond", None),
+        (2, 0): ("silver", None), (3, 20): ("bronze", None),
+    }
+    # replayed txn batch is a no-op
+    v = snap.latest_version(t)
+    snap.scd2_upsert(
+        spark, t,
+        spark.createDataFrame([(1, "XXX", 20)], "k int, tier string, effective_from long"),
+        ["k"], txn_app="scd", txn_version=2,
+    )
+    assert snap.latest_version(t) == v
+    # point-in-time reads
+    def asof(ts):
+        return {r.k: r.tier for r in snap.read_scd2_asof(spark, t, ts).collect()}
+
+    assert asof(5) == {1: "gold", 2: "silver"}
+    assert asof(10) == {1: "plat", 2: "silver"}
+    assert asof(15) == {1: "plat", 2: "silver"}
+    assert asof(25) == {1: "diamond", 2: "silver", 3: "bronze"}
+    # exactly one open row per live key at any time
+    open_rows = snap.read_snapshot(spark, t).filter(SF.col("effective_to").isNull())
+    assert open_rows.groupBy("k").count().filter("count > 1").count() == 0
