@@ -178,6 +178,88 @@ def _sub(j: int, d_sub: int):
     return F.slice("e", j * d_sub + 1, d_sub)
 
 
+def _explode_subspaces(df: DataFrame, m: int, d_sub: int, keep=("vid",)) -> DataFrame:
+    """(keep..., j, e): every subvector of every row in ONE
+    projection + explode — the corpus is touched once per pass, not m
+    times (the sequential per-subspace loop this replaced launched m
+    independent job chains per Lloyd round)."""
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _sub(j, d_sub).alias("e"))
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(*keep, F.col("s.j").alias("j"), F.col("s.e").alias("e"))
+
+
+def _assign_keyed(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """(j, vid, cell): per-subspace argmin squared L2, ties to the
+    lowest cell — all m subspaces in one broadcast join on j."""
+    d = v.join(F.broadcast(cent), "j").select(
+        "j",
+        "vid",
+        "cell",
+        F.aggregate(
+            F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    return (
+        d.groupBy("j", "vid")
+        .agg(F.min(F.struct("d", "cell")).alias("m"))
+        .select("j", "vid", F.col("m.cell").alias("cell"))
+    )
+
+
+def _lloyd_centroids_keyed(v: DataFrame, d_sub: int, k: int, n_iter: int) -> DataFrame:
+    """(j, cell, c): m independent Lloyd iterations advanced in
+    lockstep — each round is ONE corpus pass (assignment join grouped
+    by (j, vid), mean grouped by (j, cell)) instead of m. Arithmetic
+    identical per subspace to _lloyd_centroids (same init, ties,
+    9-dp rounded means), so the oracle CTEs are unaffected."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("j").orderBy("vid")
+    cent = (
+        v.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("j", (F.col("_r") - 1).cast("long").alias("cell"), F.col("e").alias("c"))
+    )
+    for _ in range(n_iter):
+        cent = (
+            _assign_keyed(v, cent)
+            .join(v, ["j", "vid"])
+            .groupBy("j", "cell")
+            .agg(
+                F.array(
+                    *[F.round(F.avg(F.element_at("e", i + 1)), 9) for i in range(d_sub)]
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def _check_query_vectors(q: DataFrame, dim: int, what: str) -> None:
+    """Loud error on NULL/ragged/mis-sized QUERY vectors: the corpus
+    goes through _prepare's check, but a wrong-dimension query would
+    otherwise silently slice-truncate (too long) or null-pad distances
+    and float garbage to the top ranks (too short / NULL)."""
+    s = q.agg(F.min(F.size("e")).alias("mn"), F.max(F.size("e")).alias("mx")).first()
+    if s.mn is None:
+        return  # empty query set: vacuously fine
+    if s.mn < 1 or s.mn != dim or s.mx != dim:
+        raise ValueError(
+            f"{what}: query vectors must be non-null {dim}-dim; "
+            f"observed size range [{s.mn}, {s.mx}]"
+        )
+
+
 def pq_fit(
     df: DataFrame,
     id_col: str,
@@ -188,9 +270,11 @@ def pq_fit(
 ) -> DataFrame:
     """Train product-quantization codebooks: the vector splits into
     ``m`` contiguous subspaces and each gets its own deterministic
-    Lloyd codebook of ``k`` centroids (Jegou et al. 2011 §II). Returns
-    (j, cell, c) — an m x k x (dim/m) table, MODEL-sized, broadcastable.
-    dim must divide evenly by m (loud error otherwise)."""
+    Lloyd codebook of ``k`` centroids (Jegou et al. 2011 §II), all m
+    trained in lockstep by the keyed Lloyd core (one corpus pass per
+    round). Returns (j, cell, c) — an m x k x (dim/m) table,
+    MODEL-sized, broadcastable. dim must divide evenly by m (loud
+    error otherwise)."""
     v, dim = _prepare(df, id_col, vec_col)
     if dim == 0:
         v.unpersist()
@@ -199,12 +283,8 @@ def pq_fit(
         v.unpersist()
         raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    books = None
-    for j in range(m):
-        vj = v.select("vid", _sub(j, d_sub).alias("e"))
-        cb = _lloyd_centroids(vj, d_sub, k, n_iter).withColumn("j", F.lit(j))
-        books = cb if books is None else books.unionByName(cb)
-    return books.select("j", "cell", "c")
+    vs = _explode_subspaces(v, m, d_sub)
+    return _lloyd_centroids_keyed(vs, d_sub, k, n_iter).select("j", "cell", "c")
 
 
 def pq_encode(
@@ -215,8 +295,8 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors against fitted codebooks: (id_col, codes) where
     codes[j] = argmin cell of subspace j (ties to lowest cell). One
-    broadcast join over an m-way sliced union; codes assemble in j
-    order via an array_sort fold, so the array is deterministic."""
+    broadcast join over the subspace-exploded corpus; codes assemble
+    in j order via an array_sort fold, so the array is deterministic."""
     v, dim = _prepare(df, id_col, vec_col)
     mk = [(int(r.j), int(r.mx) if r.mx is not None else 0)
           for r in codebooks.groupBy("j").agg(F.max(F.size("c")).alias("mx")).collect()]
@@ -228,13 +308,9 @@ def pq_encode(
             f"subspace sizes {sorted(mk)}"
         )
     d_sub = dim // m
-    parts = None
-    for j in range(m):
-        aj = _assign(
-            v.select("vid", _sub(j, d_sub).alias("e")),
-            codebooks.filter(F.col("j") == j).select("cell", "c"),
-        ).withColumn("j", F.lit(j))
-        parts = aj if parts is None else parts.unionByName(aj)
+    parts = _assign_keyed(
+        _explode_subspaces(v, m, d_sub), codebooks.select("j", "cell", "c")
+    )
     return (
         parts.groupBy("vid")
         .agg(F.array_sort(F.collect_list(F.struct("j", "cell"))).alias("jc"))
@@ -277,31 +353,25 @@ def pq_adc_topk(
     m = int(mrow) + 1
     d_sub = codebooks.select(F.size("c")).first()[0]
     q = queries.select(
-        F.col(query_id).alias("qid"),
+        F.col(query_id).alias("vid"),
         F.col(query_vec).cast("array<double>").alias("e"),
     )
+    _check_query_vectors(q, m * d_sub, "pq_adc_topk")
     # (qid, j, cell, dp): query subvector -> codebook entry partial dist
-    qparts = None
-    for j in range(m):
-        pj = (
-            q.select("qid", _sub(j, d_sub).alias("qe"))
-            .crossJoin(
-                F.broadcast(
-                    codebooks.filter(F.col("j") == j).select("cell", "c")
-                )
-            )
-            .select(
-                "qid",
-                F.lit(j).alias("j"),
-                "cell",
-                F.aggregate(
-                    F.zip_with("qe", "c", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dp"),
-            )
+    qparts = (
+        _explode_subspaces(q, m, d_sub)
+        .join(F.broadcast(codebooks.select("j", "cell", "c")), "j")
+        .select(
+            F.col("vid").alias("qid"),
+            "j",
+            "cell",
+            F.aggregate(
+                F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dp"),
         )
-        qparts = pj if qparts is None else qparts.unionByName(pj)
+    )
     cand = codes.select(
         F.col(code_id).alias("vid"), F.posexplode("codes").alias("j", "cell")
     )
@@ -351,8 +421,9 @@ def ivfpq_index(
     each vector to m codes. Returns (coarse, books, index):
     coarse = (cell, c), books = (j, cell, c) over residual subspaces,
     index = (id_col, cell, codes). All three stages reuse the
-    deterministic Lloyd core, so the whole index is reproducible and
-    oracle-expressible.
+    deterministic Lloyd core (the PQ stage keyed — one residual pass
+    per round for all m subspaces), so the whole index is reproducible
+    and oracle-expressible.
 
     Scale shape: coarse and books are model-sized and broadcast; the
     corpus is touched by one assignment join per stage and one
@@ -372,26 +443,21 @@ def ivfpq_index(
 
     res = track(
         asg.join(v, "vid")
-        .join(F.broadcast(coarse.withColumnRenamed("c", "cc").withColumnRenamed("cell", "vcell")),
-              F.col("cell") == F.col("vcell"))
+        .join(
+            F.broadcast(
+                coarse.withColumnRenamed("c", "cc").withColumnRenamed("cell", "vcell")
+            ),
+            F.col("cell") == F.col("vcell"),
+        )
         .select(
             "vid",
             "cell",
             F.zip_with("e", "cc", lambda x, y: x - y).alias("e"),
         )
     )
-    books = None
-    codes_parts = None
-    for j in range(m):
-        rj = res.select("vid", _sub(j, d_sub).alias("e"))
-        cb = _lloyd_centroids(rj, d_sub, k, n_iter)
-        books = (
-            cb.withColumn("j", F.lit(j))
-            if books is None
-            else books.unionByName(cb.withColumn("j", F.lit(j)))
-        )
-        aj = _assign(rj, cb).withColumnRenamed("cell", "code").withColumn("j", F.lit(j))
-        codes_parts = aj if codes_parts is None else codes_parts.unionByName(aj)
+    rs = _explode_subspaces(res.select("vid", "e"), m, d_sub)
+    books = _lloyd_centroids_keyed(rs, d_sub, k, n_iter)
+    codes_parts = _assign_keyed(rs, books).withColumnRenamed("cell", "code")
     index = (
         codes_parts.groupBy("vid")
         .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
@@ -427,11 +493,17 @@ def ivfpq_topk(
     (q_id, vec_id, adc, rank), rank <= k (ties: adc then id)."""
     from pyspark.sql import Window as W
 
+    mrow = books.agg(F.max("j")).first()[0]
+    if mrow is None:
+        raise ValueError("ivfpq_topk: empty codebooks")
+    m = int(mrow) + 1
     d_sub = books.select(F.size("c")).first()[0]
-    m = books.agg(F.max("j")).first()[0] + 1
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("e"),
+    )
+    _check_query_vectors(
+        q.select(F.col("qid").alias("vid"), "e"), m * d_sub, "ivfpq_topk"
     )
     qcell = q.crossJoin(F.broadcast(coarse)).select(
         "qid",
@@ -452,35 +524,31 @@ def ivfpq_topk(
     qres = (
         qcell.join(q, "qid")
         .join(
-            F.broadcast(coarse.withColumnRenamed("c", "cc").withColumnRenamed("cell", "pcell")),
+            F.broadcast(
+                coarse.withColumnRenamed("c", "cc").withColumnRenamed("cell", "pcell")
+            ),
             F.col("cell") == F.col("pcell"),
         )
         .select("qid", "cell", F.zip_with("e", "cc", lambda x, y: x - y).alias("e"))
     )
-    qparts = None
-    for j in range(m):
-        pj = (
-            qres.select("qid", "cell", _sub(j, d_sub).alias("qe"))
-            .crossJoin(
-                F.broadcast(
-                    books.filter(F.col("j") == j).select(
-                        F.col("cell").alias("code"), "c"
-                    )
-                )
-            )
-            .select(
-                "qid",
-                "cell",
-                F.lit(j).alias("j"),
-                "code",
-                F.aggregate(
-                    F.zip_with("qe", "c", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dp"),
-            )
+    qparts = (
+        _explode_subspaces(qres, m, d_sub, keep=("qid", "cell"))
+        .join(
+            F.broadcast(books.select("j", F.col("cell").alias("code"), "c")),
+            "j",
         )
-        qparts = pj if qparts is None else qparts.unionByName(pj)
+        .select(
+            "qid",
+            "cell",
+            "j",
+            "code",
+            F.aggregate(
+                F.zip_with("e", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dp"),
+        )
+    )
     cand = index.select(
         F.col(index_id).alias("vid"), "cell", F.posexplode("codes").alias("j", "code")
     )

@@ -247,36 +247,61 @@ def _compute_blooms(
     cols: list[str],
     bits: int,
     k: int,
+    schema_json: str | None = None,
 ) -> dict[str, dict]:
     """Per-file bloom bitsets for ``cols`` (Delta's bloom filter index
     analog): one ``bits``-bit filter per (file, column), stored as
     bits/64 signed words in the manifest. Cost: ONE scan of the listed
     files (change-proportional at write/merge time) with bit_or
     map-side-combinable aggregates — the driver receives only the
-    (n_files x n_words) bitset frame, never rows. NULLs contribute a
-    constant position (xxhash64 skips null inputs), harmless: point
-    lookups are for values, IS NULL never consults the bloom."""
+    (n_files x n_words) bitset frame, never rows. The scan is pinned
+    to ``schema_json`` (the committing manifest's typed schema) when
+    given: after a schema-evolution merge a bloom column may be absent
+    from the new files and would crash a plain read; pinned, it
+    null-backfills (NULLs contribute one constant position — harmless,
+    point lookups are for values and IS NULL never consults the
+    bloom). Columns not in the pinned schema are skipped (no filter
+    recorded -> readers scan, never wrong)."""
     if not rel_files or not cols:
         return {}
+    if bits < 64 or bits % 64:
+        raise ValueError(f"bloom bits must be a positive multiple of 64, got {bits}")
     n_words = bits // 64
-    df = spark.read.parquet(*(os.path.join(table_dir, rel) for rel in rel_files))
-    # SQL-string form: the pyspark shiftleft wrapper only takes a
-    # literal int shift; the SQL function shifts by a column
-    aggs = []
-    for ci, c in enumerate(cols):
-        for w in range(n_words):
-            terms = []
-            for s in range(k):
-                p = f"pmod(xxhash64(`{c}`, {s}), {bits})"
-                terms.append(
-                    f"(CASE WHEN {p} >= {w * 64} AND {p} < {w * 64 + 64} "
-                    f"THEN shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT)) "
-                    f"ELSE CAST(0 AS BIGINT) END)"
-                )
-            aggs.append(F.expr(f"bit_or({' | '.join(terms)})").alias(f"b_{ci}_{w}"))
-    rows = (
-        df.groupBy(F.col("_metadata.file_path").alias("_f")).agg(*aggs).collect()
+    reader = spark.read
+    if schema_json:
+        struct = _schema_struct({"schema_json": schema_json})
+        if struct is not None:
+            have = {f.name for f in struct.fields}
+            cols = [c for c in cols if c in have]
+            if not cols:
+                return {}
+            reader = spark.read.schema(struct)
+    df = reader.parquet(*(os.path.join(table_dir, rel) for rel in rel_files))
+    # Two-step: project the k hash positions ONCE per (row, col, seed),
+    # then build the word masks from the projected columns — the naive
+    # inline form re-evaluated xxhash64 2*n_words*k times per row
+    # (Catalyst does not guarantee CSE across aggregate expressions).
+    # SQL-string form throughout: the pyspark shiftleft wrapper only
+    # takes a literal int shift; the SQL function shifts by a column.
+    proj = df.select(
+        F.col("_metadata.file_path").alias("_f"),
+        *[
+            F.expr(f"pmod(xxhash64(`{c}`, {s}), {bits})").alias(f"p_{ci}_{s}")
+            for ci, c in enumerate(cols)
+            for s in range(k)
+        ],
     )
+    aggs = []
+    for ci in range(len(cols)):
+        for w in range(n_words):
+            terms = [
+                f"(CASE WHEN p_{ci}_{s} >= {w * 64} AND p_{ci}_{s} < {w * 64 + 64} "
+                f"THEN shiftleft(CAST(1 AS BIGINT), CAST(p_{ci}_{s} % 64 AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+                for s in range(k)
+            ]
+            aggs.append(F.expr(f"bit_or({' | '.join(terms)})").alias(f"b_{ci}_{w}"))
+    rows = proj.groupBy("_f").agg(*aggs).collect()
     out: dict[str, dict] = {}
     for r in rows:
         rel = _rel_of(r._f, rel_files, table_dir)
@@ -409,11 +434,17 @@ def write_snapshot(
         manifest["file_stats"] = stats
     manifest["file_rows"] = rows_map
     if bloom_for:
+        if bloom_bits < 64 or bloom_bits % 64 or bloom_k < 1:
+            raise ValueError(
+                "bloom_bits must be a positive multiple of 64 and bloom_k >= 1; "
+                f"got bits={bloom_bits}, k={bloom_k}"
+            )
         manifest["bloom_conf"] = {
             "cols": sorted(bloom_for), "bits": bloom_bits, "k": bloom_k
         }
         manifest["file_blooms"] = _compute_blooms(
-            df.sparkSession, table_dir, files, sorted(bloom_for), bloom_bits, bloom_k
+            df.sparkSession, table_dir, files, sorted(bloom_for),
+            bloom_bits, bloom_k, schema_json=manifest.get("schema_json"),
         )
     _publish(table_dir, version, manifest)
     return version
@@ -792,16 +823,8 @@ def _merge_phases(
     }
     if txns:
         new_manifest["txns"] = txns
-    carried = {rel: file_stats[rel] for rel in untouched_rel if rel in file_stats}
-    carried.update(new_stats)
-    if carried:
-        new_manifest["file_stats"] = carried
+    _carry_file_meta(manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows)
     _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
-    old_rows = manifest.get("file_rows", {})
-    new_manifest["file_rows"] = {
-        **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
-        **new_rows,
-    }
     if cdc:
         # Change-data sidecar (Delta's enableChangeDataFeed design): the
         # merge's logical deltas — every update-batch row as 'insert',
@@ -834,6 +857,23 @@ def _merge_phases(
     return version
 
 
+def _carry_file_meta(
+    manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows
+) -> None:
+    """Shared rewrite-commit tail for MERGE and DELETE: carry untouched
+    files' stats and row counts, merge in the rewritten files' — ONE
+    place owns the manifest bookkeeping format."""
+    carried = {rel: file_stats[rel] for rel in untouched_rel if rel in file_stats}
+    carried.update(new_stats)
+    if carried:
+        new_manifest["file_stats"] = carried
+    old_rows = manifest.get("file_rows", {})
+    new_manifest["file_rows"] = {
+        **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
+        **new_rows,
+    }
+
+
 def _carry_blooms(
     spark, table_dir, manifest, new_manifest, untouched_rel, new_files
 ) -> None:
@@ -848,7 +888,8 @@ def _carry_blooms(
     blooms = {rel: old_blooms[rel] for rel in untouched_rel if rel in old_blooms}
     blooms.update(
         _compute_blooms(
-            spark, table_dir, new_files, bconf["cols"], bconf["bits"], bconf["k"]
+            spark, table_dir, new_files, bconf["cols"], bconf["bits"], bconf["k"],
+            schema_json=new_manifest.get("schema_json") or manifest.get("schema_json"),
         )
     )
     new_manifest["file_blooms"] = blooms
@@ -1237,16 +1278,8 @@ def _delete_once(
     }
     if txns:
         new_manifest["txns"] = txns
-    carried = {rel: file_stats[rel] for rel in untouched_rel if rel in file_stats}
-    carried.update(new_stats)
-    if carried:
-        new_manifest["file_stats"] = carried
+    _carry_file_meta(manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows)
     _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
-    old_rows = manifest.get("file_rows", {})
-    new_manifest["file_rows"] = {
-        **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
-        **new_rows,
-    }
     if cdc and touched_rel:
         deleted = (
             reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel))
@@ -1282,25 +1315,36 @@ def scd2_upsert(
     (txn_app, txn_version). Updates must carry one row per key with a
     ``ts_col`` later than the key's current open row (monotone
     effective times are the caller's contract, as in any warehouse
-    SCD2 load). New keys simply append an open row."""
-    cur = read_snapshot(spark, table_dir).filter(F.col(end_col).isNull())
-    new_from = updates.select(
-        *keys, F.col(ts_col).alias("_scd2_new_from")
-    )
-    closed = (
-        cur.join(new_from, keys)
-        .withColumn(end_col, F.col("_scd2_new_from"))
-        .drop("_scd2_new_from")
-    )
-    table_cols = [f.name for f in cur.schema.fields]
-    fresh = updates.withColumn(
-        end_col, F.lit(None).cast(cur.schema[end_col].dataType)
-    ).select(*table_cols)
-    batch = closed.select(*table_cols).unionByName(fresh)
-    return upsert_snapshot(
-        spark, table_dir, batch, [*keys, ts_col],
-        txn_app=txn_app, txn_version=txn_version,
-    )
+    SCD2 load). New keys simply append an open row.
+
+    Concurrency: the close-and-append batch is REBUILT from a fresh
+    snapshot read on every optimistic-retry attempt — a batch built
+    before a racer's commit would close the pre-race open row and
+    leave the racer's open row dangling (two open rows per key). The
+    inner merge therefore runs with retries=0 and the race loop lives
+    here, around the batch construction."""
+    for attempt in range(3):
+        cur = read_snapshot(spark, table_dir).filter(F.col(end_col).isNull())
+        new_from = updates.select(*keys, F.col(ts_col).alias("_scd2_new_from"))
+        closed = (
+            cur.join(new_from, keys)
+            .withColumn(end_col, F.col("_scd2_new_from"))
+            .drop("_scd2_new_from")
+        )
+        table_cols = [f.name for f in cur.schema.fields]
+        fresh = updates.withColumn(
+            end_col, F.lit(None).cast(cur.schema[end_col].dataType)
+        ).select(*table_cols)
+        batch = closed.select(*table_cols).unionByName(fresh)
+        try:
+            return upsert_snapshot(
+                spark, table_dir, batch, [*keys, ts_col],
+                txn_app=txn_app, txn_version=txn_version, retries=0,
+            )
+        except ConcurrentCommitError:
+            if attempt == 2:
+                raise
+    raise AssertionError("unreachable")
 
 
 def read_scd2_asof(

@@ -445,3 +445,37 @@ def test_ivfpq_recall_and_probe_semantics(spark):
     for r in one:
         probed_cells = {cells[x.vec_id] for x in one if x.q_id == r.q_id}
         assert len(probed_cells) == 1  # one probe -> one cell's candidates
+
+
+def test_pq_and_ivfpq_reject_bad_query_dims(spark):
+    # wrong-dimension queries must error loudly, not slice-truncate or
+    # null-pad garbage into the top ranks
+    from ray_beam_runner_spark.functions.clustering import (
+        ivfpq_index,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_fit(corpus, "vec_id", "embedding", m=2, k=2, n_iter=1)
+    codes = pq_encode(corpus, books, "vec_id", "embedding")
+    bad_q = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "q_id long, q_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="query vectors"):
+        pq_adc_topk(bad_q, codes, books)
+    coarse, b2, index = ivfpq_index(corpus, "vec_id", "embedding", n_cells=2, m=2, k=2)
+    with pytest.raises(ValueError, match="query vectors"):
+        ivfpq_topk(bad_q, coarse, b2, index)
+    import pytest as _pt
+    empty_books = books.filter("j < 0")
+    with _pt.raises(ValueError, match="empty codebooks"):
+        ivfpq_topk(
+            spark.createDataFrame([(0, [1.0, 2.0, 3.0, 4.0])], "q_id long, q_vec array<double>"),
+            coarse, empty_books, index,
+        )

@@ -1207,12 +1207,10 @@ def test_bloom_point_lookup_prunes_files_no_false_negatives(spark):
     miss = snap.read_snapshot(spark, t, point=("tag", "no-such-tag"))
     assert miss.count() == 0
     # int-typed column probe casts to the column type (bigint vs int
-    # literals hash differently — a wrong cast would skip every file)
-    hit = snap.read_snapshot(spark, t, point=("k", 13))
-    assert [r.tag for r in hit.collect()] == [f"tag-{13 * 7 % 60}"] or True
-    assert {r.k for r in snap.read_snapshot(spark, t, point=("k", 13)).collect()} <= {13}
+    # literals hash differently — a wrong cast would skip every file);
     # k has no bloom: lookup still CORRECT (filter-only, no pruning)
-    assert snap.read_snapshot(spark, t, point=("k", 13)).count() == 1
+    hit = snap.read_snapshot(spark, t, point=("k", 13)).collect()
+    assert [(r.k, r.tag) for r in hit] == [(13, f"tag-{13 * 7 % 60}")]
 
 
 def test_bloom_index_survives_merge_delete_compact_restore(spark):
@@ -1299,3 +1297,29 @@ def test_scd2_history_and_asof_reads(spark):
     # exactly one open row per live key at any time
     open_rows = snap.read_snapshot(spark, t).filter(SF.col("effective_to").isNull())
     assert open_rows.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_bloom_bits_validation_and_schema_evolution_merge(spark):
+    # invalid geometry is loud at write time (silent truncation would
+    # IndexError readers later); an evolve-schema merge whose update
+    # batch lacks the bloom column must still commit (schema-pinned
+    # bloom scan null-backfills) with lookups staying correct
+    t = _tdir()
+    df = spark.createDataFrame([(1, "a")], "k int, tag string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        snap.write_snapshot(df, t, bloom_for=["tag"], bloom_bits=1000)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        snap.write_snapshot(df, t, bloom_for=["tag"], bloom_bits=32)
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, tag string"),
+        t, bloom_for=["tag"],
+    )
+    # update batch WITHOUT 'tag' (dropped col) + a new column, new key
+    # only -> the rewritten file physically lacks 'tag'
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(3, 9.5)], "k int, score double"),
+        ["k"], evolve_schema=True,
+    )
+    assert {r.k for r in snap.read_snapshot(spark, t, point=("tag", "a")).collect()} == {1}
+    assert snap.read_snapshot(spark, t, point=("tag", "zzz")).count() == 0
