@@ -43,9 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # NEVER had a driver row (q_pagerank, q_bigram_kn_logppl,
 # q_snapshot_ivm, q_snapshot_zorder, q_multimodal_video,
 # q_bpe_pair_counts, q_streaming_outer_join, q_streaming_full_outer),
-# and the query NEW this round (q_dedup_span_removal). Everything
-# rotating out (headline set, scalar/JSON, dedup, streaming, text
-# families — all gated r7) is re-verified in ORACLE_SWEEP_r08.json at
+# and the queries NEW this round (q_dedup_span_removal, q_kmeans,
+# q_pq_topk, q_ivfpq_topk, q_snapshot_delete, q_scd2 — fresh driver
+# rows wanted, per the r7-rotation precedent; five TPC-H tail rows
+# defer to the sweep to make room). Everything rotating out (headline
+# set, scalar/JSON, dedup, streaming, text families — all gated r7;
+# the deferred TPC-H rows) is re-verified in ORACLE_SWEEP_r08.json at
 # the gate's own sf0.01; scripts/gate_preflight.py replays this exact
 # window on a vanilla session. All queries remain declared and runnable.
 _GATE_FIRST = (
@@ -62,8 +65,6 @@ _GATE_FIRST = (
     "q_forecast_revenue", "q_market_share", "q_product_profit",
     "q_late_shipments", "q_order_count_dist", "q_small_qty_revenue",
     "q_large_volume_customer", "q_disjunctive_revenue",
-    "q_waiting_supplier", "q_min_cost_supplier", "q_important_stock",
-    "q_supplier_relationship", "q_excess_stock_supplier",
     # snapshot MERGE / audio / packing / shuffle — last driver row r6
     "q_snapshot_upsert", "q_multimodal_audio", "q_sequence_pack",
     "q_corpus_shuffle",
@@ -72,7 +73,8 @@ _GATE_FIRST = (
     "q_snapshot_zorder", "q_multimodal_video", "q_bpe_pair_counts",
     "q_streaming_outer_join", "q_streaming_full_outer",
     # new this round
-    "q_dedup_span_removal",
+    "q_dedup_span_removal", "q_kmeans", "q_pq_topk", "q_ivfpq_topk",
+    "q_snapshot_delete", "q_scd2",
 )
 
 
