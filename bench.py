@@ -93,6 +93,7 @@ EXTRA_SET = (
     "q_snapshot_delete",
     "q_ivfpq_topk",
     "q_scd2",
+    "q_temperature_mix",
 )
 
 

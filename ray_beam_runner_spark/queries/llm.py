@@ -1309,6 +1309,75 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_temperature_mix",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+      FROM documents),
+    c AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY source),
+    tot AS (SELECT sum(n)::DOUBLE AS total, sum(pow(n, 0.5)) AS sum_a FROM c),
+    r AS (
+      SELECT source, n,
+             round(least(1.0, 0.5 * total * (pow(n, 0.5) / sum_a) / n), 6) AS rate
+      FROM c, tot)
+    SELECT r.source, r.n AS n_docs,
+           coalesce(s.n_sampled, 0)::BIGINT AS n_sampled, r.rate
+    FROM r LEFT JOIN (
+      SELECT d.source, count(*)::BIGINT AS n_sampled
+      FROM d JOIN r USING (source)
+      WHERE d.b < floor(rate * 10000)
+      GROUP BY d.source) s USING (source)
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling (the multilingual-LM mixing
+    rule — sampling mass proportional to n^alpha, alpha=0.5, as in
+    UniMax / mT5-style corpus balancing): per-source keep rates are
+    DERIVED FROM THE CORPUS (big sources downsampled toward the
+    tempered distribution, small ones kept whole via the cap at 1.0)
+    for a half-size target budget, then applied as a deterministic
+    md5-threshold per doc — reproducible shards, no rand(). Two narrow
+    aggregations build the 20-row rate table (broadcast back); rates
+    round to 6 dp before the integer threshold so the float boundary
+    is pinned across engines."""
+    from ray_beam_runner_spark.functions.text import hash_bucket
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", hash_bucket(F.col("doc_id"), 10000, "temp").alias("b")
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.sum(F.pow("n", F.lit(0.5))).alias("sum_a"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) * F.col("total") * (F.pow("n", F.lit(0.5)) / F.col("sum_a"))
+                / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    sampled = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(F.col("b") < F.floor(F.col("rate") * 10000))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(F.broadcast(sampled), "source", "left").select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        "rate",
+    )
+
+
+@query(
     "q_sample_mix",
     oracle="""
     WITH d AS (

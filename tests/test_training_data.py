@@ -342,3 +342,34 @@ def test_kneser_ney_bigram_probabilities_normalize(spark, tmp_path):
     rows = {r.doc_id: r for r in QUERIES["q_bigram_kn_logppl"](spark, corpus).collect()}
     assert len(rows) == 3
     assert all(r.n_bigrams >= 4 and r.log_ppl_kn > 0 for r in rows.values())
+
+
+def test_temperature_mix_downsamples_skewed_sources(spark, tmp_path):
+    # the testdata corpus is source-uniform (every rate = 0.5), so the
+    # tempered behavior needs a skewed corpus: big sources downsample
+    # hardest, tiny sources cap at rate 1.0, and the sampled
+    # distribution sits closer to uniform than the raw one
+    import os
+
+    from ray_beam_runner_spark.queries.llm import q_temperature_mix
+
+    rows = []
+    did = 0
+    for src, n in (("big", 800), ("mid", 150), ("tiny", 20)):
+        for _ in range(n):
+            rows.append((did, f"doc text {did}", "en", src, 10))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path / "skew_sf")
+    os.makedirs(sf)
+    df.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.source: r for r in q_temperature_mix(spark, sf).collect()}
+    assert out["tiny"].rate == 1.0  # capped: small sources kept whole
+    assert out["big"].rate < out["mid"].rate < 1.0  # bigger -> harder cut
+    assert out["tiny"].n_sampled == 20
+    # tempered shares are flatter than raw shares
+    raw_big = out["big"].n_docs / sum(r.n_docs for r in out.values())
+    smp_big = out["big"].n_sampled / max(sum(r.n_sampled for r in out.values()), 1)
+    assert smp_big < raw_big
