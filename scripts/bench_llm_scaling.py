@@ -247,6 +247,29 @@ def main() -> None:
             "n_cells": n_cells,
             "vecs_per_sec": round(n_vecs / dt),
         }
+
+        # PQ encode throughput (round 8): the compressed-ANN production
+        # pass — FIT is model-sized and amortized (timed separately like
+        # ivf_fit); ENCODE touches every vector and must stay linear
+        # (per-vector throughput flat as the corpus grows).
+        from ray_beam_runner_spark.functions.clustering import pq_encode, pq_fit
+
+        t0 = time.perf_counter()
+        books = pq_fit(embs, "vec_id", "embedding", m=4, k=16, n_iter=1)
+        books = books.localCheckpoint(eager=True)  # fit cost stops here
+        pq_fit_sec = time.perf_counter() - t0
+        dt = None
+        for _ in range(1 if mult >= 100 else 2):
+            t0 = time.perf_counter()
+            n_codes = pq_encode(embs, books, "vec_id", "embedding").count()
+            dt1 = time.perf_counter() - t0
+            release_tracked()
+            dt = dt1 if dt is None else min(dt, dt1)
+        assert n_codes == n_vecs
+        row["pq_fit_sec"] = round(pq_fit_sec, 2)
+        row["pq_encode"] = {"sec": round(dt, 2), "vecs_per_sec": round(n_vecs / dt)}
+        release_tracked()
+        spark.catalog.clearCache()
         sem[f"x{mult}"] = row
         print(json.dumps({f"semantic_x{mult}": row}), flush=True)
     results["semantic"] = sem
