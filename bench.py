@@ -94,6 +94,7 @@ EXTRA_SET = (
     "q_ivfpq_topk",
     "q_scd2",
     "q_temperature_mix",
+    "q_sketch_freq",
 )
 
 

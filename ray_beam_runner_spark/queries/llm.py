@@ -2479,6 +2479,62 @@ def q_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sketch_freq",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),
+    tf AS (SELECT tk, count(*)::BIGINT AS exact FROM tok GROUP BY tk),
+    top AS (SELECT tk, exact FROM tf ORDER BY exact DESC, tk LIMIT 20),
+    cells AS (
+      SELECT t.j,
+             ('0x' || substr(md5('cms' || t.j::VARCHAR || ':' || tok.tk), 1, 8))::BIGINT % 2048 AS pos,
+             count(*)::BIGINT AS cnt
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) t
+      GROUP BY 1, 2),
+    est AS (
+      SELECT top.tk, top.exact, min(c.cnt) AS est
+      FROM top CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) t
+      JOIN cells c
+        ON c.j = t.j
+       AND c.pos = ('0x' || substr(md5('cms' || t.j::VARCHAR || ':' || top.tk), 1, 8))::BIGINT % 2048
+      GROUP BY top.tk, top.exact)
+    SELECT tk AS token, exact, est, est >= exact AS never_under FROM est
+    """,
+)
+def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable FREQUENCY sketch (Count-Min) — the counterpart of
+    q_sketch_distinct's HLL cardinality blobs: per-source sparse CMS
+    sketches of the token stream (bounded d x w rows per shard) union
+    by a plain positional sum, and the merged sketch answers point
+    queries for the corpus's top-20 tokens. Incremental-ingestion
+    shape: tomorrow's shard sketch adds in O(sketch), no rescan. The
+    md5-derived positions make every estimate deterministic, so exact
+    counts, estimates, AND the never-undercount CMS property are all
+    inside the hash. See functions.sketch."""
+    from ray_beam_runner_spark.functions import text as X
+    from ray_beam_runner_spark.functions.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(X.tokens(F.col("text"))).alias("tk"))
+    merged = cms_merge(cms_sketch(toks, ["source"], "tk", w=2048, d=3), ["source"])
+    top = (
+        toks.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), "tk")
+        .limit(20)
+    )
+    return cms_estimate(merged, top, "tk", w=2048, d=3).select(
+        F.col("tk").alias("token"),
+        "exact",
+        "est",
+        (F.col("est") >= F.col("exact")).alias("never_under"),
+    )
+
+
+@query(
     "q_sketch_distinct",
     oracle=f"""
     WITH fp AS (SELECT source, md5({_NORM}) AS fp FROM documents),

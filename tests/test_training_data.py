@@ -373,3 +373,30 @@ def test_temperature_mix_downsamples_skewed_sources(spark, tmp_path):
     raw_big = out["big"].n_docs / sum(r.n_docs for r in out.values())
     smp_big = out["big"].n_sampled / max(sum(r.n_sampled for r in out.values()), 1)
     assert smp_big < raw_big
+
+
+def test_cms_sketch_merge_and_bounds(spark):
+    # CMS invariants on a known stream: merged shard sketches answer
+    # point queries that NEVER undercount, exact for items without
+    # collisions at a generous width, and shard-merge == global sketch
+    from ray_beam_runner_spark.functions.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = [("s1", "a")] * 50 + [("s1", "b")] * 20 + [("s2", "a")] * 30 + [("s2", "c")] * 7
+    df = spark.createDataFrame(rows, "source string, item string")
+    shard = cms_sketch(df, ["source"], "item", w=256, d=3)
+    merged = cms_merge(shard, ["source"])
+    glob = cms_sketch(df.select("item"), [], "item", w=256, d=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, glob.collect()))
+    items = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "item string")
+    est = {r.item: r.est for r in cms_estimate(merged, items, "item", w=256, d=3).collect()}
+    # never undercount; with 3 distinct items in 256 buckets no
+    # collisions -> exact; absent item estimates 0 unless it collides
+    assert est["a"] == 80 and est["b"] == 20 and est["c"] == 7
+    assert est["zz"] in (0, 7, 20, 80)
+    # sketch stays bounded: at most d x w rows per shard
+    assert shard.groupBy("source").count().filter(SF.col("count") > 3 * 256).count() == 0
