@@ -513,3 +513,29 @@ def test_pagerank_plan_no_cartesian_partial_agg(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert_partial_aggregation(df)
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_span_removal_plan_no_cartesian_and_partial_agg(spark, sf_dir):
+    """Substring dedup removal stays join-shaped: hot-span detection is
+    an equi semi join on the span, coverage an equi anti join on
+    (id, pos) — never a cartesian; document-frequency and
+    reconstruction aggregates keep their partial (map-side) phase."""
+    df = QUERIES["q_dedup_span_removal"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:3000]
+    assert_partial_aggregation(df)
+
+
+def test_kmeans_plan_broadcast_centroids(spark, sf_dir):
+    """Every k-means round joins the corpus against BROADCAST centroids
+    (model-sized) — a shuffle join on the vectors would be the wrong
+    plan at any scale."""
+    df = QUERIES["q_kmeans"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the centroid cross join must be the BROADCAST nested-loop form
+    # (model-sized build side), never an unhinted CartesianProduct, and
+    # the vectors must never shuffle for a join
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
