@@ -2510,6 +2510,7 @@ def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived positions make every estimate deterministic, so exact
     counts, estimates, AND the never-undercount CMS property are all
     inside the hash. See functions.sketch."""
+    from ray_beam_runner_spark.caches import track
     from ray_beam_runner_spark.functions import text as X
     from ray_beam_runner_spark.functions.sketch import (
         cms_estimate,
@@ -2518,7 +2519,10 @@ def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("source", F.explode(X.tokens(F.col("text"))).alias("tk"))
+    # persisted: the tokenize+explode pass feeds BOTH the sketch and
+    # the exact top-20 — without the persist each plan re-scans and
+    # re-tokenizes the whole corpus
+    toks = track(docs.select("source", F.explode(X.tokens(F.col("text"))).alias("tk")))
     merged = cms_merge(cms_sketch(toks, ["source"], "tk", w=2048, d=3), ["source"])
     top = (
         toks.groupBy("tk")
@@ -2526,7 +2530,7 @@ def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact").desc(), "tk")
         .limit(20)
     )
-    return cms_estimate(merged, top, "tk", w=2048, d=3).select(
+    return cms_estimate(merged, top, "tk").select(
         F.col("tk").alias("token"),
         "exact",
         "est",

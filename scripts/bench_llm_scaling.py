@@ -254,6 +254,10 @@ def main() -> None:
         # (per-vector throughput flat as the corpus grows).
         from ray_beam_runner_spark.functions.clustering import pq_encode, pq_fit
 
+        # isolate the pq leg: the exact/semdedup legs' tracked persists
+        # would otherwise pressure executor memory under pq_fit's timer
+        release_tracked()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         books = pq_fit(embs, "vec_id", "embedding", m=4, k=16, n_iter=1)
         books = books.localCheckpoint(eager=True)  # fit cost stops here

@@ -391,12 +391,36 @@ def test_cms_sketch_merge_and_bounds(spark):
     shard = cms_sketch(df, ["source"], "item", w=256, d=3)
     merged = cms_merge(shard, ["source"])
     glob = cms_sketch(df.select("item"), [], "item", w=256, d=3)
-    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, glob.collect()))
+    assert sorted(map(tuple, merged.drop("source").collect() if "source" in merged.columns
+                      else merged.collect())) == sorted(map(tuple, glob.collect()))
     items = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "item string")
-    est = {r.item: r.est for r in cms_estimate(merged, items, "item", w=256, d=3).collect()}
+    est = {r.item: r.est for r in cms_estimate(merged, items, "item").collect()}
     # never undercount; with 3 distinct items in 256 buckets no
     # collisions -> exact; absent item estimates 0 unless it collides
     assert est["a"] == 80 and est["b"] == 20 and est["c"] == 7
     assert est["zz"] in (0, 7, 20, 80)
-    # sketch stays bounded: at most d x w rows per shard
-    assert shard.groupBy("source").count().filter(SF.col("count") > 3 * 256).count() == 0
+    # REGRESSION (review find): estimating against the UNMERGED
+    # per-shard sketch must still see the summed counts — a bare
+    # min over duplicate (j, pos) rows undercounted (est 30 for 80)
+    est_shard = {r.item: r.est for r in cms_estimate(shard, items, "item").collect()}
+    assert est_shard["a"] == 80
+    # geometry is read off the sketch (mismatched w cannot be passed);
+    # colliding caller columns are a loud error
+    import pytest
+
+    with pytest.raises(ValueError, match="must not carry"):
+        cms_estimate(merged, items.withColumn("est", SF.lit(1)), "item")
+
+
+def test_cms_sketch_size_bound_is_load_bearing(spark):
+    # 1000 distinct items into a w=16, d=2 sketch: the groupBy collapse
+    # must cap the sketch at d x w rows — an implementation keeping one
+    # row per occurrence would blow straight past it
+    from ray_beam_runner_spark.functions.sketch import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame([(f"it{i}",) for i in range(1000)], "item string")
+    sk = cms_sketch(df, [], "item", w=16, d=2)
+    assert sk.count() <= 2 * 16
+    # saturated sketch still never undercounts (massive overcounts OK)
+    some = spark.createDataFrame([(f"it{i}",) for i in range(0, 1000, 97)], "item string")
+    assert all(r.est >= 1 for r in cms_estimate(sk, some, "item").collect())
