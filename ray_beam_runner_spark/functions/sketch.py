@@ -93,10 +93,30 @@ def cms_sketch(
     )
 
 
+def _assert_one_geometry(sketch: DataFrame, op: str) -> tuple[int, int]:
+    """The CMS guarantee only holds when every merged row shares ONE
+    (w, d) geometry — mixed-geometry unions would silently probe/merge
+    wrong positions and can undercount. One tiny action over the sketch
+    frame (at most d x w rows per group) enforces it loudly."""
+    geos = sketch.select("_cms_w", "_cms_d").distinct().collect()
+    if not geos:
+        raise ValueError(f"{op}: empty sketch (no geometry row)")
+    if len(geos) > 1:
+        raise ValueError(
+            f"{op}: mixed sketch geometries "
+            f"{sorted((int(g._cms_w), int(g._cms_d)) for g in geos)}; "
+            "sketches must share one (w, d) to compose"
+        )
+    return int(geos[0]._cms_w), int(geos[0]._cms_d)
+
+
 def cms_merge(sketch: DataFrame, drop_groups: list[str]) -> DataFrame:
     """Union partial sketches by summing counts per (j, pos) — the
     mergeability that makes shard-local sketches compose into a global
-    one without touching any shard's data again."""
+    one without touching any shard's data again. Raises on a
+    mixed-geometry union (positions from different (w, d) would be
+    summed into meaningless cells)."""
+    _assert_one_geometry(sketch, "cms_merge")
     keep = [c for c in sketch.columns if c not in (*drop_groups, "cnt")]
     return sketch.groupBy(*keep).agg(F.sum("cnt").alias("cnt"))
 
@@ -110,13 +130,12 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, item_col: str) -> DataFram
     estimate correctly without an explicit cms_merge. A position
     absent from the sparse sketch means zero (impossible for items
     actually present). Returns items + (est bigint)."""
-    clash = {"est", "_cms_j", "_cms_pos", "_cms_s"} & set(items.columns)
+    clash = {"est", "_cms_j", "_cms_pos", "_cms_s", "j", "pos", "cnt"} & set(
+        items.columns
+    )
     if clash:
         raise ValueError(f"cms_estimate: items must not carry columns {sorted(clash)}")
-    geo = sketch.select("_cms_w", "_cms_d").first()
-    if geo is None:
-        raise ValueError("cms_estimate: empty sketch (no geometry row)")
-    w, d = int(geo._cms_w), int(geo._cms_d)
+    w, d = _assert_one_geometry(sketch, "cms_estimate")
     totals = sketch.groupBy("j", "pos").agg(F.sum("cnt").alias("cnt"))
     probes = _explode_positions(items, item_col, w, d)
     out_cols = items.columns

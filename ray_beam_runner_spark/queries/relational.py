@@ -2354,6 +2354,62 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_delete_dv",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+      AND NOT (o_orderkey BETWEEN 5000 AND 15000 AND o_totalprice > 100000)
+      AND NOT (o_orderkey % 35 = 0 AND o_orderkey > 15000)
+    """,
+)
+def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (r8 verdict ask #1),
+    end to end: same table layout as q_snapshot_delete, but BOTH
+    deletes run with ``dv=True`` — each commit records matched (file,
+    row position) pairs in a tiny sidecar and carries every data file
+    verbatim (asserted: zero rewrites), and the final read anti-applies
+    the STACKED vectors via one broadcast position join. The oracle is
+    the plain NOT-predicate answer over both deletes — a wrong position
+    key, a missed stacked vector, or a resurrection through the second
+    delete's scan all break the hash. At 100 TB this is the path where
+    a point delete writes kilobytes instead of rewriting gigabyte
+    files; compact() later materializes the vectors away
+    (tests/test_snapshots.py::test_dv_compact_materializes_restore_carries).
+    See sources.snapshots.delete_where(dv=True)."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = scratch_dir("rbrs_deldv_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
+    files_v1 = list(snap.read_manifest(tdir, 1)["files"])
+    snap.delete_where(
+        spark,
+        tdir,
+        (F.col("o_orderkey").between(5000, 15000)) & (F.col("o_totalprice") > 100000),
+        key_range=("o_orderkey", 5000, 15000),
+        dv=True,
+    )
+    snap.delete_where(
+        spark,
+        tdir,
+        (F.col("o_orderkey") % 35 == 0) & (F.col("o_orderkey") > 15000),
+        dv=True,
+    )
+    final = snap.read_manifest(tdir, snap.latest_version(tdir))
+    assert final["files"] == files_v1, "DV delete must rewrite zero data files"
+    return snap.read_snapshot(spark, tdir).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        "o_orderstatus",
+    )
+
+
+@query(
     "q_scd2",
     oracle="""
     WITH c AS (

@@ -231,6 +231,71 @@ def _write_data_files(
     return rel_files, stats, rows_map
 
 
+def _dv_key_expr(path_col):
+    """Join key for deletion-vector matching: the last two path segments
+    (``commit-<uuid>/part-*.parquet``) of a file path — identical whether
+    computed from a manifest-relative path or from the URI-qualified
+    ``_metadata.file_path`` an executor reports (commit dirs and part
+    names are URL-safe, so percent-encoding never touches them; the
+    table prefix, which IS encoding-sensitive, is excluded)."""
+    parts = F.split(path_col, "/")
+    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+
+
+def _dv_entries(manifest: dict) -> dict[str, dict]:
+    """The manifest's deletion-vector index: data-file rel path →
+    {"paths": [dv sidecar rel paths], "rows": deleted-row count}."""
+    return manifest.get("file_dvs") or {}
+
+
+def _dv_frame(
+    spark: SparkSession, manifest: dict, table_dir: str, rels: list[str]
+) -> DataFrame | None:
+    """The deleted-position set relevant to a scan over ``rels`` as a
+    (_dv_key, _dv_pos) DataFrame — None when no scanned file carries a
+    deletion vector (callers then skip the anti-join entirely, zero
+    plan change). Size is proportional to DELETED rows, never the
+    table, so the join side broadcasts."""
+    dvm = _dv_entries(manifest)
+    in_scan = set(rels)
+    paths = sorted(
+        {p for rel, e in dvm.items() if rel in in_scan for p in e["paths"]}
+    )
+    if not paths:
+        return None
+    return spark.read.parquet(
+        *(os.path.join(table_dir, p) for p in paths)
+    ).select(
+        _dv_key_expr(F.col("_dv_file")).alias("_dv_key"),
+        F.col("_dv_pos"),
+    )
+
+
+def _apply_dvs(
+    spark: SparkSession, df: DataFrame, manifest: dict, table_dir: str,
+    rels: list[str],
+):
+    """Anti-apply the manifest's deletion vectors to a scan over
+    ``rels`` (merge-on-read): rows whose (file, row position) appear in
+    a DV sidecar are filtered out via ONE broadcast anti-join on
+    ``_metadata.row_index`` — no data file is ever rewritten by a
+    DV-mode delete, the read pays a position-set join proportional to
+    the DELETED rows (Delta/Iceberg v2 deletion-vector semantics).
+    No-op (zero plan change) when no scanned file carries a DV."""
+    dv = _dv_frame(spark, manifest, table_dir, rels)
+    if dv is None:
+        return df
+    keyed = df.withColumns(
+        {
+            "_dv_key": _dv_key_expr(F.col("_metadata.file_path")),
+            "_dv_pos": F.col("_metadata.row_index"),
+        }
+    )
+    return keyed.join(
+        F.broadcast(dv), ["_dv_key", "_dv_pos"], "left_anti"
+    ).drop("_dv_key", "_dv_pos")
+
+
 def _bloom_positions(col, bits: int, k: int) -> list:
     """k bit positions in [0, bits) for a value — seeded xxhash64, the
     standard k-independent-hash bloom construction. The seed rides as
@@ -541,7 +606,7 @@ def read_snapshot(
             all_paths = [os.path.join(table_dir, r) for r in manifest["files"]]
             return reader.parquet(*all_paths).limit(0)
         raise FileNotFoundError(f"snapshot v{version} of {table_dir} is empty")
-    df = reader.parquet(*paths)
+    df = _apply_dvs(spark, reader.parquet(*paths), manifest, table_dir, rel_files)
     if key_range is not None:
         col, lo, hi = key_range
         df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
@@ -750,12 +815,23 @@ def _merge_phases(
     if candidates:
         cand_df = reader.parquet(
             *(os.path.join(table_dir, rel) for rel in candidates)
+        ).withColumns(
+            {
+                "f": F.col("_metadata.file_path"),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
         )
+        # deletion vectors: a row already DV-deleted must neither flag
+        # its file as touched nor resurrect through the rewrite below
+        dv = _dv_frame(spark, manifest, table_dir, candidates)
+        if dv is not None:
+            cand_df = cand_df.withColumn(
+                "_dv_key", _dv_key_expr(F.col("f"))
+            ).join(F.broadcast(dv), ["_dv_key", "_dv_pos"], "left_anti")
         touched_abs = {
             r.f
             for r in (
-                cand_df.withColumn("f", F.col("_metadata.file_path"))
-                .join(key_set, keys, "left_semi")
+                cand_df.join(key_set, keys, "left_semi")
                 .select("f")
                 .distinct()
                 .collect()
@@ -778,8 +854,12 @@ def _merge_phases(
     if file_stats:
         stats_for = sorted({c for s in file_stats.values() for c in s})
     if touched_rel:
-        touched_df = reader.parquet(
-            *(os.path.join(table_dir, rel) for rel in touched_rel)
+        touched_df = _apply_dvs(
+            spark,
+            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel)),
+            manifest,
+            table_dir,
+            sorted(touched_rel),
         )
         keep = touched_df.join(key_set, keys, "left_anti")
         # evolve_schema: new columns in updates null-backfill kept rows,
@@ -835,7 +915,15 @@ def _merge_phases(
         ins = updates.withColumn("_change", F.lit("insert"))
         if touched_rel:
             pre = (
-                reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel))
+                _apply_dvs(
+                    spark,
+                    reader.parquet(
+                        *(os.path.join(table_dir, rel) for rel in touched_rel)
+                    ),
+                    manifest,
+                    table_dir,
+                    sorted(touched_rel),
+                )
                 .join(key_set, keys, "left_semi")
                 .withColumn("_change", F.lit("delete"))
             )
@@ -861,8 +949,10 @@ def _carry_file_meta(
     manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows
 ) -> None:
     """Shared rewrite-commit tail for MERGE and DELETE: carry untouched
-    files' stats and row counts, merge in the rewritten files' — ONE
-    place owns the manifest bookkeeping format."""
+    files' stats, row counts, and deletion vectors, merge in the
+    rewritten files' — ONE place owns the manifest bookkeeping format.
+    Rewritten files shed their DV entries: the rewrite read was
+    DV-applied, so the replacement files physically exclude those rows."""
     carried = {rel: file_stats[rel] for rel in untouched_rel if rel in file_stats}
     carried.update(new_stats)
     if carried:
@@ -872,6 +962,10 @@ def _carry_file_meta(
         **{rel: old_rows[rel] for rel in untouched_rel if rel in old_rows},
         **new_rows,
     }
+    dvm = _dv_entries(manifest)
+    kept_dvs = {rel: dvm[rel] for rel in untouched_rel if rel in dvm}
+    if kept_dvs:
+        new_manifest["file_dvs"] = kept_dvs
 
 
 def _carry_blooms(
@@ -908,7 +1002,10 @@ def snapshot_rows(table_dir: str, version: int | None = None) -> int | None:
     rows = manifest.get("file_rows", {})
     if any(rel not in rows for rel in manifest["files"]):
         return None
-    return sum(rows[rel] for rel in manifest["files"])
+    dvm = _dv_entries(manifest)
+    return sum(
+        rows[rel] - dvm.get(rel, {}).get("rows", 0) for rel in manifest["files"]
+    )
 
 
 def snapshot_diff(
@@ -934,8 +1031,23 @@ def snapshot_diff(
     evolved rows differ from their pre-images."""
     mo = read_manifest(table_dir, v_old)
     mn = read_manifest(table_dir, v_new)
-    old_only = [r for r in mo["files"] if r not in set(mn["files"])]
-    new_only = [r for r in mn["files"] if r not in set(mo["files"])]
+
+    # a file is "changed" when it left/entered the manifest OR its
+    # deletion-vector state differs between the versions (a DV-mode
+    # delete changes CONTENT without touching the file list); changed
+    # files are read on both sides with each side's DVs anti-applied,
+    # so the exceptAll nets exactly the newly-deleted rows
+    def _state(m: dict) -> dict[str, tuple]:
+        dvm = _dv_entries(m)
+        return {
+            rel: tuple(sorted(dvm.get(rel, {}).get("paths", [])))
+            for rel in m["files"]
+        }
+
+    so, sn = _state(mo), _state(mn)
+    _GONE = object()
+    old_only = [r for r in mo["files"] if sn.get(r, _GONE) != so[r]]
+    new_only = [r for r in mn["files"] if so.get(r, _GONE) != sn[r]]
 
     def _read(rels: list[str], manifest: dict) -> DataFrame:
         struct = _schema_struct(manifest)
@@ -945,7 +1057,9 @@ def snapshot_diff(
         df = _manifest_reader(spark, manifest).parquet(
             *(os.path.join(table_dir, r) for r in anchor)
         )
-        return df if rels else df.limit(0)
+        if rels:
+            return _apply_dvs(spark, df, manifest, table_dir, rels)
+        return df.limit(0)
 
     df_old, df_new = _read(old_only, mo), _read(new_only, mn)
     # align to the union of columns (null backfill) so exceptAll sees
@@ -982,8 +1096,13 @@ def compact(
     of tiny files whose per-file open/footer cost dominates scans. If
     the table tracks cluster/stats columns the rewrite re-range-
     partitions by them, restoring the disjoint key ranges that make
-    MERGE's manifest-stats pruning effective. Readers of prior versions
-    are unaffected (old files stay until vacuum)."""
+    MERGE's manifest-stats pruning effective. Compaction also
+    MATERIALIZES deletion vectors away: the rewrite reads DV-applied
+    (read_snapshot), so the new files physically exclude DV-deleted
+    rows and the new manifest carries no ``file_dvs`` — the read-side
+    position-join debt a sequence of DV deletes accumulates is paid
+    down here, exactly Delta's OPTIMIZE-purges-DVs behavior. Readers
+    of prior versions are unaffected (old files stay until vacuum)."""
     base = latest_version(table_dir)
     if base is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -1099,26 +1218,28 @@ def vacuum(
     if not vs:
         return []
     keep_vs, drop_vs = vs[-keep_last:], vs[:-keep_last]
+    def _all_refs(m: dict) -> set[str]:
+        # data files + change-feed sidecars + deletion-vector sidecars:
+        # everything a manifest makes readable
+        return {
+            *m["files"],
+            *m.get("cdc_files", []),
+            *(p for e in _dv_entries(m).values() for p in e["paths"]),
+        }
+
     live: set[str] = set()
     for v in keep_vs:
-        m = read_manifest(table_dir, v)
-        live.update(m["files"])
-        live.update(m.get("cdc_files", []))  # change-feed sidecars stay readable
+        live.update(_all_refs(read_manifest(table_dir, v)))
     dead: set[str] = set()
     for v in drop_vs:
-        m = read_manifest(table_dir, v)
         dead.update(
-            f
-            for f in [*m["files"], *m.get("cdc_files", [])]
-            if f not in live
+            f for f in _all_refs(read_manifest(table_dir, v)) if f not in live
         )
     # orphan scan: anything under data/ that no manifest (kept or
     # dropped) references and that is older than the TTL
     referenced: set[str] = set(live)
     for v in drop_vs:
-        m = read_manifest(table_dir, v)
-        referenced.update(m["files"])
-        referenced.update(m.get("cdc_files", []))
+        referenced.update(_all_refs(read_manifest(table_dir, v)))
     ddir = os.path.join(table_dir, _DATA_DIR)
     now = _time.time()
     referenced_dirs = {os.path.dirname(rel) for rel in referenced}
@@ -1163,12 +1284,14 @@ def delete_where(
     cdc: bool = False,
     key_range: tuple[str, object, object] | None = None,
     retries: int = 2,
+    dv: bool = False,
 ) -> int:
     """DELETE FROM table WHERE condition (Delta DELETE semantics):
     rows where the predicate is TRUE are removed; rows where it is
     FALSE **or NULL** are kept (SQL three-valued logic). Published as
-    one atomic snapshot; rewrite cost is proportional to the files
-    actually containing a match, never the table:
+    one atomic snapshot; cost is proportional to the files actually
+    containing a match (``dv=False``) or to the MATCHED ROWS alone
+    (``dv=True``), never the table:
 
     1. MANIFEST STATS (optional ``key_range=(col, lo, hi)`` hint, no
        data read): files whose recorded [min, max] cannot intersect the
@@ -1180,18 +1303,39 @@ def delete_where(
        are re-read, filtered, and rewritten (re-clustered, stats
        recorded). Everything else is carried.
 
+    ``dv=True`` switches to MERGE-ON-READ deletion vectors (Delta /
+    Iceberg v2 semantics): instead of rewriting touched files, the
+    commit records the matched rows' (file, row position) pairs in a
+    small DV sidecar; readers anti-apply them via one broadcast
+    position join (:func:`_apply_dvs`). A point delete in a 100 TB
+    table then writes KILOBYTES instead of rewriting gigabyte files —
+    the copy-on-write economics gap closed. The read-side join debt
+    accumulates until :func:`compact` materializes DVs away (rewrites
+    files DV-applied and drops the vectors). The predicate is
+    evaluated EXACTLY ONCE in DV mode (positions are materialized,
+    then counts and CDC derive from the written sidecar), so even a
+    non-deterministic predicate (e.g. rand() sampling) yields
+    consistent kept/deleted/CDC sets.
+
+    ``dv=False`` (rewrite mode) evaluates the predicate in separate
+    detection / kept-rows / CDC scans — the predicate MUST be
+    deterministic (same caveat as Delta's DELETE; a rand()-based
+    predicate can produce inconsistent kept vs CDC sets). Use DV mode
+    for sampling deletes.
+
     ``cdc=True`` writes the deleted rows as a 'delete' change sidecar
     at commit time (the change feed then reads pre-written deltas with
     zero diffing; without it the feed falls back to the file-diff
-    branch, which yields the same deltas from the rewritten files).
-    Idempotent via (txn_app, txn_version) like upsert_snapshot; a
-    predicate matching nothing is a metadata no-op unless a txn
-    watermark must be recorded. Optimistic-concurrency retry loop
-    shared with MERGE."""
+    branch, which yields the same deltas from the rewritten files or
+    DV state). Idempotent via (txn_app, txn_version) like
+    upsert_snapshot; a predicate matching nothing is a metadata no-op
+    unless a txn watermark must be recorded. Optimistic-concurrency
+    retry loop shared with MERGE."""
     for attempt in range(retries + 1):
         try:
             return _delete_once(
-                spark, table_dir, condition, txn_app, txn_version, cdc, key_range
+                spark, table_dir, condition, txn_app, txn_version, cdc,
+                key_range, dv,
             )
         except ConcurrentCommitError:
             if attempt == retries:
@@ -1200,7 +1344,7 @@ def delete_where(
 
 
 def _delete_once(
-    spark, table_dir, condition, txn_app, txn_version, cdc, key_range
+    spark, table_dir, condition, txn_app, txn_version, cdc, key_range, dv=False
 ) -> int:
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
@@ -1229,11 +1373,24 @@ def _delete_once(
 
         candidates = [rel for rel in rel_files if _keep(rel)]
     pruned_by_stats = len(rel_files) - len(candidates)
-
     reader = _manifest_reader(spark, manifest)
+    if dv:
+        return _delete_dv(
+            spark, table_dir, manifest, reader, cond, candidates, base,
+            pruned_by_stats, txns, cdc, txn_app,
+        )
+
     touched_rel: set[str] = set()
     if candidates:
-        cand_df = reader.parquet(*(os.path.join(table_dir, rel) for rel in candidates))
+        # existing DVs anti-applied: a row already DV-deleted must not
+        # flag its file, be counted as kept, or reappear in CDC
+        cand_df = _apply_dvs(
+            spark,
+            reader.parquet(*(os.path.join(table_dir, rel) for rel in candidates)),
+            manifest,
+            table_dir,
+            candidates,
+        )
         hit = (
             cand_df.filter(cond)
             .select(F.col("_metadata.file_path").alias("f"))
@@ -1256,8 +1413,12 @@ def _delete_once(
     new_stats: dict = {}
     new_rows: dict = {}
     if touched_rel:
-        touched_df = reader.parquet(
-            *(os.path.join(table_dir, rel) for rel in touched_rel)
+        touched_df = _apply_dvs(
+            spark,
+            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel)),
+            manifest,
+            table_dir,
+            sorted(touched_rel),
         )
         # SQL DELETE keeps NULL-predicate rows: NOT(cond) alone would
         # silently drop them
@@ -1282,8 +1443,123 @@ def _delete_once(
     _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
     if cdc and touched_rel:
         deleted = (
-            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel))
+            _apply_dvs(
+                spark,
+                reader.parquet(
+                    *(os.path.join(table_dir, rel) for rel in touched_rel)
+                ),
+                manifest,
+                table_dir,
+                sorted(touched_rel),
+            )
             .filter(F.coalesce(cond, F.lit(False)))
+            .withColumn("_change", F.lit("delete"))
+        )
+        cdc_rel, _, _ = _write_data_files(deleted.repartition(8), table_dir)
+        if cdc_rel:
+            new_manifest["cdc_files"] = cdc_rel
+    _publish(table_dir, version, new_manifest)
+    return version
+
+
+def _delete_dv(
+    spark, table_dir, manifest, reader, cond, candidates, base,
+    pruned_by_stats, txns, cdc, txn_app,
+) -> int:
+    """Merge-on-read DELETE: materialize the matched rows' (file, row
+    position) pairs as a DV sidecar, carry EVERY data file verbatim.
+    The predicate runs in exactly ONE scan (deterministic by
+    construction); per-file counts and the optional CDC sidecar are
+    derived from the WRITTEN positions, never from re-evaluating it."""
+    dv_rels: list[str] = []
+    counts: dict[str, int] = {}
+    if candidates:
+        cand = reader.parquet(
+            *(os.path.join(table_dir, rel) for rel in candidates)
+        ).withColumns(
+            {
+                "_dv_fkey": _dv_key_expr(F.col("_metadata.file_path")),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        old_dv = _dv_frame(spark, manifest, table_dir, candidates)
+        if old_dv is not None:
+            cand = cand.withColumnRenamed("_dv_fkey", "_dv_key").join(
+                F.broadcast(old_dv), ["_dv_key", "_dv_pos"], "left_anti"
+            ).withColumnRenamed("_dv_key", "_dv_fkey")
+        matched = cand.filter(F.coalesce(cond, F.lit(False))).select(
+            F.concat(F.lit(_DATA_DIR + "/"), F.col("_dv_fkey")).alias("_dv_file"),
+            F.col("_dv_pos"),
+        )
+        # repartition(1): ONE sidecar file per commit (Delta's DV file
+        # granularity) without capping the candidate scan's parallelism
+        # the way coalesce(1) would; the shuffle moves only matched
+        # positions (change-sized)
+        dv_rels, _, dv_rows_map = _write_data_files(
+            matched.repartition(1), table_dir
+        )
+        if sum(dv_rows_map.values()) == 0:
+            for rel in dv_rels:  # empty sidecar: drop it, commit nothing
+                os.remove(os.path.join(table_dir, rel))
+            dv_rels = []
+        else:
+            # counts per data file FROM the written sidecar (tiny read):
+            # the one predicate evaluation above is the only one
+            counts = {
+                r._dv_file: r.n
+                for r in spark.read.parquet(
+                    *(os.path.join(table_dir, rel) for rel in dv_rels)
+                )
+                .groupBy("_dv_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+    if not dv_rels and txn_app is None:
+        return base  # nothing matched: no-op
+    old_dvm = _dv_entries(manifest)
+    new_dvm = {rel: dict(e) for rel, e in old_dvm.items()}
+    for rel, n in counts.items():
+        e = new_dvm.setdefault(rel, {"paths": [], "rows": 0})
+        e["paths"] = [*e["paths"], *dv_rels]
+        e["rows"] = e["rows"] + int(n)
+    version = base + 1
+    new_manifest = {
+        "version": version,
+        "parent": base,
+        "files": list(manifest["files"]),
+        "op": "delete",
+        "dv": True,
+        "rewrote": [],
+        "pruned_by_stats": pruned_by_stats,
+        "schema": manifest.get("schema"),
+        "schema_json": manifest.get("schema_json"),
+    }
+    if txns:
+        new_manifest["txns"] = txns
+    if new_dvm:
+        new_manifest["file_dvs"] = new_dvm
+    # every data file is carried: stats, rows, blooms transfer verbatim
+    # (blooms over-approximate deleted values — pruning stays safe)
+    for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms"):
+        if manifest.get(key):
+            new_manifest[key] = manifest[key]
+    if cdc and dv_rels:
+        new_dv = spark.read.parquet(
+            *(os.path.join(table_dir, rel) for rel in dv_rels)
+        ).select(
+            _dv_key_expr(F.col("_dv_file")).alias("_dv_key"), F.col("_dv_pos")
+        )
+        touched = sorted(counts)
+        deleted = (
+            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched))
+            .withColumns(
+                {
+                    "_dv_key": _dv_key_expr(F.col("_metadata.file_path")),
+                    "_dv_pos": F.col("_metadata.row_index"),
+                }
+            )
+            .join(F.broadcast(new_dv), ["_dv_key", "_dv_pos"], "left_semi")
+            .drop("_dv_key", "_dv_pos")
             .withColumn("_change", F.lit("delete"))
         )
         cdc_rel, _, _ = _write_data_files(deleted.repartition(8), table_dir)
@@ -1313,9 +1589,11 @@ def scd2_upsert(
     version while historical rows are never touched — one snapshot
     commit, file-pruned like any merge, idempotent under
     (txn_app, txn_version). Updates must carry one row per key with a
-    ``ts_col`` later than the key's current open row (monotone
-    effective times are the caller's contract, as in any warehouse
-    SCD2 load). New keys simply append an open row.
+    ``ts_col`` strictly later than the key's current open row —
+    monotone effective times, VALIDATED per batch (a violation raises
+    ValueError before anything commits; silently merging it would put
+    two rows with one merge key into a batch and corrupt history).
+    New keys simply append an open row.
 
     Concurrency: the close-and-append batch is REBUILT from a fresh
     snapshot read on every optimistic-retry attempt — a batch built
@@ -1324,11 +1602,38 @@ def scd2_upsert(
     inner merge therefore runs with retries=0 and the race loop lives
     here, around the batch construction."""
     for attempt in range(3):
+        # replayed-transaction early out BEFORE validation: a replayed
+        # batch's ts now equals (not exceeds) the open row's start — it
+        # must be the manifest-detected no-op, not a validation error
+        base_v = latest_version(table_dir)
+        if base_v is not None and txn_app is not None:
+            applied = read_manifest(table_dir, base_v).get("txns", {})
+            if applied.get(txn_app, -1) >= txn_version:
+                return base_v
         cur = read_snapshot(spark, table_dir).filter(F.col(end_col).isNull())
         new_from = updates.select(*keys, F.col(ts_col).alias("_scd2_new_from"))
+        hit = cur.join(new_from, keys)
+        # enforce the monotone effective-time contract instead of just
+        # documenting it: an update at ts <= the key's current open-row
+        # effective_from would put a closed row and a fresh row with
+        # the SAME (keys, ts_col) merge key into one batch — silent
+        # history corruption. Loud error beats silent corruption.
+        bad = (
+            hit.filter(F.col("_scd2_new_from") <= F.col(ts_col))
+            .select(*keys, ts_col, "_scd2_new_from")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            r = bad[0]
+            raise ValueError(
+                "scd2_upsert: non-monotone effective time for key "
+                f"{tuple(r[k] for k in keys)}: update ts {r['_scd2_new_from']} "
+                f"<= current open row's {ts_col} {r[ts_col]}; each update "
+                "must be strictly later than the key's current version"
+            )
         closed = (
-            cur.join(new_from, keys)
-            .withColumn(end_col, F.col("_scd2_new_from"))
+            hit.withColumn(end_col, F.col("_scd2_new_from"))
             .drop("_scd2_new_from")
         )
         table_cols = [f.name for f in cur.schema.fields]
@@ -1383,7 +1688,10 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     target = read_manifest(table_dir, version)  # FileNotFoundError if vacuumed
     missing = [
         rel
-        for rel in target["files"]
+        for rel in [
+            *target["files"],
+            *(p for e in _dv_entries(target).values() for p in e["paths"]),
+        ]
         if not os.path.exists(os.path.join(table_dir, rel))
     ]
     if missing:
@@ -1412,6 +1720,8 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     if target.get("bloom_conf"):
         new_manifest["bloom_conf"] = target["bloom_conf"]
         new_manifest["file_blooms"] = target.get("file_blooms", {})
+    if target.get("file_dvs"):
+        new_manifest["file_dvs"] = target["file_dvs"]
     _publish(table_dir, new_version, new_manifest)
     return new_version
 
@@ -1439,27 +1749,57 @@ def restore_snapshot(table_dir: str, version: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _cdc_read_pdf(table_dir: str, rels: list[str], columns: list[str]):
+def _cdc_read_pdf(
+    table_dir: str,
+    rels: list[str],
+    columns: list[str],
+    dv_map: dict[str, list[str]] | None = None,
+):
     """Executor-side parquet read of table-relative files via pyarrow
     (no SparkSession exists inside a data source worker), COLUMN-PRUNED
     to the requested list (only those column chunks are decoded — a
     2-column feed over a 50-column table reads 2 columns per trigger)
     and aligned to it (missing columns null-backfill — mixed
-    generations after schema evolution)."""
+    generations after schema evolution). ``dv_map`` (rel → DV sidecar
+    rel paths) anti-applies deletion vectors: rows at a file's deleted
+    positions are dropped before concatenation, so the feed sees the
+    LIVE content of a DV-carrying snapshot."""
     import pandas as pd
     import pyarrow.parquet as pq
+
+    dv_map = dv_map or {}
+    dv_cache: dict[str, pd.DataFrame] = {}
+
+    def _deleted_positions(rel: str) -> set[int]:
+        out: set[int] = set()
+        for dvp in dv_map.get(rel, ()):
+            if dvp not in dv_cache:
+                dv_cache[dvp] = pq.ParquetFile(
+                    os.path.join(table_dir, dvp)
+                ).read().to_pandas()
+            d = dv_cache[dvp]
+            out.update(int(p) for p in d.loc[d["_dv_file"] == rel, "_dv_pos"])
+        return out
 
     frames = []
     for rel in rels:
         pf = pq.ParquetFile(os.path.join(table_dir, rel))
         have = [c for c in columns if c in pf.schema_arrow.names]
         if have:
-            frames.append(pf.read(columns=have).to_pandas())
+            frame = pf.read(columns=have).to_pandas()
         else:
             # file predates every projected column: the footer's row
             # count preserves the rows (null-backfilled below) with
             # ZERO column chunks decoded
-            frames.append(pd.DataFrame(index=pd.RangeIndex(pf.metadata.num_rows)))
+            frame = pd.DataFrame(index=pd.RangeIndex(pf.metadata.num_rows))
+        dead = _deleted_positions(rel)
+        if dead:
+            # pyarrow reads preserve file row order, so the frame's
+            # positional index IS the file row index the DV recorded
+            frame = frame.iloc[
+                [i for i in range(len(frame)) if i not in dead]
+            ]
+        frames.append(frame)
     pdf = (
         pd.concat(frames, ignore_index=True)
         if frames
@@ -1505,15 +1845,22 @@ class _CdcPartition(_IP):
     """One unit of change-feed work: mode 'labeled' reads CDC sidecar
     files (they carry _change already), 'insert'/'delete' tag whole data
     files, 'diff' computes the multiset file-level diff of one version
-    step (fallback for merges committed without cdc sidecars)."""
+    step (fallback for merges committed without cdc sidecars).
+    ``dvs``/``old_dvs`` carry each side's deletion-vector sidecars
+    (rel → dv paths) so reads see LIVE rows only."""
 
-    def __init__(self, table_dir, version, mode, rels, old_rels=None, columns=None):
+    def __init__(
+        self, table_dir, version, mode, rels, old_rels=None, columns=None,
+        dvs=None, old_dvs=None,
+    ):
         self.table_dir = table_dir
         self.version = version
         self.mode = mode
         self.rels = rels
         self.old_rels = old_rels or []
         self.columns = columns or []
+        self.dvs = dvs or {}
+        self.old_dvs = old_dvs or {}
 
 
 def _version_plan(table_dir: str, v: int, cols: list[str]) -> list[_CdcPartition]:
@@ -1533,6 +1880,13 @@ def _version_plan(table_dir: str, v: int, cols: list[str]) -> list[_CdcPartition
             _CdcPartition(table_dir, v, "labeled", [rel], columns=cols)
             for rel in manifest["cdc_files"]
         ]
+
+    def _dv_paths(m: dict, rels) -> dict[str, list[str]]:
+        dvm = _dv_entries(m)
+        return {
+            rel: dvm[rel]["paths"] for rel in rels if dvm.get(rel, {}).get("paths")
+        }
+
     if parent is not None:
         try:
             pm = read_manifest(table_dir, parent)
@@ -1545,27 +1899,55 @@ def _version_plan(table_dir: str, v: int, cols: list[str]) -> list[_CdcPartition
     else:
         pm = None  # table creation (overwrite or first merge): all insert
     if pm is None:
+        # initial-snapshot replay: DV-deleted rows were never live in
+        # this stream's view, so each file replays minus its DVs
         return [
-            _CdcPartition(table_dir, v, "insert", [rel], columns=cols)
+            _CdcPartition(
+                table_dir, v, "insert", [rel], columns=cols,
+                dvs=_dv_paths(manifest, [rel]),
+            )
             for rel in manifest["files"]
         ]
-    new_set, old_set = set(manifest["files"]), set(pm["files"])
-    old_only = [r for r in pm["files"] if r not in new_set]
-    new_only = [r for r in manifest["files"] if r not in old_set]
+
+    # DV-state-aware change detection (mirrors snapshot_diff): a file
+    # counts as changed when it left/entered the manifest OR its DV
+    # state moved — a DV-mode delete changes content, not the file list
+    def _state(m: dict) -> dict[str, tuple]:
+        dvm = _dv_entries(m)
+        return {
+            rel: tuple(sorted(dvm.get(rel, {}).get("paths", [])))
+            for rel in m["files"]
+        }
+
+    so, sn = _state(pm), _state(manifest)
+    _GONE = object()
+    old_only = [r for r in pm["files"] if sn.get(r, _GONE) != so[r]]
+    new_only = [r for r in manifest["files"] if so.get(r, _GONE) != sn[r]]
     if op == "overwrite":
         return [
             *(
-                _CdcPartition(table_dir, v, "insert", [rel], columns=cols)
+                _CdcPartition(
+                    table_dir, v, "insert", [rel], columns=cols,
+                    dvs=_dv_paths(manifest, [rel]),
+                )
                 for rel in new_only
             ),
             *(
-                _CdcPartition(table_dir, v, "delete", [rel], columns=cols)
+                _CdcPartition(
+                    table_dir, v, "delete", [rel], columns=cols,
+                    dvs=_dv_paths(pm, [rel]),
+                )
                 for rel in old_only
             ),
         ]
-    # merge without sidecars: one file-diff task per step
+    # merge / DV-delete without sidecars: one file-diff task per step,
+    # each side read with its own DV state (the diff then nets to
+    # exactly the rows the commit logically touched)
     return [
-        _CdcPartition(table_dir, v, "diff", new_only, old_rels=old_only, columns=cols)
+        _CdcPartition(
+            table_dir, v, "diff", new_only, old_rels=old_only, columns=cols,
+            dvs=_dv_paths(manifest, new_only), old_dvs=_dv_paths(pm, old_only),
+        )
     ]
 
 
@@ -1575,7 +1957,8 @@ def _version_bytes(table_dir: str, v: int) -> int:
     maxBytesPerTrigger. Missing files cost 0 (tolerant, like the read)."""
     total = 0
     for p in _version_plan(table_dir, v, []):
-        for rel in [*p.rels, *p.old_rels]:
+        dv_paths = {q for ps in (*p.dvs.values(), *p.old_dvs.values()) for q in ps}
+        for rel in [*p.rels, *p.old_rels, *sorted(dv_paths)]:
             try:
                 total += os.path.getsize(os.path.join(table_dir, rel))
             except OSError:
@@ -1659,7 +2042,9 @@ class _SnapshotCdcStreamReader(_DSSR):
                 yield tuple(_pyval(v) for v in vals) + (change, partition.version)
             return
         if partition.mode in ("insert", "delete"):
-            pdf = _cdc_read_pdf(partition.table_dir, partition.rels, cols)
+            pdf = _cdc_read_pdf(
+                partition.table_dir, partition.rels, cols, partition.dvs
+            )
             for vals in pdf[cols].itertuples(index=False, name=None):
                 yield tuple(_pyval(v) for v in vals) + (
                     partition.mode, partition.version,
@@ -1669,8 +2054,12 @@ class _SnapshotCdcStreamReader(_DSSR):
         # only (rows that merely moved files during a rewrite cancel)
         from collections import Counter
 
-        new_pdf = _cdc_read_pdf(partition.table_dir, partition.rels, cols)
-        old_pdf = _cdc_read_pdf(partition.table_dir, partition.old_rels, cols)
+        new_pdf = _cdc_read_pdf(
+            partition.table_dir, partition.rels, cols, partition.dvs
+        )
+        old_pdf = _cdc_read_pdf(
+            partition.table_dir, partition.old_rels, cols, partition.old_dvs
+        )
         new_c = Counter(
             tuple(_pyval(v) for v in row)
             for row in new_pdf[cols].itertuples(index=False, name=None)

@@ -1323,3 +1323,200 @@ def test_bloom_bits_validation_and_schema_evolution_merge(spark):
     )
     assert {r.k for r in snap.read_snapshot(spark, t, point=("tag", "a")).collect()} == {1}
     assert snap.read_snapshot(spark, t, point=("tag", "zzz")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE) — r8 verdict ask #1
+# ---------------------------------------------------------------------------
+
+
+def test_dv_point_delete_writes_zero_rewritten_data_files(spark):
+    t = _tdir()
+    df = spark.range(0, 400).selectExpr("cast(id as int) k", "id * 2 v")
+    snap.write_snapshot(df, t, cluster_by=["k"], n_files=4)
+    files_v1 = list(snap.read_manifest(t, 1)["files"])
+    v2 = snap.delete_where(spark, t, F.col("k") == 123, dv=True)
+    m2 = snap.read_manifest(t, v2)
+    # the scale-economics contract: NO data file rewritten — the file
+    # list is carried verbatim, only a (tiny) DV sidecar was added
+    assert m2["files"] == files_v1
+    assert m2["rewrote"] == [] and m2["dv"] is True
+    dvm = m2["file_dvs"]
+    assert sum(e["rows"] for e in dvm.values()) == 1
+    dv_paths = {p for e in dvm.values() for p in e["paths"]}
+    assert len(dv_paths) == 1  # one sidecar file per commit
+    assert all(p not in files_v1 for p in dv_paths)
+    got = snap.read_snapshot(spark, t)
+    assert got.filter(F.col("k") == 123).count() == 0
+    assert got.count() == 399
+    assert snap.snapshot_rows(t) == 399
+    # time travel still sees the pre-delete row
+    assert snap.read_snapshot(spark, t, version=1).count() == 400
+
+
+def test_dv_stacking_null_predicate_and_merge_no_resurrection(spark):
+    t = _tdir()
+    rows = [(i, "g" if i % 2 else None) for i in range(100)]
+    snap.write_snapshot(
+        spark.createDataFrame(rows, "k int, tag string"), t,
+        cluster_by=["k"], n_files=4,
+    )
+    snap.delete_where(spark, t, F.col("k").between(10, 19), dv=True,
+                      key_range=("k", 10, 19))
+    # stacked second DV on overlapping files; NULL-predicate rows kept
+    snap.delete_where(spark, t, (F.col("tag") == "g") & (F.col("k") < 30), dv=True)
+    kept = {r.k for r in snap.read_snapshot(spark, t).collect()}
+    expect = {
+        i for i in range(100)
+        if not (10 <= i <= 19) and not (i % 2 and i < 30)
+    }
+    assert kept == expect
+    assert snap.snapshot_rows(t) == len(expect)
+    # a delete matching only already-DV-deleted rows is a no-op commit
+    v = snap.latest_version(t)
+    assert snap.delete_where(spark, t, F.col("k") == 15, dv=True) == v
+    # MERGE over the DV table: rewritten files shed their DVs, deleted
+    # rows do NOT resurrect, untouched files keep their DV entries
+    upd = spark.createDataFrame([(11, "u"), (50, "u")], "k int, tag string")
+    mv = snap.upsert_snapshot(spark, t, upd, ["k"])
+    got = {r.k: r.tag for r in snap.read_snapshot(spark, t).collect()}
+    assert got[11] == "u" and got[50] == "u"
+    assert 13 not in got and 21 not in got  # still deleted
+    m = snap.read_manifest(t, mv)
+    for rel in m.get("rewrote", []):
+        assert rel not in m.get("file_dvs", {})
+
+
+def test_dv_compact_materializes_restore_carries(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 50).selectExpr("cast(id as int) k", "id v"), t,
+        cluster_by=["k"], n_files=2,
+    )
+    v2 = snap.delete_where(spark, t, F.col("k") % 10 == 0, dv=True)
+    live = sorted(r.k for r in snap.read_snapshot(spark, t).collect())
+    cv = snap.compact(spark, t, 1)
+    cm = snap.read_manifest(t, cv)
+    # compaction materialized the DVs away: fresh files, no file_dvs
+    assert "file_dvs" not in cm
+    assert sorted(r.k for r in snap.read_snapshot(spark, t).collect()) == live
+    assert snap.snapshot_rows(t) == len(live)
+    # restore back to the DV version: file_dvs carried, content matches
+    rv = snap.restore_snapshot(t, v2)
+    rm = snap.read_manifest(t, rv)
+    assert rm.get("file_dvs") == snap.read_manifest(t, v2)["file_dvs"]
+    assert sorted(r.k for r in snap.read_snapshot(spark, t).collect()) == live
+
+
+def test_dv_vacuum_keeps_live_sidecars_then_reclaims(spark):
+    import os as _os
+
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 40).selectExpr("cast(id as int) k", "id v"), t
+    )
+    snap.delete_where(spark, t, F.col("k") < 5, dv=True)
+    m = snap.read_manifest(t, snap.latest_version(t))
+    dv_paths = sorted({p for e in m["file_dvs"].values() for p in e["paths"]})
+    # keep_last=1 (the DV version is current): sidecars must SURVIVE
+    snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    for p in dv_paths:
+        assert _os.path.exists(_os.path.join(t, p))
+    assert snap.read_snapshot(spark, t).count() == 35
+    # compact (DVs materialized), then vacuum: sidecars now unreferenced
+    snap.compact(spark, t, 1)
+    deleted = snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    assert set(dv_paths) <= set(deleted)
+    assert snap.read_snapshot(spark, t).count() == 35
+
+
+def test_dv_cdc_feed_diff_fallback_and_sidecar(spark, tmp_path):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 30).selectExpr("cast(id as int) k", "id v"), t,
+        cluster_by=["k"], n_files=2,
+    )
+    v2 = snap.delete_where(spark, t, F.col("k") == 3, dv=True)            # diff fallback
+    v3 = snap.delete_where(spark, t, F.col("k").isin(4, 5), dv=True, cdc=True)  # labeled
+    assert snap.read_manifest(t, v3).get("cdc_files")
+    got = []
+    q = (
+        snap.read_snapshot_stream(spark, t, starting_version=v2)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(map(tuple, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "dv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(got) == [
+        (3, 3, "delete", v2), (4, 4, "delete", v3), (5, 5, "delete", v3)
+    ]
+    # snapshot_diff agrees across the DV-only version step
+    d = snap.snapshot_diff(spark, t, 1, v3).collect()
+    assert sorted((r.k, r._change) for r in d) == [
+        (3, "delete"), (4, "delete"), (5, "delete")
+    ]
+
+
+def test_dv_nondeterministic_predicate_is_consistent(spark):
+    # DV mode evaluates the predicate exactly ONCE: a rand() sampling
+    # delete still yields kept + CDC sets that partition the table
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 200).selectExpr("cast(id as int) k", "id v"), t
+    )
+    v = snap.delete_where(spark, t, F.rand() < 0.5, dv=True, cdc=True)
+    m = snap.read_manifest(t, v)
+    n_dv = sum(e["rows"] for e in m.get("file_dvs", {}).values())
+    kept = {r.k for r in snap.read_snapshot(spark, t).collect()}
+    assert len(kept) == 200 - n_dv
+    cdc_rels = m.get("cdc_files", [])
+    if cdc_rels:
+        import os as _os
+        cdc = spark.read.parquet(*(_os.path.join(t, r) for r in cdc_rels))
+        deleted = {r.k for r in cdc.collect()}
+        assert len(deleted) == n_dv
+        assert kept | deleted == set(range(200)) and not (kept & deleted)
+
+
+def test_dv_stream_replay_excludes_deleted_rows(spark, tmp_path):
+    # a feed whose FIRST version already carries DVs (vacuumed-parent /
+    # initial-snapshot replay path) must replay live rows only
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 20).selectExpr("cast(id as int) k", "id v"), t
+    )
+    snap.delete_where(spark, t, F.col("k") < 3, dv=True)
+    snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)  # drops v1 manifest
+    v = snap.latest_version(t)
+    got = []
+    q = (
+        snap.read_snapshot_stream(spark, t, starting_version=v)
+        .writeStream.foreachBatch(lambda df, _b: got.extend(map(tuple, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "dv_replay_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    ks = sorted(r[0] for r in got)
+    assert ks == list(range(3, 20))
+    assert all(r[2] == "insert" for r in got)
+
+
+def test_scd2_non_monotone_effective_time_raises(spark):
+    t = _tdir()
+    base = spark.createDataFrame(
+        [(1, "a", 100, None)], "k int, attr string, effective_from long, effective_to long"
+    )
+    snap.write_snapshot(base, t, cluster_by=["k"], n_files=1)
+    upd_ok = spark.createDataFrame([(1, "b", 200)], "k int, attr string, effective_from long")
+    snap.scd2_upsert(spark, t, upd_ok, ["k"])
+    # equal-to-current and earlier-than-current must both raise loudly
+    for ts in (200, 150):
+        upd_bad = spark.createDataFrame(
+            [(1, "c", ts)], "k int, attr string, effective_from long"
+        )
+        with pytest.raises(ValueError, match="non-monotone"):
+            snap.scd2_upsert(spark, t, upd_bad, ["k"])
+    # table unchanged by the failed merges: 2 history rows
+    assert snap.read_snapshot(spark, t).count() == 2

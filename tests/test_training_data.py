@@ -410,6 +410,18 @@ def test_cms_sketch_merge_and_bounds(spark):
 
     with pytest.raises(ValueError, match="must not carry"):
         cms_estimate(merged, items.withColumn("est", SF.lit(1)), "item")
+    # reserved probe-internal names are guarded too (an items frame
+    # carrying j/pos/cnt would make the probe join ambiguous)
+    with pytest.raises(ValueError, match="must not carry"):
+        cms_estimate(merged, items.withColumn("cnt", SF.lit(1)), "item")
+    # mixed-geometry unions are rejected loudly: summing/probing across
+    # different (w, d) silently breaks the no-undercount guarantee
+    other = cms_sketch(df.select("item"), [], "item", w=128, d=3)
+    mixed = glob.unionByName(other)
+    with pytest.raises(ValueError, match="mixed sketch geometries"):
+        cms_merge(mixed, [])
+    with pytest.raises(ValueError, match="mixed sketch geometries"):
+        cms_estimate(mixed, items, "item")
 
 
 def test_cms_sketch_size_bound_is_load_bearing(spark):
