@@ -43,6 +43,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "hamming_pairs",
 ]
 
 
@@ -451,36 +452,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return bit_sums.select("id", sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
-    """Pairs with SimHash hamming distance <= max_hamming, found by banding
-    the 32-bit signature into max_hamming+1 bands (8-bit each for the
-    default 3): a pair within the distance budget must agree on at least
-    one band (pigeonhole), so recall is exact while the join stays keyed.
-    Returns (d1, d2, hamming)."""
+    """All id pairs whose ``bits``-wide integer hashes are within
+    ``max_hamming``, via pigeonhole banding (Manku et al., WWW'07): the
+    hash is split into max_hamming+1 disjoint bands covering all bits;
+    a pair differing in <= max_hamming bits must agree EXACTLY on at
+    least one band, so the self-join stays keyed on (band, value) —
+    recall is exact, and there is never an all-pairs/cartesian plan.
+    Works for any integer hash column (SimHash, perceptual image
+    hashes, …); band extraction uses UNSIGNED shifts so signed int64
+    hashes (bit 63 set) band correctly. Returns (d1, d2, hamming),
+    d1 < d2. At corpus scale the cost is the banded join's bucket
+    fan-out — shared band values, not n^2."""
     n_bands = max_hamming + 1
-    width = 32 // n_bands
-    sigs = simhash(df, id_col, text_col)
+    if n_bands > bits:
+        raise ValueError(f"max_hamming {max_hamming} needs more bands than {bits} bits")
+    width, extra = divmod(bits, n_bands)
+    # band b covers [off_b, off_{b+1}) with the first `extra` bands one
+    # bit wider — bands partition the bits exactly (pigeonhole needs
+    # full coverage, truncated coverage silently loses recall)
+    offs = [0]
+    for b in range(n_bands):
+        offs.append(offs[-1] + width + (1 if b < extra else 0))
+    sigs = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_hp_h"))
     bands = sigs.select(
         "id",
-        "simhash",
+        "_hp_h",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftrightunsigned(F.col("_hp_h"), offs[b])
+                        .bitwiseAND(F.lit((1 << (offs[b + 1] - offs[b])) - 1))
                         .alias("val"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bv"),
-    ).select("id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    a = bands.select(F.col("id").alias("d1"), F.col("simhash").alias("s1"), "band", "val")
-    b = bands.select(F.col("id").alias("d2"), F.col("simhash").alias("s2"), "band", "val")
+    ).select("id", "_hp_h", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(F.col("id").alias("d1"), F.col("_hp_h").alias("s1"), "band", "val")
+    b = bands.select(F.col("id").alias("d2"), F.col("_hp_h").alias("s2"), "band", "val")
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
         a.join(b, ["band", "val"])
@@ -488,6 +507,20 @@ def simhash_pairs(
         .select("d1", "d2", ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming, found by banding
+    the 32-bit signature into max_hamming+1 bands (8-bit each for the
+    default 3): a pair within the distance budget must agree on at least
+    one band (pigeonhole), so recall is exact while the join stays keyed.
+    Returns (d1, d2, hamming). Delegates to :func:`hamming_pairs`."""
+    return hamming_pairs(
+        simhash(df, id_col, text_col), "id", "simhash",
+        max_hamming=max_hamming, bits=32,
     )
 
 

@@ -47,6 +47,10 @@ __all__ = [
     "encode_png",
     "decode_png",
     "extract_image_features",
+    "PHASH_SCHEMA",
+    "ahash64",
+    "dct_phash64",
+    "extract_image_phash",
     "VIDEO_FEATURES_SCHEMA",
     "encode_gif",
     "decode_gif",
@@ -575,6 +579,129 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r8 verdict ask #2): average hash + DCT pHash
+# over decoded pixels, feeding the banded Hamming pair generation in
+# functions.dedup (never all-pairs). aHash is INTEGER-EXACT end to end
+# (block sums + cross-multiplied mean comparisons, no division), which
+# is what lets q_dedup_phash hash-check against a closed-form DuckDB
+# oracle; the DCT variant thresholds float64 cosine coefficients at
+# their median (deterministic — same numpy everywhere) and is verified
+# differentially in pytest. Both are brightness-shift invariant by
+# construction: aHash compares each block to the GLOBAL mean (a shared
+# +c cancels), DCT pHash drops the DC coefficient before thresholding.
+# ---------------------------------------------------------------------------
+
+
+def _gray_block_sums(arr, n: int):
+    """(n x n block sums, block pixel counts, total sum, total count)
+    of an image's channel-sum grayscale — all exact int64, any HxWxC
+    uint8 input. Blocks split each axis at integer boundaries
+    r*H//n, so every pixel lands in exactly one block (area-average
+    downsample without a float resize)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    gray = a.astype(np.int64).sum(axis=2)  # channel sum: no division loss
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    rb = [(r * h) // n for r in range(n + 1)]
+    cb = [(c * w) // n for c in range(n + 1)]
+    if h < n or w < n:
+        # fewer pixels than blocks: repeat pixels up to n (nearest) so
+        # every block is non-empty; exactness is preserved (ints)
+        gray = np.repeat(np.repeat(gray, n, axis=0), n, axis=1)
+        h, w = gray.shape
+        rb = [(r * h) // n for r in range(n + 1)]
+        cb = [(c * w) // n for c in range(n + 1)]
+    sums = np.zeros((n, n), dtype=np.int64)
+    cnts = np.zeros((n, n), dtype=np.int64)
+    for r in range(n):
+        rows = gray[rb[r]: rb[r + 1]]
+        for c in range(n):
+            blk = rows[:, cb[c]: cb[c + 1]]
+            sums[r, c] = blk.sum()
+            cnts[r, c] = blk.size
+    return sums, cnts, int(gray.sum()), int(h) * int(w)
+
+
+def _to_i64(bits_val: int) -> int:
+    """Reinterpret an unsigned 64-bit value as signed int64 (Spark
+    LongType / parquet INT64 are signed; bit 63 set must round-trip)."""
+    return bits_val - (1 << 64) if bits_val >= (1 << 63) else bits_val
+
+
+def ahash64(arr) -> int:
+    """64-bit average hash: 8x8 grayscale block means thresholded by the
+    global mean. Bit (r*8+c) is set iff block (r, c)'s mean is STRICTLY
+    above the image mean, compared exactly via cross-multiplication
+    (block_sum * total_count > total_sum * block_count) — no floats, no
+    rounding, so the hash is a pure integer function of the pixels and
+    can be restated in SQL. Returns signed int64."""
+    sums, cnts, tot, npx = _gray_block_sums(arr, 8)
+    val = 0
+    for r in range(8):
+        for c in range(8):
+            if sums[r, c] * npx > tot * cnts[r, c]:
+                val |= 1 << (r * 8 + c)
+    return _to_i64(val)
+
+
+def dct_phash64(arr) -> int:
+    """64-bit DCT perceptual hash: 32x32 grayscale block means, 2-D
+    DCT-II (separable float64 cosine matrix), keep the top-left 8x8
+    coefficient block MINUS the DC term (63 AC coefficients + a zero
+    pad bit), threshold at the median. Robust to brightness shifts
+    (DC-only) and mild blur; deterministic given numpy float64.
+    Returns signed int64; bit 63 is always 0 (the pad)."""
+    import numpy as np
+
+    sums, cnts, _tot, _npx = _gray_block_sums(arr, 32)
+    gray = sums / cnts  # float block means (32x32)
+    n = 32
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    cmat = np.cos(np.pi * (2.0 * m + 1.0) * k / (2.0 * n))
+    d = cmat @ gray @ cmat.T
+    ac = d[:8, :8].flatten()[1:]  # drop DC
+    med = float(np.median(ac))
+    val = 0
+    for i, v in enumerate(ac):
+        if v > med:
+            val |= 1 << i
+    return _to_i64(val)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def extract_image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual hashes for PNG payloads in a media envelope: decode
+    with the from-scratch codec, emit (media_id, ahash, phash) — 16
+    bytes per image cross Arrow, payloads never leave the executors.
+    Pair generation belongs downstream (functions.dedup.hamming_pairs:
+    pigeonhole banding over the hash, never an all-pairs join)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(p, return_pixels=True)["pixels"]
+                rows.append((int(mid), ahash64(px), dct_phash64(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash", "phash"])
+
+    return media.mapInPandas(kernel, schema=PHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -431,3 +431,149 @@ def test_sample_gif_frames_meta_uses_frame_rect_dims(spark):
     # envelope metadata matches the PNG payload's actual dimensions
     png = decode_png(r.payload)
     assert (r.meta.width, r.meta.height) == (png["width"], png["height"]) == (3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (r8 verdict ask #2)
+# ---------------------------------------------------------------------------
+
+
+def test_ahash64_pattern_exact_and_brightness_invariant():
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import ahash64
+
+    # an 8x8 two-level image reproduces its bit pattern EXACTLY
+    pattern = 0x0123456789ABCDE  # 60-bit, top bits 0
+    bits = (pattern >> np.arange(64)) & 1
+    img = (50 + 150 * bits).astype(np.uint8).reshape(8, 8)
+    assert ahash64(img) == pattern
+    # brightness shift (no clipping) leaves the hash untouched
+    assert ahash64(img + 40) == pattern
+    # bit 63 set must round-trip as signed int64
+    sbits = np.ones(64, dtype=np.int64)
+    sbits[:5] = 0  # 5 dark pixels keep the mean strictly between levels
+    simg = (50 + 150 * sbits).astype(np.uint8).reshape(8, 8)
+    h = ahash64(simg)
+    assert h < 0  # signed: bit 63 set
+    assert (h & ((1 << 64) - 1)) == int(
+        sum(1 << i for i in range(64) if sbits[i])
+    ) & ((1 << 64) - 1)
+    # flat image: no block strictly above the mean
+    assert ahash64(np.full((8, 8), 77, np.uint8)) == 0
+
+
+def test_ahash64_odd_sizes_and_channels():
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import ahash64
+
+    # non-divisible dims and RGB channels: still deterministic and
+    # brightness invariant; a half-bright/half-dark image sets exactly
+    # the bright half's bits
+    img = np.zeros((13, 21, 3), np.uint8)
+    img[:, :] = 40
+    img[:, 11:] = 200  # right side bright
+    h = ahash64(img)
+    assert h == ahash64(img + np.uint8(30))
+    bits = [(h >> (r * 8 + c)) & 1 for r in range(8) for c in range(8)]
+    # blocks covering columns >= 11 of 21 are bright: c blocks 4..7
+    for r in range(8):
+        for c in range(8):
+            assert bits[r * 8 + c] == (1 if c >= 4 else 0), (r, c)
+    # tiny image (smaller than the grid) still hashes
+    assert isinstance(ahash64(np.array([[10, 240]], np.uint8)), int)
+
+
+def test_dct_phash64_invariance_and_discrimination():
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import dct_phash64
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(30, 200, size=(32, 32)).astype(np.uint8)
+    h0 = dct_phash64(base)
+    # brightness shift changes only the DC coefficient -> identical hash
+    assert dct_phash64(np.clip(base.astype(np.int32) + 30, 0, 255).astype(np.uint8)) == h0
+    # a structurally different image lands far away
+    other = rng.integers(30, 200, size=(32, 32)).astype(np.uint8)
+    h1 = dct_phash64(other)
+    assert bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") > 10
+    # mild noise stays near: small Hamming distance
+    noisy = np.clip(
+        base.astype(np.int32) + rng.integers(-4, 5, size=(32, 32)), 0, 255
+    ).astype(np.uint8)
+    hn = dct_phash64(noisy)
+    assert bin((h0 ^ hn) & ((1 << 64) - 1)).count("1") <= 10
+    # pad bit (63) always zero -> non-negative
+    assert h0 >= 0 and h1 >= 0
+
+
+def test_hamming_pairs_recall_equals_exact(spark):
+    # banded candidate generation must find EVERY pair within the
+    # budget (pigeonhole recall is exact) — compare against the O(n^2)
+    # reference on hashes engineered to sit at/around the threshold,
+    # including negative (bit-63) hashes
+    import itertools
+    import random
+
+    from ray_beam_runner_spark.functions.dedup import hamming_pairs
+
+    rnd = random.Random(13)
+    base = [rnd.getrandbits(64) for _ in range(12)]
+    hashes = []
+    for h in base:
+        hashes.append(h)
+        for _ in range(3):
+            flips = rnd.sample(range(64), rnd.randint(1, 5))
+            v = h
+            for f in flips:
+                v ^= 1 << f
+            hashes.append(v)
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(i, to_i64(v)) for i, v in enumerate(hashes)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r.d1, r.d2, r.hamming)
+        for r in hamming_pairs(df, "id", "h", max_hamming=3, bits=64).collect()
+    }
+    expect = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin(a ^ b).count("1")
+        if d <= 3:
+            expect.add((i, j, d))
+    assert got == expect and expect  # non-vacuous
+
+
+def test_extract_image_phash_group_duplicates(spark):
+    # end-to-end: PNG-encoded same-pattern images at different
+    # brightness produce identical aHash AND identical DCT pHash
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        encode_png,
+        extract_image_phash,
+    )
+
+    pattern = 0xBEEFCAFE1234567
+    bits = (pattern >> np.arange(64)) & 1
+    rows = []
+    for i, off in enumerate((0, 17, 39)):
+        arr = (50 + off + 150 * bits).astype(np.uint8).reshape(8, 8)
+        rows.append((i, encode_png(arr, filter_type=i % 5)))
+    other = (200 - 150 * bits).astype(np.uint8).reshape(8, 8)
+    rows.append((9, encode_png(other)))
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r.media_id: (r.ahash, r.phash)
+        for r in extract_image_phash(
+            attach_media(df, "id", "payload", modality="image")
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2]
+    assert got[0][0] == pattern
+    assert got[9][0] != pattern  # inverted image: different hash

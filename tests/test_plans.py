@@ -539,3 +539,13 @@ def test_kmeans_plan_broadcast_centroids(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:3000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_dedup_phash_banded_no_cartesian(spark, sf_dir):
+    # perceptual-hash pair generation must be the keyed (band, value)
+    # self-join — pigeonhole banding — never an all-pairs plan
+    df = QUERIES["q_dedup_phash"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+    # the banded join is keyed on (band, val)
+    assert "band" in plan and "val" in plan, plan[:3000]
