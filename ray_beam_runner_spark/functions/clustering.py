@@ -48,7 +48,9 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_index",
+    "ivfpq_encode",
     "ivfpq_topk",
+    "stream_maintain_ivfpq",
 ]
 
 
@@ -438,10 +440,21 @@ def ivfpq_index(
         raise ValueError(f"ivfpq_index: dim {dim} not divisible by m={m}")
     d_sub = dim // m
     coarse = _lloyd_centroids(v, dim, n_cells, n_iter)
-    asg = _assign(v, coarse)
+    res = _residuals(v, coarse)
+    rs = _explode_subspaces(res.select("vid", "e"), m, d_sub)
+    books = _lloyd_centroids_keyed(rs, d_sub, k, n_iter)
+    index = _encode_residuals(res, rs, books, id_col)
+    return coarse, books.select("j", "cell", "c"), index
+
+
+def _residuals(v: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(vid, cell, e): each vector's coarse cell + residual against its
+    centroid — one broadcast assignment join, tracked-persisted because
+    both the codes and the (vid, cell) re-join read it."""
     from ray_beam_runner_spark.caches import track
 
-    res = track(
+    asg = _assign(v, coarse)
+    return track(
         asg.join(v, "vid")
         .join(
             F.broadcast(
@@ -455,10 +468,17 @@ def ivfpq_index(
             F.zip_with("e", "cc", lambda x, y: x - y).alias("e"),
         )
     )
-    rs = _explode_subspaces(res.select("vid", "e"), m, d_sub)
-    books = _lloyd_centroids_keyed(rs, d_sub, k, n_iter)
+
+
+def _encode_residuals(
+    res: DataFrame, rs: DataFrame, books: DataFrame, id_col: str
+) -> DataFrame:
+    """(id_col, cell, codes) from residuals + exploded subspaces against
+    fitted codebooks — the shared index/encode tail of ivfpq_index and
+    ivfpq_encode (identical arithmetic is what makes an incrementally
+    maintained index EQUAL a from-scratch rebuild)."""
     codes_parts = _assign_keyed(rs, books).withColumnRenamed("cell", "code")
-    index = (
+    return (
         codes_parts.groupBy("vid")
         .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
         .join(res.select("vid", "cell"), "vid")
@@ -468,7 +488,109 @@ def ivfpq_index(
             F.transform("jc", lambda s: s["code"]).alias("codes"),
         )
     )
-    return coarse, books.select("j", "cell", "c"), index
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Encode vectors against a FROZEN IVF-PQ quantizer: coarse-cell
+    assignment, residual, per-subspace code argmin — the index stage of
+    :func:`ivfpq_index` factored out so NEW vectors arriving after the
+    fit get (cell, codes) from the same quantizer with identical
+    arithmetic. This is the ingestion half of incremental ANN index
+    maintenance (a 100 TB embeddings pipeline fits the quantizer once
+    on a sample, then encodes every incoming batch against it — FAISS
+    add-after-train). Returns (id_col, cell, codes)."""
+    v, dim = _prepare(df, id_col, vec_col)
+    mrow = books.agg(F.max("j")).first()[0]
+    if mrow is None:
+        raise ValueError("ivfpq_encode: empty codebooks")
+    m = int(mrow) + 1
+    if dim == 0:
+        v.unpersist()
+        raise ValueError("ivfpq_encode on an empty corpus")
+    if dim % m:
+        v.unpersist()
+        raise ValueError(f"ivfpq_encode: dim {dim} not divisible by m={m}")
+    res = _residuals(v, coarse)
+    rs = _explode_subspaces(res.select("vid", "e"), m, dim // m)
+    return _encode_residuals(res, rs, books.select("j", "cell", "c"), id_col)
+
+
+def stream_maintain_ivfpq(
+    feed: DataFrame,
+    index_dir: str,
+    coarse: DataFrame,
+    books: DataFrame,
+    id_col: str,
+    vec_col: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+):
+    """Maintain an IVF-PQ index TABLE from an embeddings change feed
+    (r8 verdict ask #3): each micro-batch nets its deltas per id (an
+    update's delete+insert pair collapses to the insert; a later
+    version wins), encodes surviving inserts against the FROZEN
+    quantizer (:func:`ivfpq_encode`), MERGEs them into the index
+    snapshot table, and retracts pure deletes via
+    :func:`sources.snapshots.delete_keys`. Both commits carry
+    (app, batch) transaction ids, so replayed batches are
+    manifest-detected no-ops — exactly-once index state on top of the
+    feed's checkpointed version offsets.
+
+    Scale shape: per trigger the corpus is never touched — only the
+    batch's vectors are encoded (model-sized broadcast joins) and only
+    the index files containing affected ids are rewritten (file-pruned
+    keyed MERGE/DELETE). An index maintained across N drains equals
+    the index rebuilt from scratch with the same quantizer
+    (tests/test_similarity.py::test_ivfpq_incremental_maintenance)."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    app = app_id or f"ivfpq:{_os.path.basename(_os.path.abspath(index_dir))}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            w = W.partitionBy(id_col).orderBy(
+                F.col("_commit_version").desc(),
+                F.when(F.col("_change") == "insert", 1).otherwise(0).desc(),
+            )
+            last = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            ins = last.filter(F.col("_change") == "insert").select(id_col, vec_col)
+            dels = last.filter(F.col("_change") == "delete").select(id_col)
+            if ins.limit(1).count():
+                enc = ivfpq_encode(ins, coarse, books, id_col, vec_col)
+                snap.upsert_snapshot(
+                    spark, index_dir, enc, [id_col],
+                    txn_app=app, txn_version=batch_id,
+                )
+            if dels.limit(1).count():
+                snap.delete_keys(
+                    spark, index_dir, dels, [id_col],
+                    txn_app=f"{app}#del", txn_version=batch_id,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def ivfpq_topk(

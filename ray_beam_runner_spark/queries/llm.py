@@ -528,11 +528,24 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(queries, codes, books, k=5)
 
 
-def _ivfpq_oracle(n_cells: int, m: int, k: int, n_iter: int, dim: int) -> str:
+def _ivfpq_oracle(
+    n_cells: int,
+    m: int,
+    k: int,
+    n_iter: int,
+    dim: int,
+    corpus_where: str = "vec_id >= 8",
+    train_where: str | None = None,
+) -> str:
     """Composed IVF-PQ oracle: coarse Lloyd CTEs on full vectors,
     residuals against the final coarse centroids, per-subspace Lloyd
     CTEs on the residuals, codes, then exhaustive-probe residual-ADC
-    (j-ascending fold, 6 dp, id tie-break)."""
+    (j-ascending fold, 6 dp, id tie-break). ``train_where`` (default:
+    the corpus itself) restates the FROZEN-quantizer contract of
+    incremental index maintenance: Lloyd CTEs (coarse + books) run over
+    the TRAIN slice only, while assignments/codes/search run over
+    ``corpus_where`` — exactly what ivfpq_encode against a fitted
+    quantizer computes for vectors that arrived after the fit."""
     d = dim // m
 
     def sq(a, b):
@@ -575,11 +588,23 @@ def _ivfpq_oracle(n_cells: int, m: int, k: int, n_iter: int, dim: int) -> str:
         return out
 
     parts = [
-        "WITH v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings WHERE vec_id >= 8)",
+        f"WITH v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings"
+        f" WHERE {corpus_where})",
         "q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 8)",
         "vs AS (SELECT vid, e AS s FROM v)",
     ]
-    parts += lloyd("gc", "vs", dim, n_cells)
+    # training slice: defaults to the corpus itself; a distinct slice
+    # models the frozen quantizer of incremental maintenance
+    if train_where is None:
+        train_src, train_res = "vs", "res"
+    else:
+        parts.append(
+            f"vt AS (SELECT vec_id AS vid, embedding AS e FROM embeddings"
+            f" WHERE {train_where})"
+        )
+        parts.append("vts AS (SELECT vid, e AS s FROM vt)")
+        train_src, train_res = "vts", "resT"
+    parts += lloyd("gc", train_src, dim, n_cells)
     parts.append(dist("vs", f"gc_{n_iter}", "gdF", dim))
     parts.append(argmin("gdF", "gaF"))
     parts.append(
@@ -587,6 +612,14 @@ def _ivfpq_oracle(n_cells: int, m: int, k: int, n_iter: int, dim: int) -> str:
         f" i -> CAST(v.e[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)) AS e\n"
         f"      FROM v JOIN gaF a USING (vid) JOIN gc_{n_iter} c ON c.cell = a.cell)"
     )
+    if train_where is not None:
+        parts.append(dist("vts", f"gc_{n_iter}", "gdT", dim))
+        parts.append(argmin("gdT", "gaT"))
+        parts.append(
+            f"resT AS (SELECT vt.vid, a.cell, list_transform(generate_series(1, {dim}),"
+            f" i -> CAST(vt.e[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)) AS e\n"
+            f"      FROM vt JOIN gaT a USING (vid) JOIN gc_{n_iter} c ON c.cell = a.cell)"
+        )
     parts.append(
         f"qres AS (SELECT q.qid, c.cell, list_transform(generate_series(1, {dim}),"
         f" i -> CAST(q.e[i] AS DOUBLE) - CAST(c.c[i] AS DOUBLE)) AS e\n"
@@ -595,7 +628,11 @@ def _ivfpq_oracle(n_cells: int, m: int, k: int, n_iter: int, dim: int) -> str:
     for j in range(m):
         lo, hi = j * d + 1, (j + 1) * d
         parts.append(f"rs{j} AS (SELECT vid, e[{lo}:{hi}] AS s FROM res)")
-        parts += lloyd(f"pb{j}", f"rs{j}", d, k)
+        if train_where is not None:
+            parts.append(f"rsT{j} AS (SELECT vid, e[{lo}:{hi}] AS s FROM {train_res})")
+            parts += lloyd(f"pb{j}", f"rsT{j}", d, k)
+        else:
+            parts += lloyd(f"pb{j}", f"rs{j}", d, k)
         parts.append(dist(f"rs{j}", f"pb{j}_{n_iter}", f"pd{j}F", d))
         parts.append(argmin(f"pd{j}F", f"code{j}"))
         parts.append(f"qrs{j} AS (SELECT qid, cell, e[{lo}:{hi}] AS s FROM qres)")
@@ -651,6 +688,79 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, books, index = ivfpq_index(
         corpus, "vec_id", "embedding", n_cells=4, m=2, k=4, n_iter=1
     )
+    return ivfpq_topk(queries, coarse, books, index, k=5)
+
+
+@query(
+    "q_ivfpq_incremental",
+    oracle=_ivfpq_oracle(
+        n_cells=4, m=2, k=4, n_iter=1, dim=64,
+        corpus_where="vec_id >= 8 AND vec_id % 7 <> 0",
+        train_where="vec_id >= 8 AND vec_id % 3 <> 0",
+    ),
+)
+def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED IVF-PQ index, oracle-checked through
+    exhaustive-probe search (r8 verdict ask #3): fit the quantizer on
+    the initial corpus slice (vec_id % 3 != 0 — FROZEN thereafter),
+    seed source + index snapshot tables, then drive the index purely
+    from the source's CHANGE FEED: a CDC merge ingests the remaining
+    vectors (encoded against the frozen quantizer and MERGEd in —
+    FAISS add-after-train), a CDC delete retracts every 7th vector
+    (file-pruned keyed DELETE on the index). The search then runs over
+    the MAINTAINED index table; the oracle replays the same contract in
+    SQL — Lloyd CTEs over the TRAIN slice only, codes and residual-ADC
+    over the final merged-minus-deleted corpus. A maintenance bug
+    (stale codes, unretracted vectors, re-fit drift) breaks the hash.
+    Per trigger the corpus is never rescanned: only batch vectors are
+    encoded and only affected index files rewritten. See
+    functions.clustering.stream_maintain_ivfpq / ivfpq_encode."""
+    from ray_beam_runner_spark.functions.clustering import (
+        ivfpq_index,
+        ivfpq_topk,
+        stream_maintain_ivfpq,
+    )
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    emb = t(spark, sf_dir, "embeddings")
+    initial = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 != 0)).select(
+        "vec_id", "embedding"
+    )
+    arriving = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 == 0)).select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    coarse, books, idx0 = ivfpq_index(
+        initial, "vec_id", "embedding", n_cells=4, m=2, k=4, n_iter=1
+    )
+    # freeze the quantizer: materialized once, identical in every batch
+    coarse = coarse.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
+    src = scratch_dir("rbrs_annsrc_")
+    idx = scratch_dir("rbrs_annidx_")
+    ckpt = scratch_dir("rbrs_annckpt_")
+    snap.write_snapshot(initial, src, cluster_by=["vec_id"], n_files=4)
+    snap.write_snapshot(idx0, idx, cluster_by=["vec_id"], n_files=4)
+
+    def drain() -> None:
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_ivfpq(
+            feed, idx, coarse, books, "vec_id", "embedding", ckpt
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ANN index maintenance drain exceeded 300s")
+
+    snap.upsert_snapshot(spark, src, arriving, ["vec_id"], cdc=True)
+    drain()  # batch: encode arrivals with the frozen quantizer, MERGE
+    snap.delete_where(
+        spark, src, (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 8), cdc=True
+    )
+    drain()  # batch: retract deleted vectors from the index
+    index = snap.read_snapshot(spark, idx)
     return ivfpq_topk(queries, coarse, books, index, k=5)
 
 

@@ -846,6 +846,28 @@ def _merge_phases(
             if (rel := _rel_of(t, candidates, table_dir)) is not None
         }
     untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
+    if updates is None and not touched_rel:
+        # keyed DELETE matching nothing: metadata no-op unless a txn
+        # watermark must be recorded (clean manifest — carrying the
+        # parent's cdc_files would re-emit its deltas in the feed)
+        if txns == manifest.get("txns", {}):
+            return base
+        noop = {
+            "version": base + 1,
+            "parent": base,
+            "files": list(rel_files),
+            "op": "delete",
+            "rewrote": [],
+            "pruned_by_stats": pruned_by_stats,
+            "schema": manifest.get("schema"),
+            "schema_json": manifest.get("schema_json"),
+            "txns": txns,
+        }
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs"):
+            if manifest.get(key):
+                noop[key] = manifest[key]
+        _publish(table_dir, base + 1, noop)
+        return base + 1
 
     # Phase 3 — rewrite only touched files, publish atomically. New
     # files inherit the parent's stats columns so pruning keeps working
@@ -863,8 +885,13 @@ def _merge_phases(
         )
         keep = touched_df.join(key_set, keys, "left_anti")
         # evolve_schema: new columns in updates null-backfill kept rows,
-        # dropped columns null-fill the updates (Delta mergeSchema)
-        rewritten = keep.unionByName(updates, allowMissingColumns=evolve_schema)
+        # dropped columns null-fill the updates (Delta mergeSchema);
+        # updates=None is the keyed-DELETE path (delete_keys)
+        rewritten = (
+            keep
+            if updates is None
+            else keep.unionByName(updates, allowMissingColumns=evolve_schema)
+        )
     else:
         rewritten = updates
     if stats_for:
@@ -912,7 +939,11 @@ def _merge_phases(
         # commit time so the change-feed stream reads them directly with
         # ZERO diff computation per trigger. Cost: one extra scan of the
         # TOUCHED files only (change-proportional, like the rewrite).
-        ins = updates.withColumn("_change", F.lit("insert"))
+        ins = (
+            None if updates is None
+            else updates.withColumn("_change", F.lit("insert"))
+        )
+        pre = None
         if touched_rel:
             pre = (
                 _apply_dvs(
@@ -927,9 +958,10 @@ def _merge_phases(
                 .join(key_set, keys, "left_semi")
                 .withColumn("_change", F.lit("delete"))
             )
+        if pre is not None and ins is not None:
             cdc_df = pre.unionByName(ins, allowMissingColumns=True)
         else:
-            cdc_df = ins
+            cdc_df = ins if ins is not None else pre
         # bound the sidecar file count: the delta frame inherits the
         # session's shuffle partitioning (dozens of tiny files for a
         # small change — measured 65 files for a 250-row delta); the
@@ -1567,6 +1599,56 @@ def _delete_dv(
             new_manifest["cdc_files"] = cdc_rel
     _publish(table_dir, version, new_manifest)
     return version
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+    retries: int = 2,
+    cdc: bool = False,
+) -> int:
+    """Keyed DELETE: remove every row whose key appears in ``keys_df``
+    (a DataFrame — keys never land on the driver, unlike a
+    ``delete_where(col.isin(...))`` literal list). Exactly the MERGE
+    machinery with no insert side: manifest-stats pruning on the key
+    range, one ``_metadata.file_path`` semi-join to find truly-touched
+    files, DV-aware rewrite of only those files (anti-join), atomic
+    publish — cost proportional to files hit, never the table. A key
+    set matching nothing is a metadata no-op unless a txn watermark
+    must be recorded. Idempotent via (txn_app, txn_version); ``cdc``
+    writes the removed rows as a 'delete' change sidecar. This is the
+    retraction half of CDC-driven downstream maintenance (e.g. the
+    incremental ANN index: functions.clustering.stream_maintain_ivfpq)."""
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
+    for attempt in range(retries + 1):
+        base = latest_version(table_dir)
+        if base is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+        manifest = read_manifest(table_dir, base)
+        txns: dict = dict(manifest.get("txns", {}))
+        if txn_app is not None and txns.get(txn_app, -1) >= txn_version:
+            return base  # replayed transaction: no-op
+        if txn_app is not None:
+            txns[txn_app] = int(txn_version)
+        tbl_fields = set(manifest.get("schema") or ())
+        key_set = keys_df.select(*keys).distinct().persist()
+        try:
+            return _merge_phases(
+                spark, table_dir, None, keys, key_set, base, manifest,
+                manifest["files"], manifest.get("file_stats", {}), txns,
+                tbl_fields, tbl_fields, False, cdc,
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
+        finally:
+            key_set.unpersist()
+    raise AssertionError("unreachable")
 
 
 def scd2_upsert(

@@ -479,3 +479,159 @@ def test_pq_and_ivfpq_reject_bad_query_dims(spark):
             spark.createDataFrame([(0, [1.0, 2.0, 3.0, 4.0])], "q_id long, q_vec array<double>"),
             coarse, empty_books, index,
         )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance (r8 verdict ask #3)
+# ---------------------------------------------------------------------------
+
+
+def _ann_tables(spark, sf_dir, tmp_path, tag):
+    import os
+
+    from ray_beam_runner_spark.functions.clustering import ivfpq_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    initial = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 != 0)).select(
+        "vec_id", "embedding"
+    )
+    arriving = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 == 0)).select(
+        "vec_id", "embedding"
+    )
+    coarse, books, idx0 = ivfpq_index(
+        initial, "vec_id", "embedding", n_cells=4, m=2, k=4, n_iter=1
+    )
+    coarse = coarse.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
+    src = os.path.join(str(tmp_path), f"src_{tag}")
+    idx = os.path.join(str(tmp_path), f"idx_{tag}")
+    ckpt = os.path.join(str(tmp_path), f"ckpt_{tag}")
+    return initial, arriving, coarse, books, idx0, src, idx, ckpt
+
+
+def test_ivfpq_incremental_maintenance_equals_rebuild(spark, sf_dir, tmp_path):
+    from ray_beam_runner_spark.functions.clustering import (
+        ivfpq_encode,
+        stream_maintain_ivfpq,
+    )
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    initial, arriving, coarse, books, idx0, src, idx, ckpt = _ann_tables(
+        spark, sf_dir, tmp_path, "eq"
+    )
+    snap.write_snapshot(initial, src, cluster_by=["vec_id"], n_files=4)
+    snap.write_snapshot(idx0, idx, cluster_by=["vec_id"], n_files=4)
+
+    def drain():
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_ivfpq(
+            feed, idx, coarse, books, "vec_id", "embedding", ckpt
+        )
+        assert q.awaitTermination(300)
+
+    # drain 1: ingest arrivals (updates one vector too: delete+insert
+    # pair at one commit must net to the re-encoded insert)
+    snap.upsert_snapshot(spark, src, arriving, ["vec_id"], cdc=True)
+    drain()
+    # drain 2: retract every 7th vector
+    snap.delete_where(
+        spark, src, (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 8), cdc=True
+    )
+    drain()
+
+    def index_set(df):
+        return {(r.vec_id, r.cell, tuple(r.codes)) for r in df.collect()}
+
+    maintained = index_set(snap.read_snapshot(spark, idx))
+    rebuilt = index_set(
+        ivfpq_encode(
+            snap.read_snapshot(spark, src), coarse, books, "vec_id", "embedding"
+        )
+    )
+    assert maintained == rebuilt and maintained
+    # deleted ids really retracted
+    assert not any(v % 7 == 0 for v, _, _ in maintained)
+    # replayed drain (same feed offsets already committed) is a no-op
+    v_before = snap.latest_version(idx)
+    drain()
+    assert snap.latest_version(idx) == v_before
+
+
+def test_ivfpq_incremental_rate_limited_catch_up(spark, sf_dir, tmp_path):
+    # a backlog of several commits consumed under maxVersionsPerTrigger:
+    # each START drains at most one version (python DS availableNow =
+    # single batch), so catch-up takes several starts — the index must
+    # converge to the rebuild all the same
+    from ray_beam_runner_spark.functions.clustering import (
+        ivfpq_encode,
+        stream_maintain_ivfpq,
+    )
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    initial, arriving, coarse, books, idx0, src, idx, ckpt = _ann_tables(
+        spark, sf_dir, tmp_path, "rl"
+    )
+    snap.write_snapshot(initial, src, cluster_by=["vec_id"], n_files=4)
+    snap.write_snapshot(idx0, idx, cluster_by=["vec_id"], n_files=4)
+    # backlog: two merges + one delete = 3 unconsumed versions
+    half1 = arriving.filter(F.col("vec_id") % 2 == 0)
+    half2 = arriving.filter(F.col("vec_id") % 2 == 1)
+    snap.upsert_snapshot(spark, src, half1, ["vec_id"], cdc=True)
+    snap.upsert_snapshot(spark, src, half2, ["vec_id"], cdc=True)
+    snap.delete_where(
+        spark, src, (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 8), cdc=True
+    )
+    target_v = snap.latest_version(src)
+    starts = 0
+    while starts < 10:
+        feed = snap.read_snapshot_stream(
+            spark, src, starting_version=2, max_versions_per_trigger=1
+        )
+        q = stream_maintain_ivfpq(
+            feed, idx, coarse, books, "vec_id", "embedding", ckpt
+        )
+        assert q.awaitTermination(300)
+        starts += 1
+        # stop once the index matches the rebuild (offsets caught up)
+        maintained = {
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in snap.read_snapshot(spark, idx).collect()
+        }
+        rebuilt = {
+            (r.vec_id, r.cell, tuple(r.codes))
+            for r in ivfpq_encode(
+                snap.read_snapshot(spark, src, version=target_v),
+                coarse, books, "vec_id", "embedding",
+            ).collect()
+        }
+        if maintained == rebuilt:
+            break
+    assert maintained == rebuilt
+    assert starts >= 3  # the rate limit really bounded each start
+
+
+def test_delete_keys_prunes_and_is_idempotent(spark, tmp_path):
+    import os
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    t = os.path.join(str(tmp_path), "dk")
+    df = spark.range(0, 200).selectExpr("cast(id as int) k", "id * 3 v")
+    snap.write_snapshot(df, t, cluster_by=["k"], n_files=4)
+    keys = spark.createDataFrame([(5,), (6,), (150,)], "k int")
+    v2 = snap.delete_keys(spark, t, keys, ["k"], txn_app="dk", txn_version=1)
+    m = snap.read_manifest(t, v2)
+    # file-pruned: only the files containing the keys rewritten
+    assert 0 < len(m["rewrote"]) < 4
+    kept = {r.k for r in snap.read_snapshot(spark, t).collect()}
+    assert kept == set(range(200)) - {5, 6, 150}
+    # replayed txn: no-op
+    assert snap.delete_keys(spark, t, keys, ["k"], txn_app="dk", txn_version=1) == v2
+    # matching nothing without txn: metadata no-op
+    none = spark.createDataFrame([(9999,)], "k int")
+    assert snap.delete_keys(spark, t, none, ["k"]) == v2
+    # matching nothing WITH a txn: watermark-only commit, content intact
+    v3 = snap.delete_keys(spark, t, none, ["k"], txn_app="dk", txn_version=2)
+    assert v3 == v2 + 1
+    assert {r.k for r in snap.read_snapshot(spark, t).collect()} == kept
+    assert snap.snapshot_rows(t) == len(kept)
