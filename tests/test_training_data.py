@@ -436,3 +436,84 @@ def test_cms_sketch_size_bound_is_load_bearing(spark):
     # saturated sketch still never undercounts (massive overcounts OK)
     some = spark.createDataFrame([(f"it{i}",) for i in range(0, 1000, 97)], "item string")
     assert all(r.est >= 1 for r in cms_estimate(sk, some, "item").collect())
+
+
+def test_quality_classifier_matches_numpy_gd(spark, sf_dir):
+    # differential: the DataFrame-algebra logistic regression must
+    # reproduce an INDEPENDENT numpy implementation of the same
+    # fixed-point GD bit-for-bit (weights and per-doc scores)
+    import hashlib
+    import math
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from ray_beam_runner_spark.functions.classify import (
+        hashed_features,
+        logreg_fit,
+        logreg_score,
+    )
+
+    B, ITERS, LR = 16, 4, 8.0  # B token buckets + 1 length feature
+    D = B + 1
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
+    rows = [(r.doc_id, r.text, r.lang) for r in docs.collect()]
+
+    # --- independent numpy path -------------------------------------
+    def fxp_np(x, bits):
+        s = float(1 << bits)
+        return np.floor(x * s + 0.5) / s
+
+    X = np.zeros((len(rows), D))
+    y = np.zeros(len(rows))
+    ids = []
+    for i, (did, text, lang) in enumerate(rows):
+        ids.append(did)
+        y[i] = 1.0 if lang == "en" else 0.0
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        for tok in toks:
+            b = int(hashlib.md5(f"qc:{tok}".encode()).hexdigest()[:8], 16) % B
+            X[i, b] += 1.0
+        X[i, :B] = fxp_np(X[i, :B] / len(toks), 20)
+        X[i, B] = fxp_np(min(len(toks), 100) / 100.0, 20)
+    w = np.zeros(D + 1)
+    n = float(len(rows))
+    for _ in range(ITERS):
+        z = X @ w[:D] + w[D]
+        p = fxp_np(1.0 / (1.0 + np.exp(-z)), 20)
+        g = np.concatenate([X.T @ (p - y), [np.sum(p - y)]])
+        w = fxp_np(w - LR * g / n, 24)
+    p_final = fxp_np(1.0 / (1.0 + np.exp(-(X @ w[:D] + w[D]))), 20)
+
+    # --- Spark path --------------------------------------------------
+    labels = docs.select(
+        SF.col("doc_id").alias("id"),
+        SF.when(SF.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    feats = hashed_features(docs, "doc_id", "text", B)
+    wdf = logreg_fit(feats, labels, D, n_iter=ITERS, lr=LR)
+    got_w = {r.feat: r.w for r in wdf.collect()}
+    for j in range(D + 1):
+        assert got_w[j] == w[j], (j, got_w[j], w[j])
+    got_p = {r.id: r.p for r in logreg_score(feats, labels, wdf, D).collect()}
+    for i, did in enumerate(ids):
+        assert got_p[did] == p_final[i], (did, got_p[did], p_final[i])
+    docs.unpersist()
+
+
+def test_quality_classifier_learns_above_baseline(spark, sf_dir):
+    # the trained model must beat the majority-class baseline on its
+    # training set — i.e. the GD actually moves the weights toward a
+    # useful separator, not just deterministically
+    from ray_beam_runner_spark.queries import QUERIES
+
+    out = QUERIES["q_quality_classifier"](spark, sf_dir).collect()
+    n = len(out)
+    acc = sum(1 for r in out if r.pred == r.y) / n
+    base = max(sum(1 for r in out if r.y == 1), sum(1 for r in out if r.y == 0)) / n
+    assert acc > base, (acc, base)
+    # scores are fixed-point 2^-20 multiples (the determinism contract)
+    for r in out[:50]:
+        assert abs(r.score * (1 << 20) - round(r.score * (1 << 20))) < 1e-9
