@@ -2797,6 +2797,113 @@ def q_bigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_trigram_kn_logppl",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    tg AS MATERIALIZED (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3, count(*)::BIGINT AS c
+      FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+      GROUP BY doc_id, w1, w2, w3),
+    lm123 AS MATERIALIZED (
+      SELECT w1, w2, w3, sum(c)::DOUBLE AS c123 FROM tg GROUP BY 1, 2, 3),
+    h12 AS MATERIALIZED (
+      SELECT w1, w2, sum(c123) AS c12,
+             sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END)::DOUBLE AS nh1,
+             sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END)::DOUBLE AS nh2,
+             sum(CASE WHEN c123 >= 3 THEN 1 ELSE 0 END)::DOUBLE AS nh3
+      FROM lm123 GROUP BY 1, 2),
+    cb23 AS MATERIALIZED (
+      SELECT w2, w3, count(*)::DOUBLE AS cb FROM lm123 GROUP BY 1, 2),
+    h2 AS MATERIALIZED (
+      SELECT w2, sum(cb) AS cdot2,
+             sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END)::DOUBLE AS mh1,
+             sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END)::DOUBLE AS mh2,
+             sum(CASE WHEN cb >= 3 THEN 1 ELSE 0 END)::DOUBLE AS mh3
+      FROM cb23 GROUP BY 1),
+    cu3 AS MATERIALIZED (SELECT w3, count(*)::DOUBLE AS cu FROM cb23 GROUP BY 1),
+    d3 AS (SELECT greatest(0.0, 1.0 - 2.0 * y * n2 / greatest(n1, 1.0)) AS d3_1,
+                  greatest(0.0, 2.0 - 3.0 * y * n3 / greatest(n2, 1.0)) AS d3_2,
+                  greatest(0.0, 3.0 - 4.0 * y * n4 / greatest(n3, 1.0)) AS d3_3
+           FROM (SELECT n1, n2, n3, n4, n1 / greatest(n1 + 2.0 * n2, 1.0) AS y FROM (
+             SELECT sum(CASE WHEN c123 = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                    sum(CASE WHEN c123 = 2 THEN 1 ELSE 0 END)::DOUBLE AS n2,
+                    sum(CASE WHEN c123 = 3 THEN 1 ELSE 0 END)::DOUBLE AS n3,
+                    sum(CASE WHEN c123 = 4 THEN 1 ELSE 0 END)::DOUBLE AS n4
+             FROM lm123))),
+    d2 AS (SELECT greatest(0.0, 1.0 - 2.0 * y * n2 / greatest(n1, 1.0)) AS d2_1,
+                  greatest(0.0, 2.0 - 3.0 * y * n3 / greatest(n2, 1.0)) AS d2_2,
+                  greatest(0.0, 3.0 - 4.0 * y * n4 / greatest(n3, 1.0)) AS d2_3
+           FROM (SELECT n1, n2, n3, n4, n1 / greatest(n1 + 2.0 * n2, 1.0) AS y FROM (
+             SELECT sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                    sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END)::DOUBLE AS n2,
+                    sum(CASE WHEN cb = 3 THEN 1 ELSE 0 END)::DOUBLE AS n3,
+                    sum(CASE WHEN cb = 4 THEN 1 ELSE 0 END)::DOUBLE AS n4
+             FROM cb23))),
+    d1 AS (SELECT greatest(0.0, 1.0 - 2.0 * y * n2 / greatest(n1, 1.0)) AS d1_1,
+                  greatest(0.0, 2.0 - 3.0 * y * n3 / greatest(n2, 1.0)) AS d1_2,
+                  greatest(0.0, 3.0 - 4.0 * y * n4 / greatest(n3, 1.0)) AS d1_3
+           FROM (SELECT n1, n2, n3, n4, n1 / greatest(n1 + 2.0 * n2, 1.0) AS y FROM (
+             SELECT sum(CASE WHEN cu = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+                    sum(CASE WHEN cu = 2 THEN 1 ELSE 0 END)::DOUBLE AS n2,
+                    sum(CASE WHEN cu = 3 THEN 1 ELSE 0 END)::DOUBLE AS n3,
+                    sum(CASE WHEN cu = 4 THEN 1 ELSE 0 END)::DOUBLE AS n4
+             FROM cu3))),
+    u AS (SELECT sum(cu) AS tot_cu,
+                 sum(CASE WHEN cu = 1 THEN 1 ELSE 0 END)::DOUBLE AS u1,
+                 sum(CASE WHEN cu = 2 THEN 1 ELSE 0 END)::DOUBLE AS u2,
+                 sum(CASE WHEN cu >= 3 THEN 1 ELSE 0 END)::DOUBLE AS u3
+          FROM cu3),
+    vv AS (SELECT count(DISTINCT t)::DOUBLE AS v
+           FROM (SELECT unnest(w) AS t FROM toks)),
+    ds AS (SELECT *, (d1_1 * u1 + d1_2 * u2 + d1_3 * u3) / tot_cu AS gamma1
+           FROM d3, d2, d1, u, vv),
+    scored AS (
+      SELECT tg.doc_id, sum(tg.c) AS n_tri,
+             sum(tg.c * -ln(
+               greatest(c123 - (CASE WHEN c123 = 1 THEN d3_1
+                                     WHEN c123 = 2 THEN d3_2 ELSE d3_3 END), 0.0) / c12
+               + ((d3_1 * nh1 + d3_2 * nh2 + d3_3 * nh3) / c12) * (
+                   greatest(cb - (CASE WHEN cb = 1 THEN d2_1
+                                       WHEN cb = 2 THEN d2_2 ELSE d2_3 END), 0.0) / cdot2
+                   + ((d2_1 * mh1 + d2_2 * mh2 + d2_3 * mh3) / cdot2) * (
+                       greatest(cu - (CASE WHEN cu = 1 THEN d1_1
+                                           WHEN cu = 2 THEN d1_2 ELSE d1_3 END), 0.0)
+                         / tot_cu
+                       + gamma1 / v)))) AS nll
+      FROM tg JOIN lm123 USING (w1, w2, w3)
+              JOIN h12 USING (w1, w2)
+              JOIN cb23 USING (w2, w3)
+              JOIN h2 USING (w2)
+              JOIN cu3 USING (w3), ds
+      GROUP BY tg.doc_id)
+    SELECT doc_id, n_tri::BIGINT AS n_trigrams, round(nll / n_tri, 6) AS log_ppl_kn3
+    FROM scored
+    """,
+)
+def q_trigram_kn_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated MODIFIED Kneser-Ney trigram log-perplexity per
+    document (r8 verdict ask #6): the bigram KN path extended one order
+    with the two production upgrades — three count-dependent discounts
+    per order estimated closed-form from count-of-counts (Chen &
+    Goodman 1999, the KenLM/SRILM formulation) and full interpolation,
+    where each order mixes in the lower order with exactly the mass its
+    discounts removed, so every conditional sums to 1 over the
+    vocabulary (normalization pytest:
+    tests/test_training_data.py::test_kn3_normalization_mass).
+    Middle/bottom orders use continuation counts; the bottom
+    interpolates with uniform 1/V. Discounts are computed IN-PLAN from
+    integer counts with expression shapes mirrored verbatim in the
+    oracle, so both engines run identical double arithmetic. Same
+    scale shape as the bigram path: join-free zip-against-tail pair
+    construction, vocabulary-sized LM tables, one broadcast stats row.
+    See functions.lm."""
+    from ray_beam_runner_spark.functions.lm import kn3_doc_logppl
+
+    return kn3_doc_logppl(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "q_sketch_freq",
     oracle=f"""
     WITH tok AS (SELECT source, unnest({_TOKS}) AS tk FROM documents),

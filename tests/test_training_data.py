@@ -517,3 +517,58 @@ def test_quality_classifier_learns_above_baseline(spark, sf_dir):
     # scores are fixed-point 2^-20 multiples (the determinism contract)
     for r in out[:50]:
         assert abs(r.score * (1 << 20) - round(r.score * (1 << 20))) < 1e-9
+
+
+def test_kn3_normalization_mass(spark, sf_dir):
+    # the interpolated modified-KN contract: for ANY history (w1, w2),
+    # sum over the FULL vocabulary of p(w3 | w1 w2) == 1 — including
+    # unseen-trigram backoff, unseen-bigram backoff, and the uniform
+    # 1/V floor. This is what "interpolation weight = exactly the
+    # discounted mass" buys; an off-by-anything in a discount, gamma,
+    # or continuation count breaks it.
+    from ray_beam_runner_spark.functions.lm import kn3_model, kn3_score_triples
+    from ray_beam_runner_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100).cache()
+    m = kn3_model(docs, "doc_id", "text")
+    vocab = docs.select(F.explode(tokens(F.col("text"))).alias("w3")).distinct()
+    # histories: 5 seen bigram histories + 2 fully unseen ones
+    seen = (
+        m["lm123"].select("w1", "w2").distinct().orderBy("w1", "w2").limit(5)
+    )
+    unseen = spark.createDataFrame(
+        [("@@never", "@@seen"), ("zzz_x", "zzz_y")], "w1 string, w2 string"
+    )
+    hists = seen.unionByName(unseen)
+    triples = hists.crossJoin(vocab)
+    mass = (
+        kn3_score_triples(m, triples)
+        .groupBy("w1", "w2")
+        .agg(F.sum("p").alias("mass"), F.count(F.lit(1)).alias("nv"))
+        .collect()
+    )
+    assert len(mass) == 7
+    v = vocab.count()
+    for r in mass:
+        assert r.nv == v
+        assert abs(r.mass - 1.0) < 1e-9, (r.w1, r.w2, r.mass)
+    # probabilities are strictly positive everywhere (uniform floor)
+    pmin = kn3_score_triples(m, triples).agg(F.min("p")).first()[0]
+    assert pmin > 0
+    docs.unpersist()
+
+
+def test_kn3_backoff_ordering(spark, sf_dir):
+    # a seen trigram must outscore the same history with a w3 never
+    # seen in ANY context (which only gets the uniform floor share)
+    from ray_beam_runner_spark.functions.lm import kn3_model, kn3_score_triples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    m = kn3_model(docs, "doc_id", "text")
+    top = m["lm123"].orderBy(F.col("c123").desc()).first()
+    triples = spark.createDataFrame(
+        [(top.w1, top.w2, top.w3), (top.w1, top.w2, "@@oov")],
+        "w1 string, w2 string, w3 string",
+    )
+    got = {r.w3: r.p for r in kn3_score_triples(m, triples).collect()}
+    assert got[top.w3] > got["@@oov"] > 0
