@@ -178,6 +178,49 @@ def main() -> None:
             dt = time.perf_counter() - t0
             row[qname] = {"sec": round(dt, 2), "rows": n, "docs_per_sec": round(n_docs / dt)}
 
+        # length-aware packing (r8 ask #7): FFD padding waste vs the
+        # doc_id-order next-fit baseline over the same (source, shard)
+        # domains — the efficiency delta is the observable, docs/sec
+        # the scale check (domains are the parallel unit; throughput
+        # should hold as the corpus grows since domain count grows
+        # with it)
+        from ray_beam_runner_spark.functions import text as X
+        from ray_beam_runner_spark.functions.pack import (
+            pack_ffd,
+            pack_next_fit,
+            packing_stats,
+        )
+
+        cap = 256
+        base = docs.select(
+            "source",
+            X.hash_bucket(F.col("doc_id"), 8, "pack").cast("long").alias("shard"),
+            "doc_id",
+            F.size(X.tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+
+        def waste_of(packed) -> tuple[int, int]:
+            st = packing_stats(packed, ["source", "shard"], cap).agg(
+                F.sum("padding_waste"), F.sum("n_bins")
+            ).first()
+            return int(st[0]), int(st[1])
+
+        t0 = time.perf_counter()
+        w_ffd, b_ffd = waste_of(pack_ffd(base, ["source", "shard"], "doc_id", "n_tok", cap))
+        dt = time.perf_counter() - t0
+        w_seq, b_seq = waste_of(
+            pack_next_fit(base, ["source", "shard"], "doc_id", "n_tok", cap)
+        )
+        row["pack_ffd"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": round(n_docs / dt),
+            "bins_ffd": b_ffd,
+            "bins_seq": b_seq,
+            "waste_ffd": w_ffd,
+            "waste_seq": w_seq,
+            "waste_reduction_pct": round(100.0 * (w_seq - w_ffd) / max(w_seq, 1), 1),
+        }
+
         results[f"x{mult}"] = row
         print(json.dumps({f"x{mult}": row}), flush=True)
 

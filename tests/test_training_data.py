@@ -572,3 +572,84 @@ def test_kn3_backoff_ordering(spark, sf_dir):
     )
     got = {r.w3: r.p for r in kn3_score_triples(m, triples).collect()}
     assert got[top.w3] > got["@@oov"] > 0
+
+
+def test_pack_ffd_matches_independent_packer(spark, sf_dir):
+    # differential: the distributed FFD kernel must reproduce an
+    # INDEPENDENT pure-python first-fit-decreasing bit-for-bit, and
+    # satisfy the packing invariants in every domain
+    import math
+    from collections import defaultdict
+
+    from ray_beam_runner_spark.queries import QUERIES
+
+    CAP = 128
+    rows = QUERIES["q_sequence_pack_ffd"](spark, sf_dir).collect()
+    assert rows
+    by_dom = defaultdict(list)
+    for r in rows:
+        by_dom[(r.source, r.shard)].append((r.doc_id, r.n_tok, r.bin_id))
+    for dom, docs in by_dom.items():
+        # independent FFD (naive O(n^2) list scan)
+        expect = {}
+        bins = []
+        for did, n, _ in sorted(docs, key=lambda x: (-x[1], x[0])):
+            placed = False
+            for i, resid in enumerate(bins):
+                if resid >= n:
+                    bins[i] -= n
+                    expect[did] = i
+                    placed = True
+                    break
+            if not placed:
+                bins.append(CAP - n)
+                expect[did] = len(bins) - 1
+        got = {did: b for did, _n, b in docs}
+        assert got == expect, dom
+        # invariants: no overflow; bin count >= lower bound
+        fill = defaultdict(int)
+        for _did, n, b in docs:
+            fill[b] += n
+            assert n <= CAP
+        assert all(v <= CAP for v in fill.values())
+        total = sum(n for _d, n, _b in docs)
+        n_bins = max(b for _d, _n, b in docs) + 1
+        assert n_bins == len(fill) == len(bins)
+        assert n_bins >= math.ceil(total / CAP)
+
+
+def test_pack_ffd_beats_sequential_next_fit(spark, sf_dir):
+    # padding-efficiency: FFD waste must not exceed the doc_id-order
+    # next-fit packer's (close bin when the next doc doesn't fit) —
+    # and on this corpus it should be strictly better overall
+    from collections import defaultdict
+
+    from ray_beam_runner_spark.functions.pack import packing_stats
+    from ray_beam_runner_spark.queries import QUERIES
+
+    CAP = 128
+    packed = QUERIES["q_sequence_pack_ffd"](spark, sf_dir)
+    stats = {
+        (r.source, r.shard): r
+        for r in packing_stats(packed, ["source", "shard"], CAP).collect()
+    }
+    rows = packed.collect()
+    by_dom = defaultdict(list)
+    for r in rows:
+        by_dom[(r.source, r.shard)].append((r.doc_id, r.n_tok))
+    total_ffd = total_seq = 0
+    for dom, docs in by_dom.items():
+        seq_bins, resid = 1, CAP
+        for _did, n in sorted(docs):
+            if n > resid:
+                seq_bins += 1
+                resid = CAP
+            resid -= n
+        seq_waste = seq_bins * CAP - sum(n for _d, n in docs)
+        st = stats[dom]
+        assert st.padding_waste <= seq_waste, dom
+        assert st.n_bins <= seq_bins
+        assert 0 < st.fill_ratio <= 1.0
+        total_ffd += st.padding_waste
+        total_seq += seq_waste
+    assert total_ffd < total_seq  # measurable padding reduction
