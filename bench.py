@@ -95,6 +95,13 @@ EXTRA_SET = (
     "q_scd2",
     "q_temperature_mix",
     "q_sketch_freq",
+    # round 9
+    "q_snapshot_delete_dv",
+    "q_dedup_phash",
+    "q_quality_classifier",
+    "q_trigram_kn_logppl",
+    "q_sequence_pack_ffd",
+    "q_ivfpq_incremental",
 )
 
 
@@ -142,31 +149,44 @@ def main() -> None:
 
     from ray_beam_runner_spark.caches import release_tracked
 
-    def budgeted_min(fn) -> float:
-        # Time-budgeted min (r6 verdict ask #7; unified protocol per r7
-        # verdict ask #2 — headline and extended sets now measure
-        # identically): at least 3 timed runs, and keep sampling
-        # sub-second queries until ~2 s of timed samples (cap 8).
-        # Rationale, measured on this VM: with a fixed min-of-2 the
-        # round-over-round deltas on UNTOUCHED queries spanned
-        # -21%..+29%, and even back-to-back min-of-3 runs left ±16-39%
-        # tails on ~0.2-0.5 s queries — there, per-stage scheduling
-        # jitter IS the runtime, and the min only converges with sample
-        # count. Slow queries (>=1 s) are execution-bound and stable at
-        # 3 samples.
+    def budgeted_min(fn) -> tuple[float, int, float]:
+        # Variance-targeted min (r8 verdict ask #5, extending the r6/r7
+        # budgeted-min protocol): at least 3 timed runs, keep sampling
+        # sub-second queries until ~2 s of timed samples, and — new —
+        # keep sampling ANY query until the min CONVERGES: the two
+        # smallest samples within SPARK_GRAFT_CONV_PCT (default 3%) of
+        # each other, cap SPARK_GRAFT_MAX_RUNS (default 10). Rationale,
+        # measured on this VM: a fixed sample count leaves the min
+        # estimator unconverged exactly on the queries where per-stage
+        # scheduling jitter IS the runtime, producing ±16-39% deltas on
+        # untouched code; gating on min-gap targets the variance
+        # directly instead of guessing a count. Returns (min, n_samples,
+        # min_gap) — the sample count and residual gap are emitted into
+        # the bench JSON so round-over-round drift is diagnosable per
+        # query.
         min_runs = max(1, int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "3")))
         budget = float(os.environ.get("SPARK_GRAFT_EXTRA_BUDGET_SEC", "2.0"))
-        best, n, spent = None, 0, 0.0
-        while n < min_runs or (spent < budget and n < 8):
+        conv = float(os.environ.get("SPARK_GRAFT_CONV_PCT", "3")) / 100.0
+        cap = max(min_runs, int(os.environ.get("SPARK_GRAFT_MAX_RUNS", "10")))
+        samples: list[float] = []
+        while True:
             dt = run_query(fn, spark, sf_dir)
             release_tracked()  # drop operator-persisted intermediates
             spark.catalog.clearCache()  # isolate queries (no leaked persists)
-            best = dt if best is None else min(best, dt)
-            n += 1
-            spent += dt
-        return round(best, 4)
+            samples.append(dt)
+            n, spent = len(samples), sum(samples)
+            s = sorted(samples)
+            gap = (s[1] - s[0]) / s[0] if n >= 2 else float("inf")
+            if n >= cap:
+                break
+            if n >= min_runs and gap <= conv and (spent >= budget or s[0] >= 1.0):
+                break
+        s = sorted(samples)
+        return round(s[0], 4), len(samples), round((s[1] - s[0]) / s[0], 4)
 
     timings: dict[str, float] = {}
+    samples_out: dict[str, int] = {}
+    gaps_out: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_TIMED_SWEEPS"):
         print(
             "bench.py: SPARK_GRAFT_TIMED_SWEEPS is obsolete since the "
@@ -183,13 +203,13 @@ def main() -> None:
         for name in headline:
             run_query(QUERIES[name], spark, sf_dir)
     for name in headline:
-        timings[name] = budgeted_min(QUERIES[name])
+        timings[name], samples_out[name], gaps_out[name] = budgeted_min(QUERIES[name])
 
     for name in (n for n in EXTRA_SET if n in QUERIES):
         fn = QUERIES[name]
         run_query(fn, spark, sf_dir)  # warm: plan cache + OS page cache
         release_tracked()
-        timings[name] = budgeted_min(fn)
+        timings[name], samples_out[name], gaps_out[name] = budgeted_min(fn)
 
     total = round(sum(timings[n] for n in BENCH_SET if n in timings), 4)
     print(
@@ -199,6 +219,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples_out,
+                "min_gap": gaps_out,
                 "sf": sf,
             }
         )

@@ -6,9 +6,13 @@ Codec status by modality: AUDIO decodes for real everywhere (stdlib
 now ALSO decodes for real everywhere for PNG payloads: a pure
 stdlib-zlib + numpy codec (:func:`decode_png` — full chunk/CRC parse,
 all five scanline filters, grayscale/RGB/RGBA/palette) with a matching
-:func:`encode_png` for fixture synthesis; non-PNG formats (JPEG, …)
-still route through the optional-import PIL seam (:func:`decode_image`)
-and raise a documented NotImplementedError where pillow is absent.
+:func:`encode_png` for fixture synthesis — and for baseline JPEG
+payloads: a pure numpy DCT + canonical-Huffman codec
+(:func:`decode_jpeg` / :func:`encode_jpeg` — table-driven entropy
+decode, 4:4:4/4:2:2/4:2:0 chroma, JFIF color transform), closing the
+dominant-web-format seam. Remaining formats (WebP, TIFF, …) still
+route through the optional-import PIL seam (:func:`decode_image`) and
+raise a documented NotImplementedError where pillow is absent.
 ``decode_image_stub`` with ``fake_features=True`` remains the
 deterministic content-derived pseudo-feature kernel for format-agnostic
 plumbing tests. VIDEO also decodes for real everywhere for animated
@@ -56,6 +60,9 @@ __all__ = [
     "decode_gif",
     "extract_video_features",
     "sample_gif_frames",
+    "encode_jpeg",
+    "decode_jpeg",
+    "extract_jpeg_features",
 ]
 
 
@@ -153,8 +160,16 @@ def decode_image(payload: bytes, image_mod=None) -> dict:
                 "mode": mode,
                 "format": "PNG",
             }
+        if bytes(payload[:2]) == b"\xff\xd8":
+            f = decode_jpeg(payload)
+            return {
+                "width": f["width"],
+                "height": f["height"],
+                "mode": "L" if f["channels"] == 1 else "RGB",
+                "format": "JPEG",
+            }
         raise NotImplementedError(
-            "decoding non-PNG images requires pillow on the executors; "
+            "decoding non-PNG/JPEG images requires pillow on the executors; "
             "install it or use decode_image_stub(fake_features=True)"
         )
     import io
@@ -994,3 +1009,436 @@ def sample_gif_frames(media: DataFrame, stride: int = 1) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
 
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image: REAL baseline JPEG codec (pure numpy DCT + canonical Huffman) —
+# closes the last codec seam: the dominant web-image format no longer
+# routes through the optional PIL import. Scope: baseline sequential
+# (SOF0), 8-bit, grayscale or YCbCr with sampling factors 1-2 (4:4:4 /
+# 4:2:2 / 4:2:0); progressive (SOF2), 12-bit, arithmetic coding, and
+# restart markers raise NotImplementedError loudly. The decoder is
+# fully TABLE-DRIVEN (builds canonical Huffman codes from the file's
+# own DHT segments, ITU-T T.81 Annex C), so it reads any compliant
+# baseline stream, not just this encoder's. The encoder emits valid
+# but deliberately simple tables (every DC category at 4 bits, every
+# AC run/size symbol at 9 bits — canonical, Kraft-safe); compression
+# ratio is sacrificed for code clarity, correctness is not.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    """The 8x8 orthonormal DCT-II matrix A with A[u,x] =
+    c(u)/2 * cos((2x+1) u pi / 16): forward F = A f A^T, inverse
+    f = A^T F A."""
+    import numpy as np
+
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    a = 0.5 * np.cos((2.0 * x + 1.0) * u * np.pi / 16.0)
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+def _jpeg_tables():
+    """Encoder Huffman tables as (bits, values) DHT payloads: DC = all
+    12 categories at 4 bits; AC = EOB/ZRL + every (run 0-15, size 1-10)
+    at 9 bits (162 + 12 symbols, Kraft sums 12/16 and 162/512 — valid
+    canonical tables with slack, never the all-ones code)."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 codes of length 4 (index 3 = length 4)
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[8] = 162  # length 9
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment (T.81 Annex C): symbol ->
+    (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient:
+    negatives in ones'-complement of |v| (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a, s = abs(v), 0
+    while a >> s:
+        s += 1
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(arr, quant: int = 1) -> bytes:
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+    baseline JFIF/JPEG byte stream. ``quant`` fills the quantization
+    table with one constant (1 = near-lossless: flat 8x8 blocks
+    round-trip EXACTLY, which is what makes the q_multimodal_jpeg
+    oracle closed-form). Dimensions are edge-replicated up to
+    multiples of 8; color uses 4:4:4 (no subsampling) with the BT.601
+    JFIF YCbCr transform."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    # component planes (float, level-shifted later)
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [yy, cb, cr]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    amat = _dct_matrix()
+    q = np.full((8, 8), int(quant), dtype=np.float64)
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_tables()
+    dc_code = _huff_codes(dc_bits, dc_vals)
+    ac_code = _huff_codes(ac_bits, ac_vals)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, p in enumerate(planes):
+                blk = p[by: by + 8, bx: bx + 8] - 128.0
+                coef = np.rint((amat @ blk @ amat.T) / q).astype(np.int64)
+                zz = coef.flatten()[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, bits_v = _magnitude(diff)
+                c, ln = dc_code[s]
+                bw.write(c, ln)
+                if s:
+                    bw.write(bits_v, s)
+                run = 0
+                nz = np.flatnonzero(zz[1:])
+                last = int(nz[-1]) + 1 if nz.size else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_code[0xF0]  # ZRL
+                        bw.write(c, ln)
+                        run -= 16
+                    s, bits_v = _magnitude(v)
+                    c, ln = ac_code[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(bits_v, s)
+                    run = 0
+                if last < 63:
+                    c, ln = ac_code[0x00]  # EOB
+                    bw.write(c, ln)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = bytes(int(quant) & 0xFF for _ in range(64))
+    out += seg(0xFFDB, b"\x00" + zz_q)  # DQT table 0, 8-bit
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += seg(0xFFC0, sof)  # SOF0 baseline
+    out += seg(0xFFC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([nc]) + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.acc = (self.acc << 8) | 0xFF  # pad past end
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # marker reached: behave as end-of-data padding
+                    self.pos -= 1
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(min_code, max_code, val_index) per length — the T.81 F.2.2.3
+    DECODE procedure over canonical codes."""
+    codes = _huff_codes(bits, vals)
+    by_len: dict[int, dict[int, int]] = {}
+    for sym, (code, ln) in codes.items():
+        by_len.setdefault(ln, {})[code] = sym
+    return by_len
+
+
+def _read_symbol(br: _BitReader, by_len: dict[int, dict[int, int]]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read(1)
+        tab = by_len.get(ln)
+        if tab is not None and code in tab:
+            return tab[code]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Sign-extend appended magnitude bits (T.81 F.2.2.1 EXTEND)."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes, return_pixels: bool = False) -> dict:
+    """REAL baseline JPEG decode with no external codec: parse markers,
+    build canonical Huffman decoders from the stream's own DHT
+    segments, entropy-decode the interleaved MCUs, dequantize,
+    de-zigzag, inverse-DCT, upsample chroma (factors 1-2), convert
+    JFIF YCbCr->RGB, and return integer-exact features: width, height,
+    channels, bit_depth and px_sum (exact integer sum of every output
+    sample). Supports grayscale and 3-component 4:4:4/4:2:2/4:2:0;
+    progressive (SOF2), 12-bit precision, arithmetic coding (SOF9+),
+    and restart intervals raise NotImplementedError loudly."""
+    import struct
+
+    import numpy as np
+
+    d = bytes(payload)
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    scan_comps = None
+    data_start = None
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", d[pos + 2: pos + 4])
+        seg = d[pos + 4: pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    tbl[_ZIGZAG[i]] = seg[s + 1 + i]
+                qt[tq] = tbl.reshape(8, 8)
+                s += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, hh, ww, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (hh, ww, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("arithmetic-coded JPEG unsupported")
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0xF
+                bits = list(seg[s + 1: s + 17])
+                nv = sum(bits)
+                vals = list(seg[s + 17: s + 17 + nv])
+                dec = _huff_decoder(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                s += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+            if ri != 0:
+                raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i: 3 + 2 * i]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    hh, ww, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
+        raise NotImplementedError("sampling factors beyond 2 unsupported")
+    mcux = -(-ww // (8 * hmax))
+    mcuy = -(-hh // (8 * vmax))
+    amat = _dct_matrix()
+    br = _BitReader(d[data_start:])
+    pred = {c[0]: 0 for c in comps}
+    planes = {
+        c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+        for c in comps
+    }
+    comp_by_id = {c[0]: c for c in comps}
+    scan_order = [comp_by_id[cs] for cs, _td, _ta in scan_comps]
+    tabs = {cs: (td, ta) for cs, td, ta in scan_comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, ch, cv, tq in scan_order:
+                td, ta = tabs[cid]
+                for vy in range(cv):
+                    for vx in range(ch):
+                        s = _read_symbol(br, huff_dc[td])
+                        diff = _extend(br.read(s), s)
+                        pred[cid] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, huff_ac[ta])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            sz = rs & 0xF
+                            zz[k] = _extend(br.read(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qt[tq].flatten()[_ZIGZAG]
+                        blk = amat.T @ coef.reshape(8, 8) @ amat + 128.0
+                        y0 = (my * cv + vy) * 8
+                        x0 = (mx * ch + vx) * 8
+                        planes[cid][y0: y0 + 8, x0: x0 + 8] = blk
+    # crop to component resolution, upsample to full, stack
+    out_planes = []
+    for cid, ch, cv, _tq in comps:
+        cw = -(-ww * ch // hmax)
+        chh = -(-hh * cv // vmax)
+        p = planes[cid][:chh, :cw]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:hh, :ww])
+    if len(out_planes) == 1:
+        arr = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        channels = 1
+    else:
+        yy, cb, cr = out_planes
+        r = yy + 1.402 * (cr - 128.0)
+        g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = yy + 1.772 * (cb - 128.0)
+        arr = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+        channels = 3
+    feats = {
+        "width": int(ww),
+        "height": int(hh),
+        "channels": channels,
+        "bit_depth": 8,
+        "px_sum": int(arr.astype(np.int64).sum()),
+    }
+    if return_pixels:
+        feats["pixels"] = arr if channels == 3 else arr.reshape(hh, ww)
+    return feats
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """Decode JPEG payloads in a media envelope into integer-exact image
+    features via the from-scratch baseline codec — same envelope/batch
+    contract as :func:`extract_image_features` (PNG)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_jpeg(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)

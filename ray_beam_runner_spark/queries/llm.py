@@ -1317,6 +1317,74 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_jpeg",
+    oracle="""
+    SELECT doc_id,
+           16::BIGINT AS width,
+           16::BIGINT AS height,
+           1::BIGINT AS channels,
+           8::BIGINT AS bit_depth,
+           (64 * list_sum(list_transform(range(0, 4),
+                                         k -> (doc_id + 37 * k) % 256)))::BIGINT
+             AS px_sum
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG codec end to end, driver-checkable (r8
+    verdict ask #8, the q_multimodal_image recipe applied to JPEG):
+    synthesize one 16x16 grayscale JPEG per document — four flat 8x8
+    blocks valued (doc_id + 37k) % 256 — with the from-scratch encoder
+    (numpy DCT, canonical Huffman, unit quant table), decode with
+    functions.multimodal.decode_jpeg (marker parse, table-driven
+    entropy decode, dequant, IDCT), and return integer-exact features.
+    Flat blocks concentrate all energy in the DC coefficient, which
+    quantizes at q=1 to an exact integer, so the lossy format
+    round-trips these images EXACTLY and the oracle states px_sum in
+    closed form — a Huffman, zigzag, DC-prediction, dequant, or IDCT
+    bug all break the hash (arbitrary-content near-losslessness is
+    pytest-checked separately). Both synth and decode run distributed;
+    payload bytes never leave the executors."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_jpeg_features,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ray_beam_runner_spark.functions.multimodal import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                arr = np.zeros((16, 16), dtype=np.uint8)
+                for k, (by, bx) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+                    arr[by: by + 8, bx: bx + 8] = (d + 37 * k) % 256
+                payloads.append(encode_jpeg(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jpgs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    media = attach_media(jpgs, "doc_id", "payload", modality="image")
+    feats = extract_jpeg_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("bit_depth").cast("long").alias("bit_depth"),
+        F.col("px_sum"),
+    )
+
+
+@query(
     "q_bpe_pair_counts",
     oracle=f"""
     WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
