@@ -496,6 +496,7 @@ def ivfpq_encode(
     books: DataFrame,
     id_col: str,
     vec_col: str,
+    m: int | None = None,
 ) -> DataFrame:
     """Encode vectors against a FROZEN IVF-PQ quantizer: coarse-cell
     assignment, residual, per-subspace code argmin — the index stage of
@@ -504,12 +505,15 @@ def ivfpq_encode(
     arithmetic. This is the ingestion half of incremental ANN index
     maintenance (a 100 TB embeddings pipeline fits the quantizer once
     on a sample, then encodes every incoming batch against it — FAISS
-    add-after-train). Returns (id_col, cell, codes)."""
+    add-after-train). Returns (id_col, cell, codes). ``m`` (subspace
+    count) is derived from ``books`` when omitted; repeated callers
+    (the streaming maintainer) pass it to skip that per-call job."""
     v, dim = _prepare(df, id_col, vec_col)
-    mrow = books.agg(F.max("j")).first()[0]
-    if mrow is None:
-        raise ValueError("ivfpq_encode: empty codebooks")
-    m = int(mrow) + 1
+    if m is None:
+        mrow = books.agg(F.max("j")).first()[0]
+        if mrow is None:
+            raise ValueError("ivfpq_encode: empty codebooks")
+        m = int(mrow) + 1
     if dim == 0:
         v.unpersist()
         raise ValueError("ivfpq_encode on an empty corpus")
@@ -555,35 +559,47 @@ def stream_maintain_ivfpq(
     from ray_beam_runner_spark.sources import snapshots as snap
 
     app = app_id or f"ivfpq:{_os.path.basename(_os.path.abspath(index_dir))}"
+    # subspace count is a property of the frozen quantizer — derive it
+    # once at stream construction, not once per micro-batch
+    mrow = books.agg(F.max("j")).first()[0]
+    if mrow is None:
+        raise ValueError("stream_maintain_ivfpq: empty codebooks")
+    m = int(mrow) + 1
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
+        w = W.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change") == "insert", 1).otherwise(0).desc(),
+        )
+        # persist the NETTED frame, not the raw batch: the per-id window
+        # feeds the insert/delete counts, the encode, and the retraction
+        # — unpersisted it would recompute per consumer
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
         try:
-            w = W.partitionBy(id_col).orderBy(
-                F.col("_commit_version").desc(),
-                F.when(F.col("_change") == "insert", 1).otherwise(0).desc(),
-            )
-            last = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            ins = last.filter(F.col("_change") == "insert").select(id_col, vec_col)
-            dels = last.filter(F.col("_change") == "delete").select(id_col)
-            if ins.limit(1).count():
-                enc = ivfpq_encode(ins, coarse, books, id_col, vec_col)
+            counts = dict(
+                last.groupBy("_change").count().collect()
+            )  # one job for both branch decisions
+            if counts.get("insert"):
+                ins = last.filter(F.col("_change") == "insert").select(id_col, vec_col)
+                enc = ivfpq_encode(ins, coarse, books, id_col, vec_col, m=m)
                 snap.upsert_snapshot(
                     spark, index_dir, enc, [id_col],
                     txn_app=app, txn_version=batch_id,
                 )
-            if dels.limit(1).count():
+            if counts.get("delete"):
+                dels = last.filter(F.col("_change") == "delete").select(id_col)
                 snap.delete_keys(
                     spark, index_dir, dels, [id_col],
                     txn_app=f"{app}#del", txn_version=batch_id,
                 )
         finally:
-            batch_df.unpersist()
+            last.unpersist()
 
     return (
         feed.writeStream.foreachBatch(_apply)

@@ -211,13 +211,20 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    from ray_beam_runner_spark.caches import track
     from ray_beam_runner_spark.functions.dedup import hamming_pairs
     from ray_beam_runner_spark.functions.multimodal import (
         attach_media,
         extract_image_phash,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    # The doc_id projection prunes the scan to a few KB, which parquet
+    # split-sizing then reads as ONE task — serializing the per-image
+    # Python codec work behind it. Spread the synth/decode chain across
+    # the session's cores explicitly (at corpus scale a real image table
+    # arrives already partitioned; this is the tiny-input analog).
+    par = spark.sparkContext.defaultParallelism
+    docs = t(spark, sf_dir, "documents").select("doc_id").repartition(par)
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -247,7 +254,9 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pngs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
     media = attach_media(pngs, "doc_id", "payload", modality="image")
-    hashes = extract_image_phash(media)
+    # persist the 16-bytes-per-image hash frame: hamming_pairs self-joins
+    # it, and without the persist BOTH join sides re-run the decode chain
+    hashes = track(extract_image_phash(media))
     pairs = hamming_pairs(hashes, "media_id", "ahash", max_hamming=3, bits=64)
     return (
         pairs.select(
@@ -866,11 +875,17 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ray_beam_runner_spark.functions.text import quality_score
 
     docs = t(spark, sf_dir, "documents")
-    labels = docs.select(
-        F.col("doc_id").alias("id"),
-        F.when(quality_score(F.col("text")) >= 0.5, 1.0).otherwise(0.0).alias("y"),
+    # Both training inputs are consumed by id-keyed joins/aggregations
+    # in EVERY GD round; hash-partition them by id once and persist, so
+    # all 10 rounds' score/gradient joins reuse the partitioning — the
+    # only per-round exchange left is the tiny feature-keyed gradient.
+    labels = track(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.when(quality_score(F.col("text")) >= 0.5, 1.0).otherwise(0.0).alias("y"),
+        ).repartition("id")
     )
-    feats = track(hashed_features(docs, "doc_id", "text", 32))
+    feats = track(hashed_features(docs, "doc_id", "text", 32).repartition("id"))
     w = logreg_fit(feats, labels, 33, n_iter=10, lr=8.0)
     return logreg_score(feats, labels, w, 33).select(
         F.col("id").alias("doc_id"),
