@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "pagerank"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank", "triangle_count"]
 
 
 def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:

@@ -2410,6 +2410,97 @@ def q_snapshot_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_merge_dv",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice * 3
+                      WHEN o_orderkey % 15 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END, 4) AS totalprice,
+           CASE WHEN o_orderkey % 30 = 0 THEN 'W'
+                WHEN o_orderkey % 15 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM base
+    UNION ALL
+    SELECT o_orderkey + 100000000,
+           round(CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END, 4),
+           CASE WHEN o_orderkey % 50 = 0 THEN 'M' ELSE 'N' END
+    FROM base WHERE o_orderkey % 25 = 0
+    """,
+)
+def q_snapshot_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE via deletion vectors (the write-path
+    counterpart of q_snapshot_delete_dv): two stacked ``dv=True``
+    upserts — the first doubles every 15th key and inserts re-keyed
+    copies of every 25th, the second triples every 30th (re-hitting
+    keys the FIRST merge appended, so its tombstones must reach both
+    the original files and the first merge's fresh files) and revises
+    every re-keyed 50th. Zero data files are rewritten across both
+    commits (asserted in-query): matched pre-images die by (file,
+    position) sidecar, batches land as appends, and the final read
+    anti-applies the stacked vectors. The oracle is the composed MERGE
+    algebra; a resurrected pre-image, a missed second-generation
+    tombstone, or a lost append all break the hash. At 100 TB this
+    turns a narrow MERGE's write cost from gigabytes of file rewrites
+    into kilobytes of positions + the batch itself.
+    See sources.snapshots.upsert_snapshot(dv=True) / _merge_dv."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = scratch_dir("rbrs_mrgdv_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
+    files_v1 = list(snap.read_manifest(tdir, 1)["files"])
+    b1 = (
+        base.filter(F.col("o_orderkey") % 15 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 25 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("N").alias("o_orderstatus"),
+            )
+        )
+    )
+    v2 = snap.upsert_snapshot(spark, tdir, b1, ["o_orderkey"], dv=True)
+    b2 = (
+        base.filter(F.col("o_orderkey") % 30 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+            F.lit("W").alias("o_orderstatus"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 50 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                (F.col("o_totalprice") + 1).alias("o_totalprice"),
+                F.lit("M").alias("o_orderstatus"),
+            )
+        )
+    )
+    v3 = snap.upsert_snapshot(spark, tdir, b2, ["o_orderkey"], dv=True)
+    for v in (v2, v3):
+        m = snap.read_manifest(tdir, v)
+        assert m["rewrote"] == [], "DV merge must rewrite zero data files"
+        assert set(files_v1) <= set(m["files"]), "DV merge must carry every file"
+    return snap.read_snapshot(spark, tdir).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        "o_orderstatus",
+    )
+
+
+@query(
     "q_scd2",
     oracle="""
     WITH c AS (

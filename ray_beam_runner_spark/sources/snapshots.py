@@ -628,6 +628,7 @@ def upsert_snapshot(
     retries: int = 2,
     evolve_schema: bool = False,
     cdc: bool = False,
+    dv: bool = False,
 ) -> int:
     """Keyed MERGE with optimistic-concurrency retry: on losing the
     manifest-publish race to a concurrent writer, re-read the NEW
@@ -637,12 +638,18 @@ def upsert_snapshot(
     transaction-id check re-runs per attempt, keeping idempotent
     writers idempotent even when the racer was the same application.
     Raises ConcurrentCommitError after ``retries`` lost races. See
-    :func:`_upsert_once` for the merge algorithm itself."""
+    :func:`_upsert_once` for the merge algorithm itself.
+
+    ``dv=True`` switches phase 3 to MERGE-ON-READ (Delta's DV write
+    path): matched pre-image rows are tombstoned via a (file, row
+    position) sidecar and the update batch is APPENDED as new files —
+    zero data files rewritten, so a narrow update of a wide file costs
+    kilobytes instead of a gigabyte rewrite (see :func:`_merge_dv`)."""
     for attempt in range(retries + 1):
         try:
             return _upsert_once(
                 spark, table_dir, updates, keys, txn_app, txn_version,
-                evolve_schema, cdc,
+                evolve_schema, cdc, dv,
             )
         except ConcurrentCommitError:
             if attempt == retries:
@@ -659,6 +666,7 @@ def _upsert_once(
     txn_version: int | None = None,
     evolve_schema: bool = False,
     cdc: bool = False,
+    dv: bool = False,
 ) -> int:
     """Keyed MERGE into a snapshot table: matching keys replaced, new
     keys appended, untouched rows survive — published as one atomic
@@ -767,7 +775,7 @@ def _upsert_once(
     try:
         return _merge_phases(
             spark, table_dir, updates, keys, key_set, base, manifest, rel_files,
-            file_stats, txns, tbl_fields, upd_fields, evolve_schema, cdc,
+            file_stats, txns, tbl_fields, upd_fields, evolve_schema, cdc, dv,
         )
     finally:
         key_set.unpersist()
@@ -777,7 +785,7 @@ def _upsert_once(
 
 def _merge_phases(
     spark, table_dir, updates, keys, key_set, base, manifest, rel_files,
-    file_stats, txns, tbl_fields, upd_fields, evolve_schema, cdc,
+    file_stats, txns, tbl_fields, upd_fields, evolve_schema, cdc, dv=False,
 ):
     k0 = keys[0]
     ranged = [
@@ -802,6 +810,13 @@ def _merge_phases(
         )
         candidates += [r._path for r in hit]
     pruned_by_stats = len(rel_files) - len(candidates)
+
+    if dv:
+        return _merge_dv(
+            spark, table_dir, updates, keys, key_set, base, manifest,
+            rel_files, file_stats, txns, tbl_fields, upd_fields,
+            evolve_schema, cdc, candidates, pruned_by_stats,
+        )
 
     # Phase 2 — exact touched-file detection, scanning ONLY candidates:
     # one _metadata.file_path semi-join finds the files that truly
@@ -973,6 +988,198 @@ def _merge_phases(
         cdc_rel, _, _ = _write_data_files(cdc_df.repartition(8), table_dir)
         if cdc_rel:
             new_manifest["cdc_files"] = cdc_rel
+    _publish(table_dir, version, new_manifest)
+    return version
+
+
+def _merge_dv(
+    spark, table_dir, updates, keys, key_set, base, manifest, rel_files,
+    file_stats, txns, tbl_fields, upd_fields, evolve_schema, cdc,
+    candidates, pruned_by_stats,
+):
+    """Merge-on-read MERGE (Delta's deletion-vector write path): matched
+    pre-image rows are tombstoned by appending their (file, row
+    position) pairs to a DV sidecar, and the update batch is written as
+    NEW stats-clustered files — no data file is ever rewritten. Every
+    reader (:func:`_apply_dvs`) then sees exactly the post-merge rows:
+    old versions of matched keys are DV-dead, the appended rows are
+    live. Write amplification drops from "every touched file, whole"
+    to "positions + the batch itself" — at 100 TB a 100-row update of
+    wide clustered files writes kilobytes, with the read-side position
+    join as the deferred debt until :func:`compact` materializes it.
+    Shares phase-1 stats pruning with the rewrite path; detection and
+    tombstoning are ONE candidate scan (the semi-join that found a
+    file in rewrite mode here yields the positions directly). Keyed
+    DELETE (``updates is None``, via :func:`delete_keys` ``dv=True``)
+    is the same commit minus the append."""
+    from pyspark.sql.types import StructType
+
+    reader = _manifest_reader(spark, manifest)
+    dv_rels: list[str] = []
+    counts: dict[str, int] = {}
+    if candidates:
+        cand = reader.parquet(
+            *(os.path.join(table_dir, rel) for rel in candidates)
+        ).withColumns(
+            {
+                "_dv_fkey": _dv_key_expr(F.col("_metadata.file_path")),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        old_dv = _dv_frame(spark, manifest, table_dir, candidates)
+        if old_dv is not None:
+            # a row already DV-dead must not be tombstoned twice — its
+            # sidecar entry would double-count in the manifest's rows
+            cand = (
+                cand.withColumnRenamed("_dv_fkey", "_dv_key")
+                .join(F.broadcast(old_dv), ["_dv_key", "_dv_pos"], "left_anti")
+                .withColumnRenamed("_dv_key", "_dv_fkey")
+            )
+        matched = cand.join(key_set, keys, "left_semi").select(
+            F.concat(F.lit(_DATA_DIR + "/"), F.col("_dv_fkey")).alias("_dv_file"),
+            F.col("_dv_pos"),
+        )
+        dv_rels, _, dv_rows_map = _write_data_files(
+            matched.repartition(1), table_dir
+        )
+        if sum(dv_rows_map.values()) == 0:
+            for rel in dv_rels:  # empty sidecar: drop it, commit nothing
+                os.remove(os.path.join(table_dir, rel))
+            dv_rels = []
+        else:
+            counts = {
+                r._dv_file: r.n
+                for r in spark.read.parquet(
+                    *(os.path.join(table_dir, rel) for rel in dv_rels)
+                )
+                .groupBy("_dv_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+    if updates is None and not dv_rels:
+        # keyed DELETE matching nothing: metadata no-op unless a txn
+        # watermark must be recorded (same contract as rewrite mode)
+        if txns == manifest.get("txns", {}):
+            return base
+        noop = {
+            "version": base + 1,
+            "parent": base,
+            "files": list(rel_files),
+            "op": "delete",
+            "rewrote": [],
+            "pruned_by_stats": pruned_by_stats,
+            "schema": manifest.get("schema"),
+            "schema_json": manifest.get("schema_json"),
+            "txns": txns,
+        }
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs"):
+            if manifest.get(key):
+                noop[key] = manifest[key]
+        _publish(table_dir, base + 1, noop)
+        return base + 1
+
+    # Append the update batch as new files. The manifest's TYPED schema
+    # (not any file footer) governs alignment: under evolve_schema the
+    # appended files carry the union schema with null backfill for
+    # columns the batch dropped, so every later pinned read sees one
+    # consistent shape across file generations.
+    old_struct = _schema_struct(manifest)
+    if old_struct is None:
+        old_struct = reader.parquet(
+            *(os.path.join(table_dir, rel) for rel in rel_files)
+        ).schema
+    new_struct = old_struct
+    stats_for = None
+    if file_stats:
+        stats_for = sorted({c for s in file_stats.values() for c in s})
+    new_files: list[str] = []
+    new_stats: dict = {}
+    new_rows: dict = {}
+    if updates is not None:
+        aligned = updates
+        if evolve_schema:
+            old_names = {f.name for f in old_struct.fields}
+            new_struct = StructType(
+                list(old_struct.fields)
+                + [f for f in updates.schema.fields if f.name not in old_names]
+            )
+            aligned = updates.select(
+                *[
+                    F.col(f.name)
+                    if f.name in updates.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in new_struct.fields
+                ]
+            )
+        if stats_for:
+            aligned = aligned.repartitionByRange(*stats_for).sortWithinPartitions(
+                *stats_for
+            )
+        new_files, new_stats, new_rows = _write_data_files(
+            aligned, table_dir, stats_for
+        )
+    version = base + 1
+    new_manifest = {
+        "version": version,
+        "parent": base,
+        "files": [*rel_files, *new_files],
+        "op": "merge" if updates is not None else "delete",
+        "dv": True,
+        "rewrote": [],
+        "pruned_by_stats": pruned_by_stats,
+        "schema": sorted(tbl_fields | upd_fields if evolve_schema else tbl_fields),
+        "schema_json": new_struct.json(),
+    }
+    if txns:
+        new_manifest["txns"] = txns
+    # every old data file is carried verbatim (untouched = all of them);
+    # stats/blooms over-approximate DV-dead values, which keeps pruning
+    # safe — a pruned-in file simply yields zero live rows after the join
+    _carry_file_meta(manifest, new_manifest, rel_files, file_stats, new_stats, new_rows)
+    _carry_blooms(spark, table_dir, manifest, new_manifest, rel_files, new_files)
+    if counts:
+        dvm = {rel: dict(e) for rel, e in (new_manifest.get("file_dvs") or {}).items()}
+        for rel, n in counts.items():
+            e = dvm.setdefault(rel, {"paths": [], "rows": 0})
+            e["paths"] = [*e["paths"], *dv_rels]
+            e["rows"] = e["rows"] + int(n)
+        new_manifest["file_dvs"] = dvm
+    if cdc:
+        ins = (
+            None
+            if updates is None
+            else updates.withColumn("_change", F.lit("insert"))
+        )
+        pre = None
+        if dv_rels:
+            # pre-images FROM the written sidecar (the one detection
+            # scan above is the only predicate/key evaluation)
+            new_dv = spark.read.parquet(
+                *(os.path.join(table_dir, rel) for rel in dv_rels)
+            ).select(
+                _dv_key_expr(F.col("_dv_file")).alias("_dv_key"), F.col("_dv_pos")
+            )
+            touched = sorted(counts)
+            pre = (
+                reader.parquet(*(os.path.join(table_dir, rel) for rel in touched))
+                .withColumns(
+                    {
+                        "_dv_key": _dv_key_expr(F.col("_metadata.file_path")),
+                        "_dv_pos": F.col("_metadata.row_index"),
+                    }
+                )
+                .join(F.broadcast(new_dv), ["_dv_key", "_dv_pos"], "left_semi")
+                .drop("_dv_key", "_dv_pos")
+                .withColumn("_change", F.lit("delete"))
+            )
+        if pre is not None and ins is not None:
+            cdc_df = pre.unionByName(ins, allowMissingColumns=True)
+        else:
+            cdc_df = ins if ins is not None else pre
+        if cdc_df is not None:
+            cdc_rel, _, _ = _write_data_files(cdc_df.repartition(8), table_dir)
+            if cdc_rel:
+                new_manifest["cdc_files"] = cdc_rel
     _publish(table_dir, version, new_manifest)
     return version
 
@@ -1610,6 +1817,7 @@ def delete_keys(
     txn_version: int | None = None,
     retries: int = 2,
     cdc: bool = False,
+    dv: bool = False,
 ) -> int:
     """Keyed DELETE: remove every row whose key appears in ``keys_df``
     (a DataFrame — keys never land on the driver, unlike a
@@ -1622,7 +1830,9 @@ def delete_keys(
     must be recorded. Idempotent via (txn_app, txn_version); ``cdc``
     writes the removed rows as a 'delete' change sidecar. This is the
     retraction half of CDC-driven downstream maintenance (e.g. the
-    incremental ANN index: functions.clustering.stream_maintain_ivfpq)."""
+    incremental ANN index: functions.clustering.stream_maintain_ivfpq).
+    ``dv=True`` tombstones the matched positions in a DV sidecar
+    instead of rewriting the files they live in (:func:`_merge_dv`)."""
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
     for attempt in range(retries + 1):
@@ -1641,7 +1851,7 @@ def delete_keys(
             return _merge_phases(
                 spark, table_dir, None, keys, key_set, base, manifest,
                 manifest["files"], manifest.get("file_stats", {}), txns,
-                tbl_fields, tbl_fields, False, cdc,
+                tbl_fields, tbl_fields, False, cdc, dv,
             )
         except ConcurrentCommitError:
             if attempt == retries:

@@ -1503,6 +1503,122 @@ def test_dv_stream_replay_excludes_deleted_rows(spark, tmp_path):
     assert all(r[2] == "insert" for r in got)
 
 
+def test_dv_merge_appends_without_rewriting(spark):
+    # merge-on-read MERGE: matched pre-images tombstoned via sidecar,
+    # the batch appended — every v1 data file carried verbatim
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 300).selectExpr("cast(id as int) k", "id * 2 v"), t,
+        cluster_by=["k"], n_files=3,
+    )
+    files_v1 = list(snap.read_manifest(t, 1)["files"])
+    upd = spark.createDataFrame([(7, -7), (150, -150), (900, -900)], "k int, v long")
+    v2 = snap.upsert_snapshot(spark, t, upd, ["k"], dv=True)
+    m2 = snap.read_manifest(t, v2)
+    assert m2["rewrote"] == [] and m2["dv"] is True
+    assert set(files_v1) <= set(m2["files"])  # no old file dropped
+    new_files = [f for f in m2["files"] if f not in files_v1]
+    assert new_files  # the batch landed as fresh files
+    assert sum(e["rows"] for e in m2["file_dvs"].values()) == 2  # 7, 150 matched
+    got = {r.k: r.v for r in snap.read_snapshot(spark, t).collect()}
+    assert got[7] == -7 and got[150] == -150 and got[900] == -900
+    assert got[8] == 16  # untouched neighbor intact
+    assert len(got) == 301 and snap.snapshot_rows(t) == 301
+    # time travel: v1 still shows the pre-merge values
+    old = {r.k: r.v for r in snap.read_snapshot(spark, t, version=1).collect()}
+    assert old[7] == 14 and 900 not in old
+
+
+def test_dv_merge_equals_rewrite_merge_and_restacks(spark):
+    # the two write paths must converge to identical table CONTENT,
+    # including a second DV merge that tombstones the first's appends
+    t_dv, t_rw = _tdir(), _tdir()
+    base = spark.range(0, 120).selectExpr("cast(id as int) k", "id v")
+    for t in (t_dv, t_rw):
+        snap.write_snapshot(base, t, cluster_by=["k"], n_files=4)
+    b1 = spark.createDataFrame([(5, 500), (60, 600), (200, 2000)], "k int, v long")
+    b2 = spark.createDataFrame([(5, 501), (200, 2001), (300, 3000)], "k int, v long")
+    snap.upsert_snapshot(spark, t_dv, b1, ["k"], dv=True)
+    v_dv = snap.upsert_snapshot(spark, t_dv, b2, ["k"], dv=True)
+    snap.upsert_snapshot(spark, t_rw, b1, ["k"])
+    snap.upsert_snapshot(spark, t_rw, b2, ["k"])
+    rows_dv = sorted(map(tuple, snap.read_snapshot(spark, t_dv).collect()))
+    rows_rw = sorted(map(tuple, snap.read_snapshot(spark, t_rw).collect()))
+    assert rows_dv == rows_rw
+    # b2 re-hit key 5 (a v1 file) AND keys 5/200's b1 appends: both
+    # generations tombstoned, exactly one live row per key
+    m = snap.read_manifest(t_dv, v_dv)
+    assert m["rewrote"] == []
+    assert snap.snapshot_rows(t_dv) == len(rows_dv)
+
+
+def test_dv_delete_keys_and_txn_idempotency(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 100).selectExpr("cast(id as int) k", "id v"), t,
+        cluster_by=["k"], n_files=4,
+    )
+    files_v1 = list(snap.read_manifest(t, 1)["files"])
+    dels = spark.createDataFrame([(3,), (44,), (999,)], "k int")
+    v2 = snap.delete_keys(spark, t, dels, ["k"], dv=True,
+                          txn_app="delapp", txn_version=1)
+    m2 = snap.read_manifest(t, v2)
+    assert m2["files"] == files_v1 and m2["op"] == "delete"
+    assert sum(e["rows"] for e in m2["file_dvs"].values()) == 2
+    assert snap.read_snapshot(spark, t).count() == 98
+    # replayed txn: no-op at the same version
+    assert snap.delete_keys(spark, t, dels, ["k"], dv=True,
+                            txn_app="delapp", txn_version=1) == v2
+    # keys matching nothing: metadata no-op (no txn to record)
+    v3 = snap.delete_keys(
+        spark, t, spark.createDataFrame([(999,)], "k int"), ["k"], dv=True
+    )
+    assert v3 == v2
+
+
+def test_dv_merge_cdc_sidecar_and_diff(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 40).selectExpr("cast(id as int) k", "id v"), t,
+        cluster_by=["k"], n_files=2,
+    )
+    upd = spark.createDataFrame([(10, -10), (50, -50)], "k int, v long")
+    v2 = snap.upsert_snapshot(spark, t, upd, ["k"], dv=True, cdc=True)
+    import os as _os
+    cdc_rels = snap.read_manifest(t, v2).get("cdc_files")
+    assert cdc_rels
+    cdc = spark.read.parquet(*(_os.path.join(t, r) for r in cdc_rels))
+    assert sorted((r.k, r.v, r._change) for r in cdc.collect()) == [
+        (10, -10, "insert"), (10, 10, "delete"), (50, -50, "insert")
+    ]
+    # the generic differ nets the same deltas across the DV commit
+    d = snap.snapshot_diff(spark, t, 1, v2).collect()
+    assert sorted((r.k, r.v, r._change) for r in d) == [
+        (10, -10, "insert"), (10, 10, "delete"), (50, -50, "insert")
+    ]
+
+
+def test_dv_merge_evolve_schema_and_compact(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 30).selectExpr("cast(id as int) k", "id v"), t,
+        cluster_by=["k"], n_files=2,
+    )
+    # batch adds 'score', drops 'v' — appended files carry the union
+    # schema with nulls; old files null-backfill 'score' via the pin
+    upd = spark.createDataFrame([(3, 9.5), (77, 1.5)], "k int, score double")
+    snap.upsert_snapshot(spark, t, upd, ["k"], dv=True, evolve_schema=True)
+    got = {r.k: (r.v, r.score) for r in snap.read_snapshot(spark, t).collect()}
+    assert got[3] == (None, 9.5) and got[77] == (None, 1.5)
+    assert got[4] == (4, None)
+    assert len(got) == 31
+    live = sorted((k, *vs) for k, vs in got.items())
+    cv = snap.compact(spark, t, 1)
+    assert "file_dvs" not in snap.read_manifest(t, cv)
+    got2 = {r.k: (r.v, r.score) for r in snap.read_snapshot(spark, t).collect()}
+    assert sorted((k, *vs) for k, vs in got2.items()) == live
+
+
 def test_scd2_non_monotone_effective_time_raises(spark):
     t = _tdir()
     base = spark.createDataFrame(
