@@ -85,6 +85,68 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     )
 
 
+def triangle_count(pairs: DataFrame, a: str = "u", b: str = "v") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW 2011): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher, enumerate wedges as a
+    self-join on the oriented tail, and keep wedges whose heads close
+    against the edge set. Returns (node, triangles) for every node in
+    at least one triangle.
+
+    Why this shape survives 100× scale: naive wedge enumeration joins
+    full neighborhoods, so one hub of degree d contributes d² wedge
+    rows — the "last reducer" that stalls the stage. Orientation by the
+    (degree, id) total order bounds every out-degree by O(√m), so the
+    per-key fan-out of the wedge self-join is balanced regardless of
+    hubs; the closure test is ONE more equi-join against the canonical
+    edge list (no membership broadcast needed). Each triangle is
+    counted exactly once — at its orientation-minimal vertex, the only
+    one with out-edges to both others. Everything is plain DataFrame
+    algebra: the same triangles fall out of a 3-way self-join in SQL,
+    which is what makes q_triangle_count hash-checkable."""
+    from ray_beam_runner_spark.caches import track
+
+    e = track(_canonical_edges(pairs, a, b))
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # canonical edges have u < v, so an equal-degree tie orients u -> v
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = track(
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    wedges = (
+        oriented.select("s", F.col("t").alias("t1"))
+        .join(oriented.select("s", F.col("t").alias("t2")), "s")
+        .filter(F.col("t1") < F.col("t2"))
+    )
+    closed = wedges.join(
+        e,
+        (F.col("t1") == F.col("u")) & (F.col("t2") == F.col("v")),
+        "left_semi",
+    )
+    return (
+        closed.select(
+            F.explode(F.array("s", "t1", "t2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
 def _frontier_signature(edges: DataFrame) -> tuple:
     """(count, xor-ish hash) — one tiny aggregate; equal signatures on
     canonical deduped edge sets imply (whp) the iteration converged."""

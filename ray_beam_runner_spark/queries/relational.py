@@ -2287,6 +2287,67 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_triangle_count",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+    e AS (
+      SELECT s1 AS u, s2 AS v FROM p
+      WHERE ('0x' || substr(md5('tri:' || s1 || ':' || s2), 1, 8))::BIGINT % 10 = 0),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    n AS (
+      SELECT node, count(*)::BIGINT AS triangles
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node)
+    SELECT node, triangles FROM n
+    ORDER BY triangles DESC, node LIMIT 20
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier CO-PURCHASE graph
+    (suppliers linked when they serve the same order, md5-sparsified to
+    a deterministic 10% of edges so the graph stays sparse at every
+    scale factor — the engine-portable hash_bucket contract). Spark
+    side: functions.graph.triangle_count — degree-ordered edge
+    orientation bounds every wedge-join key's fan-out by O(sqrt(m))
+    (Suri & Vassilvitskii's "last reducer" fix), closure is one
+    equi-join, each triangle counted once at its orientation-minimal
+    vertex. The oracle enumerates the SAME triangles by canonical
+    3-way self-join (x < y < z) — orientation changes the plan, never
+    the triangle set, which is exactly what the hash checks. Top-20
+    nodes by (count, node) keeps the cut deterministic."""
+    from ray_beam_runner_spark.functions.graph import triangle_count
+    from ray_beam_runner_spark.functions.text import hash_bucket
+
+    li = t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    key = F.concat(
+        F.col("s1").cast("string"), F.lit(":"), F.col("s2").cast("string")
+    )
+    # sparsify BEFORE the dedup: the md5 keep-decision is a pure
+    # function of the pair, so filtering pair instances first shrinks
+    # the distinct's shuffle 10x with an identical edge set
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .filter(hash_bucket(key, 10, "tri") == 0)
+        .select("s1", "s2")
+        .distinct()
+    )
+    tc = triangle_count(edges, "s1", "s2")
+    return tc.orderBy(F.col("triangles").desc(), "node").limit(20)
+
+
+@query(
     "q_snapshot_zorder",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

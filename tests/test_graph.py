@@ -120,3 +120,53 @@ def test_pagerank_convergence_matches_fixed_iteration(spark):
     deep = {r.node: r.rank for r in pagerank(edges, "s", "d", n_iter=40).collect()}
     assert conv == pytest.approx(deep, abs=1e-8)
     assert sum(conv.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_count_known_graphs(spark):
+    from ray_beam_runner_spark.functions.graph import triangle_count
+
+    # K4: 4 triangles, every node in 3; plus a pendant edge (no effect)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    edges = spark.createDataFrame(k4, "u long, v long")
+    got = {r.node: r.triangles for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # triangle-free graph (path): empty result
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u long, v long")
+    assert triangle_count(path).count() == 0
+    # duplicate + reversed edges collapse to the same canonical set
+    dup = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (0, 1)], "u long, v long"
+    )
+    got = {r.node: r.triangles for r in triangle_count(dup).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # deterministic pseudo-random graph vs an independent Python count
+    import hashlib
+    from itertools import combinations
+
+    from ray_beam_runner_spark.functions.graph import triangle_count
+
+    n = 40
+    edges = [
+        (a, b)
+        for a, b in combinations(range(n), 2)
+        if int(hashlib.md5(f"tg:{a}:{b}".encode()).hexdigest()[:8], 16) % 4 == 0
+    ]
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect: dict[int, int] = {}
+    for a, b, c in combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                expect[x] = expect.get(x, 0) + 1
+    got = {
+        r.node: r.triangles
+        for r in triangle_count(
+            spark.createDataFrame(edges, "u long, v long")
+        ).collect()
+    }
+    assert got == expect
