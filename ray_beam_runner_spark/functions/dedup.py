@@ -44,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "hamming_pairs",
+    "leakage_safe_split",
 ]
 
 
@@ -560,6 +561,42 @@ def decontaminate_hits(
         .distinct()
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    seed_tag: str = "leaksplit",
+) -> DataFrame:
+    """Train/val split that cannot leak near-duplicates across the
+    boundary: documents are first clustered by connected components
+    over the near-dup pair graph (``pairs``: any of this module's pair
+    generators), then the split decision hashes the CLUSTER id — so a
+    doc and all its near-dups land on the same side BY CONSTRUCTION.
+    A per-doc hash split (q_train_val_split) silently places a train
+    doc's near-duplicate in validation, inflating eval scores — the
+    contamination the decontamination/dedup literature warns about
+    applied to a pipeline's own holdout. Returns
+    (id_col, cluster, split) with split in {'train', 'val'};
+    ``val_pct`` of clusters (md5 hash buckets, engine-portable and
+    reshard-stable) go to 'val'.
+
+    Scale shape: clustering is the O(log n)-round large-star/small-star
+    iteration over the PAIR graph (proportional to near-dups, not the
+    corpus); the split itself is one expression — no extra shuffle
+    beyond the cluster join."""
+    from ray_beam_runner_spark.functions.graph import dedup_clusters
+    from ray_beam_runner_spark.functions.text import hash_bucket
+
+    clusters = dedup_clusters(docs, pairs, id_col=id_col)
+    b = hash_bucket(F.col("cluster"), 100, seed_tag)
+    return clusters.select(
+        id_col,
+        "cluster",
+        F.when(b < 100 - val_pct, "train").otherwise("val").alias("split"),
     )
 
 

@@ -144,6 +144,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_G3}) AS g FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2 FROM (
+        SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+        FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT doc_id,
+           coalesce(component, doc_id) AS cluster,
+           CASE WHEN ('0x' || substr(md5('leaksplit:' ||
+                          coalesce(component, doc_id)::VARCHAR), 1, 8))::BIGINT
+                     % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents LEFT JOIN comp ON doc_id = node
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val split: the per-doc hash split
+    (q_train_val_split) can strand one copy of a near-duplicate pair in
+    train and its twin in validation — self-contamination that inflates
+    eval exactly like benchmark contamination does. This query splits
+    by near-dup CLUSTER instead (functions.dedup.leakage_safe_split):
+    exact-Jaccard pairs at 0.5 → connected components → md5 hash of
+    the CLUSTER id decides the side, so duplicates cannot straddle the
+    boundary by construction. The oracle replays clustering (recursive
+    CTE closure) and the cluster-keyed hash decision; a single doc
+    split apart from its cluster breaks the hash. Scale: clustering
+    cost is proportional to the near-dup graph, the split adds one
+    expression — no new shuffle."""
+    from ray_beam_runner_spark.functions.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return leakage_safe_split(docs, pairs, id_col="doc_id", val_pct=10)
+
+
+@query(
     "q_dedup_simhash",
     oracle=f"""
     WITH tok AS (

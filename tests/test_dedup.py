@@ -198,3 +198,28 @@ def test_remove_repeated_spans_no_surviving_hot_window():
                     assert gram not in hot
 
     run()
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    from ray_beam_runner_spark.functions.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # chains {0..3}, {10,11}, a big star {20..29}; rest singletons
+    pair_rows = (
+        [(0, 1), (1, 2), (2, 3), (10, 11)] + [(20, k) for k in range(21, 30)]
+    )
+    pairs = spark.createDataFrame(pair_rows, "d1 long, d2 long")
+    out = leakage_safe_split(docs, pairs, id_col="doc_id", val_pct=30)
+    rows = {r.doc_id: (r.cluster, r.split) for r in out.collect()}
+    assert len(rows) == 200
+    # every pair shares a side (the invariant the per-doc split breaks)
+    for a, b in pair_rows:
+        assert rows[a][1] == rows[b][1], (a, b)
+        assert rows[a][0] == rows[b][0]
+    # the split actually uses both sides and is cluster-deterministic
+    assert {s for _, s in rows.values()} == {"train", "val"}
+    again = {
+        r.doc_id: (r.cluster, r.split)
+        for r in leakage_safe_split(docs, pairs, id_col="doc_id", val_pct=30).collect()
+    }
+    assert again == rows
