@@ -10,7 +10,7 @@ hot path). Each has an exact DuckDB-SQL analog used by the oracle queries.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small multilingual stopword/marker lists (public, standard function words).
@@ -217,3 +217,68 @@ def chunk_text(toks: Column, start: Column, chunk_size: int) -> Column:
     evaluates its array argument per output row, so an inlined
     tokens(text) would re-tokenize the document once per chunk."""
     return F.concat_ws(" ", F.slice(toks, start, chunk_size))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    divisor: int = 16,
+    seed_tag: str = "cdc",
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rolling-hash boundary rule behind
+    rsync/LBFS/dedup stores, Muthitacharoen et al., SOSP 2001, at token
+    granularity): a chunk boundary opens before token i exactly when
+    the hash of the (prev, current) token pair falls in a 1/divisor
+    bucket — the decision depends only on LOCAL content, so after any
+    insertion/deletion the chunking re-synchronizes at the next
+    boundary and every later chunk is byte-identical to the original's.
+    Fixed-size chunking (chunk_starts) shifts every subsequent chunk
+    after a one-token edit, defeating chunk-level dedup; CDC is what
+    makes shared-passage detection and delta storage work on a corpus
+    that keeps getting re-crawled. Returns
+    (id_col, chunk_idx, n_tok, chunk_md5) — the md5 fingerprint is the
+    cross-document chunk identity. Expected chunk length = divisor
+    tokens; md5 bucketing (hash_bucket contract) keeps boundaries
+    engine-portable, so the whole operator replays in SQL
+    (q_chunk_cdc). One explode + one per-doc window + one keyed
+    aggregation — no data path leaves the JVM."""
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("_cdc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("_cdc_id").orderBy("pos")
+    prev = F.lag("tok").over(w)
+    boundary = (
+        F.when(
+            prev.isNotNull()
+            & (
+                hash_bucket(
+                    F.concat(prev, F.lit(":"), F.col("tok")), divisor, seed_tag
+                )
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    chunked = tok.select(
+        "_cdc_id", "pos", "tok", F.sum(boundary).over(w).alias("chunk_idx")
+    )
+    return (
+        chunked.groupBy(F.col("_cdc_id").alias(id_col), "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+    )

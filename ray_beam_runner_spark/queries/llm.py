@@ -1980,6 +1980,47 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_chunk_cdc",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    pos AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks),
+    tok AS (
+      SELECT doc_id, i, w[i] AS tk,
+             CASE WHEN i > 1
+                   AND ('0x' || substr(md5('cdc:' || w[i-1] || ':' || w[i]),
+                                       1, 8))::BIGINT % 16 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos),
+    ch AS (
+      SELECT doc_id, i, tk,
+             (sum(b) OVER (PARTITION BY doc_id ORDER BY i))::BIGINT AS chunk_idx
+      FROM tok)
+    SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tok,
+           md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+    FROM ch GROUP BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (functions.text.cdc_chunks): a chunk
+    boundary opens wherever the (prev, current) token-pair hash lands
+    in a 1/16 bucket — boundaries depend only on local content, so an
+    insertion re-synchronizes at the next boundary and later chunks
+    keep their fingerprints (the rsync/LBFS property fixed-stride
+    q_chunk_documents lacks; resync asserted in
+    tests/test_training_data.py). The md5 chunk fingerprint is the
+    cross-document chunk identity a dedup store keys on. The oracle
+    replays the boundary rule, the running chunk index, and the
+    ordered-aggregation fingerprint; one shifted boundary anywhere
+    breaks the hash."""
+    from ray_beam_runner_spark.functions.text import cdc_chunks
+
+    return cdc_chunks(
+        t(spark, sf_dir, "documents"), "doc_id", "text", divisor=16
+    )
+
+
+@query(
     "q_incremental_dedup",
     oracle=f"""
     WITH corpus AS (

@@ -653,3 +653,29 @@ def test_pack_ffd_beats_sequential_next_fit(spark, sf_dir):
         total_ffd += st.padding_waste
         total_seq += seq_waste
     assert total_ffd < total_seq  # measurable padding reduction
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    # the content-defined property: prepending text shifts only the
+    # chunks up to the first boundary after the edit; every later
+    # chunk keeps its fingerprint (fixed-stride chunking shifts ALL)
+    from ray_beam_runner_spark.functions.text import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    edited = "inserted words here " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs, "doc_id", "text", divisor=16).collect()
+    fp1 = [r.chunk_md5 for r in sorted(out, key=lambda r: r.chunk_idx) if r.doc_id == 1]
+    fp2 = [r.chunk_md5 for r in sorted(out, key=lambda r: r.chunk_idx) if r.doc_id == 2]
+    assert len(fp1) > 5
+    shared = set(fp1) & set(fp2)
+    # all but the first chunk survive the edit (boundaries after the
+    # first post-edit boundary are pure functions of local content)
+    assert len(shared) >= len(fp1) - 1
+    # and the suffix ORDER matches, not just the set
+    assert fp1[1:] == fp2[len(fp2) - len(fp1) + 1:]
+    # determinism across runs
+    again = cdc_chunks(docs, "doc_id", "text", divisor=16).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
