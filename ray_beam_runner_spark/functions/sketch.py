@@ -33,7 +33,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_positions", "cms_sketch", "cms_merge", "cms_estimate"]
+__all__ = [
+    "cms_positions",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
+    "dd_bucket",
+    "dd_sketch",
+    "dd_merge",
+    "dd_quantile",
+]
 
 
 def cms_positions(col: Column, w: int, d: int) -> list[Column]:
@@ -141,10 +150,135 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, item_col: str) -> DataFram
     out_cols = items.columns
     return (
         probes.join(
-            totals,
+            # d x w rows at most: pin the broadcast instead of trusting
+            # the size estimator, like every model-sized join in the repo
+            F.broadcast(totals),
             (F.col("_cms_j") == F.col("j")) & (F.col("_cms_pos") == F.col("pos")),
             "left",
         )
         .groupBy(*out_cols)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style mergeable quantiles — the third leg of the sketch family
+# (HLL: distinct counts; CMS: frequencies; this: quantiles).
+# ---------------------------------------------------------------------------
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket(col: Column, alpha: float) -> Column:
+    """Log-bucket index of a non-negative value (Masson, Lee & Rim,
+    "DDSketch: a fast and fully-mergeable quantile sketch with
+    relative-error guarantees", VLDB 2019): bucket(x) = ceil(ln x /
+    ln γ) with γ = (1+α)/(1-α), so every value in a bucket is within
+    relative error α of the bucket's midpoint estimate. x = 0 gets the
+    sentinel bucket −10^9 (sorts before every real bucket; ln γ lower-
+    bounds real buckets at ~−ln(DBL_MAX)/ln γ ≫ −10^9). The log RATIO
+    is rounded to 9 dp before ceil — engine log() implementations
+    differ by ulps, and an unpinned ceil at a bucket boundary would
+    put the same value in different buckets on different engines (the
+    q_kmeans determinism recipe applied to bucketing)."""
+    g = _dd_gamma(alpha)
+    import math
+
+    return F.when(col == 0, F.lit(-(10**9)).cast("long")).otherwise(
+        F.ceil(F.round(F.log(col.cast("double")) / F.lit(math.log(g)), 9)).cast("long")
+    )
+
+
+def dd_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    alpha: float = 0.02,
+) -> DataFrame:
+    """Per-group sparse DDSketch: (group_cols..., _dd_a, bucket, cnt).
+    One bucket expression + one map-side-combinable aggregation; at
+    most O(log_γ(max/min)) buckets per group survive regardless of row
+    count (~700 buckets across 12 orders of magnitude at α = 0.02).
+    Values must be >= 0 (DDSketch's negative mirror store is out of
+    scope here); the α parameter rides along like the CMS geometry so
+    estimates can never probe with a mismatched γ."""
+    v = F.col(value_col)
+    rows = df.select(
+        *group_cols, dd_bucket(v, alpha).alias("bucket")
+    )
+    return (
+        rows.groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *group_cols, F.lit(float(alpha)).alias("_dd_a"), "bucket", "cnt"
+        )
+    )
+
+
+def _assert_one_alpha(sketch: DataFrame, op: str) -> float:
+    geos = sketch.select("_dd_a").distinct().collect()
+    if not geos:
+        raise ValueError(f"{op}: empty sketch (no alpha row)")
+    if len(geos) > 1:
+        raise ValueError(
+            f"{op}: mixed sketch alphas "
+            f"{sorted(float(g._dd_a) for g in geos)}; "
+            "sketches must share one alpha to compose"
+        )
+    return float(geos[0]._dd_a)
+
+
+def dd_merge(sketch: DataFrame, drop_groups: list[str]) -> DataFrame:
+    """Union partial sketches by summing counts per bucket — DDSketch
+    merge is exact (the merged sketch equals the sketch of the merged
+    stream), which is what makes shard-local quantile state compose
+    without re-reading any shard. Raises on mixed alphas."""
+    _assert_one_alpha(sketch, "dd_merge")
+    keep = [c for c in sketch.columns if c != "cnt" and c not in drop_groups]
+    return sketch.groupBy(*keep).agg(F.sum("cnt").alias("cnt"))
+
+
+def dd_quantile(
+    sketch: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Quantile estimates from a (possibly multi-group) sketch:
+    for each q, the midpoint value 2γ^i/(γ+1) of the bucket containing
+    rank floor(1 + q(n-1)) in bucket order — within relative error α
+    of the true rank-q value by the DDSketch guarantee (exact 0 for
+    the zero bucket). Returns (group_cols..., q, est) with est rounded
+    to 6 dp (γ-power arithmetic differs by ulps across engines; the
+    rounding pins it, same as the centroid recipe). Cost: one window
+    cumsum over the BUCKETS (sketch-sized, never the data) per group."""
+    from pyspark.sql import Window as W
+
+    alpha = _assert_one_alpha(sketch, "dd_quantile")
+    g = _dd_gamma(alpha)
+    s = sketch.groupBy(*group_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+    w = W.partitionBy(*group_cols).orderBy("bucket")
+    cum = s.select(
+        *group_cols,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(
+            W.partitionBy(*group_cols).orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    qdf = sketch.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    ranked = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "_rank", F.floor(F.lit(1.0) + F.col("q") * (F.col("_n") - 1)).cast("long")
+    )
+    hit = ranked.filter(
+        (F.col("_cum") >= F.col("_rank"))
+        & (F.col("_cum") - F.col("cnt") < F.col("_rank"))
+    )
+    est = F.when(F.col("bucket") == -(10**9), F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(2.0) * F.pow(F.lit(g), F.col("bucket")) / F.lit(g + 1.0), 6
+        )
+    )
+    return hit.select(*group_cols, "q", est.alias("est"))

@@ -3174,6 +3174,114 @@ def q_sketch_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ddq_oracle(alpha: float, qs: list[float]) -> str:
+    """DDSketch quantile oracle: replays the log-bucket index (with the
+    9-dp ratio pin), the per-group cumulative rank walk, the midpoint
+    estimate (6-dp pin), and the relative-error guarantee check. The γ
+    and ln γ literals are the PYTHON-computed doubles repr()'d in, so
+    both engines divide by bit-identical constants — DuckDB's own ln(γ)
+    could differ from math.log by an ulp and shift a boundary bucket."""
+    import math
+
+    g = (1.0 + alpha) / (1.0 - alpha)
+    lg, g1 = repr(math.log(g)), repr(g + 1.0)
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+    WITH v AS (SELECT source, n_chars::DOUBLE AS x FROM documents),
+    b AS (
+      SELECT source,
+             (CASE WHEN x = 0 THEN -1000000000
+                   ELSE ceil(round(ln(x) / {lg}, 9)) END)::BIGINT AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM v GROUP BY 1, 2),
+    qs AS (SELECT unnest([{qlist}]) AS q),
+    cum AS (
+      SELECT source, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS c,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM b),
+    hit AS (
+      SELECT source, q, bucket FROM cum CROSS JOIN qs
+      WHERE c >= floor(1 + q * (n - 1)) AND c - cnt < floor(1 + q * (n - 1))),
+    est AS (
+      SELECT source, q,
+             CASE WHEN bucket = -1000000000 THEN 0.0
+                  ELSE round(2 * power({repr(g)}, bucket) / {g1}, 6) END AS est
+      FROM hit),
+    rk AS (
+      SELECT source, x, row_number() OVER (PARTITION BY source ORDER BY x) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM v),
+    ex AS (
+      SELECT source, q, x AS exact FROM rk CROSS JOIN qs
+      WHERE r = floor(1 + q * (n - 1)))
+    SELECT e.source, e.q, e.est, ex.exact,
+           ((ex.exact = 0 AND e.est = 0)
+            OR abs(e.est - ex.exact) / ex.exact <= {alpha} + 1e-6) AS within_alpha
+    FROM est e JOIN ex ON e.source = ex.source AND e.q = ex.q
+    """
+
+
+@query("q_sketch_quantiles", oracle=_ddq_oracle(0.02, [0.5, 0.9, 0.99]))
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch (DDSketch, Masson et al. VLDB 2019) —
+    the third leg of the sketch family (HLL: distinct, CMS: frequency,
+    this: distribution): per-(source, shard) log-bucket sketches of
+    document lengths built in one map-side-combinable pass, merged
+    across shards by a plain bucket sum (DDSketch merge is EXACT — the
+    merged sketch equals the sketch of the merged stream), then
+    p50/p90/p99 read off the merged sketch with a cumulative walk over
+    BUCKETS, never data. The α = 2% relative-error guarantee is checked
+    in-query against the true rank statistic and rides inside the hash,
+    alongside the estimates themselves — deterministic because the
+    bucket index pins the cross-engine log ratio at 9 dp and the
+    midpoint estimate at 6 dp (the k-means recipe applied to
+    sketching). Incremental-ingestion shape: tomorrow's shard adds in
+    O(buckets). See functions.sketch.dd_sketch/dd_merge/dd_quantile."""
+    from ray_beam_runner_spark.functions.sketch import (
+        dd_merge,
+        dd_quantile,
+        dd_sketch,
+    )
+
+    qs = [0.5, 0.9, 0.99]
+    docs = t(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source",
+        F.col("n_chars").cast("double").alias("v"),
+        (F.col("doc_id") % 2).alias("shard"),
+    )
+    sk = dd_sketch(vals, ["source", "shard"], "v", alpha=0.02)
+    est = dd_quantile(dd_merge(sk, ["shard"]), ["source"], qs)
+    w_rk = W.partitionBy("source").orderBy("v")
+    w_n = W.partitionBy("source")
+    ranked = vals.select(
+        "source",
+        "v",
+        F.row_number().over(w_rk).alias("r"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    exact = (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.col("r")
+            == F.floor(F.lit(1.0) + F.col("q") * (F.col("n") - 1)).cast("long")
+        )
+        .select("source", "q", F.col("v").alias("exact"))
+    )
+    return est.join(exact, ["source", "q"]).select(
+        "source",
+        "q",
+        "est",
+        "exact",
+        (
+            ((F.col("exact") == 0) & (F.col("est") == 0))
+            | (F.abs(F.col("est") - F.col("exact")) / F.col("exact") <= 0.02 + 1e-6)
+        ).alias("within_alpha"),
+    )
+
+
 @query(
     "q_sketch_distinct",
     oracle=f"""

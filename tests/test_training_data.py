@@ -679,3 +679,38 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     # determinism across runs
     again = cdc_chunks(docs, "doc_id", "text", divisor=16).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_dd_sketch_merge_quantiles_and_guarantee(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.functions.sketch import (
+        dd_merge,
+        dd_quantile,
+        dd_sketch,
+    )
+
+    # deterministic heavy-tailed values incl. zeros, split into shards
+    vals = [(i, float((i * i) % 997) if i % 50 else 0.0, i % 3) for i in range(600)]
+    df = spark.createDataFrame(vals, "id long, v double, shard long")
+    per_shard = dd_sketch(df, ["shard"], "v", alpha=0.02)
+    merged = dd_merge(per_shard, ["shard"])
+    direct = dd_sketch(df.select("v"), [], "v", alpha=0.02)
+    # merge exactness: shard-merged sketch == sketch of the whole stream
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    # sketch size is bucket-bounded, not row-bounded
+    assert merged.count() < 400
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = {r.q: r.est for r in dd_quantile(merged, [], qs).collect()}
+    xs = sorted(v for _, v, _ in vals)
+    for q in qs:
+        exact = xs[int(1 + q * (len(xs) - 1)) - 1]
+        if exact == 0:
+            assert est[q] == 0.0
+        else:
+            assert abs(est[q] - exact) / exact <= 0.02 + 1e-6, (q, est[q], exact)
+    # mixed alphas must refuse to compose
+    other = dd_sketch(df, ["shard"], "v", alpha=0.05)
+    with pytest.raises(ValueError, match="mixed sketch alphas"):
+        dd_merge(per_shard.unionByName(other), ["shard"])
