@@ -323,14 +323,17 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_audio(payload: bytes) -> dict:
+def decode_audio(payload: bytes, return_samples: bool = False) -> dict:
     """Real WAV decode: header fields + PCM frames via the stdlib
     ``wave`` module, RMS amplitude via numpy over the raw samples. The
     audio modality therefore runs a genuine codec everywhere (unlike
     image/video, whose codecs are env-gated behind the PIL seam) —
     reference parity: the reference's examples decode real arrays in
     Python DoFns (tft_iris_example/preprocessing.py:56-67); here the
-    decode is the same per-element Python, but Arrow-batched."""
+    decode is the same per-element Python, but Arrow-batched.
+    ``return_samples=True`` adds the raw INTEGER sample array (int64,
+    channel-interleaved) under "samples" — the exact-arithmetic input
+    framewise feature kernels need."""
     import io
     import wave
 
@@ -359,13 +362,18 @@ def decode_audio(payload: bytes) -> dict:
     else:
         raise ValueError(f"unsupported WAV sample width: {sw} bytes")
     rms = float(np.sqrt(np.mean(arr * arr))) if arr.size else 0.0
-    return {
+    out = {
         "sample_rate": sr,
         "channels": ch,
         "n_frames": n,
         "duration_ms": int(n * 1000 // sr) if sr else 0,
         "rms": rms,
     }
+    if return_samples:
+        # the float arrays above are integer-valued by construction
+        # (centering/sign-extension only), so the cast back is exact
+        out["samples"] = arr.astype(np.int64)
+    return out
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
@@ -383,6 +391,60 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_frames(media: DataFrame, frame: int = 160) -> DataFrame:
+    """FRAMEWISE audio analysis over WAV payloads: split each clip into
+    fixed windows of ``frame`` samples (the 20 ms hop of standard
+    speech front-ends at 8 kHz) and emit per-frame INTEGER-EXACT
+    features — energy (sum of squared PCM samples; int16²·frame fits
+    int64 with ~20 bits to spare) and within-frame zero crossings (the
+    classic voiced/unvoiced discriminator). Integer arithmetic is the
+    point: unlike RMS floats, these features are bit-identical across
+    engines and replayable in closed-form SQL, which is what lets
+    q_audio_frames put a REAL codec roundtrip inside a value hash.
+    The tail frame keeps its partial length (n_samples < frame).
+    Arrow-batched mapInPandas; payload bytes never leave executors."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                xs = decode_audio(p, return_samples=True)["samples"]
+                for f in range(0, max(len(xs), 1), frame):
+                    w = xs[f : f + frame]
+                    zc = int(np.sum(w[1:] * w[:-1] < 0)) if w.size > 1 else 0
+                    rows.append(
+                        (
+                            int(mid),
+                            f // frame,
+                            int(w.size),
+                            int(np.sum(w * w)),
+                            zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "n_samples", "energy",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=AUDIO_FRAMES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

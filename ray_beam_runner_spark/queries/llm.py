@@ -1320,6 +1320,81 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_frames",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    par AS (SELECT user_id, 800 + (user_id % 10) * 80 AS n FROM u),
+    fr AS (
+      SELECT user_id, n,
+             unnest(generate_series(0, (n + 159) // 160 - 1)) AS f
+      FROM par),
+    s AS (
+      SELECT user_id, f,
+             list_transform(generate_series(f * 160, least(n, (f + 1) * 160) - 1),
+                            i -> ((user_id * 31 + i * i) % 2003) - 1001) AS xs
+      FROM fr)
+    SELECT user_id, f AS frame_idx,
+           len(xs)::BIGINT AS n_samples,
+           list_sum(list_transform(xs, x -> x * x))::BIGINT AS energy,
+           len(list_filter(generate_series(2, len(xs)),
+                           j -> xs[j] * xs[j - 1] < 0))::BIGINT AS zero_crossings
+    FROM s
+    """,
+)
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio features through a REAL codec roundtrip, fully
+    inside the hash: synthesize a deterministic integer PCM waveform
+    per user (sample i = ((uid·31 + i²) mod 2003) − 1001, n = 800 +
+    (uid%10)·80 — pure integer arithmetic, so the ORACLE regenerates
+    the exact samples in SQL), encode to WAV (stdlib wave), decode with
+    functions.multimodal.decode_audio, and emit per-160-sample-frame
+    energy (Σx², exact in int64) and within-frame zero crossings — the
+    speech front-end's voiced/unvoiced features. Unlike
+    q_multimodal_audio (which hashes header fields and leaves float
+    RMS to pytest), every value here is integer-exact: a codec bug
+    that flips one sample byte changes some frame's energy and breaks
+    the hash. Tail frames keep their partial length."""
+    import io
+    import wave
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_audio_frames,
+    )
+
+    events = t(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                n = 800 + (uid % 10) * 80
+                i = np.arange(n, dtype=np.int64)
+                samples = ((uid * 31 + i * i) % 2003 - 1001).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"user_id": pdf["user_id"], "payload": payloads})
+
+    wavs = users.mapInPandas(synth, schema="user_id long, payload binary")
+    media = attach_media(wavs, "user_id", "payload", modality="audio")
+    return extract_audio_frames(media, frame=160).withColumnRenamed(
+        "media_id", "user_id"
+    )
+
+
+@query(
     "q_multimodal_image",
     oracle="""
     SELECT doc_id,

@@ -694,3 +694,39 @@ def test_jpeg_decode_image_seam(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.width, r.height, r.format) == (16, 8, "JPEG")
+
+
+def test_extract_audio_frames_exact_features(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_audio_frames,
+    )
+
+    # 250 samples alternating +100/-100: every product of neighbors is
+    # negative -> zc = n_samples - 1 per frame, energy = 10000 * n
+    samples = (np.tile([100, -100], 125)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    media = attach_media(
+        spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id long, p binary"),
+        "id", "p", modality="audio",
+    )
+    rows = {r.frame_idx: r for r in extract_audio_frames(media, frame=100).collect()}
+    assert set(rows) == {0, 1, 2}
+    for f in (0, 1):
+        assert rows[f].n_samples == 100
+        assert rows[f].energy == 100 * 10000
+        assert rows[f].zero_crossings == 99
+    # partial tail frame keeps its true length
+    assert rows[2].n_samples == 50
+    assert rows[2].energy == 50 * 10000
+    assert rows[2].zero_crossings == 49
