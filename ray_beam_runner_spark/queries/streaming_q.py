@@ -534,3 +534,84 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("w_start", "c_mktsegment")
+
+
+@query(
+    "q_streaming_scd2_enrich",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 4 = 0),
+    dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             0::BIGINT AS ef,
+             CASE WHEN c_custkey % 12 = 0 THEN 100 END::BIGINT AS et
+      FROM c
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '-v2', 100::BIGINT,
+             CASE WHEN c_custkey % 24 = 0 THEN 200 END::BIGINT
+      FROM c WHERE c_custkey % 12 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '-v3', 200::BIGINT, NULL::BIGINT
+      FROM c WHERE c_custkey % 24 = 0),
+    ev AS (SELECT event_id, user_id, event_id % 300 AS te FROM events)
+    SELECT ev.event_id, ev.user_id, ev.te, d.segment
+    FROM ev JOIN dim d
+      ON ev.user_id = d.c_custkey
+     AND d.ef <= ev.te AND (d.et IS NULL OR ev.te < d.et)
+    """,
+)
+def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment against an SCD Type-2 dimension with
+    EVENT-TIME as-of semantics — the production dimension join
+    (q_streaming_enrich joins today's dim row; correct pipelines join
+    the version that was current WHEN THE EVENT HAPPENED, or a late
+    event silently picks up a future attribute). The dimension is a
+    real SCD2 snapshot table built through scd2_upsert (open rows at
+    t=0, re-segmentations at t=100/200 closing prior versions); the
+    events stream (file-drop micro-batches, availableNow drain) carries
+    its temporal coordinate te = event_id % 300 and each micro-batch
+    resolves its rows against the BROADCAST history table with the
+    interval predicate ef <= te < et — stateless per batch, no join
+    state, no watermark interaction; exactly one version matches per
+    event by the SCD2 non-overlap invariant. The oracle rebuilds the
+    history relationally and replays the as-of join; one event resolved
+    to the wrong version generation breaks the hash."""
+    from ray_beam_runner_spark.sources import snapshots as snap
+    from ray_beam_runner_spark.streaming import FileDropStream, run_to_memory
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("effective_from"),
+        F.lit(None).cast("long").alias("effective_to"),
+    )
+    tdir = scratch_dir("rbrs_sscd2_")
+    snap.write_snapshot(base, tdir, cluster_by=["c_custkey"], n_files=4)
+    for mod, at, suffix in ((12, 100, "-v2"), (24, 200, "-v3")):
+        upd = cust.filter(F.col("c_custkey") % mod == 0).select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit(suffix)).alias("segment"),
+            F.lit(at).cast("long").alias("effective_from"),
+        )
+        snap.scd2_upsert(spark, tdir, upd, ["c_custkey"])
+    dim = snap.read_snapshot(spark, tdir).select(
+        "c_custkey", "segment", "effective_from", "effective_to"
+    )
+
+    events = t(spark, sf_dir, "events")
+    drop_dir = os.path.join(scratch_dir("rbrs_sscd2ev_"), "events")
+    stream = (
+        FileDropStream(spark, drop_dir)
+        .write_slices(events, "ts", n_slices=3)
+        .read_stream()
+        .withColumn("te", F.col("event_id") % 300)
+    )
+    joined = stream.join(
+        F.broadcast(dim),
+        (stream["user_id"] == dim["c_custkey"])
+        & (dim["effective_from"] <= F.col("te"))
+        & (dim["effective_to"].isNull() | (F.col("te") < dim["effective_to"])),
+        "inner",
+    ).select("event_id", "user_id", "te", "segment")
+    return run_to_memory(joined, output_mode="append")
