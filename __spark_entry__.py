@@ -38,22 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (q_bpe_merges, q_dedup_semantic_scale, q_sequence_pack_ffd) are
 # excluded from the window; their verification lane is ORACLE_SWEEP +
 # differential pytest. The window is computed from the CORRECTNESS_r*
-# history: lead with the two rows that have NEVER had a driver gate
-# (q_temperature_mix, q_sketch_freq — r8's window declared them but the
-# recorded gate took a different 50), then the 42 hash-checkable rows
-# whose last driver gate is oldest (r5 text/analytics family, r6
-# core/TPC-H-adjacent, r7 headline/scalar/dedup/streaming — in
-# staleness order), then the SIX queries new in round 9
-# (q_snapshot_delete_dv, q_dedup_phash, q_ivfpq_incremental,
-# q_quality_classifier, q_trigram_kn_logppl, q_multimodal_jpeg — fresh
-# driver rows wanted). Everything rotating out (gated r8: TPC-H family,
-# core operators, round-8 additions) is re-verified in
+# history: lead with the hash-checkable rows whose last driver gate is
+# oldest (r5 text/analytics family, r6 core/TPC-H-adjacent, r7
+# headline/scalar/dedup/streaming — in staleness order), then the
+# TWELVE queries new in round 9 (fresh driver rows wanted): the
+# early-round additions (q_snapshot_delete_dv, q_dedup_phash,
+# q_ivfpq_incremental, q_quality_classifier, q_trigram_kn_logppl,
+# q_multimodal_jpeg) and the late-round additions (q_snapshot_merge_dv,
+# q_triangle_count, q_split_leakage_safe, q_chunk_cdc,
+# q_sketch_quantiles, q_audio_frames). Everything rotating out (gated
+# r8: TPC-H family, core operators, round-8 additions incl.
+# q_temperature_mix/q_sketch_freq; four r7-gated dedup/similarity rows
+# displaced by the late additions) is re-verified in
 # ORACLE_SWEEP_r09.json at the gate's own sf0.01;
 # scripts/gate_preflight.py replays this exact window on a vanilla
 # session. All queries remain declared and runnable.
 _GATE_FIRST = (
-    # never driver-gated
-    "q_temperature_mix", "q_sketch_freq",
     # last driver row r5
     "q_funnel", "q_retention_cohorts", "q_data_quality", "q_sample_mix",
     "q_chunk_documents", "q_stratified_sample", "q_collapse_repeats",
@@ -68,11 +68,13 @@ _GATE_FIRST = (
     "q_agg", "q_join", "q_window", "q_events_window", "q_distinct",
     "q_scalar_string", "q_scalar_mathdate", "q_json", "q_unpivot",
     "q_snapshot_cdf", "q_snapshot_cdf_stream", "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_simhash",
-    "q_dedup_embedding", "q_similarity_topk",
-    # new this round
+    "q_dedup_minhash_lsh",
+    # new this round (early additions)
     "q_snapshot_delete_dv", "q_dedup_phash", "q_ivfpq_incremental",
     "q_quality_classifier", "q_trigram_kn_logppl", "q_multimodal_jpeg",
+    # new this round (late additions)
+    "q_snapshot_merge_dv", "q_triangle_count", "q_split_leakage_safe",
+    "q_chunk_cdc", "q_sketch_quantiles", "q_audio_frames",
 )
 
 

@@ -102,6 +102,13 @@ EXTRA_SET = (
     "q_trigram_kn_logppl",
     "q_sequence_pack_ffd",
     "q_ivfpq_incremental",
+    # round 9 (late additions)
+    "q_snapshot_merge_dv",
+    "q_triangle_count",
+    "q_split_leakage_safe",
+    "q_chunk_cdc",
+    "q_sketch_quantiles",
+    "q_audio_frames",
 )
 
 
