@@ -107,6 +107,53 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.98,
+    exclude: DataFrame | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (the
+    retrieval/embedding-model data step, e.g. DPR/SimCSE-style): per
+    anchor, the top-k most cosine-similar corpus vectors EXCLUDING
+    near-duplicates — the "similar but not the same" examples that
+    carry the training signal (random negatives are trivially easy;
+    undetected duplicates among negatives are false negatives that
+    poison the loss). Exclusion is two-layer: the ``dup_threshold``
+    similarity cut (anything >= it is treated as a duplicate of the
+    anchor, not a negative) and an optional explicit ``exclude`` pair
+    frame (q_id, vec_id) — e.g. the semantic-dedup pair output — anti-
+    joined before ranking. Same scale shape as :func:`cosine_topk`:
+    broadcast anchors, one corpus scan, window rank; the exclude frame
+    joins keyed on (q_id, vec_id). Returns (q_id, vec_id, sim, rank)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("q_id"), F.col(query_vec).alias("q_vec"))
+    )
+    scored = corpus.crossJoin(q).select(
+        "q_id",
+        F.col(corpus_id).alias("vec_id"),
+        F.round(
+            cosine_pandas(F.col("q_vec"), F.col(corpus_vec)), round_digits
+        ).alias("sim"),
+    ).filter(F.col("sim") < dup_threshold)
+    if exclude is not None:
+        scored = scored.join(
+            exclude.select(
+                F.col(query_id).alias("q_id"), F.col(corpus_id).alias("vec_id")
+            ),
+            ["q_id", "vec_id"],
+            "left_anti",
+        )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def blocked_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

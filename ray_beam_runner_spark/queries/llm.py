@@ -389,6 +389,56 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label AS cl
+          FROM embeddings WHERE vec_id >= 8),
+    s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qv, cv), 6) AS sim
+          FROM q CROSS JOIN c WHERE ql <> cl)
+    SELECT q_id, vec_id, sim, rank FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)::INT AS rank
+      FROM s WHERE sim < 0.9)
+    WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training
+    (functions.similarity.hard_negatives — the DPR/SimCSE data step):
+    per anchor, the 5 most similar corpus vectors that are neither
+    near-duplicates (sim >= 0.9 treated as duplicate, not negative —
+    undetected dups among negatives are false negatives that poison
+    the contrastive loss) nor same-label (in-class examples are
+    potential positives, excluded via the explicit pair frame). Both
+    exclusion layers sit inside the hash: a duplicate leaking into the
+    negatives, a same-label pair surviving, or a rank shift all break
+    it. Scale shape: broadcast anchors, one corpus scan, keyed
+    anti-join, window rank — identical to q_similarity_topk plus the
+    exclusions."""
+    from ray_beam_runner_spark.functions.similarity import hard_negatives
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), "label"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    same_label = queries.select("q_id", "label").join(
+        corpus.select("vec_id", "label"), "label"
+    ).select("q_id", "vec_id")
+    return hard_negatives(
+        queries,
+        corpus,
+        k=5,
+        dup_threshold=0.9,
+        exclude=same_label,
+        query_id="q_id",
+        query_vec="q_vec",
+    )
+
+
+@query(
     "q_similarity_ivf",
     oracle="""
     WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),

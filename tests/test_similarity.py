@@ -635,3 +635,39 @@ def test_delete_keys_prunes_and_is_idempotent(spark, tmp_path):
     assert v3 == v2 + 1
     assert {r.k for r in snap.read_snapshot(spark, t).collect()} == kept
     assert snap.snapshot_rows(t) == len(kept)
+
+
+def test_hard_negatives_excludes_dups_and_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.functions.similarity import hard_negatives
+
+    # anchor along e0; candidates: a near-identical copy (dup), a
+    # same-direction-but-weaker (hard negative), orthogonals (easy)
+    rows = [
+        (100, [1.0, 0.0, 0.0, 0.0]),   # dup of the anchor (sim 1.0)
+        (101, [0.9, 0.1, 0.0, 0.0]),   # hard negative (sim ~0.994) - still >= 0.98!
+        (102, [0.5, 0.5, 0.0, 0.0]),   # sim ~0.707
+        (103, [0.0, 1.0, 0.0, 0.0]),   # sim 0
+        (104, [0.3, 0.0, 0.95, 0.0]),  # sim ~0.3
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "q_id long, q_vec array<double>"
+    )
+    got = {
+        r.vec_id: r.rank
+        for r in hard_negatives(anchors, corpus, k=3, dup_threshold=0.98).collect()
+    }
+    # 100 (sim 1.0) and 101 (sim 0.994) are above the dup cut; the rest rank
+    assert 100 not in got and 101 not in got
+    assert got == {102: 1, 104: 2, 103: 3}
+    # explicit exclude pairs remove a candidate even below the cut
+    excl = spark.createDataFrame([(1, 102)], "q_id long, vec_id long")
+    got2 = {
+        r.vec_id: r.rank
+        for r in hard_negatives(
+            anchors, corpus, k=3, dup_threshold=0.98, exclude=excl
+        ).collect()
+    }
+    assert got2 == {104: 1, 103: 2}
