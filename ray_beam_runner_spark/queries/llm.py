@@ -2146,6 +2146,62 @@ def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_chunk_shared",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    pos AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks),
+    tok AS (
+      SELECT doc_id, i, w[i] AS tk,
+             CASE WHEN i > 1
+                   AND ('0x' || substr(md5('cdc:' || w[i-1] || ':' || w[i]),
+                                       1, 8))::BIGINT % 16 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos),
+    ch AS (
+      SELECT doc_id, i, tk,
+             (sum(b) OVER (PARTITION BY doc_id ORDER BY i))::BIGINT AS chunk_idx
+      FROM tok),
+    chunks AS (
+      SELECT doc_id, chunk_idx, count(*) AS n_tok,
+             md5(string_agg(tk, ' ' ORDER BY i)) AS chunk_md5
+      FROM ch GROUP BY doc_id, chunk_idx)
+    SELECT chunk_md5,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occurrences,
+           min(n_tok)::BIGINT AS n_tok
+    FROM chunks
+    GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARED-PASSAGE detection — what content-defined chunking is FOR:
+    because q_chunk_cdc's boundaries depend only on local content, a
+    passage duplicated across documents (boilerplate, quotes, licence
+    headers, template text) produces byte-identical chunks wherever it
+    appears, so cross-document passage sharing reduces to a GROUP BY
+    on the chunk fingerprint — no pairwise comparison at any corpus
+    size (the substring-dedup family's repeated_span_stats finds
+    repeats by materializing n-gram postings; this finds them at chunk
+    granularity with one aggregation over fingerprints). Returns every
+    chunk appearing in >= 2 distinct docs with its spread. Scale: the
+    chunking is one explode + window + agg; the sharing detection is
+    ONE more fingerprint-keyed aggregation."""
+    from ray_beam_runner_spark.functions.text import cdc_chunks
+
+    chunks = cdc_chunks(t(spark, sf_dir, "documents"), "doc_id", "text", divisor=16)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_tok").alias("n_tok"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
     "q_incremental_dedup",
     oracle=f"""
     WITH corpus AS (

@@ -1380,6 +1380,72 @@ def compact(
     return version
 
 
+def compact_small(
+    spark: SparkSession,
+    table_dir: str,
+    min_file_bytes: int,
+    target_files: int = 1,
+) -> int:
+    """SIZE-TARGETED compaction (how production OPTIMIZE actually runs):
+    rewrite only the files SMALLER than ``min_file_bytes`` into
+    ``target_files`` clustered files and carry every adequately-sized
+    file verbatim — at 100 TB, full-table :func:`compact` rewrites
+    terabytes of already-well-sized data to fix a few thousand
+    KB-sized micro-batch leftovers; this touches exactly the small
+    tail, so write amplification is proportional to the PROBLEM, not
+    the table. Carried files keep their stats, blooms, and deletion
+    vectors untouched (readers keep anti-applying them); rewritten
+    small files are read DV-applied and shed their vectors, same as
+    MERGE's rewrite path. Fewer than two small files → metadata no-op
+    (returns the current version; nothing to gain from rewriting one
+    file into one file)."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    rel_files = manifest["files"]
+    small = [
+        rel
+        for rel in rel_files
+        if os.path.getsize(os.path.join(table_dir, rel)) < min_file_bytes
+    ]
+    if len(small) < 2:
+        return base
+    carried = [rel for rel in rel_files if rel not in set(small)]
+    file_stats = manifest.get("file_stats", {})
+    stats_for = sorted({c for s in file_stats.values() for c in s}) or None
+    reader = _manifest_reader(spark, manifest)
+    df = _apply_dvs(
+        spark,
+        reader.parquet(*(os.path.join(table_dir, rel) for rel in small)),
+        manifest,
+        table_dir,
+        small,
+    )
+    if stats_for:
+        df = df.repartitionByRange(target_files, *stats_for).sortWithinPartitions(
+            *stats_for
+        )
+    else:
+        df = df.repartition(target_files)
+    new_files, new_stats, new_rows = _write_data_files(df, table_dir, stats_for)
+    version = base + 1
+    new_manifest = {
+        "version": version,
+        "parent": base,
+        "files": [*carried, *new_files],
+        "op": "compact",
+        "rewrote": sorted(small),
+    }
+    for key in ("schema", "schema_json", "txns"):
+        if manifest.get(key):
+            new_manifest[key] = manifest[key]
+    _carry_file_meta(manifest, new_manifest, carried, file_stats, new_stats, new_rows)
+    _carry_blooms(spark, table_dir, manifest, new_manifest, carried, new_files)
+    _publish(table_dir, version, new_manifest)
+    return version
+
+
 def stream_upsert(
     stream_df: DataFrame,
     table_dir: str,

@@ -549,3 +549,11 @@ def test_dedup_phash_banded_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
     # the banded join is keyed on (band, val)
     assert "band" in plan and "val" in plan, plan[:3000]
+
+
+def test_triangle_count_keyed_wedge_join(spark, sf_dir):
+    # orientation makes the wedge join an equi self-join on the tail;
+    # the closure test is an equi-join too - never a cartesian/NLJ
+    df = QUERIES["q_triangle_count"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]

@@ -1636,3 +1636,40 @@ def test_scd2_non_monotone_effective_time_raises(spark):
             snap.scd2_upsert(spark, t, upd_bad, ["k"])
     # table unchanged by the failed merges: 2 history rows
     assert snap.read_snapshot(spark, t).count() == 2
+
+
+def test_compact_small_rewrites_only_small_files(spark):
+    import os as _os
+
+    t = _tdir()
+    # two well-sized files + a trickle of tiny merge leftovers
+    big = spark.range(0, 20000).selectExpr("cast(id as int) k", "id v")
+    snap.write_snapshot(big, t, cluster_by=["k"], n_files=2)
+    for i in range(3):
+        snap.upsert_snapshot(
+            spark, t,
+            spark.createDataFrame([(100000 + i, -i)], "k int, v long"),
+            ["k"],
+        )
+    m = snap.read_manifest(t, snap.latest_version(t))
+    sizes = {r: _os.path.getsize(_os.path.join(t, r)) for r in m["files"]}
+    cut = 20000  # bytes: far below the two big files, above the tiny ones
+    small = [r for r, s in sizes.items() if s < cut]
+    bigs = [r for r, s in sizes.items() if s >= cut]
+    assert len(small) >= 2 and len(bigs) == 2
+    before = sorted(map(tuple, snap.read_snapshot(spark, t).collect()))
+    v = snap.compact_small(spark, t, cut)
+    m2 = snap.read_manifest(t, v)
+    # big files carried verbatim; small ones replaced by one file
+    assert set(bigs) <= set(m2["files"])
+    assert not (set(small) & set(m2["files"]))
+    assert len(m2["files"]) == len(bigs) + 1
+    assert sorted(map(tuple, snap.read_snapshot(spark, t).collect())) == before
+    # DV on a BIG file survives the small-file compaction untouched
+    snap.delete_where(spark, t, F.col("k") == 7, dv=True)
+    v2 = snap.compact_small(spark, t, cut)  # only one small file now: no-op
+    assert v2 == snap.latest_version(t)
+    assert snap.read_manifest(t, v2).get("file_dvs")  # DV carried, not purged
+    assert snap.read_snapshot(spark, t).filter(F.col("k") == 7).count() == 0
+    # fewer than two small files: metadata no-op
+    assert snap.compact_small(spark, t, 10) == snap.latest_version(t)
