@@ -615,3 +615,83 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("event_id", "user_id", "te", "segment")
     return run_to_memory(joined, output_mode="append")
+
+
+def _sq_oracle(alpha: float, qs: list[float]) -> str:
+    """Streaming-quantile oracle: the q_streaming_window closed-window
+    subset composed with the DDSketch bucket walk (same pinned literals
+    as q_sketch_quantiles' _ddq_oracle)."""
+    import math
+
+    g = (1.0 + alpha) / (1.0 - alpha)
+    lg, g1 = repr(math.log(g)), repr(g + 1.0)
+    qlist = ", ".join(repr(float(q)) for q in qs)
+    return f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS final_wm FROM events),
+    ev AS (
+      SELECT date_trunc('hour', ts) AS w_start, value FROM events
+      WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT final_wm FROM wm)),
+    b AS (
+      SELECT w_start, ceil(round(ln(value) / {lg}, 9))::BIGINT AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM ev GROUP BY 1, 2),
+    cum AS (
+      SELECT w_start, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY w_start ORDER BY bucket) AS c,
+             sum(cnt) OVER (PARTITION BY w_start) AS n
+      FROM b),
+    qs AS (SELECT unnest([{qlist}]) AS q),
+    hit AS (
+      SELECT w_start, q, bucket FROM cum CROSS JOIN qs
+      WHERE c >= floor(1 + q * (n - 1)) AND c - cnt < floor(1 + q * (n - 1)))
+    SELECT w_start, q,
+           round(2 * power({repr(g)}, bucket) / {g1}, 6) AS est
+    FROM hit
+    """
+
+
+@query("q_streaming_quantiles", oracle=_sq_oracle(0.05, [0.5, 0.95]))
+def q_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-window quantiles via the DDSketch decomposition:
+    full-precision quantiles are not a streaming aggregate (state would
+    hold every value), but DD log-buckets ARE — the stream aggregates
+    (window, bucket) counts under the watermark (bounded state:
+    O(buckets) per open window), append mode emits each window's
+    bucket histogram once closed, and the batch tail walks the emitted
+    buckets into p50/p95 with the relative-error guarantee. This is
+    the standard production answer to "p95 latency per hour" on an
+    unbounded stream, composed from q_streaming_window's watermark
+    semantics and q_sketch_quantiles' bucket arithmetic — both already
+    hash-checked; the oracle composes their two oracles."""
+    from ray_beam_runner_spark.functions.sketch import dd_bucket, dd_quantile
+    from ray_beam_runner_spark.streaming import (
+        FileDropStream,
+        run_to_memory,
+        windowed_agg_stream,
+    )
+
+    alpha, qs = 0.05, [0.5, 0.95]
+    events = t(spark, sf_dir, "events")
+    drop_dir = os.path.join(scratch_dir("rbrs_squant_"), "events")
+    stream = (
+        FileDropStream(spark, drop_dir)
+        .write_slices(events, "ts", n_slices=3)
+        .read_stream()
+        .withColumn("bucket", dd_bucket(F.col("value"), alpha))
+    )
+    agg = windowed_agg_stream(
+        stream,
+        "ts",
+        "1 hour",
+        ["bucket"],
+        [F.count(F.lit(1)).alias("cnt")],
+        watermark_delay="10 minutes",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        hist = run_to_memory(agg, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sk = hist.withColumn("_dd_a", F.lit(float(alpha)))
+    return dd_quantile(sk, ["w_start"], qs)
