@@ -109,6 +109,8 @@ EXTRA_SET = (
     "q_chunk_cdc",
     "q_sketch_quantiles",
     "q_audio_frames",
+    "q_hard_negatives",
+    "q_chunk_shared",
 )
 
 

@@ -224,6 +224,64 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared pipeline for the perceptual-dedup queries: synthesize one
+    8x8 PNG per document (group pattern + per-doc brightness offset),
+    decode with the from-scratch codec, aHash, and band into Hamming<=3
+    pairs. The doc_id projection prunes the scan to a few KB, which
+    parquet split-sizing then reads as ONE task — serializing the
+    per-image Python codec work behind it — so the synth/decode chain
+    is spread across the session's cores explicitly (at corpus scale a
+    real image table arrives already partitioned; this is the
+    tiny-input analog). The 16-bytes-per-image hash frame is persisted:
+    hamming_pairs self-joins it, and without the persist BOTH join
+    sides would re-run the decode chain."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ray_beam_runner_spark.caches import track
+    from ray_beam_runner_spark.functions.dedup import hamming_pairs
+    from ray_beam_runner_spark.functions.multimodal import (
+        attach_media,
+        extract_image_phash,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    docs = t(spark, sf_dir, "documents").select("doc_id").repartition(par)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ray_beam_runner_spark.functions.multimodal import encode_png
+
+        pattern_cache: dict[int, int] = {}
+
+        def pattern(g: int) -> int:
+            if g not in pattern_cache:
+                pattern_cache[g] = int(
+                    hashlib.md5(f"phash:{g}".encode()).hexdigest()[:15], 16
+                )
+            return pattern_cache[g]
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p, o = pattern(d % 64), (d // 64) % 40
+                bits = (p >> np.arange(64)) & 1
+                arr = (50 + o + 150 * bits).astype(np.uint8).reshape(8, 8)
+                payloads.append(encode_png(arr, filter_type=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
+    media = attach_media(pngs, "doc_id", "payload", modality="image")
+    hashes = track(extract_image_phash(media))
+    return hamming_pairs(hashes, "media_id", "ahash", max_hamming=3, bits=64)
+
+
 @query(
     "q_dedup_phash",
     oracle="""
@@ -263,57 +321,7 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec bug, a hash bit off, or a banding recall loss all break the
     hash. The DCT pHash variant (dct_phash64) shares the kernel and is
     differentially pytest-verified (float DCT is not SQL-restatable)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from ray_beam_runner_spark.caches import track
-    from ray_beam_runner_spark.functions.dedup import hamming_pairs
-    from ray_beam_runner_spark.functions.multimodal import (
-        attach_media,
-        extract_image_phash,
-    )
-
-    # The doc_id projection prunes the scan to a few KB, which parquet
-    # split-sizing then reads as ONE task — serializing the per-image
-    # Python codec work behind it. Spread the synth/decode chain across
-    # the session's cores explicitly (at corpus scale a real image table
-    # arrives already partitioned; this is the tiny-input analog).
-    par = spark.sparkContext.defaultParallelism
-    docs = t(spark, sf_dir, "documents").select("doc_id").repartition(par)
-
-    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        import numpy as np
-
-        from ray_beam_runner_spark.functions.multimodal import encode_png
-
-        pattern_cache: dict[int, int] = {}
-
-        def pattern(g: int) -> int:
-            if g not in pattern_cache:
-                pattern_cache[g] = int(
-                    hashlib.md5(f"phash:{g}".encode()).hexdigest()[:15], 16
-                )
-            return pattern_cache[g]
-
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                p, o = pattern(d % 64), (d // 64) % 40
-                bits = (p >> np.arange(64)) & 1
-                arr = (50 + o + 150 * bits).astype(np.uint8).reshape(8, 8)
-                payloads.append(encode_png(arr, filter_type=1))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    pngs = docs.mapInPandas(synth, schema="doc_id long, payload binary")
-    media = attach_media(pngs, "doc_id", "payload", modality="image")
-    # persist the 16-bytes-per-image hash frame: hamming_pairs self-joins
-    # it, and without the persist BOTH join sides re-run the decode chain
-    hashes = track(extract_image_phash(media))
-    pairs = hamming_pairs(hashes, "media_id", "ahash", max_hamming=3, bits=64)
+    pairs = _phash_pairs(spark, sf_dir)
     return (
         pairs.select(
             F.least(F.col("d1") % 64, F.col("d2") % 64).alias("g1"),
@@ -323,6 +331,49 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g1", "g2", "hamming")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "q_dedup_phash_clusters",
+    oracle="""
+    WITH RECURSIVE pat AS (
+      SELECT g, ('0x' || substr(md5('phash:' || g), 1, 15))::BIGINT AS p
+      FROM (SELECT unnest(range(64)) AS g)),
+    e0 AS (
+      SELECT p1.g AS u, p2.g AS v FROM pat p1 JOIN pat p2
+      ON p1.g < p2.g AND bit_count(xor(p1.p, p2.p)) <= 3),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(comp.component, d.doc_id % 64) AS cluster,
+           d.doc_id = coalesce(comp.component, d.doc_id % 64) AS is_survivor
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id % 64
+    """,
+)
+def q_dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dup CLUSTERS — pair→cluster parity for the perceptual
+    path (the text path has q_dedup_ngram_jaccard → q_dedup_clusters;
+    this is q_dedup_phash → connected components): every document
+    labeled with its Hamming-component's min doc_id and a survivor
+    flag, the structure an image-dedup pipeline keys survivor
+    selection on. Spark: the shared banded-pair pipeline feeds the
+    large-star/small-star iteration — pairs are same-group (identical
+    aHash) plus cross-group links within Hamming 3, so doc components
+    are unions of GROUPS connected in pattern space. The oracle
+    exploits exactly that: a recursive-CTE closure over the 64-node
+    pattern graph, with each doc's cluster = its pattern component's
+    min group (doc ids 0..63 realize every group, so the min group IS
+    the min doc id). One mis-banded pair or a CC bug re-labels some
+    doc and breaks the hash."""
+    from ray_beam_runner_spark.functions.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = _phash_pairs(spark, sf_dir)
+    return dedup_clusters(docs, pairs, id_col="doc_id")
 
 
 @query(

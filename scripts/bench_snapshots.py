@@ -119,6 +119,62 @@ def feed_leg(spark, mult: int) -> dict:
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def dv_leg(spark, mult: int) -> dict:
+    """Write amplification of the same narrow merge under the two write
+    paths: copy-on-write rewrites every touched file whole; merge-on-read
+    (dv=True) writes the position sidecar + the batch itself. The
+    BYTES-WRITTEN ratio is the deletion-vector economics claim measured
+    — it widens linearly with file size, so at production file sizes
+    (~1 GB) the observed ratio scales to ~1000x."""
+    rows = BASE_ROWS * mult
+    out = {}
+    for mode in ("rewrite", "dv"):
+        tdir = build(spark, rows, clustered=True)
+        try:
+            updates = narrow_update(spark, rows)
+            updates.collect()
+            t0 = time.perf_counter()
+            v = snap.upsert_snapshot(
+                spark, tdir, updates, ["k"], dv=(mode == "dv")
+            )
+            dt = time.perf_counter() - t0
+            m = snap.read_manifest(tdir, v)
+            parent = snap.read_manifest(tdir, v - 1)
+            new_files = [f for f in m["files"] if f not in set(parent["files"])]
+            parent_dv = {
+                p
+                for e in (parent.get("file_dvs") or {}).values()
+                for p in e["paths"]
+            }
+            new_sidecars = sorted(
+                {
+                    p
+                    for e in (m.get("file_dvs") or {}).values()
+                    for p in e["paths"]
+                }
+                - parent_dv
+            )
+            data_bytes = sum(
+                os.path.getsize(os.path.join(tdir, f)) for f in new_files
+            )
+            sidecar_bytes = sum(
+                os.path.getsize(os.path.join(tdir, p)) for p in new_sidecars
+            )
+            out[mode] = {
+                "rows": rows,
+                "files_rewritten": len(m["rewrote"]),
+                "new_data_files": len(new_files),
+                "bytes_written": data_bytes + sidecar_bytes,
+                "merge_sec": round(dt, 3),
+            }
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+    out["bytes_ratio"] = round(
+        out["rewrite"]["bytes_written"] / max(out["dv"]["bytes_written"], 1), 1
+    )
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench_snapshots")
     out = {"clustered": {}, "control_unclustered": {}, "change_feed": {}}
@@ -127,6 +183,7 @@ def main() -> None:
     out["control_unclustered"]["x16"] = leg(spark, 16, clustered=False)
     for mult in (1, 4, 16):
         out["change_feed"][f"x{mult}"] = feed_leg(spark, mult)
+    out["dv_merge_x16"] = dv_leg(spark, 16)
     print(json.dumps(out))
 
 
