@@ -111,6 +111,7 @@ EXTRA_SET = (
     "q_audio_frames",
     "q_hard_negatives",
     "q_chunk_shared",
+    "q_dedup_phash_clusters",
 )
 
 

@@ -202,9 +202,20 @@ def dd_sketch(
     most O(log_γ(max/min)) buckets per group survive regardless of row
     count (~700 buckets across 12 orders of magnitude at α = 0.02).
     Values must be >= 0 (DDSketch's negative mirror store is out of
-    scope here); the α parameter rides along like the CMS geometry so
-    estimates can never probe with a mismatched γ."""
+    scope here) and non-null — VALIDATED with one tiny aggregate before
+    sketching: a negative value would silently land in a NULL bucket
+    (log of a negative) and corrupt every later rank walk; the α
+    parameter rides along like the CMS geometry so estimates can never
+    probe with a mismatched γ."""
     v = F.col(value_col)
+    stats = df.agg(
+        F.min(v).alias("mn"), F.count(F.lit(1)).alias("n"), F.count(v).alias("nn")
+    ).first()
+    if stats.n and (stats.mn is None or stats.mn < 0 or stats.nn != stats.n):
+        raise ValueError(
+            f"dd_sketch: {value_col} must be non-null and >= 0 "
+            f"(observed min={stats.mn}, nulls={stats.n - stats.nn})"
+        )
     rows = df.select(
         *group_cols, dd_bucket(v, alpha).alias("bucket")
     )

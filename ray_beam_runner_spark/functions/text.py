@@ -264,8 +264,12 @@ def cdc_chunks(
         )
         .otherwise(0)
     )
-    chunked = tok.select(
-        "_cdc_id", "pos", "tok", F.sum(boundary).over(w).alias("chunk_idx")
+    # boundary flag materialized in its own projection: nesting the
+    # lag() window inside sum().over() leans on analyzer tolerance;
+    # two sequential window ops share the one partition exchange
+    flagged = tok.select("_cdc_id", "pos", "tok", boundary.alias("_b"))
+    chunked = flagged.select(
+        "_cdc_id", "pos", "tok", F.sum("_b").over(w).alias("chunk_idx")
     )
     return (
         chunked.groupBy(F.col("_cdc_id").alias(id_col), "chunk_idx")

@@ -714,3 +714,16 @@ def test_dd_sketch_merge_quantiles_and_guarantee(spark):
     other = dd_sketch(df, ["shard"], "v", alpha=0.05)
     with pytest.raises(ValueError, match="mixed sketch alphas"):
         dd_merge(per_shard.unionByName(other), ["shard"])
+
+
+def test_dd_sketch_rejects_negative_and_null_values(spark):
+    import pytest
+
+    from ray_beam_runner_spark.functions.sketch import dd_sketch
+
+    neg = spark.createDataFrame([(1, 5.0), (2, -0.5)], "id long, v double")
+    with pytest.raises(ValueError, match="non-null and >= 0"):
+        dd_sketch(neg, [], "v")
+    withnull = spark.createDataFrame([(1, 5.0), (2, None)], "id long, v double")
+    with pytest.raises(ValueError, match="non-null and >= 0"):
+        dd_sketch(withnull, [], "v")
