@@ -2626,6 +2626,89 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_join_ivm",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 7 = 0 AND NOT o_orderkey % 35 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 21 = 0),
+    b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 9 = 0 THEN c_mktsegment || '-u'
+                  ELSE c_mktsegment END AS segment
+      FROM customer WHERE c_custkey % 3 = 0 AND NOT c_custkey % 15 = 0)
+    SELECT a.k AS o_orderkey, a.ck AS o_custkey,
+           round(a.price, 4) AS totalprice, b.segment
+    FROM a JOIN b ON a.ck = b.c_custkey
+    """,
+)
+def q_snapshot_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN view (delta-join IVM —
+    sources.snapshots.maintain_join_view, completing the matview
+    family next to the aggregate maintainer): materialize
+    orders ⋈ customer once, then commit MERGEs and DELETEs to BOTH
+    sources (orders: doubled %14 prices, re-keyed %21 inserts, %35
+    deletes; customer: re-segmented %9, %15 deletes) and advance the
+    view purely from the sources' version diffs — ΔA against B_old,
+    then A_new against ΔB, deletions as keyed DELETEs, partner scans
+    stats-pruned to each delta's join-key span. The final view is read
+    back and hash-checked against the direct join of the final source
+    states: a double-counted delta, a missed retraction, a stale
+    watermark, or a resurrection through the second step all break the
+    hash. Per-refresh work is change-proportional; the full join runs
+    exactly once, at initialization."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+    from ray_beam_runner_spark.sources.snapshots import maintain_join_view
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    a0 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b0 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    a_dir, b_dir, v_dir = (
+        scratch_dir("rbrs_jva_"), scratch_dir("rbrs_jvb_"), scratch_dir("rbrs_jvv_"),
+    )
+    snap.write_snapshot(a0, a_dir, cluster_by=["o_orderkey"], n_files=4)
+    snap.write_snapshot(b0, b_dir, cluster_by=["c_custkey"], n_files=4)
+    on = ("o_custkey", "c_custkey")
+    maintain_join_view(spark, v_dir, a_dir, b_dir, on, "o_orderkey", "c_custkey")
+    a_upd = orders.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 21 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey", "o_totalprice",
+        )
+    )
+    snap.upsert_snapshot(spark, a_dir, a_upd, ["o_orderkey"])
+    snap.delete_where(
+        spark, a_dir,
+        (F.col("o_orderkey") % 35 == 0) & (F.col("o_orderkey") < 100000000),
+    )
+    b_upd = cust.filter(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey", F.concat(F.col("c_mktsegment"), F.lit("-u")).alias("c_mktsegment")
+    )
+    snap.upsert_snapshot(spark, b_dir, b_upd, ["c_custkey"])
+    snap.delete_where(spark, b_dir, F.col("c_custkey") % 15 == 0)
+    maintain_join_view(spark, v_dir, a_dir, b_dir, on, "o_orderkey", "c_custkey")
+    return snap.read_snapshot(spark, v_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@query(
     "q_snapshot_ivm",
     oracle="""
     WITH base AS (

@@ -2719,3 +2719,123 @@ def stream_maintain_aggregate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintain_join_view(
+    spark: SparkSession,
+    view_dir: str,
+    a_dir: str,
+    b_dir: str,
+    on: tuple[str, str],
+    a_id: str,
+    b_id: str,
+) -> int:
+    """Incrementally maintained JOIN view (classic delta-join IVM,
+    completing the matview family next to the aggregate maintainer
+    ``stream_maintain_aggregate``): keep the snapshot table at
+    ``view_dir`` continuously equal to ``A INNER JOIN B ON a_col =
+    b_col`` as both sources take MERGE/DELETE commits — without ever
+    recomputing the full join. ``a_id``/``b_id`` are the sources'
+    primary keys (the view's merge key is the pair); ``on`` is the
+    (a_col, b_col) equality.
+
+    Algebra (the standard two-step sequencing that makes the deltas
+    compose without double counting):
+
+        M₁ = M_old − (ΔA⁻ ⋈ B_old) + (ΔA⁺ ⋈ B_old)  =  A_new ⋈ B_old
+        M₂ = M₁   − (A_new ⋈ ΔB⁻) + (A_new ⋈ ΔB⁺)   =  A_new ⋈ B_new
+
+    ΔA/ΔB come from :func:`snapshot_diff` between the view's recorded
+    watermark versions and the sources' current versions — END-state
+    netted (a key updated five times between refreshes contributes one
+    delete + one insert), change-proportional (immutable shared files
+    are skipped). Deletions apply as keyed DELETEs on the source's id
+    (all of a removed row's join partners die with it); insertions
+    join only the DELTA against the opposite side, with that side's
+    scan manifest-stats-pruned to the delta's join-key range (one tiny
+    aggregate computes the span — at 100 TB a narrow source commit
+    touches the files its key span overlaps, never the whole partner
+    table).
+
+    Crash/replay safety without a coordinator: each step's final MERGE
+    carries the watermark as a transaction id (``jv:a`` → A's version,
+    ``jv:b`` → B's). A crash between the step's DELETE and MERGE
+    replays the step — the diff is between immutable versions
+    (deterministic), the re-run DELETE matches nothing, and the MERGE
+    is idempotent under its txn. Watermarks advance only when their
+    step completes, so every prefix of commits leaves a state a re-run
+    repairs. First call materializes the full join (clustered by the
+    A-side join column so later B-delta pruning works) and records
+    both watermarks. Returns the view's latest version."""
+    a_col, b_col = on
+    cur_a, cur_b = latest_version(a_dir), latest_version(b_dir)
+    if cur_a is None or cur_b is None:
+        raise FileNotFoundError("maintain_join_view: both sources need a snapshot")
+
+    def _full_join(av: int, bv: int) -> DataFrame:
+        return read_snapshot(spark, a_dir, av).join(
+            read_snapshot(spark, b_dir, bv), F.col(a_col) == F.col(b_col)
+        )
+
+    base = latest_version(view_dir)
+    if base is None:
+        full = _full_join(cur_a, cur_b)
+        # clustered by the A-side id: the maintenance MERGEs key on
+        # (a_id, b_id), so a_id stats prune the view's own rewrite scans
+        write_snapshot(full, view_dir, cluster_by=[a_id], n_files=4)
+        # record both watermarks via metadata-only txn commits
+        empty = full.limit(0).select(a_id)
+        delete_keys(spark, view_dir, empty, [a_id], txn_app="jv:a", txn_version=cur_a)
+        delete_keys(spark, view_dir, empty, [a_id], txn_app="jv:b", txn_version=cur_b)
+        return latest_version(view_dir)
+
+    txns = read_manifest(view_dir, base).get("txns", {})
+    last_a, last_b = int(txns.get("jv:a", cur_a)), int(txns.get("jv:b", cur_b))
+
+    def _pruned_read(
+        tdir: str, version: int, col: str, span_col: str, span_src: DataFrame
+    ) -> DataFrame:
+        # one tiny aggregate finds the delta's join-key span; the
+        # partner read is then manifest-stats-pruned to that range
+        # (read_snapshot key_range: file pruning + pushed row filter)
+        row = span_src.agg(
+            F.min(F.col(span_col)).alias("lo"), F.max(F.col(span_col)).alias("hi")
+        ).first()
+        if row is None or row.lo is None:
+            return read_snapshot(spark, tdir, version).limit(0)
+        return read_snapshot(
+            spark, tdir, version, key_range=(col, row.lo, row.hi)
+        )
+
+    if cur_a > last_a:
+        d_a = snapshot_diff(spark, a_dir, last_a, cur_a).persist()
+        try:
+            dels = d_a.filter(F.col("_change") == "delete").select(a_id).distinct()
+            ins = d_a.filter(F.col("_change") == "insert").drop("_change")
+            delete_keys(spark, view_dir, dels, [a_id])
+            new_rows = ins.join(
+                _pruned_read(b_dir, last_b, b_col, a_col, ins),
+                F.col(a_col) == F.col(b_col),
+            )
+            upsert_snapshot(
+                spark, view_dir, new_rows, [a_id, b_id],
+                txn_app="jv:a", txn_version=cur_a,
+            )
+        finally:
+            d_a.unpersist()
+    if cur_b > last_b:
+        d_b = snapshot_diff(spark, b_dir, last_b, cur_b).persist()
+        try:
+            dels = d_b.filter(F.col("_change") == "delete").select(b_id).distinct()
+            ins = d_b.filter(F.col("_change") == "insert").drop("_change")
+            delete_keys(spark, view_dir, dels, [b_id])
+            new_rows = _pruned_read(a_dir, cur_a, a_col, b_col, ins).join(
+                ins, F.col(a_col) == F.col(b_col)
+            )
+            upsert_snapshot(
+                spark, view_dir, new_rows, [a_id, b_id],
+                txn_app="jv:b", txn_version=cur_b,
+            )
+        finally:
+            d_b.unpersist()
+    return latest_version(view_dir)

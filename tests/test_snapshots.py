@@ -1673,3 +1673,64 @@ def test_compact_small_rewrites_only_small_files(spark):
     assert snap.read_snapshot(spark, t).filter(F.col("k") == 7).count() == 0
     # fewer than two small files: metadata no-op
     assert snap.compact_small(spark, t, 10) == snap.latest_version(t)
+
+
+def test_maintain_join_view_matches_rebuild(spark):
+    from ray_beam_runner_spark.sources.snapshots import maintain_join_view
+
+    a_dir, b_dir, v_dir = _tdir(), _tdir(), _tdir()
+    a0 = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(100)], "aid int, jk int, x double"
+    )
+    b0 = spark.createDataFrame(
+        [(j, j % 10, f"b{j}") for j in range(20)], "bid int, bk int, tag string"
+    )
+    snap.write_snapshot(a0, a_dir, cluster_by=["aid"], n_files=2)
+    snap.write_snapshot(b0, b_dir, cluster_by=["bid"], n_files=2)
+    on = ("jk", "bk")
+    v1 = maintain_join_view(spark, v_dir, a_dir, b_dir, on, "aid", "bid")
+    # idempotent: nothing changed -> same version
+    assert maintain_join_view(spark, v_dir, a_dir, b_dir, on, "aid", "bid") == v1
+
+    def rebuilt():
+        return sorted(
+            map(tuple, snap.read_snapshot(spark, a_dir)
+                .join(snap.read_snapshot(spark, b_dir),
+                      F.col("jk") == F.col("bk")).collect())
+        )
+
+    def view():
+        return sorted(map(tuple, snap.read_snapshot(spark, v_dir).collect()))
+
+    assert view() == rebuilt()
+    # A-side churn: update (jk moves key 5 to a new join group), insert, delete
+    snap.upsert_snapshot(
+        spark, a_dir,
+        spark.createDataFrame([(5, 3, -5.0), (200, 7, 200.0)], "aid int, jk int, x double"),
+        ["aid"],
+    )
+    snap.delete_where(spark, a_dir, F.col("aid").isin(6, 7))
+    assert maintain_join_view(spark, v_dir, a_dir, b_dir, on, "aid", "bid") > v1
+    assert view() == rebuilt()
+    # B-side churn in a separate refresh: retag, delete a join group
+    snap.upsert_snapshot(
+        spark, b_dir,
+        spark.createDataFrame([(3, 3, "B3")], "bid int, bk int, tag string"),
+        ["bid"],
+    )
+    snap.delete_where(spark, b_dir, F.col("bid") == 4)
+    maintain_join_view(spark, v_dir, a_dir, b_dir, on, "aid", "bid")
+    assert view() == rebuilt()
+    # BOTH sides churn between a single refresh
+    snap.upsert_snapshot(
+        spark, a_dir,
+        spark.createDataFrame([(201, 4, 1.0)], "aid int, jk int, x double"), ["aid"],
+    )
+    snap.upsert_snapshot(
+        spark, b_dir,
+        spark.createDataFrame([(4, 4, "B4-new")], "bid int, bk int, tag string"), ["bid"],
+    )
+    maintain_join_view(spark, v_dir, a_dir, b_dir, on, "aid", "bid")
+    assert view() == rebuilt()
+    # rows actually exist (the join isn't vacuously empty)
+    assert len(view()) > 50
