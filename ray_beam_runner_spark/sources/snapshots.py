@@ -231,6 +231,34 @@ def _write_data_files(
     return rel_files, stats, rows_map
 
 
+def _validate_constraints(df: DataFrame | None, constraints: dict | None, op: str) -> None:
+    """Enforce the table's CHECK constraints on incoming rows (Delta
+    CHECK semantics: a row violates only when the expression evaluates
+    to FALSE — NULL/unknown passes, per SQL). ONE aggregate job counts
+    violations for every constraint at once; any violation fails the
+    whole commit loudly BEFORE data is written, so a bad batch can
+    never publish."""
+    if df is None or not constraints:
+        return
+    names = sorted(constraints)
+    row = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(constraints[n]), F.lit(True)), 1).otherwise(0)
+            ).alias(f"_c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    bad = {
+        n: int(row[f"_c{i}"]) for i, n in enumerate(names) if row[f"_c{i}"]
+    }
+    if bad:
+        raise ValueError(
+            f"{op}: CHECK constraint violation(s) {bad} "
+            f"(expressions: {({n: constraints[n] for n in bad})}); commit aborted"
+        )
+
+
 def _dv_key_expr(path_col):
     """Join key for deletion-vector matching: the last two path segments
     (``commit-<uuid>/part-*.parquet``) of a file path — identical whether
@@ -440,6 +468,7 @@ def write_snapshot(
     bloom_for: list[str] | None = None,
     bloom_bits: int = 1024,
     bloom_k: int = 3,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Create or fully replace the table contents as one atomic snapshot.
 
@@ -458,6 +487,10 @@ def write_snapshot(
     recomputed for rewritten files by MERGE/DELETE/compact. Returns
     the published version. Readers of the previous version are
     unaffected — their files still exist until vacuum()."""
+    # CHECK constraints (Delta semantics — ``constraints={"name": "sql
+    # boolean expr"}``): validated on THIS write and on every later
+    # MERGE batch; carried through merge/delete/compact/restore commits.
+    _validate_constraints(df if constraints else None, constraints, "write_snapshot")
     if zorder_by:
         # multi-dimensional clustering: range-partition + sort on the
         # Morton key, record min/max stats for EVERY z column so reads
@@ -495,6 +528,8 @@ def write_snapshot(
         "schema": sorted(f.name for f in df.schema.fields),
         "schema_json": df.schema.json(),
     }
+    if constraints:
+        manifest["constraints"] = dict(constraints)
     if stats:
         manifest["file_stats"] = stats
     manifest["file_rows"] = rows_map
@@ -750,6 +785,25 @@ def _upsert_once(
         )
     )
     upd_fields = {f.name for f in updates.schema.fields}
+    # CHECK constraints: validate the batch BEFORE any phase runs. An
+    # evolve_schema batch null-backfills columns it dropped first, so a
+    # constraint on an absent column sees NULL (passes, per SQL CHECK)
+    # instead of failing analysis.
+    cons = manifest.get("constraints")
+    if cons:
+        val_df = updates
+        if evolve_schema:
+            struct = _schema_struct(manifest)
+            if struct is not None:
+                val_df = updates.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in struct.fields
+                        if f.name not in updates.columns
+                    ],
+                )
+        _validate_constraints(val_df, cons, "MERGE")
     if not evolve_schema and upd_fields != tbl_fields:
         raise ValueError(
             f"update schema {sorted(upd_fields)} != table schema "
@@ -878,7 +932,7 @@ def _merge_phases(
             "schema_json": manifest.get("schema_json"),
             "txns": txns,
         }
-        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs"):
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints"):
             if manifest.get(key):
                 noop[key] = manifest[key]
         _publish(table_dir, base + 1, noop)
@@ -945,6 +999,8 @@ def _merge_phases(
     }
     if txns:
         new_manifest["txns"] = txns
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _carry_file_meta(manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows)
     _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
     if cdc:
@@ -1072,7 +1128,7 @@ def _merge_dv(
             "schema_json": manifest.get("schema_json"),
             "txns": txns,
         }
-        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs"):
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints"):
             if manifest.get(key):
                 noop[key] = manifest[key]
         _publish(table_dir, base + 1, noop)
@@ -1132,6 +1188,8 @@ def _merge_dv(
     }
     if txns:
         new_manifest["txns"] = txns
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     # every old data file is carried verbatim (untouched = all of them);
     # stats/blooms over-approximate DV-dead values, which keeps pruning
     # safe — a pruned-in file simply yields zero live rows after the join
@@ -1364,6 +1422,8 @@ def compact(
     }
     if manifest.get("schema"):
         new_manifest["schema"] = manifest["schema"]
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     # read_snapshot above pinned the scan to this recorded schema, so
     # the compacted files physically contain every evolved column
     # (null-backfilled where a source file predates it) — compaction
@@ -1437,7 +1497,7 @@ def compact_small(
         "op": "compact",
         "rewrote": sorted(small),
     }
-    for key in ("schema", "schema_json", "txns"):
+    for key in ("schema", "schema_json", "txns", "constraints"):
         if manifest.get(key):
             new_manifest[key] = manifest[key]
     _carry_file_meta(manifest, new_manifest, carried, file_stats, new_stats, new_rows)
@@ -1744,6 +1804,8 @@ def _delete_once(
     }
     if txns:
         new_manifest["txns"] = txns
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
     _carry_file_meta(manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows)
     _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
     if cdc and touched_rel:
@@ -1845,7 +1907,7 @@ def _delete_dv(
         new_manifest["file_dvs"] = new_dvm
     # every data file is carried: stats, rows, blooms transfer verbatim
     # (blooms over-approximate deleted values — pruning stays safe)
-    for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms"):
+    for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "constraints"):
         if manifest.get(key):
             new_manifest[key] = manifest[key]
     if cdc and dv_rels:
@@ -2073,6 +2135,8 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         new_manifest["txns"] = dict(txns)
     if target.get("file_stats"):
         new_manifest["file_stats"] = target["file_stats"]
+    if target.get("constraints"):
+        new_manifest["constraints"] = target["constraints"]
     if target.get("file_rows"):
         new_manifest["file_rows"] = target["file_rows"]
     if target.get("bloom_conf"):

@@ -1734,3 +1734,44 @@ def test_maintain_join_view_matches_rebuild(spark):
     assert view() == rebuilt()
     # rows actually exist (the join isn't vacuously empty)
     assert len(view()) > 50
+
+
+def test_check_constraints_enforced_and_carried(spark):
+    import pytest
+
+    t = _tdir()
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, None)], "k int, v double, tag string"
+    )
+    cons = {"v_positive": "v > 0", "k_nonnull": "k IS NOT NULL"}
+    # violating initial write never publishes
+    bad0 = spark.createDataFrame([(3, -1.0, "x")], "k int, v double, tag string")
+    with pytest.raises(ValueError, match="v_positive"):
+        snap.write_snapshot(bad0, t, constraints=cons)
+    assert snap.latest_version(t) is None
+    snap.write_snapshot(df, t, cluster_by=["k"], n_files=2, constraints=cons)
+    # NULL passes (SQL CHECK three-valued logic): tag None row is in
+    assert snap.read_snapshot(spark, t).count() == 2
+    # violating MERGE batch aborts before anything commits
+    v1 = snap.latest_version(t)
+    bad = spark.createDataFrame([(5, -3.0, "x")], "k int, v double, tag string")
+    with pytest.raises(ValueError, match="v_positive"):
+        snap.upsert_snapshot(spark, t, bad, ["k"])
+    assert snap.latest_version(t) == v1
+    # clean merge passes; DV-mode merge validates too
+    ok = spark.createDataFrame([(5, 3.0, "x")], "k int, v double, tag string")
+    snap.upsert_snapshot(spark, t, ok, ["k"])
+    with pytest.raises(ValueError, match="v_positive"):
+        snap.upsert_snapshot(spark, t, bad, ["k"], dv=True)
+    # evolve_schema batch dropping 'v': NULL-backfilled -> passes CHECK
+    ev = spark.createDataFrame([(7, 1.5)], "k int, score double")
+    snap.upsert_snapshot(spark, t, ev, ["k"], evolve_schema=True)
+    # constraints survive delete / compact / restore commits
+    snap.delete_where(spark, t, F.col("k") == 2)
+    snap.compact(spark, t, 1)
+    m = snap.read_manifest(t, snap.latest_version(t))
+    assert m.get("constraints") == cons
+    rv = snap.restore_snapshot(t, v1)
+    assert snap.read_manifest(t, rv).get("constraints") == cons
+    with pytest.raises(ValueError, match="v_positive"):
+        snap.upsert_snapshot(spark, t, bad, ["k"])
