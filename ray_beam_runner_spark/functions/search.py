@@ -1,0 +1,156 @@
+"""Full-text search over snapshot tables: an inverted token index as a
+TABLE, incrementally maintained from the change feed.
+
+The index is the classic postings relation (token, doc, tf) stored as a
+snapshot table CLUSTERED BY TOKEN — which turns every term lookup into
+the same manifest-stats point-read the key-value paths use: a term's
+postings live in the one file whose [min, max] token range covers it,
+so a query over a billion-document index opens a handful of files, not
+the index (`sources.snapshots.read_snapshot` ``key_range`` pruning).
+Multi-term AND/OR queries union the per-term pruned reads and aggregate
+per document — no scan of the corpus, no scan of the index.
+
+Maintenance is CDC-driven (the ANN-index pattern,
+`functions.clustering.stream_maintain_ivfpq`): each micro-batch of the
+documents change feed removes the OLD postings — computable from the
+delete rows' PRE-IMAGE text, so the deletion is keyed (token, doc) and
+stats-pruned by token, never a full index scan — and MERGEs the new
+postings in. Both commits carry (app, batch) transaction ids:
+exactly-once index state on replay. Per trigger the work is
+O(batch tokens), independent of corpus and index size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "doc_postings",
+    "build_token_index",
+    "stream_maintain_token_index",
+    "search_index",
+]
+
+
+def doc_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, id_col, tf) postings for a document frame — one
+    tokenize+explode and one map-side-combinable aggregation."""
+    from ray_beam_runner_spark.functions.text import tokens
+
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_token_index(
+    docs: DataFrame, index_dir: str, id_col: str, text_col: str, n_files: int = 8
+) -> int:
+    """Materialize the inverted index snapshot table, token-clustered so
+    term lookups prune to the term's file range."""
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    return snap.write_snapshot(
+        doc_postings(docs, id_col, text_col),
+        index_dir,
+        cluster_by=["token"],
+        n_files=n_files,
+    )
+
+
+def stream_maintain_token_index(
+    feed: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+):
+    """Maintain the inverted index from a documents change feed: per
+    micro-batch, delete the postings of every PRE-IMAGE row (keyed
+    (token, doc) — the old text rides in the feed's delete rows, so
+    the deletion is token-pruned, never an index scan), then MERGE the
+    postings of the batch's final insert per document. An update's
+    delete+insert pair therefore swaps exactly that document's
+    postings; replayed batches are manifest-detected no-ops via the
+    (app, batch) transaction ids."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    app = app_id or f"ftidx:{_os.path.basename(_os.path.abspath(index_dir))}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            old = batch_df.filter(F.col("_change") == "delete")
+            if old.limit(1).count():
+                old_postings = doc_postings(old, id_col, text_col).select(
+                    "token", id_col
+                )
+                snap.delete_keys(
+                    spark, index_dir, old_postings, ["token", id_col],
+                    txn_app=f"{app}#del", txn_version=batch_id,
+                )
+            w = W.partitionBy(id_col).orderBy(F.col("_commit_version").desc())
+            ins = (
+                batch_df.filter(F.col("_change") == "insert")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+            )
+            if ins.limit(1).count():
+                snap.upsert_snapshot(
+                    spark, index_dir, doc_postings(ins, id_col, text_col),
+                    ["token", id_col],
+                    txn_app=app, txn_version=batch_id,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def search_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    id_col: str,
+    mode: str = "and",
+) -> DataFrame:
+    """Term query against the index table: per term one token-pruned
+    snapshot read (file pruning via manifest stats + pushed equality
+    filter), union, one doc-keyed aggregation. ``mode='and'`` keeps
+    documents matching EVERY term; ``'or'`` keeps any match. Returns
+    (id_col, n_terms, total_tf)."""
+    from functools import reduce
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    if mode not in ("and", "or"):
+        raise ValueError(f"search_index: mode must be 'and' or 'or', got {mode!r}")
+    if not terms:
+        raise ValueError("search_index: empty term list")
+    parts = [
+        snap.read_snapshot(spark, index_dir, key_range=("token", t, t)).filter(
+            F.col("token") == t
+        )
+        for t in sorted(set(terms))
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    agg = u.groupBy(id_col).agg(
+        F.countDistinct("token").alias("n_terms"),
+        F.sum("tf").alias("total_tf"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("n_terms") == len(set(terms)))
+    return agg

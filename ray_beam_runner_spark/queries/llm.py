@@ -2253,6 +2253,69 @@ def q_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_search",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id % 7 <> 0),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id, count(*) AS n_terms, sum(tf) AS total_tf
+      FROM tf WHERE t IN ('merge', 'window', 'scan') GROUP BY doc_id)
+    SELECT doc_id, n_terms::BIGINT AS n_terms, total_tf::BIGINT AS total_tf
+    FROM m WHERE n_terms = 3
+    """,
+)
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-TEXT SEARCH over an incrementally maintained inverted
+    index (functions.search): build the token-clustered postings table
+    from the initial corpus slice (doc_id % 3 != 0), then drive it
+    purely from the source's CHANGE FEED — a CDC merge ingests the
+    remaining documents, a CDC delete removes every 7th (old postings
+    die keyed (token, doc), computable from the feed's pre-image text,
+    so the deletion is token-pruned, never an index scan) — and answer
+    the conjunctive query merge AND window AND scan with one
+    token-pruned read per term + one doc-keyed aggregation. The oracle
+    computes the same conjunction directly over the FINAL document
+    set: a stale posting (deleted doc still matching), a lost insert,
+    or a wrong tf anywhere breaks the hash. At 100 TB the search opens
+    the few files whose token range covers the terms; maintenance per
+    trigger is O(batch tokens)."""
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        search_index,
+        stream_maintain_token_index,
+    )
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    initial = docs.filter(F.col("doc_id") % 3 != 0)
+    arriving = docs.filter(F.col("doc_id") % 3 == 0)
+    src = scratch_dir("rbrs_ftsrc_")
+    idx = scratch_dir("rbrs_ftidx_")
+    ckpt = scratch_dir("rbrs_ftckpt_")
+    snap.write_snapshot(initial, src, cluster_by=["doc_id"], n_files=4)
+    build_token_index(initial, idx, "doc_id", "text")
+
+    def drain() -> None:
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_token_index(feed, idx, "doc_id", "text", ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("token index maintenance drain exceeded 300s")
+
+    snap.upsert_snapshot(spark, src, arriving, ["doc_id"], cdc=True)
+    drain()
+    snap.delete_where(spark, src, F.col("doc_id") % 7 == 0, cdc=True)
+    drain()
+    return search_index(
+        spark, idx, ["merge", "window", "scan"], "doc_id", mode="and"
+    )
+
+
+@query(
     "q_incremental_dedup",
     oracle=f"""
     WITH corpus AS (

@@ -1775,3 +1775,58 @@ def test_check_constraints_enforced_and_carried(spark):
     assert snap.read_manifest(t, rv).get("constraints") == cons
     with pytest.raises(ValueError, match="v_positive"):
         snap.upsert_snapshot(spark, t, bad, ["k"])
+
+
+def test_token_index_maintenance_equals_rebuild(spark, tmp_path):
+    import pytest
+
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        doc_postings,
+        search_index,
+        stream_maintain_token_index,
+    )
+
+    src, idx = _tdir(), _tdir()
+    docs0 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    snap.write_snapshot(docs0, src, cluster_by=["doc_id"], n_files=2)
+    build_token_index(docs0, idx, "doc_id", "text", n_files=2)
+
+    def drain(ck):
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_token_index(feed, idx, "doc_id", "text", str(ck))
+        assert q.awaitTermination(120)
+
+    # update doc 2 (beta count changes, delta disappears), add doc 4,
+    # then delete doc 1 — two incremental drains
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(2, "beta epsilon"), (4, "alpha alpha beta")], "doc_id long, text string"
+        ),
+        ["doc_id"], cdc=True,
+    )
+    drain(tmp_path / "ck")
+    snap.delete_where(spark, src, F.col("doc_id") == 1, cdc=True)
+    drain(tmp_path / "ck")
+    maintained = sorted(map(tuple, snap.read_snapshot(spark, idx).collect()))
+    rebuilt = sorted(
+        map(tuple, doc_postings(snap.read_snapshot(spark, src), "doc_id", "text").collect())
+    )
+    assert maintained == rebuilt
+    # stale postings gone: doc 2's 'delta' and doc 1 entirely
+    assert (2, ) not in {(d,) for t, d, _ in maintained if t == "delta"}
+    assert all(d != 1 for _, d, _ in maintained)
+    got = {r.doc_id: (r.n_terms, r.total_tf)
+           for r in search_index(spark, idx, ["alpha", "beta"], "doc_id").collect()}
+    assert got == {4: (2, 3)}
+    got_or = {r.doc_id for r in
+              search_index(spark, idx, ["alpha", "beta"], "doc_id", mode="or").collect()}
+    assert got_or == {2, 4}
+    with pytest.raises(ValueError, match="mode"):
+        search_index(spark, idx, ["alpha"], "doc_id", mode="xor")
+    with pytest.raises(ValueError, match="empty"):
+        search_index(spark, idx, [], "doc_id")
