@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "doc_postings",
+    "doc_lengths",
     "build_token_index",
     "stream_maintain_token_index",
     "search_index",
+    "search_bm25",
 ]
 
 
@@ -154,3 +156,82 @@ def search_index(
     if mode == "and":
         agg = agg.filter(F.col("n_terms") == len(set(terms)))
     return agg
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id_col, dl): per-document token count — the BM25 length norm."""
+    from ray_beam_runner_spark.functions.text import tokens
+
+    return df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+    )
+
+
+def search_bm25(
+    spark: SparkSession,
+    index_dir: str,
+    lengths_dir: str,
+    terms: list[str],
+    id_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25-ranked term query (the Robertson/Walker formula in its
+    Lucene parameterization, idf = ln(1 + (N − df + 0.5)/(df + 0.5)))
+    over the token-clustered index: per term one token-pruned postings
+    read; df(t) falls out of those same pruned reads (count per term);
+    N comes from the lengths table's MANIFEST row count (zero data
+    files opened — ``snapshot_rows``); avgdl is one narrow scan of the
+    doc-count-sized lengths table. Scores round to 6 dp before ranking
+    (ln/÷ differ by ulps across engines — the repo's determinism
+    recipe), ties break by id. Returns (id_col, score, rank), rank <=
+    ``topk``. Scale shape: nothing here reads the corpus or the full
+    index — cost is postings-of-the-terms + the lengths relation."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    if not terms:
+        raise ValueError("search_bm25: empty term list")
+    n_docs = snap.snapshot_rows(lengths_dir)
+    if n_docs is None:
+        n_docs = snap.read_snapshot(spark, lengths_dir).count()
+    lengths = snap.read_snapshot(spark, lengths_dir)
+    avgdl = lengths.agg(F.avg("dl")).first()[0] or 1.0
+    parts = [
+        snap.read_snapshot(spark, index_dir, key_range=("token", t, t)).filter(
+            F.col("token") == t
+        )
+        for t in sorted(set(terms))
+    ]
+    post = reduce(lambda a, b_: a.unionByName(b_), parts)
+    df_t = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        post.join(F.broadcast(df_t), "token")
+        .join(lengths, id_col)
+        .select(
+            F.col(id_col),
+            (
+                idf
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    w = W.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )

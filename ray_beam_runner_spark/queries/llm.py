@@ -2316,6 +2316,66 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    len AS (SELECT doc_id, len(w) AS dl FROM d),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM len),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+    q AS (SELECT * FROM tf WHERE t IN ('merge', 'window', 'scan')),
+    dfq AS (SELECT t, count(*) AS df FROM q GROUP BY t),
+    sc AS (
+      SELECT q.doc_id,
+             round(sum(
+               ln(1 + ((SELECT n FROM stats) - dfq.df + 0.5) / (dfq.df + 0.5))
+               * q.tf
+               / (q.tf + 1.2 * (0.25 + 0.75 * len.dl / (SELECT avgdl FROM stats)))
+             ), 6) AS score
+      FROM q JOIN dfq USING (t) JOIN len USING (doc_id)
+      GROUP BY q.doc_id)
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+      FROM sc)
+    WHERE rank <= 20
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-RANKED search over the inverted index
+    (functions.search.search_bm25 — Robertson/Walker scoring in the
+    Lucene idf parameterization): postings and doc-length tables
+    materialized as snapshot tables, then the query 'merge window
+    scan' ranked top-20. Reads touch ONLY the terms' token-pruned
+    postings files and the doc-count-sized lengths relation; N comes
+    from the lengths table's manifest row count (zero files opened).
+    The oracle replays idf, the length norm, and the 6-dp-rounded
+    score sum — a df off by one, a stale length, or a norm mistake
+    reorders the ranking and breaks the hash. Engine determinism: the
+    score rounds before ranking and every input to the float formula
+    (tf, df, dl, exact-integer avgdl) is identical cross-engine."""
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        doc_lengths,
+        search_bm25,
+    )
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = scratch_dir("rbrs_bm25idx_")
+    lens = scratch_dir("rbrs_bm25len_")
+    build_token_index(docs, idx, "doc_id", "text")
+    snap.write_snapshot(
+        doc_lengths(docs, "doc_id", "text"), lens, cluster_by=["doc_id"], n_files=2
+    )
+    return search_bm25(
+        spark, idx, lens, ["merge", "window", "scan"], "doc_id", topk=20
+    )
+
+
+@query(
     "q_incremental_dedup",
     oracle=f"""
     WITH corpus AS (
