@@ -112,6 +112,7 @@ EXTRA_SET = (
     "q_hard_negatives",
     "q_chunk_shared",
     "q_dedup_phash_clusters",
+    "q_text_bm25",
 )
 
 
