@@ -32,30 +32,54 @@ __all__ = [
     "stream_maintain_token_index",
     "search_index",
     "search_bm25",
+    "search_phrase",
 ]
 
 
-def doc_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(token, id_col, tf) postings for a document frame — one
-    tokenize+explode and one map-side-combinable aggregation."""
+def doc_postings(
+    df: DataFrame, id_col: str, text_col: str, positional: bool = False
+) -> DataFrame:
+    """(token, id_col, tf[, positions]) postings for a document frame —
+    one tokenize+explode and one map-side-combinable aggregation.
+    ``positional=True`` additionally records each token's sorted
+    occurrence positions (0-based), the structure phrase queries
+    intersect; postings stay one row per (token, doc) either way."""
     from ray_beam_runner_spark.functions.text import tokens
 
+    if not positional:
+        return (
+            df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token", id_col)
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     return (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+        )
         .groupBy("token", id_col)
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_sort(F.collect_list("pos")).alias("positions"),
+        )
     )
 
 
 def build_token_index(
-    docs: DataFrame, index_dir: str, id_col: str, text_col: str, n_files: int = 8
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    n_files: int = 8,
+    positional: bool = False,
 ) -> int:
     """Materialize the inverted index snapshot table, token-clustered so
-    term lookups prune to the term's file range."""
+    term lookups prune to the term's file range. ``positional=True``
+    stores occurrence positions for phrase queries."""
     from ray_beam_runner_spark.sources import snapshots as snap
 
     return snap.write_snapshot(
-        doc_postings(docs, id_col, text_col),
+        doc_postings(docs, id_col, text_col, positional=positional),
         index_dir,
         cluster_by=["token"],
         n_files=n_files,
@@ -234,4 +258,45 @@ def search_bm25(
     w = W.orderBy(F.col("score").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= topk
+    )
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Exact PHRASE query over a positional index: per phrase slot one
+    token-pruned postings read, inner-joined per document, then the
+    classic positional intersection — fold the first term's positions
+    through array_intersect(positions + 1, next term's positions), so
+    the survivors after k−1 folds are exactly the end positions of
+    full phrase matches. Returns (id_col, n_occ) for documents
+    containing the phrase at least once, n_occ = occurrence count.
+    Everything is JVM array expressions over postings-of-the-terms —
+    the corpus and the rest of the index are never read; the same fold
+    is SQL-restatable, which is what lets q_text_phrase hash the
+    positional index against a direct sliding-window oracle."""
+    from functools import reduce
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    if len(phrase) < 2:
+        raise ValueError("search_phrase: a phrase needs at least two terms")
+    parts = [
+        snap.read_snapshot(spark, index_dir, key_range=("token", t, t))
+        .filter(F.col("token") == t)
+        .select(F.col(id_col), F.col("positions").alias(f"_p{i}"))
+        for i, t in enumerate(phrase)
+    ]
+    joined = reduce(lambda a, b: a.join(b, id_col), parts)
+    acc = F.col("_p0")
+    for i in range(1, len(phrase)):
+        acc = F.array_intersect(
+            F.transform(acc, lambda x: x + 1), F.col(f"_p{i}")
+        )
+    return (
+        joined.select(F.col(id_col), F.size(acc).alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
     )

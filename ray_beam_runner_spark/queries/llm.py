@@ -2376,6 +2376,44 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_phrase",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(generate_series(1, len(w) - 1),
+                 i -> w[i] = 'order' AND w[i+1] = 'sort'
+             ))::BIGINT AS n_occ
+      FROM d)
+    SELECT doc_id, n_occ FROM m WHERE n_occ > 0
+    """,
+)
+def q_text_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search through the POSITIONAL inverted index
+    (functions.search.search_phrase): postings store each token's
+    occurrence positions; the phrase "order sort" resolves by folding
+    the first term's positions through array_intersect(positions + 1,
+    next term's positions) — survivors are exactly the match end
+    positions, so n_occ is the occurrence count (longer folds
+    differentially pytest-covered). The two sides could not be more
+    different — Spark walks a token-clustered index reading the terms'
+    postings files, the oracle slides a window over every document —
+    and the hash pins them equal: an off-by-one position, an unsorted
+    postings list, or a lost occurrence breaks it. At scale the phrase
+    query reads postings-of-the-terms, never the corpus."""
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        search_phrase,
+    )
+    from ray_beam_runner_spark.queries import scratch_dir
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = scratch_dir("rbrs_phraseidx_")
+    build_token_index(docs, idx, "doc_id", "text", positional=True)
+    return search_phrase(spark, idx, ["order", "sort"], "doc_id")
+
+
+@query(
     "q_incremental_dedup",
     oracle=f"""
     WITH corpus AS (

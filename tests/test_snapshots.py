@@ -1830,3 +1830,36 @@ def test_token_index_maintenance_equals_rebuild(spark, tmp_path):
         search_index(spark, idx, ["alpha"], "doc_id", mode="xor")
     with pytest.raises(ValueError, match="empty"):
         search_index(spark, idx, [], "doc_id")
+
+
+def test_search_phrase_positional_folds(spark):
+    import pytest
+
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        search_phrase,
+    )
+
+    idx = _tdir()
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b"),     # "a b c" twice, "a b" three times
+            (2, "a c b a"),             # contains a,b,c but never the phrase
+            (3, "x a b c y"),           # once
+            (4, "b c a"),               # tokens present, wrong order
+        ],
+        "doc_id long, text string",
+    )
+    build_token_index(docs, idx, "doc_id", "text", positional=True)
+    got3 = {r.doc_id: r.n_occ
+            for r in search_phrase(spark, idx, ["a", "b", "c"], "doc_id").collect()}
+    assert got3 == {1: 2, 3: 1}
+    got2 = {r.doc_id: r.n_occ
+            for r in search_phrase(spark, idx, ["a", "b"], "doc_id").collect()}
+    assert got2 == {1: 3, 3: 1}
+    # a 4-term phrase that only overlaps matches ("a b c a" in doc 1)
+    got4 = {r.doc_id: r.n_occ
+            for r in search_phrase(spark, idx, ["a", "b", "c", "a"], "doc_id").collect()}
+    assert got4 == {1: 2}
+    with pytest.raises(ValueError, match="two terms"):
+        search_phrase(spark, idx, ["a"], "doc_id")
