@@ -93,6 +93,7 @@ def stream_maintain_token_index(
     text_col: str,
     checkpoint_dir: str,
     app_id: str | None = None,
+    positional: bool = False,
 ):
     """Maintain the inverted index from a documents change feed: per
     micro-batch, delete the postings of every PRE-IMAGE row (keyed
@@ -101,7 +102,9 @@ def stream_maintain_token_index(
     postings of the batch's final insert per document. An update's
     delete+insert pair therefore swaps exactly that document's
     postings; replayed batches are manifest-detected no-ops via the
-    (app, batch) transaction ids."""
+    (app, batch) transaction ids. Pass ``positional=True`` iff the
+    index was built positional — the postings shapes must match or the
+    MERGE's schema guard rejects the batch (loudly, by design)."""
     import os as _os
 
     from pyspark.sql import Window as W
@@ -131,7 +134,8 @@ def stream_maintain_token_index(
             )
             if ins.limit(1).count():
                 snap.upsert_snapshot(
-                    spark, index_dir, doc_postings(ins, id_col, text_col),
+                    spark, index_dir,
+                    doc_postings(ins, id_col, text_col, positional=positional),
                     ["token", id_col],
                     txn_app=app, txn_version=batch_id,
                 )

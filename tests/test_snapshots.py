@@ -1863,3 +1863,37 @@ def test_search_phrase_positional_folds(spark):
     assert got4 == {1: 2}
     with pytest.raises(ValueError, match="two terms"):
         search_phrase(spark, idx, ["a"], "doc_id")
+
+
+def test_positional_index_cdc_maintenance(spark, tmp_path):
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        doc_postings,
+        search_phrase,
+        stream_maintain_token_index,
+    )
+
+    src, idx = _tdir(), _tdir()
+    docs0 = spark.createDataFrame(
+        [(1, "a b c"), (2, "c a b")], "doc_id long, text string"
+    )
+    snap.write_snapshot(docs0, src, cluster_by=["doc_id"], n_files=1)
+    build_token_index(docs0, idx, "doc_id", "text", positional=True)
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame([(2, "a b a b"), (3, "b a b")], "doc_id long, text string"),
+        ["doc_id"], cdc=True,
+    )
+    feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+    q = stream_maintain_token_index(
+        feed, idx, "doc_id", "text", str(tmp_path / "ck"), positional=True
+    )
+    assert q.awaitTermination(120)
+    maintained = sorted(map(tuple, snap.read_snapshot(spark, idx).collect()))
+    rebuilt = sorted(map(tuple, doc_postings(
+        snap.read_snapshot(spark, src), "doc_id", "text", positional=True
+    ).collect()))
+    assert maintained == rebuilt
+    got = {r.doc_id: r.n_occ
+           for r in search_phrase(spark, idx, ["a", "b"], "doc_id").collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
