@@ -221,6 +221,55 @@ def main() -> None:
             "waste_reduction_pct": round(100.0 * (w_seq - w_ffd) / max(w_seq, 1), 1),
         }
 
+        # inverted-index search (round 9): index build is one linear
+        # pass; a term query reads postings-of-the-terms via
+        # token-pruned file reads. Salting makes every copy's tokens
+        # distinct, so the copy-0 terms' postings stay CONSTANT as the
+        # corpus multiplies — query latency should hold ~flat while
+        # the corpus (and index) grows, which is exactly the pruning
+        # claim (an index-scanning search would grow linearly here).
+        import shutil as _sh
+        import tempfile as _tf
+
+        from ray_beam_runner_spark.functions.search import (
+            build_token_index,
+            doc_lengths,
+            search_bm25,
+            search_index,
+        )
+        from ray_beam_runner_spark.sources import snapshots as _snap
+
+        idxd = _tf.mkdtemp(prefix="rbrs_ftsbench_idx_")
+        lend = _tf.mkdtemp(prefix="rbrs_ftsbench_len_")
+        try:
+            t0 = time.perf_counter()
+            build_token_index(docs, idxd, "doc_id", "text", n_files=8 * mult)
+            b_dt = time.perf_counter() - t0
+            _snap.write_snapshot(
+                doc_lengths(docs, "doc_id", "text"), lend,
+                cluster_by=["doc_id"], n_files=2,
+            )
+            terms = ["c0_merge", "c0_window", "c0_scan"]
+            q_dt = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n_hits = search_index(spark, idxd, terms, "doc_id").count()
+                d1 = time.perf_counter() - t0
+                q_dt = d1 if q_dt is None else min(q_dt, d1)
+            t0 = time.perf_counter()
+            search_bm25(spark, idxd, lend, terms, "doc_id", topk=20).count()
+            bm_dt = time.perf_counter() - t0
+            row["search"] = {
+                "index_build_sec": round(b_dt, 2),
+                "index_docs_per_sec": round(n_docs / b_dt),
+                "and_query_sec": round(q_dt, 3),
+                "and_hits": n_hits,
+                "bm25_sec": round(bm_dt, 3),
+            }
+        finally:
+            _sh.rmtree(idxd, ignore_errors=True)
+            _sh.rmtree(lend, ignore_errors=True)
+
         results[f"x{mult}"] = row
         print(json.dumps({f"x{mult}": row}), flush=True)
 
