@@ -126,11 +126,18 @@ def stream_maintain_token_index(
                     spark, index_dir, old_postings, ["token", id_col],
                     txn_app=f"{app}#del", txn_version=batch_id,
                 )
-            w = W.partitionBy(id_col).orderBy(F.col("_commit_version").desc())
+            # net the batch per id: only documents whose FINAL state in
+            # this batch is an insert get (re-)indexed — a doc inserted
+            # then deleted within one drain must not survive (the
+            # insert-priority tie-break makes an update's same-version
+            # delete+insert pair resolve to the insert)
+            w = W.partitionBy(id_col).orderBy(
+                F.col("_commit_version").desc(),
+                F.when(F.col("_change") == "insert", 1).otherwise(0).desc(),
+            )
             ins = (
-                batch_df.filter(F.col("_change") == "insert")
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col("_change") == "insert"))
             )
             if ins.limit(1).count():
                 snap.upsert_snapshot(

@@ -1897,3 +1897,30 @@ def test_positional_index_cdc_maintenance(spark, tmp_path):
     got = {r.doc_id: r.n_occ
            for r in search_phrase(spark, idx, ["a", "b"], "doc_id").collect()}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_token_index_insert_then_delete_in_one_drain(spark, tmp_path):
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        stream_maintain_token_index,
+    )
+
+    src, idx = _tdir(), _tdir()
+    docs0 = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    snap.write_snapshot(docs0, src, cluster_by=["doc_id"], n_files=1)
+    build_token_index(docs0, idx, "doc_id", "text")
+    # doc 9 is born AND dies before the index ever drains: it must
+    # never appear; doc 1's update must land
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame([(9, "ghost town"), (1, "alpha gamma")],
+                              "doc_id long, text string"),
+        ["doc_id"], cdc=True,
+    )
+    snap.delete_where(spark, src, F.col("doc_id") == 9, cdc=True)
+    feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+    q = stream_maintain_token_index(feed, idx, "doc_id", "text", str(tmp_path / "ck"))
+    assert q.awaitTermination(120)
+    rows = {(r.token, r.doc_id) for r in snap.read_snapshot(spark, idx).collect()}
+    assert all(d != 9 for _, d in rows), rows
+    assert ("gamma", 1) in rows and ("beta", 1) not in rows
