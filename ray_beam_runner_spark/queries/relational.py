@@ -2709,6 +2709,89 @@ def q_snapshot_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_merge_when",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 5 = 0),
+    src AS (
+      SELECT o_orderkey, o_totalprice / 2 AS s_price
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice
+      FROM orders WHERE o_orderkey % 25 = 0)
+    SELECT b.o_orderkey,
+           round(CASE WHEN s.o_orderkey IS NOT NULL AND b.o_totalprice <= 150000
+                      THEN b.o_totalprice + s.s_price
+                      ELSE b.o_totalprice END, 4) AS totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL AND b.o_totalprice <= 150000
+                THEN 'M' ELSE b.o_orderstatus END AS o_orderstatus
+    FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND b.o_totalprice > 150000)
+    UNION ALL
+    SELECT s.o_orderkey, round(s.s_price, 4), 'I'
+    FROM src s LEFT JOIN base b ON b.o_orderkey = s.o_orderkey
+    WHERE b.o_orderkey IS NULL AND s.s_price > 1000
+    """,
+)
+def q_snapshot_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE INTO with WHEN clauses
+    (sources.snapshots.merge_into), one atomic commit:
+
+        WHEN MATCHED AND t.price > 150000 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET price = t.price + s.price,
+                                     status = 'M'
+        WHEN NOT MATCHED AND s.price > 1000 THEN INSERT (status 'I')
+
+    — the conditional-merge surface plain upsert lacks: the source
+    row's effect depends on the TARGET's current value (the delete
+    clause reads t.price), SET mixes both namespaces, and the insert
+    is itself conditional. The oracle restates the three-clause
+    algebra relationally; a clause mis-routed anywhere (a
+    should-be-deleted row updated, an unconditional insert, a matched
+    row touched by no clause getting rewritten) breaks the hash. The
+    commit inherits the MERGE machinery whole: stats-pruned target
+    read, single-snapshot atomicity across updates AND deletes, CDC,
+    constraints, DV write path."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+    from ray_beam_runner_spark.sources.snapshots import merge_into
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    src = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") / 2).alias("o_totalprice"),
+                F.lit("I").alias("o_orderstatus"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 25 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                F.lit("I").alias("o_orderstatus"),
+            )
+        )
+    )
+    tdir = scratch_dir("rbrs_mrgwhen_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=8)
+    merge_into(
+        spark, tdir, src, ["o_orderkey"],
+        delete_condition="t.o_totalprice > 150000",
+        update_set={
+            "o_totalprice": "t.o_totalprice + s.o_totalprice",
+            "o_orderstatus": "'M'",
+        },
+        insert_condition="s.o_totalprice > 1000",
+    )
+    return snap.read_snapshot(spark, tdir).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("totalprice"),
+        "o_orderstatus",
+    )
+
+
+@query(
     "q_snapshot_ivm",
     oracle="""
     WITH base AS (

@@ -664,6 +664,7 @@ def upsert_snapshot(
     evolve_schema: bool = False,
     cdc: bool = False,
     dv: bool = False,
+    delete_keys_df: DataFrame | None = None,
 ) -> int:
     """Keyed MERGE with optimistic-concurrency retry: on losing the
     manifest-publish race to a concurrent writer, re-read the NEW
@@ -679,12 +680,17 @@ def upsert_snapshot(
     path): matched pre-image rows are tombstoned via a (file, row
     position) sidecar and the update batch is APPENDED as new files —
     zero data files rewritten, so a narrow update of a wide file costs
-    kilobytes instead of a gigabyte rewrite (see :func:`_merge_dv`)."""
+    kilobytes instead of a gigabyte rewrite (see :func:`_merge_dv`).
+
+    ``delete_keys_df``: keys to REMOVE in the same atomic commit (rows
+    with these keys are dropped and not replaced) — the primitive
+    :func:`merge_into` builds its WHEN MATCHED … DELETE clause on, so
+    a conditional merge's updates and deletes publish as ONE snapshot."""
     for attempt in range(retries + 1):
         try:
             return _upsert_once(
                 spark, table_dir, updates, keys, txn_app, txn_version,
-                evolve_schema, cdc, dv,
+                evolve_schema, cdc, dv, delete_keys_df,
             )
         except ConcurrentCommitError:
             if attempt == retries:
@@ -702,6 +708,7 @@ def _upsert_once(
     evolve_schema: bool = False,
     cdc: bool = False,
     dv: bool = False,
+    delete_keys_df: DataFrame | None = None,
 ) -> int:
     """Keyed MERGE into a snapshot table: matching keys replaced, new
     keys appended, untouched rows survive — published as one atomic
@@ -825,7 +832,13 @@ def _upsert_once(
         # lineage (phase 3's rewrite is the first) — persist it for the
         # merge duration, same rationale as key_set below
         updates = updates.persist()
-    key_set = updates.select(*keys).distinct().persist()
+    key_set = updates.select(*keys).distinct()
+    if delete_keys_df is not None:
+        # the anti-join drops these keys' rows like any matched key,
+        # but no replacement re-adds them: WHEN MATCHED ... DELETE in
+        # the same atomic commit as the updates
+        key_set = key_set.unionByName(delete_keys_df.select(*keys)).distinct()
+    key_set = key_set.persist()
     try:
         return _merge_phases(
             spark, table_dir, updates, keys, key_set, base, manifest, rel_files,
@@ -2903,3 +2916,128 @@ def maintain_join_view(
         finally:
             d_b.unpersist()
     return latest_version(view_dir)
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    update_set: dict[str, str] | None = None,
+    update_condition: str | None = None,
+    delete_condition: str | None = None,
+    insert: bool = True,
+    insert_condition: str | None = None,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+    cdc: bool = False,
+    dv: bool = False,
+) -> int:
+    """Delta-style ``MERGE INTO`` with WHEN clauses, published as ONE
+    atomic snapshot commit:
+
+        WHEN MATCHED [AND delete_condition] THEN DELETE
+        WHEN MATCHED [AND update_condition] THEN UPDATE SET update_set
+        WHEN NOT MATCHED [AND insert_condition] THEN INSERT *
+
+    Clause semantics follow Delta: conditions and SET expressions are
+    SQL strings over the aliased namespaces ``t.<col>`` (target) and
+    ``s.<col>`` (source) — e.g. ``update_set={"total": "t.total +
+    s.delta"}``; SET touches only the listed columns, the rest keep
+    their target values. Delete wins over update when both conditions
+    hold (Delta's clause order). Matched rows hitting NO clause are
+    left untouched (their files are not rewritten). ``update_set=None``
+    with no conditions degrades to the plain replace-on-match of
+    :func:`upsert_snapshot`.
+
+    Execution shape: ONE stats-pruned read of the target — pruned to
+    the source's key span, so a narrow source touches the files its
+    keys overlap — joins the source to compute matched post-images and
+    clause routing; the commit itself is the keyed MERGE machinery
+    with the delete keys riding in the same commit
+    (``delete_keys_df``), inheriting file pruning, optimistic retry,
+    (app, batch) idempotency, CDC sidecars (deleted keys net to
+    'delete' rows, updated keys to delete+insert pairs), CHECK
+    constraint validation, and the ``dv=True`` merge-on-read write
+    path. Source must carry at most one row per key."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"merge_into: no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, cur)
+    tgt_cols = sorted(manifest.get("schema") or ())
+    if not tgt_cols:
+        tgt_cols = read_snapshot(spark, table_dir, cur).columns
+    k0 = keys[0]
+    span = source.agg(
+        F.min(F.col(k0)).alias("lo"), F.max(F.col(k0)).alias("hi")
+    ).first()
+    if span is None or span.lo is None:
+        tgt = read_snapshot(spark, table_dir, cur).limit(0)
+    else:
+        tgt = read_snapshot(spark, table_dir, cur, key_range=(k0, span.lo, span.hi))
+    src = source.persist()
+    try:
+        joined = tgt.alias("t").join(
+            src.alias("s"),
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+        )
+        del_cond = (
+            F.coalesce(F.expr(delete_condition), F.lit(False))
+            if delete_condition is not None
+            else F.lit(False)
+        )
+        upd_cond = (
+            F.coalesce(F.expr(update_condition), F.lit(False))
+            if update_condition is not None
+            else F.lit(True)
+        )
+        del_keys = joined.filter(del_cond).select(
+            *[F.col(f"t.{k}").alias(k) for k in keys]
+        )
+        sets = dict(update_set or {})
+        unknown = set(sets) - set(tgt_cols)
+        if unknown:
+            raise ValueError(
+                f"merge_into: SET targets {sorted(unknown)} not in table "
+                f"schema {tgt_cols}"
+            )
+        if set(sets) & set(keys):
+            # Delta prohibits this too: rewriting a merge key would
+            # leave the OLD key's row alive (it is not in the delete
+            # set) while adding a new-key row — silent duplication
+            raise ValueError(
+                f"merge_into: SET cannot target merge keys {sorted(set(sets) & set(keys))}"
+            )
+        if update_set is None and update_condition is None:
+            # plain replace-on-match: the source row IS the post-image
+            upd_rows = (
+                joined.filter(~del_cond)
+                .select(*[F.col(f"s.{c}").alias(c) for c in tgt_cols])
+            )
+        else:
+            upd_rows = (
+                joined.filter(~del_cond & upd_cond)
+                .select(
+                    *[
+                        (F.expr(sets[c]) if c in sets else F.col(f"t.{c}")).alias(c)
+                        for c in tgt_cols
+                    ]
+                )
+            )
+        if insert:
+            ins_rows = src.alias("s").join(tgt, keys, "left_anti")
+            if insert_condition is not None:
+                ins_rows = ins_rows.filter(
+                    F.coalesce(F.expr(insert_condition), F.lit(False))
+                )
+            ins_rows = ins_rows.select(*tgt_cols)
+            replacements = upd_rows.unionByName(ins_rows)
+        else:
+            replacements = upd_rows
+        return upsert_snapshot(
+            spark, table_dir, replacements, keys,
+            txn_app=txn_app, txn_version=txn_version,
+            cdc=cdc, dv=dv, delete_keys_df=del_keys,
+        )
+    finally:
+        src.unpersist()

@@ -1924,3 +1924,65 @@ def test_token_index_insert_then_delete_in_one_drain(spark, tmp_path):
     rows = {(r.token, r.doc_id) for r in snap.read_snapshot(spark, idx).collect()}
     assert all(d != 9 for _, d in rows), rows
     assert ("gamma", 1) in rows and ("beta", 1) not in rows
+
+
+def test_merge_into_when_clauses(spark):
+    import pytest
+
+    from ray_beam_runner_spark.sources.snapshots import merge_into
+
+    t = _tdir()
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 200.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "k int, v double, tag string",
+    )
+    snap.write_snapshot(base, t, cluster_by=["k"], n_files=2)
+    src = spark.createDataFrame(
+        [(1, 5.0, "s"), (2, 5.0, "s"), (9, 900.0, "s"), (10, 0.5, "s")],
+        "k int, v double, tag string",
+    )
+    v = merge_into(
+        spark, t, src, ["k"],
+        delete_condition="t.v > 100",          # kills k=2
+        update_set={"v": "t.v + s.v", "tag": "'M'"},  # k=1 -> 15.0
+        insert_condition="s.v > 1",            # k=9 in, k=10 out
+    )
+    got = {r.k: (r.v, r.tag) for r in snap.read_snapshot(spark, t).collect()}
+    assert got == {1: (15.0, "M"), 3: (30.0, "c"), 4: (40.0, "d"), 9: (900.0, "s")}
+    # matched-by-no-clause rows (none here; use update_condition next)
+    v2 = merge_into(
+        spark, t, spark.createDataFrame([(3, 1.0, "x"), (4, 1.0, "x")],
+                                        "k int, v double, tag string"),
+        ["k"],
+        update_condition="t.v < 35",  # only k=3 updates; k=4 untouched
+        update_set={"v": "s.v"},
+    )
+    got = {r.k: (r.v, r.tag) for r in snap.read_snapshot(spark, t).collect()}
+    assert got[3] == (1.0, "c") and got[4] == (40.0, "d")
+    # a matched row hit by NO clause must not rewrite its file
+    m = snap.read_manifest(t, v2)
+    assert m["rewrote"] != []  # k=3's file moved...
+    v3 = merge_into(
+        spark, t, spark.createDataFrame([(4, 1.0, "x")], "k int, v double, tag string"),
+        ["k"], update_condition="t.v < 0", update_set={"v": "s.v"}, insert=False,
+    )
+    m3 = snap.read_manifest(t, v3) if v3 != v2 else None
+    if m3 is not None:
+        assert m3["rewrote"] == []  # no clause fired: nothing rewritten
+    assert {r.k for r in snap.read_snapshot(spark, t).collect()} == {1, 3, 4, 9}
+    # SET on a merge key is rejected loudly
+    with pytest.raises(ValueError, match="merge keys"):
+        merge_into(spark, t, src, ["k"], update_set={"k": "s.k + 1"})
+    # dv=True routes through the merge-on-read path with same content
+    t2 = _tdir()
+    snap.write_snapshot(base, t2, cluster_by=["k"], n_files=2)
+    merge_into(
+        spark, t2, src, ["k"],
+        delete_condition="t.v > 100",
+        update_set={"v": "t.v + s.v", "tag": "'M'"},
+        insert_condition="s.v > 1",
+        dv=True,
+    )
+    got2 = {r.k: (r.v, r.tag) for r in snap.read_snapshot(spark, t2).collect()}
+    assert got2 == {1: (15.0, "M"), 3: (30.0, "c"), 4: (40.0, "d"), 9: (900.0, "s")}
+    assert snap.read_manifest(t2, snap.latest_version(t2))["rewrote"] == []
