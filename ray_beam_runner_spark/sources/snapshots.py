@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,6 +77,37 @@ def latest_version(table_dir: str) -> int | None:
     return vs[-1] if vs else None
 
 
+def version_as_of(table_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (Delta/Iceberg semantics): the LATEST
+    version whose recorded commit time is <= ``ts``. Scans only the
+    manifest directory (versions are small and local); loud error when
+    ``ts`` predates the first commit or the needed manifest was
+    vacuumed. Equal timestamps resolve to the later version."""
+    latest = latest_version(table_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    best = None
+    for v in range(latest, 0, -1):
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            break  # older manifests vacuumed; nothing earlier exists
+        at = m.get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+            break
+        if at is None:
+            # pre-timestamp manifest (older table): treat as arbitrarily
+            # old, i.e. always <= ts
+            best = v
+            break
+    if best is None:
+        raise ValueError(
+            f"as-of {ts} predates the first available commit of {table_dir}"
+        )
+    return best
+
+
 def read_manifest(table_dir: str, version: int) -> dict:
     with open(_manifest_path(table_dir, version)) as f:
         return json.load(f)
@@ -86,7 +118,15 @@ def _publish(table_dir: str, version: int, manifest: dict) -> None:
     hard link into the final name. link(2) fails with EEXIST if a
     concurrent writer took the version — the atomic create-if-absent
     POSIX offers (object stores: conditional PUT / put-if-absent).
-    Readers therefore only ever observe complete manifest files."""
+    Readers therefore only ever observe complete manifest files.
+
+    Every manifest records its wall-clock publish time (committed_at,
+    epoch seconds) — what TIMESTAMP AS OF reads resolve against
+    (:func:`version_as_of`). Commit times are monotone per table by
+    construction (commits serialize through the version counter); a
+    clock step backwards merely makes two adjacent versions share a
+    timestamp, which AS OF resolves to the later one."""
+    manifest.setdefault("committed_at", time.time())
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
@@ -557,9 +597,11 @@ def read_snapshot(
     key_range: tuple[str, object, object] | None = None,
     merge_schema: bool = False,
     point: tuple[str, object] | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; pass ``version`` to
-    time-travel).
+    """Read a snapshot (latest by default; pass ``version`` — or
+    ``as_of_ts`` epoch seconds, resolved via :func:`version_as_of` to
+    the latest commit at or before that time — to time-travel).
 
     ``key_range=(col, lo, hi)`` is reader-side scan planning over the
     manifest stats (Iceberg-style): files whose recorded [min, max] for
@@ -579,6 +621,10 @@ def read_snapshot(
     lookup plan for a column the table is NOT clustered by, where
     min/max stats prune nothing. A NULL value or a column without a
     bloom skips pruning (filter only)."""
+    if version is not None and as_of_ts is not None:
+        raise ValueError("read_snapshot: pass version OR as_of_ts, not both")
+    if as_of_ts is not None:
+        version = version_as_of(table_dir, as_of_ts)
     if version is None:
         version = latest_version(table_dir)
         if version is None:

@@ -1986,3 +1986,33 @@ def test_merge_into_when_clauses(spark):
     got2 = {r.k: (r.v, r.tag) for r in snap.read_snapshot(spark, t2).collect()}
     assert got2 == {1: (15.0, "M"), 3: (30.0, "c"), 4: (40.0, "d"), 9: (900.0, "s")}
     assert snap.read_manifest(t2, snap.latest_version(t2))["rewrote"] == []
+
+
+def test_timestamp_as_of_reads(spark):
+    import pytest
+
+    from ray_beam_runner_spark.sources.snapshots import version_as_of
+
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "v1")], "k int, s string"), t
+    )
+    t1 = snap.read_manifest(t, 1)["committed_at"]
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "v2"), (2, "v2")], "k int, s string"), ["k"]
+    )
+    t2 = snap.read_manifest(t, 2)["committed_at"]
+    assert t2 >= t1
+    # AS OF exactly each commit time resolves to that commit
+    assert version_as_of(t, t1) == 1 or t1 == t2  # equal stamps -> later wins
+    assert version_as_of(t, t2) == 2
+    assert version_as_of(t, t2 + 3600) == 2
+    got = {r.k: r.s for r in snap.read_snapshot(spark, t, as_of_ts=t2).collect()}
+    assert got == {1: "v2", 2: "v2"}
+    if t1 < t2:
+        got1 = {r.k: r.s for r in snap.read_snapshot(spark, t, as_of_ts=t1).collect()}
+        assert got1 == {1: "v1"}
+    with pytest.raises(ValueError, match="predates"):
+        version_as_of(t, t1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        snap.read_snapshot(spark, t, version=1, as_of_ts=t1)
