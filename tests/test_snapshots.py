@@ -2016,3 +2016,31 @@ def test_timestamp_as_of_reads(spark):
         version_as_of(t, t1 - 3600)
     with pytest.raises(ValueError, match="not both"):
         snap.read_snapshot(spark, t, version=1, as_of_ts=t1)
+
+
+def test_maintain_join_view_handles_dv_deletes(spark):
+    from ray_beam_runner_spark.sources.snapshots import maintain_join_view
+
+    a_dir, b_dir, v_dir = _tdir(), _tdir(), _tdir()
+    a0 = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(40)], "aid int, jk int, x double"
+    )
+    b0 = spark.createDataFrame(
+        [(j, j, f"b{j}") for j in range(5)], "bid int, bk int, tag string"
+    )
+    snap.write_snapshot(a0, a_dir, cluster_by=["aid"], n_files=2)
+    snap.write_snapshot(b0, b_dir, cluster_by=["bid"], n_files=2)
+    on = ("jk", "bk")
+    maintain_join_view(spark, v_dir, a_dir, b_dir, on, "aid", "bid")
+    # merge-on-read deletes on BOTH sources: the diff reads DV-applied
+    # state, so the view must converge identically to rewrite deletes
+    snap.delete_where(spark, a_dir, F.col("aid") % 4 == 0, dv=True)
+    snap.delete_where(spark, b_dir, F.col("bid") == 2, dv=True)
+    maintain_join_view(spark, v_dir, a_dir, b_dir, on, "aid", "bid")
+    view = sorted(map(tuple, snap.read_snapshot(spark, v_dir).collect()))
+    rebuilt = sorted(
+        map(tuple, snap.read_snapshot(spark, a_dir)
+            .join(snap.read_snapshot(spark, b_dir), F.col("jk") == F.col("bk"))
+            .collect())
+    )
+    assert view == rebuilt and len(view) > 10
