@@ -50,7 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # r8: TPC-H family, core operators, round-8 additions incl.
 # q_temperature_mix/q_sketch_freq; four r7-gated dedup/similarity rows
 # displaced by the late additions) is re-verified in
-# ORACLE_SWEEP_r09.json at the gate's own sf0.01;
+# ORACLE_SWEEP_r09.json at the gate's own sf0.01 — as are the TEN
+# queries added after the window froze (q_streaming_scd2_enrich,
+# q_hard_negatives, q_chunk_shared, q_streaming_quantiles,
+# q_dedup_phash_clusters, q_snapshot_join_ivm, q_text_search,
+# q_text_bm25, q_text_phrase, q_snapshot_merge_when; sweep lane +
+# per-query sf0.001/sf0.01 checks on introduction);
 # scripts/gate_preflight.py replays this exact window on a vanilla
 # session. All queries remain declared and runnable.
 _GATE_FIRST = (
