@@ -1443,6 +1443,7 @@ def compact(
     spark: SparkSession,
     table_dir: str,
     n_files: int,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction (the OPTIMIZE half of a table format):
     rewrite the current snapshot's data into ``n_files`` files and
@@ -1458,7 +1459,14 @@ def compact(
     rows and the new manifest carries no ``file_dvs`` — the read-side
     position-join debt a sequence of DV deletes accumulates is paid
     down here, exactly Delta's OPTIMIZE-purges-DVs behavior. Readers
-    of prior versions are unaffected (old files stay until vacuum)."""
+    of prior versions are unaffected (old files stay until vacuum).
+
+    ``zorder_by`` = Delta's OPTIMIZE ZORDER BY: re-cluster the rewrite
+    on the Morton interleave of the given columns and record min/max
+    stats for EVERY z column, so multi-dimensional pruning works on a
+    table that was originally clustered one-dimensionally (or not at
+    all) — the layout-repair operation a long-lived table runs when
+    its query pattern shifts to a different column."""
     base = latest_version(table_dir)
     if base is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -1466,7 +1474,16 @@ def compact(
     file_stats = manifest.get("file_stats", {})
     stats_for = sorted({c for s in file_stats.values() for c in s}) or None
     df = read_snapshot(spark, table_dir, base)
-    if stats_for:
+    if zorder_by:
+        z = _zorder_key(df, zorder_by)
+        df = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        stats_for = sorted(set(stats_for or ()) | set(zorder_by))
+    elif stats_for:
         df = df.repartitionByRange(n_files, *stats_for).sortWithinPartitions(*stats_for)
     else:
         df = df.repartition(n_files)

@@ -2044,3 +2044,33 @@ def test_maintain_join_view_handles_dv_deletes(spark):
             .collect())
     )
     assert view == rebuilt and len(view) > 10
+
+
+def test_compact_zorder_repairs_layout(spark):
+    t = _tdir()
+    # clustered by k only: a query on c prunes nothing
+    df = spark.range(0, 4000).selectExpr(
+        "cast(id as int) k", "cast(pmod(id * 37, 4000) as int) c", "id v"
+    )
+    snap.write_snapshot(df, t, cluster_by=["k"], n_files=8)
+    before = sorted(map(tuple, snap.read_snapshot(spark, t).collect()))
+    m1 = snap.read_manifest(t, 1)
+
+    def files_scanned(version, col, lo, hi):
+        m = snap.read_manifest(t, version)
+        fs = m.get("file_stats", {})
+        n = 0
+        for rel in m["files"]:
+            s = fs.get(rel, {}).get(col)
+            if not s or s[0] is None or not (s[1] < lo or s[0] > hi):
+                n += 1
+        return n
+
+    assert files_scanned(1, "c", 100, 150) == 8  # no c stats -> all files
+    v = snap.compact(spark, t, 8, zorder_by=["k", "c"])
+    # content identical, both columns now prune
+    assert sorted(map(tuple, snap.read_snapshot(spark, t).collect())) == before
+    assert files_scanned(v, "c", 100, 150) < 8
+    assert files_scanned(v, "k", 100, 150) < 8
+    # old layout untouched for time travel
+    assert snap.read_manifest(t, 1)["files"] == m1["files"]
