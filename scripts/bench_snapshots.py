@@ -175,6 +175,46 @@ def dv_leg(spark, mult: int) -> dict:
     return out
 
 
+def join_view_leg(spark, mult: int) -> dict:
+    """Change-proportional JOIN-view refresh: after the one-time full
+    materialization, a narrow source commit's refresh cost must stay
+    ~flat while the fact table grows 16x — the delta joins the pruned
+    partner slice, never the tables (maintain_join_view)."""
+    rows = BASE_ROWS * mult
+    a_dir = build(spark, rows, clustered=True)
+    b_dir = tempfile.mkdtemp(prefix="rbrs_jvbench_b_")
+    v_dir = tempfile.mkdtemp(prefix="rbrs_jvbench_v_")
+    try:
+        # dimension: 1000 keys the fact's low range joins against
+        snap.write_snapshot(
+            spark.range(0, 1000).select(
+                F.col("id").alias("bid"), F.col("id").alias("bk"),
+                F.md5(F.col("id").cast("string")).alias("tag"),
+            ),
+            b_dir, cluster_by=["bid"], n_files=2,
+        )
+        from ray_beam_runner_spark.sources.snapshots import maintain_join_view
+
+        t0 = time.perf_counter()
+        maintain_join_view(spark, v_dir, a_dir, b_dir, ("k", "bk"), "k", "bid")
+        init_dt = time.perf_counter() - t0
+        updates = narrow_update(spark, rows)
+        updates.collect()
+        snap.upsert_snapshot(spark, a_dir, updates, ["k"])
+        t0 = time.perf_counter()
+        maintain_join_view(spark, v_dir, a_dir, b_dir, ("k", "bk"), "k", "bid")
+        refresh_dt = time.perf_counter() - t0
+        return {
+            "fact_rows": rows,
+            "init_sec": round(init_dt, 2),
+            "refresh_sec": round(refresh_dt, 2),
+        }
+    finally:
+        shutil.rmtree(a_dir, ignore_errors=True)
+        shutil.rmtree(b_dir, ignore_errors=True)
+        shutil.rmtree(v_dir, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("bench_snapshots")
     out = {"clustered": {}, "control_unclustered": {}, "change_feed": {}}
@@ -184,6 +224,10 @@ def main() -> None:
     for mult in (1, 4, 16):
         out["change_feed"][f"x{mult}"] = feed_leg(spark, mult)
     out["dv_merge_x16"] = dv_leg(spark, 16)
+    out["join_view"] = {
+        "x1": join_view_leg(spark, 1),
+        "x16": join_view_leg(spark, 16),
+    }
     print(json.dumps(out))
 
 
