@@ -2670,6 +2670,7 @@ def stream_maintain_aggregate(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     source_dir: str | None = None,
+    sumsq_cols: list[str] | None = None,
 ):
     """Incremental materialized-view maintenance from a change feed:
     keep a per-key (cnt, sum_<col>..., min_<col>..., max_<col>...)
@@ -2701,10 +2702,16 @@ def stream_maintain_aggregate(
     rescan re-reads an immutable version, so a replayed rescan is
     deterministic too). A key whose rows are all deleted remains with
     cnt=0 and NULL extrema (relational IVM convention; filter cnt > 0
-    on read if absence is required). Avg derives from (sum, cnt)."""
+    on read if absence is required). Avg derives from (sum, cnt);
+    ``sumsq_cols`` additionally maintains sumsq_<col> (the second
+    moment is as self-maintainable as the first: deltas fold x²), so
+    variance/stddev derive at read time as sumsq/n − (sum/n)² — the
+    full mean/var/extremum dashboard without any rescan beyond the
+    extremum repair."""
     app = app_id or f"ivm:{os.path.basename(os.path.abspath(table_dir))}"
     min_cols = list(min_cols or [])
     max_cols = list(max_cols or [])
+    sumsq_cols = list(sumsq_cols or [])
     ext_cols = sorted(set(min_cols) | set(max_cols))
     if ext_cols and not source_dir:
         raise ValueError(
@@ -2726,6 +2733,12 @@ def stream_maintain_aggregate(
                 F.sum(sign * F.coalesce(F.col(c), F.lit(0))).alias(f"_d_{c}")
                 for c in sum_cols
             ],
+            *[
+                F.sum(
+                    sign * F.coalesce(F.col(c), F.lit(0)) * F.coalesce(F.col(c), F.lit(0))
+                ).alias(f"_d_sq_{c}")
+                for c in sumsq_cols
+            ],
         )
         for c in ext_cols:
             net = batch_df.groupBy(*keys, c).agg(F.sum(sign).alias("_net"))
@@ -2746,6 +2759,11 @@ def stream_maintain_aggregate(
                 .cast("double")
                 .alias(f"sum_{c}")
                 for c in sum_cols
+            ] + [
+                (F.coalesce(F.col(f"sumsq_{c}"), F.lit(0.0)) + F.col(f"_d_sq_{c}"))
+                .cast("double")
+                .alias(f"sumsq_{c}")
+                for c in sumsq_cols
             ]
         if latest_version(table_dir) is not None:
             joined = delta.join(read_snapshot(spark, table_dir), keys, "left")
@@ -2832,6 +2850,10 @@ def stream_maintain_aggregate(
                 *keys,
                 first_cnt.alias("cnt"),
                 *[F.col(f"_d_{c}").cast("double").alias(f"sum_{c}") for c in sum_cols],
+                *[
+                    F.col(f"_d_sq_{c}").cast("double").alias(f"sumsq_{c}")
+                    for c in sumsq_cols
+                ],
                 *[
                     F.when(first_cnt <= 0, F.lit(None))
                     .otherwise(F.col(f"_ins_min_{c}"))
@@ -3104,3 +3126,52 @@ def merge_into(
         )
     finally:
         src.unpersist()
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (Delta parity): one row per available version,
+    newest first — (version, op, committed_at, parent, n_files,
+    n_rows, dv_rows, n_rewrote, has_cdc, txns). Everything comes from
+    the MANIFESTS alone (no data file opened at any table size); rows
+    are live counts (file_rows minus DV tombstones) or NULL where a
+    version predates row accounting. Vacuumed versions simply do not
+    appear — the audit surface for retention, write amplification, and
+    merge-on-read debt."""
+    import json as _json
+
+    latest = latest_version(table_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    rows = []
+    for v in range(latest, 0, -1):
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            break
+        fr = m.get("file_rows", {})
+        n_rows = (
+            sum(fr[rel] for rel in m["files"])
+            if all(rel in fr for rel in m["files"])
+            else None
+        )
+        dv_rows = sum(e.get("rows", 0) for e in _dv_entries(m).values())
+        rows.append(
+            (
+                v,
+                m.get("op"),
+                float(m["committed_at"]) if m.get("committed_at") else None,
+                m.get("parent"),
+                len(m["files"]),
+                (n_rows - dv_rows) if n_rows is not None else None,
+                dv_rows,
+                len(m.get("rewrote") or ()),
+                bool(m.get("cdc_files")),
+                _json.dumps(m.get("txns") or {}, sort_keys=True),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, committed_at double, parent int, "
+        "n_files int, n_rows long, dv_rows long, n_rewrote int, "
+        "has_cdc boolean, txns string",
+    )

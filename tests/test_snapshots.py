@@ -2074,3 +2074,79 @@ def test_compact_zorder_repairs_layout(spark):
     assert files_scanned(v, "k", 100, 150) < 8
     # old layout untouched for time travel
     assert snap.read_manifest(t, 1)["files"] == m1["files"]
+
+
+def test_stream_maintain_aggregate_sumsq_variance(spark, tmp_path):
+    src, agg = _tdir(), _tdir()
+    ckpt = str(tmp_path / "ivm_sq_ckpt")
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 5.0), (4, "g2", 9.0)],
+            "k int, grp string, v double",
+        ),
+        src,
+    )
+
+    def refresh():
+        feed = snap.read_snapshot_stream(spark, src)
+        q = snap.stream_maintain_aggregate(
+            feed, agg, ["grp"], ["v"], checkpoint_dir=ckpt,
+            app_id="ivm-sq-test", sumsq_cols=["v"],
+        )
+        assert q.awaitTermination(180)
+
+    def maintained():
+        return {
+            r.grp: (r.cnt, round(r.sum_v, 6), round(r.sumsq_v, 6))
+            for r in snap.read_snapshot(spark, agg).collect() if r.cnt > 0
+        }
+
+    def direct():
+        rows = snap.read_snapshot(spark, src).groupBy("grp").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("sq"),
+        ).collect()
+        return {r.grp: (r.cnt, round(r.s, 6), round(r.sq, 6)) for r in rows}
+
+    refresh()
+    assert maintained() == direct()
+    # churn: update (second moment must net the value change), insert,
+    # delete — then derived variance matches the population variance
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame([(2, "g1", 26.0), (5, "g2", 1.0)],
+                              "k int, grp string, v double"),
+        ["k"], cdc=True,
+    )
+    snap.delete_where(spark, src, F.col("k") == 3, cdc=True)
+    refresh()
+    assert maintained() == direct()
+    m = maintained()
+    import statistics
+    src_rows = snap.read_snapshot(spark, src).collect()
+    for grp in ("g1", "g2"):
+        vs = [r.v for r in src_rows if r.grp == grp]
+        cnt, s, sq = m[grp]
+        var = sq / cnt - (s / cnt) ** 2
+        assert abs(var - statistics.pvariance(vs)) < 1e-9, (grp, var)
+
+
+def test_snapshot_history_describes_commits(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.range(0, 100).selectExpr("cast(id as int) k", "id v"), t,
+        cluster_by=["k"], n_files=2,
+    )
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(5, -5)], "k int, v long"), ["k"],
+        txn_app="h", txn_version=1,
+    )
+    snap.delete_where(spark, t, F.col("k") == 7, dv=True)
+    h = {r.version: r for r in snap.snapshot_history(spark, t).collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1].op == "overwrite" and h[1].parent is None and h[1].n_rows == 100
+    assert h[2].op == "merge" and h[2].n_rewrote >= 1 and '"h": 1' in h[2].txns
+    assert h[3].op == "delete" and h[3].dv_rows == 1 and h[3].n_rewrote == 0
+    assert h[3].n_rows == 99  # live rows net of DV tombstones
+    assert h[3].committed_at >= h[1].committed_at
