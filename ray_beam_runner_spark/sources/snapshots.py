@@ -598,10 +598,12 @@ def read_snapshot(
     merge_schema: bool = False,
     point: tuple[str, object] | None = None,
     as_of_ts: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; pass ``version`` — or
-    ``as_of_ts`` epoch seconds, resolved via :func:`version_as_of` to
-    the latest commit at or before that time — to time-travel).
+    """Read a snapshot (latest by default; pass ``version``, a named
+    ``tag`` (:func:`tag_snapshot`), or ``as_of_ts`` epoch seconds
+    (resolved via :func:`version_as_of` to the latest commit at or
+    before that time) — to time-travel).
 
     ``key_range=(col, lo, hi)`` is reader-side scan planning over the
     manifest stats (Iceberg-style): files whose recorded [min, max] for
@@ -621,8 +623,10 @@ def read_snapshot(
     lookup plan for a column the table is NOT clustered by, where
     min/max stats prune nothing. A NULL value or a column without a
     bloom skips pruning (filter only)."""
-    if version is not None and as_of_ts is not None:
-        raise ValueError("read_snapshot: pass version OR as_of_ts, not both")
+    if sum(x is not None for x in (version, as_of_ts, tag)) > 1:
+        raise ValueError("read_snapshot: pass only one of version/as_of_ts/tag")
+    if tag is not None:
+        version = resolve_tag(table_dir, tag)
     if as_of_ts is not None:
         version = version_as_of(table_dir, as_of_ts)
     if version is None:
@@ -3175,3 +3179,50 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "n_files int, n_rows long, dv_rows long, n_rewrote int, "
         "has_cdc boolean, txns string",
     )
+
+
+def _tags_path(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, "tags.json")
+
+
+def _read_tags(table_dir: str) -> dict:
+    try:
+        with open(_tags_path(table_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def tag_snapshot(table_dir: str, name: str, version: int | None = None) -> int:
+    """Tag a version with a stable NAME (Iceberg tags): readers then
+    address the snapshot as ``read_snapshot(tag=...)`` — release
+    pinning ("training-run-2024-06"), reproducible evals, and audit
+    points that survive later commits. Tags are metadata (one small
+    json in the manifest dir, atomic tmp+rename swap); re-tagging a
+    name moves it. A tagged version's manifest must exist; vacuum does
+    NOT yet consider tags, so pin retention accordingly. Returns the
+    tagged version."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+    read_manifest(table_dir, version)  # loud if missing/vacuumed
+    tags = _read_tags(table_dir)
+    tags[name] = int(version)
+    tmp = _tags_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _tags_path(table_dir))  # atomic on POSIX
+    return version
+
+
+def resolve_tag(table_dir: str, name: str) -> int:
+    """The version a tag points at; loud error on unknown tags."""
+    tags = _read_tags(table_dir)
+    if name not in tags:
+        raise KeyError(
+            f"unknown tag {name!r} on {table_dir}; have {sorted(tags)}"
+        )
+    return int(tags[name])

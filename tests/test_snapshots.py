@@ -2150,3 +2150,28 @@ def test_snapshot_history_describes_commits(spark):
     assert h[3].op == "delete" and h[3].dv_rows == 1 and h[3].n_rewrote == 0
     assert h[3].n_rows == 99  # live rows net of DV tombstones
     assert h[3].committed_at >= h[1].committed_at
+
+
+def test_snapshot_tags(spark):
+    import pytest
+
+    from ray_beam_runner_spark.sources.snapshots import resolve_tag, tag_snapshot
+
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "v1")], "k int, s string"), t)
+    assert tag_snapshot(t, "release") == 1
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "v2")], "k int, s string"), ["k"]
+    )
+    # tag keeps pointing at the old state across later commits
+    assert {r.s for r in snap.read_snapshot(spark, t, tag="release").collect()} == {"v1"}
+    assert {r.s for r in snap.read_snapshot(spark, t).collect()} == {"v2"}
+    # re-tag moves; unknown tags and mixed selectors are loud
+    assert tag_snapshot(t, "release") == 2
+    assert resolve_tag(t, "release") == 2
+    with pytest.raises(KeyError, match="unknown tag"):
+        resolve_tag(t, "nope")
+    with pytest.raises(ValueError, match="only one"):
+        snap.read_snapshot(spark, t, version=1, tag="release")
+    with pytest.raises(FileNotFoundError):
+        tag_snapshot(t, "bad", version=99)
