@@ -2014,7 +2014,7 @@ def test_timestamp_as_of_reads(spark):
         assert got1 == {1: "v1"}
     with pytest.raises(ValueError, match="predates"):
         version_as_of(t, t1 - 3600)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="only one"):
         snap.read_snapshot(spark, t, version=1, as_of_ts=t1)
 
 
