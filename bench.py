@@ -223,16 +223,38 @@ def main() -> None:
         timings[name], samples_out[name], gaps_out[name] = budgeted_min(fn)
 
     total = round(sum(timings[n] for n in BENCH_SET if n in timings), 4)
+    detail = {
+        "metric": "bench_declared_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples_out,
+        "min_gap": gaps_out,
+        "sf": sf,
+    }
+    # Round-9 verdict ask #5: the one-line JSON outgrew the driver's 2 KB
+    # stdout-tail capture (BENCH_r09 parsed: null). Emit the full record
+    # first for humans/scripts, persist it to BENCH_DETAIL.json, and make
+    # the FINAL line a compact (<2 KB) headline record so a tail-window
+    # parse always sees a complete JSON object.
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "bench_declared_set_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "samples": samples_out,
-                "min_gap": gaps_out,
+                "queries": {n: timings[n] for n in BENCH_SET if n in timings},
                 "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -266,10 +266,15 @@ def search_bm25(
         .groupBy(id_col)
         .agg(F.round(F.sum("_s"), 6).alias("score"))
     )
+    # Top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows) — NOT an unpartitioned Window,
+    # which would funnel every matching document through one task (a
+    # scale-killer for high-df terms; round-9 verdict finding #1). The
+    # rank is then derived on the already-limited <=topk-row frame, so
+    # the remaining window sorts k rows, not the match set.
+    cut = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
     w = W.orderBy(F.col("score").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= topk
-    )
+    return cut.withColumn("rank", F.row_number().over(w))
 
 
 def search_phrase(

@@ -557,3 +557,20 @@ def test_triangle_count_keyed_wedge_join(spark, sf_dir):
     df = QUERIES["q_triangle_count"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_bm25_topk_plan_no_global_window(spark, sf_dir):
+    """search_bm25's final cut must be TakeOrderedAndProject (per-
+    partition heaps, driver merges k rows) — never an unpartitioned
+    Window over the full match set, which funnels every document
+    matching any term through one task (round-9 verdict finding). The
+    only Window allowed is the rank assignment ABOVE the limit, i.e.
+    over a <=topk-row frame."""
+    df = QUERIES["q_text_bm25"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # the rank window must be the PARENT of the limited frame: in the
+    # formatted tree sketch parents print first, so its index precedes
+    # the TakeOrderedAndProject node's
+    w_i, t_i = plan.find("Window"), plan.find("TakeOrderedAndProject")
+    assert w_i == -1 or w_i < t_i, plan[:3000]
