@@ -482,6 +482,17 @@ def hamming_pairs(
     for b in range(n_bands):
         offs.append(offs[-1] + width + (1 if b < extra else 0))
     sigs = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_hp_h"))
+
+    def _band_val(b: int):
+        # max_hamming=0 makes the single band the full 64-bit word: the
+        # mask literal 2^64-1 overflows LongType, but no mask is needed
+        # — the unsigned shift by 0 already yields the whole hash.
+        w = offs[b + 1] - offs[b]
+        shifted = F.shiftrightunsigned(F.col("_hp_h"), offs[b])
+        if w >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     bands = sigs.select(
         "id",
         "_hp_h",
@@ -490,9 +501,7 @@ def hamming_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("_hp_h"), offs[b])
-                        .bitwiseAND(F.lit((1 << (offs[b + 1] - offs[b])) - 1))
-                        .alias("val"),
+                        _band_val(b).alias("val"),
                     )
                     for b in range(n_bands)
                 ]

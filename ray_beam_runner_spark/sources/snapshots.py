@@ -945,11 +945,16 @@ def _merge_phases(
     touched_rel: set[str] = set()
     reader = _manifest_reader(spark, manifest)
     if candidates:
+        # working column is _mrg_file, NOT a short name like "f": a user
+        # column (or merge key) named f would be silently replaced and
+        # the key semi-join would then compare file paths — corrupting
+        # touched-file detection (same reserved-prefix convention as
+        # _dv_key/_dv_pos)
         cand_df = reader.parquet(
             *(os.path.join(table_dir, rel) for rel in candidates)
         ).withColumns(
             {
-                "f": F.col("_metadata.file_path"),
+                "_mrg_file": F.col("_metadata.file_path"),
                 "_dv_pos": F.col("_metadata.row_index"),
             }
         )
@@ -958,13 +963,13 @@ def _merge_phases(
         dv = _dv_frame(spark, manifest, table_dir, candidates)
         if dv is not None:
             cand_df = cand_df.withColumn(
-                "_dv_key", _dv_key_expr(F.col("f"))
+                "_dv_key", _dv_key_expr(F.col("_mrg_file"))
             ).join(F.broadcast(dv), ["_dv_key", "_dv_pos"], "left_anti")
         touched_abs = {
-            r.f
+            r._mrg_file
             for r in (
                 cand_df.join(key_set, keys, "left_semi")
-                .select("f")
+                .select("_mrg_file")
                 .distinct()
                 .collect()
             )
@@ -1654,7 +1659,9 @@ def vacuum(
     not-yet-published commit is never swept (Delta VACUUM's retention
     guard). Returns deleted table-relative paths. Readers of retained
     snapshots are unaffected; time travel beyond ``keep_last`` versions
-    is given up — the same contract as Delta's VACUUM."""
+    is given up — the same contract as Delta's VACUUM — EXCEPT versions
+    pinned by a tag (:func:`tag_snapshot`), which are always retained
+    until the tag is deleted."""
     import time as _time
 
     if keep_last < 1:
@@ -1662,7 +1669,12 @@ def vacuum(
     vs = _versions(table_dir)
     if not vs:
         return []
-    keep_vs, drop_vs = vs[-keep_last:], vs[:-keep_last]
+    # tag-referenced versions are PINNED: a named release must survive
+    # vacuum regardless of keep_last, or tags silently dangle
+    tagged = {int(v) for v in _read_tags(table_dir).values()}
+    keep_set = set(vs[-keep_last:]) | (tagged & set(vs))
+    keep_vs = [v for v in vs if v in keep_set]
+    drop_vs = [v for v in vs if v not in keep_set]
     def _all_refs(m: dict) -> set[str]:
         # data files + change-feed sidecars + deletion-vector sidecars:
         # everything a manifest makes readable
@@ -3181,41 +3193,94 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
-def _tags_path(table_dir: str) -> str:
-    return os.path.join(table_dir, _MANIFEST_DIR, "tags.json")
+def _tags_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, "tags")
+
+
+def _tag_file(table_dir: str, name: str) -> str:
+    # tag names are arbitrary user strings: percent-encode to one flat,
+    # collision-free filename per tag (decoded on listing)
+    from urllib.parse import quote
+
+    return os.path.join(_tags_dir(table_dir), quote(name, safe="") + ".json")
 
 
 def _read_tags(table_dir: str) -> dict:
+    """All tags: one file per tag under _manifests/tags/ (current
+    layout) merged over the legacy single tags.json (pre-round-10
+    tables), per-tag files winning."""
+    from urllib.parse import unquote
+
+    tags: dict = {}
     try:
-        with open(_tags_path(table_dir)) as f:
-            return json.load(f)
+        with open(os.path.join(table_dir, _MANIFEST_DIR, "tags.json")) as f:
+            tags.update(json.load(f))
     except FileNotFoundError:
-        return {}
+        pass
+    tdir = _tags_dir(table_dir)
+    if os.path.isdir(tdir):
+        for fn in os.listdir(tdir):
+            if not fn.endswith(".json") or fn.endswith(".tmp"):
+                continue
+            try:
+                with open(os.path.join(tdir, fn)) as f:
+                    tags[unquote(fn[:-5])] = int(json.load(f)["version"])
+            except (OSError, ValueError, KeyError):
+                continue  # concurrent replace mid-read: skip, caller retries
+    return tags
 
 
 def tag_snapshot(table_dir: str, name: str, version: int | None = None) -> int:
     """Tag a version with a stable NAME (Iceberg tags): readers then
     address the snapshot as ``read_snapshot(tag=...)`` — release
     pinning ("training-run-2024-06"), reproducible evals, and audit
-    points that survive later commits. Tags are metadata (one small
-    json in the manifest dir, atomic tmp+rename swap); re-tagging a
-    name moves it. A tagged version's manifest must exist; vacuum does
-    NOT yet consider tags, so pin retention accordingly. Returns the
-    tagged version."""
+    points that survive later commits. One FILE PER TAG under
+    ``_manifests/tags/`` (atomic tmp+rename publish), so concurrent
+    taggers of different names never clobber each other — the
+    whole-file read-modify-write of a single tags.json would silently
+    drop the racer's tag (round-9 advisor finding). Re-tagging the
+    same name atomically moves it (last writer wins, Iceberg
+    semantics). :func:`vacuum` RETAINS tag-referenced versions — a
+    pinned release never loses its files. Returns the tagged
+    version."""
     if version is None:
         version = latest_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no snapshots in {table_dir}")
     read_manifest(table_dir, version)  # loud if missing/vacuumed
-    tags = _read_tags(table_dir)
-    tags[name] = int(version)
-    tmp = _tags_path(table_dir) + f".tmp-{uuid.uuid4().hex}"
+    os.makedirs(_tags_dir(table_dir), exist_ok=True)
+    final = _tag_file(table_dir, name)
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump(tags, f)
+        json.dump({"version": int(version)}, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, _tags_path(table_dir))  # atomic on POSIX
+    os.replace(tmp, final)  # atomic on POSIX
     return version
+
+
+def delete_tag(table_dir: str, name: str) -> None:
+    """Remove a tag (the pinned version becomes vacuum-eligible
+    again). Loud on unknown tags."""
+    try:
+        os.remove(_tag_file(table_dir, name))
+        return
+    except FileNotFoundError:
+        pass
+    # legacy single-file layout
+    legacy = os.path.join(table_dir, _MANIFEST_DIR, "tags.json")
+    try:
+        with open(legacy) as f:
+            tags = json.load(f)
+    except FileNotFoundError:
+        tags = {}
+    if name not in tags:
+        raise KeyError(f"unknown tag {name!r} on {table_dir}; have {sorted(_read_tags(table_dir))}")
+    del tags[name]
+    tmp = legacy + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(tags, f)
+    os.replace(tmp, legacy)
 
 
 def resolve_tag(table_dir: str, name: str) -> int:

@@ -83,6 +83,20 @@ def test_simhash_pairs_banding(docs):
     assert all(h <= 3 for h in pairs.values())
 
 
+def test_hamming_pairs_full_width_band(spark):
+    """max_hamming=0 makes the single band the whole 64-bit word — the
+    band value must be the full hash (no LongType-overflowing mask
+    literal), so exact-hash pairs and ONLY exact-hash pairs surface.
+    Covers signed hashes (bit 63 set) too."""
+    from ray_beam_runner_spark.functions.dedup import hamming_pairs
+
+    rows = [(1, -42), (2, -42), (3, -42 ^ 1), (4, 7), (5, 7)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    pairs = {(r.d1, r.d2): r.hamming
+             for r in hamming_pairs(df, "id", "h", max_hamming=0).collect()}
+    assert pairs == {(1, 2): 0, (4, 5): 0}
+
+
 # ---------------------------------------------------------------------------
 # Substring-level span REMOVAL (Lee et al. 2022 rewrite step)
 # ---------------------------------------------------------------------------

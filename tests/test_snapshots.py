@@ -2175,3 +2175,65 @@ def test_snapshot_tags(spark):
         snap.read_snapshot(spark, t, version=1, tag="release")
     with pytest.raises(FileNotFoundError):
         tag_snapshot(t, "bad", version=99)
+
+
+def test_merge_key_named_f_is_not_clobbered(spark):
+    """Regression: touched-file detection's internal file-path working
+    column used to be named plain 'f' — a table whose MERGE KEY is
+    named f had the key silently replaced by file paths, corrupting
+    the semi-join. Internal names now use the _mrg_ reserved prefix."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "f int, v string"), t
+    )
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(2, "B2"), (3, "c")], "f int, v string"),
+        ["f"],
+    )
+    got = sorted((r.f, r.v) for r in snap.read_snapshot(spark, t).collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c")]
+    # and with deletion vectors on the same keyed path
+    snap.delete_keys(
+        spark, t, spark.createDataFrame([(1,)], "f int"), ["f"], dv=True
+    )
+    got = sorted((r.f, r.v) for r in snap.read_snapshot(spark, t).collect())
+    assert got == [(2, "B2"), (3, "c")]
+
+
+def test_tags_survive_vacuum_and_concurrent_writes(spark):
+    """Tags are one file each (no whole-file RMW race losing a racer's
+    tag) and vacuum RETAINS tag-pinned versions: a named release stays
+    readable after aggressive vacuum; delete_tag releases the pin."""
+    from ray_beam_runner_spark.sources.snapshots import (
+        delete_tag,
+        resolve_tag,
+        tag_snapshot,
+    )
+
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "v1")], "k int, s string"), t)
+    tag_snapshot(t, "pinned")
+    for s in ("v2", "v3", "v4"):
+        snap.upsert_snapshot(
+            spark, t, spark.createDataFrame([(1, s)], "k int, s string"), ["k"]
+        )
+    # two tags written "concurrently" must both survive (per-tag files)
+    tag_snapshot(t, "other", version=3)
+    assert resolve_tag(t, "pinned") == 1 and resolve_tag(t, "other") == 3
+    snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    # pinned versions 1 and 3 survive the keep_last=1 vacuum...
+    assert {r.s for r in snap.read_snapshot(spark, t, tag="pinned").collect()} == {"v1"}
+    assert {r.s for r in snap.read_snapshot(spark, t, tag="other").collect()} == {"v3"}
+    # ...and the unpinned version 2 is gone
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        snap.read_manifest(t, 2)
+    # delete_tag releases the pin: next vacuum reclaims it
+    delete_tag(t, "pinned")
+    with pytest.raises(KeyError):
+        resolve_tag(t, "pinned")
+    snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        snap.read_manifest(t, 1)
+    assert {r.s for r in snap.read_snapshot(spark, t, tag="other").collect()} == {"v3"}
