@@ -509,8 +509,14 @@ def write_snapshot(
     bloom_bits: int = 1024,
     bloom_k: int = 3,
     constraints: dict[str, str] | None = None,
+    txns: dict[str, int] | None = None,
 ) -> int:
     """Create or fully replace the table contents as one atomic snapshot.
+
+    ``txns``: transaction watermarks recorded ATOMICALLY with this
+    commit (same manifest), e.g. a materialized view writing its
+    source-version watermarks with its initial build — a crash can
+    then never separate the data from its watermark.
 
     ``cluster_by``: range-partition + sort the data by these columns
     before writing, so each file covers a narrow key range — the layout
@@ -568,6 +574,8 @@ def write_snapshot(
         "schema": sorted(f.name for f in df.schema.fields),
         "schema_json": df.schema.json(),
     }
+    if txns:
+        manifest["txns"] = {str(k): int(v) for k, v in txns.items()}
     if constraints:
         manifest["constraints"] = dict(constraints)
     if stats:
@@ -715,6 +723,7 @@ def upsert_snapshot(
     cdc: bool = False,
     dv: bool = False,
     delete_keys_df: DataFrame | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Keyed MERGE with optimistic-concurrency retry: on losing the
     manifest-publish race to a concurrent writer, re-read the NEW
@@ -735,12 +744,25 @@ def upsert_snapshot(
     ``delete_keys_df``: keys to REMOVE in the same atomic commit (rows
     with these keys are dropped and not replaced) — the primitive
     :func:`merge_into` builds its WHEN MATCHED … DELETE clause on, so
-    a conditional merge's updates and deletes publish as ONE snapshot."""
+    a conditional merge's updates and deletes publish as ONE snapshot.
+
+    ``expected_parent``: pin the commit to that parent version — if the
+    table has moved, raise ConcurrentCommitError WITHOUT retrying here.
+    For callers whose ``updates`` frame was COMPUTED from a specific
+    snapshot (read-modify-write post-images, e.g. :func:`merge_into`):
+    blindly re-running the merge against a newer manifest would
+    republish stale post-images over the racer's changes; such callers
+    must recompute from the new snapshot and call again."""
+    if expected_parent is not None:
+        # the inputs are only valid against expected_parent: internal
+        # retries against a newer manifest are exactly the stale-RMW
+        # hazard the pin exists to prevent
+        retries = 0
     for attempt in range(retries + 1):
         try:
             return _upsert_once(
                 spark, table_dir, updates, keys, txn_app, txn_version,
-                evolve_schema, cdc, dv, delete_keys_df,
+                evolve_schema, cdc, dv, delete_keys_df, expected_parent,
             )
         except ConcurrentCommitError:
             if attempt == retries:
@@ -759,6 +781,7 @@ def _upsert_once(
     cdc: bool = False,
     dv: bool = False,
     delete_keys_df: DataFrame | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Keyed MERGE into a snapshot table: matching keys replaced, new
     keys appended, untouched rows survive — published as one atomic
@@ -799,6 +822,11 @@ def _upsert_once(
             "None watermark would wedge every later merge for that app"
         )
     base = latest_version(table_dir)
+    if expected_parent is not None and base != expected_parent:
+        raise ConcurrentCommitError(
+            f"table {table_dir} moved to v{base} while this commit was "
+            f"computed against v{expected_parent}"
+        )
     if base is None:
         if txn_app is not None:
             files, stats, rows_map = _write_data_files(updates, table_dir)
@@ -2959,16 +2987,29 @@ def maintain_join_view(
     if base is None:
         full = _full_join(cur_a, cur_b)
         # clustered by the A-side id: the maintenance MERGEs key on
-        # (a_id, b_id), so a_id stats prune the view's own rewrite scans
-        write_snapshot(full, view_dir, cluster_by=[a_id], n_files=4)
-        # record both watermarks via metadata-only txn commits
-        empty = full.limit(0).select(a_id)
-        delete_keys(spark, view_dir, empty, [a_id], txn_app="jv:a", txn_version=cur_a)
-        delete_keys(spark, view_dir, empty, [a_id], txn_app="jv:b", txn_version=cur_b)
+        # (a_id, b_id), so a_id stats prune the view's own rewrite
+        # scans. BOTH watermarks ride in the SAME commit as the
+        # materialization — a crash can never publish view data
+        # without its watermarks (the old two-follow-up-commits scheme
+        # left a window where a later refresh would silently skip the
+        # sources' intervening deltas).
+        write_snapshot(
+            full, view_dir, cluster_by=[a_id], n_files=4,
+            txns={"jv:a": cur_a, "jv:b": cur_b},
+        )
         return latest_version(view_dir)
 
     txns = read_manifest(view_dir, base).get("txns", {})
-    last_a, last_b = int(txns.get("jv:a", cur_a)), int(txns.get("jv:b", cur_b))
+    if "jv:a" not in txns or "jv:b" not in txns:
+        # a view without watermarks cannot be refreshed correctly —
+        # defaulting to the sources' CURRENT versions would silently
+        # skip every delta since the data was written. Loud by design.
+        raise RuntimeError(
+            f"maintain_join_view: {view_dir} exists but carries no jv:a/jv:b "
+            "watermarks — not a join view maintained by this function (or "
+            "corrupted); rebuild it by materializing into a fresh directory"
+        )
+    last_a, last_b = int(txns["jv:a"]), int(txns["jv:b"])
 
     def _pruned_read(
         tdir: str, version: int, col: str, span_col: str, span_src: DataFrame
@@ -3033,6 +3074,7 @@ def merge_into(
     txn_version: int | None = None,
     cdc: bool = False,
     dv: bool = False,
+    retries: int = 2,
 ) -> int:
     """Delta-style ``MERGE INTO`` with WHEN clauses, published as ONE
     atomic snapshot commit:
@@ -3060,7 +3102,46 @@ def merge_into(
     (app, batch) idempotency, CDC sidecars (deleted keys net to
     'delete' rows, updated keys to delete+insert pairs), CHECK
     constraint validation, and the ``dv=True`` merge-on-read write
-    path. Source must carry at most one row per key."""
+    path. Source must carry at most one row per key.
+
+    Concurrency: post-images (``t.*`` references, e.g. ``"t.total +
+    s.delta"``) are read-modify-write against one specific snapshot,
+    so the commit is PINNED to that parent (``expected_parent``) — if
+    a concurrent writer lands first, the stale post-images are thrown
+    away and the WHOLE merge recomputes against the new snapshot (up
+    to ``retries`` times, then ConcurrentCommitError). The generic
+    upsert retry alone would republish stale post-images over the
+    racer's changes."""
+    for attempt in range(retries + 1):
+        try:
+            return _merge_into_once(
+                spark, table_dir, source, keys, update_set,
+                update_condition, delete_condition, insert,
+                insert_condition, txn_app, txn_version, cdc, dv,
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _merge_into_once(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    update_set: dict[str, str] | None,
+    update_condition: str | None,
+    delete_condition: str | None,
+    insert: bool,
+    insert_condition: str | None,
+    txn_app: str | None,
+    txn_version: int | None,
+    cdc: bool,
+    dv: bool,
+) -> int:
+    """One merge_into attempt, computed against and pinned to the
+    current snapshot — see :func:`merge_into` for semantics."""
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"merge_into: no snapshots in {table_dir}")
@@ -3139,6 +3220,7 @@ def merge_into(
             spark, table_dir, replacements, keys,
             txn_app=txn_app, txn_version=txn_version,
             cdc=cdc, dv=dv, delete_keys_df=del_keys,
+            expected_parent=cur,
         )
     finally:
         src.unpersist()

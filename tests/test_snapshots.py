@@ -2237,3 +2237,79 @@ def test_tags_survive_vacuum_and_concurrent_writes(spark):
     with pytest.raises(FileNotFoundError):
         snap.read_manifest(t, 1)
     assert {r.s for r in snap.read_snapshot(spark, t, tag="other").collect()} == {"v3"}
+
+
+def test_merge_into_recomputes_after_commit_race(spark, monkeypatch):
+    """merge_into's post-images (t.total + s.delta) are read-modify-
+    write against one snapshot: when a racer lands first, the commit
+    is pinned to its parent and the WHOLE merge recomputes against
+    the racer's state — never republishing stale post-images (the
+    round-9 advisor's lost-update finding)."""
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, 10)], "k int, total int"), t)
+    orig = snap._publish
+    state = {"raced": False}
+
+    def flaky(table_dir, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            # a racer lands a REAL commit first: total 10 -> 100
+            monkeypatch.setattr(snap, "_publish", orig)
+            try:
+                snap.upsert_snapshot(
+                    spark, t,
+                    spark.createDataFrame([(1, 100)], "k int, total int"),
+                    ["k"],
+                )
+            finally:
+                monkeypatch.setattr(snap, "_publish", flaky)
+            return orig(table_dir, version, manifest)  # loses -> raises
+        return orig(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", flaky)
+    snap.merge_into(
+        spark, t,
+        spark.createDataFrame([(1, 5)], "k int, delta int"),
+        ["k"], update_set={"total": "t.total + s.delta"}, insert=False,
+    )
+    rows = {(r.k, r.total) for r in snap.read_snapshot(spark, t).collect()}
+    assert rows == {(1, 105)}  # racer's 100 + 5, NOT stale 10 + 5 = 15
+
+    # and with retries exhausted the conflict is LOUD, not a lost update
+    state["raced"] = False
+    with pytest.raises(snap.ConcurrentCommitError):
+        snap.merge_into(
+            spark, t,
+            spark.createDataFrame([(1, 7)], "k int, delta int"),
+            ["k"], update_set={"total": "t.total + s.delta"},
+            insert=False, retries=0,
+        )
+
+
+def test_join_view_watermarks_atomic_with_materialization(spark):
+    """The initial join-view commit carries BOTH source watermarks in
+    the same manifest (no crash window between data and watermark); a
+    view missing them is rejected loudly instead of silently skipping
+    deltas by defaulting to the sources' current versions."""
+    from ray_beam_runner_spark.sources.snapshots import maintain_join_view
+
+    a_dir, b_dir, v_dir = _tdir(), _tdir(), _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, 1, 1.0)], "aid int, jk int, x double"), a_dir
+    )
+    snap.write_snapshot(
+        spark.createDataFrame([(1, 1, "b")], "bid int, bk int, tag string"), b_dir
+    )
+    v = maintain_join_view(spark, v_dir, a_dir, b_dir, ("jk", "bk"), "aid", "bid")
+    txns = snap.read_manifest(v_dir, v).get("txns", {})
+    assert txns.get("jv:a") == 1 and txns.get("jv:b") == 1  # same commit
+
+    # a table that is NOT a maintained join view (no watermarks) is loud
+    rogue = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, 1, 1.0, 1, "b")],
+                              "aid int, jk int, x double, bk int, tag string"),
+        rogue,
+    )
+    with pytest.raises(RuntimeError, match="no jv:a/jv:b watermarks"):
+        maintain_join_view(spark, rogue, a_dir, b_dir, ("jk", "bk"), "aid", "bid")
