@@ -1,0 +1,325 @@
+"""Composed incremental corpus pipeline: ONE source change feed drives
+a cascade of continuously-maintained tables — the table-level analog of
+the reference runner's arbitrary pipeline composition
+(ray_runner_test.py:821-829 multi-stage fused pipelines,
+translations.greedily_fuse), re-expressed as change-feed algebra over
+snapshot tables.
+
+Topology::
+
+    documents (source snapshot table, CDC commits)
+        │ snapshot_diff(wm → cur)                [refresh_corpus_state]
+        ▼
+    corpus_state    one row per LIVE quality-passing doc; is_canon
+                    marks the exact-dedup survivor (min doc_id per
+                    fingerprint) — dedup WITH retraction: deleting a
+                    survivor re-elects the smallest remaining dup,
+                    so the state always equals a batch recompute
+        │ change feed, filtered to is_canon rows  [corpus_feed]
+        ├──────────────► per-source aggregate view   (IVM: cnt, sum tokens)
+        ├──────────────► inverted token index        (CDC-maintained postings)
+        └──────────────► IVF-PQ ANN index            (frozen quantizer, CDC)
+
+Scale/consistency invariants (the properties that make this hold at
+100 TB of continuously-ingesting corpus):
+
+- Each refresh is ONE atomic snapshot commit on corpus_state (updates
+  + deletes + the ``corpus:src`` watermark in the same manifest), so a
+  crash leaves either the old state or the new — never a half-applied
+  refresh whose end-state-netted diff a re-run could mis-read.
+- Refresh cost is change-proportional: the source deltas come from
+  :func:`sources.snapshots.snapshot_diff` (immutable-version diff,
+  shared files skipped); the standing corpus is touched only by one
+  fingerprint semi-join (narrow fp column probe, batch side broadcast
+  — the q_incremental_dedup shape) and the keyed MERGE's file-pruned
+  rewrite.
+- Downstream views consume corpus_state's change feed with
+  checkpointed version offsets and (app, batch) transaction ids —
+  exactly-once per stage, replay-safe end to end. The ``is_canon``
+  filter makes survivor flips compose: a canon→non-canon flip emits
+  only its delete half downstream (the non-canon insert is filtered),
+  so indexes retract exactly the rows they had admitted.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.functions.text import (
+    fingerprint_md5,
+    hash_bucket,
+    n_tokens,
+    quality_score,
+    tokens,
+)
+from ray_beam_runner_spark.sources import snapshots as snap
+
+__all__ = [
+    "text_embedding",
+    "corpus_enrich",
+    "refresh_corpus_state",
+    "corpus_feed",
+    "init_corpus_views",
+    "drain_corpus_views",
+]
+
+WATERMARK_APP = "corpus:src"
+
+
+def text_embedding(col: Column, dim: int = 8, seed_tag: str = "emb") -> Column:
+    """Deterministic dense text embedding (feature hashing): token
+    md5-bucket counts over ``dim`` buckets, L2-normalized —
+    engine-portable (md5 buckets, text.hash_bucket contract) and pure
+    JVM array expressions, so the ANN leg of the pipeline is driven by
+    a reproducible vector without any Python in the hot path. Zero
+    vector for empty docs (integer counts make any non-empty norm
+    >= 1, so the greatest() guard only ever rescues the empty case)."""
+    toks = tokens(col)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(
+            F.filter(toks, lambda t: hash_bucket(t, dim, seed_tag) == i)
+        ).cast("double"),
+    )
+    norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(counts, lambda x: x / F.greatest(norm, F.lit(1.0)))
+
+
+def corpus_enrich(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Project a documents frame to the corpus_state schema minus the
+    survivor flag: (id, source, text, fp, n_tok, quality)."""
+    return df.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col(text_col).alias("text"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+        n_tokens(F.col(text_col)).alias("n_tok"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+
+
+def _elect(pool: DataFrame, id_col: str) -> DataFrame:
+    """Mark the min-id row per fingerprint as the canonical survivor —
+    partitioned window over a batch-proportional pool, never the
+    corpus."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fp").orderBy(F.col(id_col))
+    return pool.withColumn("is_canon", F.row_number().over(w) == F.lit(1))
+
+
+def refresh_corpus_state(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+) -> int:
+    """Bring ``state_dir`` up to date with the source's latest version:
+    live quality-passing docs, exact-dedup survivor elected per
+    fingerprint (min id wins — and RE-elected when a survivor is
+    deleted, so the state equals a from-scratch batch recompute after
+    any commit sequence). First call materializes; later calls apply
+    only the source deltas since the recorded watermark. The whole
+    refresh publishes as ONE snapshot commit carrying the watermark
+    (txn ``corpus:src`` = source version): crash-atomic, replayed
+    refreshes are manifest-detected no-ops. Returns the state
+    version."""
+    cur = snap.latest_version(src_dir)
+    if cur is None:
+        raise FileNotFoundError(f"refresh_corpus_state: no snapshots in {src_dir}")
+
+    base = snap.latest_version(state_dir)
+    if base is None:
+        enriched = corpus_enrich(
+            snap.read_snapshot(spark, src_dir, cur), id_col, text_col
+        ).filter(F.col("quality") >= quality_min)
+        state = _elect(enriched, id_col)
+        # clustered by the merge key: later delta MERGEs prune to the
+        # files whose id range the batch touches
+        snap.write_snapshot(
+            state, state_dir, cluster_by=[id_col], n_files=4,
+            txns={WATERMARK_APP: cur},
+        )
+        return snap.latest_version(state_dir)
+
+    txns = snap.read_manifest(state_dir, base).get("txns", {})
+    if WATERMARK_APP not in txns:
+        raise RuntimeError(
+            f"refresh_corpus_state: {state_dir} exists but has no "
+            f"{WATERMARK_APP} watermark — not a corpus state table"
+        )
+    wm = int(txns[WATERMARK_APP])
+    if cur <= wm:
+        return base  # nothing new
+
+    d = snap.snapshot_diff(spark, src_dir, wm, cur).persist()
+    ins_en = None
+    try:
+        dels = d.filter(F.col("_change") == "delete")
+        ins = d.filter(F.col("_change") == "insert")
+        ins_en = corpus_enrich(ins, id_col, text_col).persist()
+        ins_ok = ins_en.filter(F.col("quality") >= quality_min)
+        # fingerprints whose membership may change: every delete's
+        # pre-image fp + every admitted insert's fp (a failing insert's
+        # NEW fp is irrelevant — the doc never enters; its OLD fp rides
+        # on the update's delete half)
+        aff_fps = (
+            dels.select(fingerprint_md5(F.col(text_col)).alias("fp"))
+            .unionByName(ins_ok.select("fp"))
+            .distinct()
+        )
+        # ids leaving the state: source deletes + quality-failing
+        # inserts (an update can flip a doc below the gate), minus ids
+        # whose update is re-admitted (they are REPLACED, not deleted)
+        gone = (
+            dels.select(id_col)
+            .unionByName(
+                ins_en.filter(F.col("quality") < quality_min).select(id_col)
+            )
+            .distinct()
+            .join(ins_ok.select(id_col), id_col, "left_anti")
+        )
+        # pool: standing rows of the affected fingerprints (one narrow
+        # fp probe of the state — batch side broadcast), minus rows
+        # being deleted/replaced, plus the admitted inserts; then
+        # re-elect survivors per fp
+        replaced = (
+            dels.select(id_col).unionByName(ins.select(id_col)).distinct()
+        )
+        standing = (
+            snap.read_snapshot(spark, state_dir)
+            .drop("is_canon")
+            .join(F.broadcast(aff_fps), "fp", "left_semi")
+            .join(replaced, id_col, "left_anti")
+        )
+        pool = standing.unionByName(ins_ok.select(*standing.columns))
+        updates = _elect(pool, id_col)
+        snap.upsert_snapshot(
+            spark, state_dir, updates, [id_col],
+            delete_keys_df=gone, cdc=True,
+            txn_app=WATERMARK_APP, txn_version=cur,
+        )
+        return snap.latest_version(state_dir)
+    finally:
+        d.unpersist()
+        if ins_en is not None:
+            ins_en.unpersist()
+
+
+def corpus_feed(
+    spark: SparkSession, state_dir: str, starting_version: int = 1
+) -> DataFrame:
+    """corpus_state's change feed restricted to CANONICAL rows — the
+    stream every downstream view consumes. The ``is_canon`` filter
+    applies to inserts (only survivors enter a view) AND to deletes
+    via the pre-image flag (a delete of a row a view never admitted
+    must not retract anything); a survivor flip therefore arrives as
+    exactly the delete or insert half the view needs."""
+    return snap.read_snapshot_stream(
+        spark, state_dir, starting_version=starting_version
+    ).filter(F.col("is_canon"))
+
+
+def _drain(q, timeout: float, what: str) -> None:
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"{what} drain exceeded {timeout}s")
+
+
+def init_corpus_views(
+    spark: SparkSession,
+    state_dir: str,
+    work_dir: str,
+    emb_dim: int = 8,
+    ann_cells: int = 4,
+    ann_m: int = 4,
+    ann_k: int = 8,
+) -> dict[str, str]:
+    """Materialize the downstream views from the CURRENT corpus_state
+    and freeze the ANN quantizer; returns the layout dict that
+    :func:`drain_corpus_views` consumes. The token and ANN indexes are
+    batch-built here and stream-maintained from the NEXT state version
+    on (the q_text_search / stream_maintain_ivfpq pattern); the
+    aggregate view is created by its own first micro-batch (delta fold
+    from empty == batch aggregate)."""
+    from ray_beam_runner_spark.functions.clustering import ivfpq_index
+    from ray_beam_runner_spark.functions.search import build_token_index
+
+    base = snap.latest_version(state_dir)
+    if base is None:
+        raise FileNotFoundError(f"init_corpus_views: no state at {state_dir}")
+    layout = {
+        "state": state_dir,
+        "agg": os.path.join(work_dir, "agg"),
+        "idx": os.path.join(work_dir, "idx"),
+        "ann": os.path.join(work_dir, "ann"),
+        "coarse": os.path.join(work_dir, "ann_coarse"),
+        "books": os.path.join(work_dir, "ann_books"),
+        "ckpt_agg": os.path.join(work_dir, "ckpt_agg"),
+        "ckpt_idx": os.path.join(work_dir, "ckpt_idx"),
+        "ckpt_ann": os.path.join(work_dir, "ckpt_ann"),
+        "from_version": base + 1,
+        "emb_dim": emb_dim,
+    }
+    canon = snap.read_snapshot(spark, state_dir).filter(F.col("is_canon"))
+    build_token_index(canon, layout["idx"], "doc_id", "text")
+    vecs = canon.select(
+        "doc_id", text_embedding(F.col("text"), emb_dim).alias("emb")
+    )
+    coarse, books, index = ivfpq_index(
+        vecs, "doc_id", "emb", n_cells=ann_cells, m=ann_m, k=ann_k
+    )
+    # quantizer frozen as tables: every later drain (and any rebuild
+    # comparison) encodes against the exact same centroids
+    snap.write_snapshot(coarse, layout["coarse"])
+    snap.write_snapshot(books, layout["books"])
+    snap.write_snapshot(index, layout["ann"], cluster_by=["doc_id"], n_files=2)
+    return layout
+
+
+def drain_corpus_views(
+    spark: SparkSession, layout: dict, timeout: float = 300.0
+) -> None:
+    """One availableNow maintenance pass of every downstream view over
+    the state versions committed since the last drain (checkpointed
+    offsets). Each view's MERGEs carry (app, batch) txn ids —
+    exactly-once per stage even if a drain is replayed."""
+    from ray_beam_runner_spark.functions.clustering import stream_maintain_ivfpq
+    from ray_beam_runner_spark.functions.search import stream_maintain_token_index
+
+    state_dir = layout["state"]
+    # per-source corpus stats: the aggregate maintainer creates its
+    # table from the first batch, so it streams from version 1
+    agg_q = snap.stream_maintain_aggregate(
+        corpus_feed(spark, state_dir, starting_version=1),
+        layout["agg"], ["source"], ["n_tok"], layout["ckpt_agg"],
+        app_id="corpus:agg",
+    )
+    _drain(agg_q, timeout, "corpus aggregate")
+    idx_q = stream_maintain_token_index(
+        corpus_feed(spark, state_dir, starting_version=layout["from_version"]),
+        layout["idx"], "doc_id", "text", layout["ckpt_idx"],
+        app_id="corpus:idx",
+    )
+    _drain(idx_q, timeout, "corpus token index")
+    coarse = snap.read_snapshot(spark, layout["coarse"])
+    books = snap.read_snapshot(spark, layout["books"])
+    emb_dim = int(layout["emb_dim"])
+    ann_feed = corpus_feed(
+        spark, state_dir, starting_version=layout["from_version"]
+    ).select(
+        "doc_id",
+        text_embedding(F.col("text"), emb_dim).alias("emb"),
+        "_change",
+        "_commit_version",
+    )
+    ann_q = stream_maintain_ivfpq(
+        ann_feed, layout["ann"], coarse, books, "doc_id", "emb",
+        layout["ckpt_ann"], app_id="corpus:ann",
+    )
+    _drain(ann_q, timeout, "corpus ANN index")

@@ -1,0 +1,176 @@
+"""Composed incremental corpus pipeline: one source change feed drives
+state (dedup + quality, WITH survivor retraction) and three downstream
+views (aggregate IVM, token index, ANN index). The cascade invariant:
+after any sequence of mixed commits, every maintained table equals a
+from-scratch batch recompute — the table-level analog of the reference
+runner's arbitrary pipeline composition (ray_runner_test.py:821-829)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.corpus import (
+    corpus_enrich,
+    drain_corpus_views,
+    init_corpus_views,
+    refresh_corpus_state,
+    text_embedding,
+)
+from ray_beam_runner_spark.sources import snapshots as snap
+
+# quality-passing base text (stopword-rich, ~23 tokens, no punctuation)
+GOOD = (
+    "the quick brown fox jumps over a lazy dog while the rain in spain "
+    "stays mainly on the plain and a cat naps"
+)
+BAD = "zzz!!!???"  # one token, no stopwords, punctuation-dense
+
+
+def g(grp: int) -> str:
+    return f"{GOOD} group {grp}"
+
+
+def _mkdir():
+    return tempfile.mkdtemp(prefix="rbrs_corpus_")
+
+
+def _src_rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _batch_state(spark, src_dir, quality_min=0.5):
+    """Independent batch recompute of what corpus_state must equal."""
+    from pyspark.sql import Window as W
+
+    live = corpus_enrich(snap.read_snapshot(spark, src_dir)).filter(
+        F.col("quality") >= quality_min
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return live.withColumn("is_canon", F.row_number().over(w) == F.lit(1))
+
+
+def _rows_set(df, *cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+@pytest.fixture(scope="module")
+def cascade(spark):
+    """Build source, run the cascade through 3 mixed commits, return
+    every directory for the assertions."""
+    src, state, work = _mkdir(), _mkdir(), _mkdir()
+    # v1: 10 passing docs in 4 dup groups (i % 4) + one failing doc
+    rows = [(i, f"src{i % 2}", g(i % 4)) for i in range(1, 11)]
+    rows.append((50, "src0", BAD))
+    snap.write_snapshot(_src_rows(spark, rows), src, cluster_by=["doc_id"], n_files=2)
+    refresh_corpus_state(spark, src, state)
+    layout = init_corpus_views(spark, state, work)
+
+    # v2 (mixed): insert a dup (11 ~ group 1) + a unique doc (12);
+    # update 5 to a unique text; update 6 below the quality gate
+    snap.upsert_snapshot(
+        spark, src,
+        _src_rows(spark, [
+            (11, "src1", g(1)),
+            (12, "src0", GOOD + " fresh unique content"),
+            (5, "src1", GOOD + " rewritten five"),
+            (6, "src0", BAD),
+        ]),
+        ["doc_id"], cdc=True,
+    )
+    refresh_corpus_state(spark, src, state)
+
+    # v3: delete survivors (1 carries group-1's crown -> promotion;
+    # 12 is unique -> fp disappears entirely)
+    snap.delete_keys(
+        spark, src, spark.createDataFrame([(1,), (12,)], "doc_id long"),
+        ["doc_id"], cdc=True,
+    )
+    refresh_corpus_state(spark, src, state)
+    drain_corpus_views(spark, layout)
+
+    # v4 (mixed): re-insert id 12's text under a new id (dup of a DEAD
+    # fp -> new survivor), migrate 2's fp into group 3, revive 6
+    snap.upsert_snapshot(
+        spark, src,
+        _src_rows(spark, [
+            (13, "src1", GOOD + " fresh unique content"),
+            (2, "src0", g(3)),
+            (6, "src0", g(0)),
+        ]),
+        ["doc_id"], cdc=True,
+    )
+    refresh_corpus_state(spark, src, state)
+    drain_corpus_views(spark, layout)
+    return {"src": src, "state": state, "layout": layout}
+
+
+def test_state_equals_batch_recompute(spark, cascade):
+    cols = ("doc_id", "source", "text", "fp", "n_tok", "quality", "is_canon")
+    got = _rows_set(snap.read_snapshot(spark, cascade["state"]), *cols)
+    want = _rows_set(_batch_state(spark, cascade["src"]), *cols)
+    assert got == want
+    # the retraction really happened: group-1's crown moved off doc 1
+    canon = {
+        r.fp: r.doc_id
+        for r in snap.read_snapshot(spark, cascade["state"])
+        .filter("is_canon").collect()
+    }
+    by_doc = {
+        r.doc_id: r.fp
+        for r in snap.read_snapshot(spark, cascade["state"]).collect()
+    }
+    # 1,5,9 started as group 1; 5 left in v2, 1 was deleted in v3 ->
+    # the crown falls to the sole remaining member 9
+    assert 1 not in by_doc and canon[by_doc[9]] == 9
+    assert canon[by_doc[13]] == 13  # dead fp resurrected under the new id
+
+
+def test_aggregate_view_equals_recompute(spark, cascade):
+    agg = (
+        snap.read_snapshot(spark, cascade["layout"]["agg"])
+        .filter(F.col("cnt") > 0)
+        .select("source", "cnt", F.col("sum_n_tok").cast("long").alias("s"))
+    )
+    want = (
+        snap.read_snapshot(spark, cascade["state"])
+        .filter("is_canon")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").cast("long").alias("s"))
+    )
+    assert _rows_set(agg, "source", "cnt", "s") == _rows_set(want, "source", "cnt", "s")
+
+
+def test_token_index_equals_rebuild(spark, cascade):
+    from ray_beam_runner_spark.functions.search import doc_postings
+
+    idx = snap.read_snapshot(spark, cascade["layout"]["idx"])
+    canon = snap.read_snapshot(spark, cascade["state"]).filter("is_canon")
+    want = doc_postings(canon, "doc_id", "text")
+    assert _rows_set(idx, "token", "doc_id", "tf") == _rows_set(
+        want, "token", "doc_id", "tf"
+    )
+
+
+def test_ann_index_equals_rebuild(spark, cascade):
+    from ray_beam_runner_spark.functions.clustering import ivfpq_encode
+
+    layout = cascade["layout"]
+    coarse = snap.read_snapshot(spark, layout["coarse"])
+    books = snap.read_snapshot(spark, layout["books"])
+    canon = snap.read_snapshot(spark, cascade["state"]).filter("is_canon")
+    vecs = canon.select(
+        "doc_id", text_embedding(F.col("text"), int(layout["emb_dim"])).alias("emb")
+    )
+    want = ivfpq_encode(vecs, coarse, books, "doc_id", "emb")
+    to_set = lambda df: {
+        (r.doc_id, r.cell, tuple(r.codes)) for r in df.collect()
+    }
+    assert to_set(snap.read_snapshot(spark, layout["ann"])) == to_set(want)
+
+
+def test_refresh_is_noop_and_replay_safe(spark, cascade):
+    state = cascade["state"]
+    v = snap.latest_version(state)
+    # source unchanged -> refresh is a pure no-op (same version)
+    assert refresh_corpus_state(spark, cascade["src"], state) == v
