@@ -113,6 +113,8 @@ EXTRA_SET = (
     "q_chunk_shared",
     "q_dedup_phash_clusters",
     "q_text_bm25",
+    # round 10
+    "q_corpus_ivm",
 )
 
 

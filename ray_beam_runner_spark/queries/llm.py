@@ -3735,3 +3735,119 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CORPUS_QUALITY = (
+    "0.4 * (least(len(ws), 100) / 100.0)"
+    f" + 0.4 * least((len(list_filter(ws, t -> t IN ({_STOP_EN})))::DOUBLE"
+    " / greatest(len(ws), 1)) * 4.0, 1.0)"
+    f" + 0.2 * (1.0 - least((len(regexp_extract_all(text, '{_PUNCT_RE}'))::DOUBLE"
+    " / greatest(length(text), 1)) * 10.0, 1.0))"
+)
+
+
+@query(
+    "q_corpus_ivm",
+    oracle=f"""
+    WITH init AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 3 != 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+      WHERE doc_id % 3 != 0 AND doc_id % 10 = 0),
+    v2new AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, source, text || ' updated twice over' AS text
+      FROM documents WHERE doc_id % 3 != 0 AND doc_id % 21 = 1),
+    merged AS (
+      SELECT * FROM v2new
+      UNION ALL
+      SELECT * FROM init WHERE doc_id NOT IN (SELECT doc_id FROM v2new)),
+    live AS (
+      SELECT * FROM merged WHERE NOT (doc_id % 10 = 0 AND doc_id < 100000)),
+    en AS (
+      SELECT doc_id, source, text, {{TOKS}} AS ws, md5({{NORM}}) AS fp
+      FROM live),
+    sc AS (
+      SELECT doc_id, source, fp, len(ws) AS n_tok,
+             round({_CORPUS_QUALITY}, 6) AS q
+      FROM en),
+    pass AS (SELECT * FROM sc WHERE q >= 0.5),
+    canon AS (
+      SELECT source, n_tok FROM (
+        SELECT source, n_tok,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM pass) WHERE rn = 1)
+    SELECT source, count(*)::BIGINT AS cnt, sum(n_tok)::BIGINT AS sum_n_tok
+    FROM canon GROUP BY source ORDER BY source
+    """.replace("{TOKS}", _TOKS).replace("{NORM}", _NORM),
+)
+def q_corpus_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED incremental corpus pipeline end to end
+    (ray_beam_runner_spark.corpus): a documents snapshot table takes
+    three mixed commits — initial load seeded with +100000-rekeyed
+    duplicates, then an upsert batch (new docs + text updates), then a
+    DELETE that removes every dup pair's survivor (forcing the state
+    to RE-ELECT canonical docs — dedup with retraction) — and
+    refresh_corpus_state folds each delta into the quality-gated,
+    exact-deduped corpus_state table as ONE atomic watermarked commit
+    per refresh. The per-source aggregate view is then maintained
+    purely from corpus_state's change feed (is_canon-filtered CDC →
+    stream_maintain_aggregate, exactly-once txns) and returned. The
+    oracle recomputes the whole thing from scratch in SQL: the hash
+    pins the cascaded incremental result to the batch semantics —
+    wrong retraction handling, a stale watermark, or a double-counted
+    delta all break it. Reference analog: arbitrary multi-stage
+    pipeline composition (ray_runner_test.py:821-829,
+    translations.greedily_fuse), re-expressed as change-feed algebra
+    over tables. Cost shape at 100 TB: every refresh touches deltas +
+    affected fingerprints only; the aggregate folds change-sized
+    batches."""
+    from ray_beam_runner_spark.corpus import corpus_feed, refresh_corpus_state
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = scratch_dir("rbrs_corpus_src_")
+    state = scratch_dir("rbrs_corpus_state_")
+    agg = scratch_dir("rbrs_corpus_agg_")
+    ckpt = scratch_dir("rbrs_corpus_ckpt_")
+
+    init = docs.filter(F.col("doc_id") % 3 != 0)
+    dups = init.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    snap.write_snapshot(
+        init.unionByName(dups), src, cluster_by=["doc_id"], n_files=2
+    )
+    refresh_corpus_state(spark, src, state)
+
+    ins = docs.filter(F.col("doc_id") % 3 == 0)
+    upd = init.filter(F.col("doc_id") % 21 == 1).select(
+        "doc_id", "source",
+        F.concat(F.col("text"), F.lit(" updated twice over")).alias("text"),
+    )
+    snap.upsert_snapshot(spark, src, ins.unionByName(upd), ["doc_id"], cdc=True)
+    refresh_corpus_state(spark, src, state)
+
+    snap.delete_where(
+        spark, src,
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000), cdc=True,
+    )
+    refresh_corpus_state(spark, src, state)
+
+    q = snap.stream_maintain_aggregate(
+        corpus_feed(spark, state), agg, ["source"], ["n_tok"], ckpt,
+        app_id="corpus:agg",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("corpus aggregate drain exceeded 300s")
+    return (
+        snap.read_snapshot(spark, agg)
+        .filter(F.col("cnt") > 0)
+        .select(
+            "source", "cnt", F.col("sum_n_tok").cast("long").alias("sum_n_tok")
+        )
+        .orderBy("source")
+    )
