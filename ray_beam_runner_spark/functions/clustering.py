@@ -50,6 +50,7 @@ __all__ = [
     "ivfpq_index",
     "ivfpq_encode",
     "ivfpq_topk",
+    "ivfpq_topk_rerank",
     "stream_maintain_ivfpq",
 ]
 
@@ -606,6 +607,85 @@ def stream_maintain_ivfpq(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def ivfpq_topk_rerank(
+    queries: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    index: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    alpha: int = 4,
+    n_probe: int | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    index_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage ANN search (production IVF-PQ, FAISS's refine step):
+    stage 1 shortlists ``k * alpha`` candidates per query by
+    residual-ADC (:func:`ivfpq_topk` — compressed-domain, probe-bound),
+    stage 2 re-scores ONLY those candidates with EXACT squared-L2
+    against the original vectors and keeps the true top-``k`` of the
+    shortlist. Re-ranking recovers the recall that PQ quantization
+    distortion costs at small ``n_probe``: the ADC ordering inside the
+    shortlist is approximate, the exact ordering is not.
+
+    Scale shape: the corpus is touched only by one semi-join pruned to
+    the shortlist ids (``vectors`` clustered by id makes that a
+    file-pruned point read; the shortlist itself is queries x k x
+    alpha rows, broadcastable) — never a corpus scan, never an
+    all-pairs score. Returns (query_id, index_id, dist, rank) with
+    rank <= k, ties by (dist, id)."""
+    from pyspark.sql import Window as W
+
+    if alpha < 1:
+        raise ValueError(f"ivfpq_topk_rerank: alpha must be >= 1, got {alpha}")
+    shortlist = ivfpq_topk(
+        queries, coarse, books, index, k=k * alpha, n_probe=n_probe,
+        query_id=query_id, query_vec=query_vec, index_id=index_id,
+        round_digits=round_digits,
+    ).select(F.col(query_id).alias("qid"), F.col(index_id).alias("vid"))
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("qe"),
+    )
+    v = vectors.select(
+        F.col(index_id).alias("vid"), F.col(vec_col).cast("array<double>").alias("ve")
+    )
+    # candidates-only corpus read: the shortlist id set is tiny -> the
+    # semi-join broadcasts, and a corpus clustered by id file-prunes
+    cv = v.join(
+        F.broadcast(shortlist.select("vid").distinct()), "vid", "left_semi"
+    )
+    scored = (
+        shortlist.join(cv, "vid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qe", "ve", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_digits,
+            ).alias("dist"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dist"), F.col("vid"))
+    return (
+        scored.select(
+            F.col("qid").alias(query_id),
+            F.col("vid").alias(index_id),
+            "dist",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -671,3 +671,70 @@ def test_hard_negatives_excludes_dups_and_pairs(spark):
         ).collect()
     }
     assert got2 == {104: 1, 103: 2}
+
+
+def test_ivfpq_rerank_recovers_recall(spark):
+    """Two-stage refine: exact re-scoring of the ADC shortlist lifts
+    recall@10 above pure ADC at small n_probe (quantization distortion
+    misranks; exact distances inside the shortlist do not), and the
+    reranked distances match an independent numpy recompute."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from ray_beam_runner_spark.functions.clustering import (
+        ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+    )
+
+    rng = random.Random(11)
+    dim, n_corpus, n_q, k = 8, 200, 4, 10
+    corpus_rows = [
+        (vid, [rng.gauss(1.5 * (vid % 4), 1.0) for _ in range(dim)])
+        for vid in range(n_corpus)
+    ]
+    q_rows = [
+        (qid, [rng.gauss(1.5 * (qid % 4), 1.0) for _ in range(dim)])
+        for qid in range(n_q)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(q_rows, "q_id long, q_vec array<double>")
+    coarse, books, index = ivfpq_index(
+        corpus, "vec_id", "embedding", n_cells=4, m=4, k=4, n_iter=2
+    )
+
+    def truth(qv):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), vid)
+            for vid, cv in corpus_rows
+        )
+        return [vid for _, vid in d[:k]], {vid: dd for dd, vid in d}
+
+    truths = {qid: truth(qv) for qid, qv in q_rows}
+
+    def recall(rows):
+        hit = tot = 0
+        for qid, (want, _) in truths.items():
+            got = {r.vec_id for r in rows if r.q_id == qid}
+            hit += len(got & set(want))
+            tot += len(want)
+        return hit / tot
+
+    adc = ivfpq_topk(queries, coarse, books, index, k=k, n_probe=2).collect()
+    rr = ivfpq_topk_rerank(
+        queries, coarse, books, index, corpus, k=k, alpha=5, n_probe=2
+    ).collect()
+    r_adc, r_rr = recall(adc), recall(rr)
+    # same probes, same candidate cells: rerank must not lose recall,
+    # and with this seed the distortion gap is real
+    assert r_rr >= r_adc
+    assert r_rr > r_adc, (r_adc, r_rr)
+    # exact distances: every reranked row matches numpy to 6dp, and the
+    # per-query ordering is the exact ordering
+    for r in rr:
+        want = truths[r.q_id][1][r.vec_id]
+        assert abs(r.dist - round(want, 6)) < 1e-9
+    for qid in range(n_q):
+        rows = sorted((r.rank, r.dist) for r in rr if r.q_id == qid)
+        assert [d for _, d in rows] == sorted(d for _, d in rows)
