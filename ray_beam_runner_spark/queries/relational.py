@@ -2376,6 +2376,65 @@ def q_snapshot_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_rename",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 21 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END, 4) AS price,
+           CASE WHEN o_orderkey % 21 = 0 THEN 'R'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 21 = 0 THEN o_custkey END AS o_custkey
+    FROM base
+    """,
+)
+def q_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping end to end (round-10: metadata-only RENAME/DROP,
+    Delta/Iceberg column-mapping semantics realized as per-file name
+    indirection — sources/snapshots.py rename_column/drop_column,
+    _SnapReader): load every 7th order, DROP o_custkey, chain two
+    RENAMEs (o_totalprice→price, o_orderstatus→status) — all three
+    commits asserted to carry every data file verbatim (zero rewrites)
+    — then MERGE across the mapping boundary with evolve_schema
+    re-adding o_custkey. The hash checks that (a) pre-rename files
+    read their stored values under the NEW names, (b) merged rows
+    carry updated values, and (c) the re-added o_custkey does NOT
+    resurrect pre-drop values — old rows must read NULL (dead-column
+    sentinel in _phys_name), only merge-updated rows carry it."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    tdir = scratch_dir("rbrs_rename_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=4)
+    files_v1 = list(snap.read_manifest(tdir, 1)["files"])
+    snap.drop_column(tdir, "o_custkey")
+    snap.rename_column(tdir, "o_totalprice", "price")
+    v = snap.rename_column(tdir, "o_orderstatus", "status")
+    assert (
+        snap.read_manifest(tdir, v)["files"] == files_v1
+    ), "rename/drop must be metadata-only (zero data files rewritten)"
+    updates = base.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("price"),
+        F.lit("R").alias("status"),
+        "o_custkey",
+    )
+    snap.upsert_snapshot(spark, tdir, updates, ["o_orderkey"], evolve_schema=True)
+    return snap.read_snapshot(spark, tdir).select(
+        "o_orderkey",
+        F.round("price", 4).alias("price"),
+        "status",
+        "o_custkey",
+    )
+
+
+@query(
     "q_snapshot_delete",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 4) AS totalprice, o_orderstatus

@@ -179,15 +179,163 @@ def _schema_struct(manifest: dict):
     return StructType.fromJson(_as_nullable(json.loads(sj)))
 
 
-def _manifest_reader(spark: SparkSession, manifest: dict):
-    """Parquet reader pinned to the manifest's recorded schema; falls
-    back to mergeSchema footer-union for pre-schema manifests. Explicit
-    schema beats mergeSchema at scale: zero footer reads for planning,
-    and deterministic column set on mixed-generation tables."""
-    struct = _schema_struct(manifest)
-    if struct is not None:
-        return spark.read.schema(struct)
-    return spark.read.option("mergeSchema", "true")
+def _mapping_events(manifest: dict) -> list[tuple]:
+    """Column-mapping history (renames + drops) newest-first, with each
+    event's pre-existing file set. Empty for unmapped tables — the fast
+    path every pre-round-10 table takes."""
+    evs = []
+    for r in manifest.get("renames", ()):  # {from, to, version, pre_files}
+        evs.append(
+            ("rename", int(r["version"]), r["from"], r["to"], frozenset(r["pre_files"]))
+        )
+    for d in manifest.get("dropped", ()):  # {col, version, pre_files}
+        evs.append(("drop", int(d["version"]), d["col"], None, frozenset(d["pre_files"])))
+    evs.sort(key=lambda e: -e[1])
+    return evs
+
+
+def _phys_name(events: list[tuple], rel: str, col: str) -> str:
+    """The PHYSICAL parquet field name of logical column ``col`` inside
+    file ``rel``: walk the rename history newest-first, undoing each
+    rename the file predates (Delta/Iceberg column mapping, realized as
+    name indirection instead of field ids). A file that predates a DROP
+    of this name maps to an impossible sentinel — its stored values
+    belong to a DEAD prior column and must null-backfill, never
+    resurrect into a later re-added column of the same name."""
+    name = col
+    for kind, ver, a, b, pre in events:
+        if rel not in pre:
+            continue
+        if kind == "rename" and name == b:
+            name = a
+        elif kind == "drop" and name == a:
+            return f"__rbrs_dropped_v{ver}__{col}"
+    return name
+
+
+def _logical_name(events: list[tuple], rel: str, phys: str):
+    """Inverse of :func:`_phys_name`: the CURRENT logical name of a
+    column recorded under ``phys`` in file ``rel`` (renames replayed
+    forward); None when a drop killed the lineage."""
+    name = phys
+    for kind, _ver, a, b, pre in reversed(events):  # oldest first
+        if rel not in pre:
+            continue
+        if kind == "rename" and name == a:
+            name = b
+        elif kind == "drop" and name == a:
+            return None
+    return name
+
+
+def _stats_cols(manifest: dict) -> list[str]:
+    """LOGICAL columns with any per-file stats — the set rewrites keep
+    clustering/collecting stats on. Per-file stats keys are physical
+    (the name at write time), so each is translated forward through the
+    mapping history and filtered to the current schema."""
+    file_stats = manifest.get("file_stats", {})
+    events = _mapping_events(manifest)
+    if not events:
+        return sorted({c for s in file_stats.values() for c in s})
+    schema = set(manifest.get("schema") or ())
+    out = set()
+    for rel, s in file_stats.items():
+        for c in s:
+            lc = _logical_name(events, rel, c)
+            if lc is not None and (not schema or lc in schema):
+                out.add(lc)
+    return sorted(out)
+
+
+def _file_stat(manifest: dict, events: list[tuple], rel: str, col: str):
+    """Per-file min/max stats for LOGICAL column ``col`` — stats are
+    recorded under the name the column had when the file was written,
+    so the lookup walks the same mapping history the reader uses."""
+    s = manifest.get("file_stats", {}).get(rel)
+    if not s:
+        return None
+    return s.get(_phys_name(events, rel, col) if events else col)
+
+
+class _SnapReader:
+    """Manifest-pinned parquet reader, column-mapping aware.
+
+    Unmapped manifests (no renames/drops — every table until someone
+    calls :func:`rename_column`/:func:`drop_column`) read exactly as
+    before: one scan pinned to the recorded schema (or mergeSchema for
+    pre-schema manifests). Mapped manifests group the requested files
+    by their physical-name signature, read each generation with its
+    physical schema, rename to logical names, and union — renames stay
+    METADATA-ONLY (zero data rewritten) while every generation reads
+    its own column names. ``with_meta=True`` materializes the scan's
+    ``_metadata`` file_path/row_index as real ``_meta_file``/
+    ``_meta_pos`` columns BEFORE the union (hidden metadata columns do
+    not survive a Union; they do survive the per-generation Project)."""
+
+    def __init__(self, spark: SparkSession, manifest: dict, table_dir: str):
+        self._spark = spark
+        self._m = manifest
+        self._tdir = table_dir
+        self._events = _mapping_events(manifest)
+
+    def _meta(self, df: DataFrame, with_meta: bool) -> DataFrame:
+        if not with_meta:
+            return df
+        return df.withColumns(
+            {
+                "_meta_file": F.col("_metadata.file_path"),
+                "_meta_pos": F.col("_metadata.row_index"),
+            }
+        )
+
+    def parquet(self, *paths: str, with_meta: bool = False) -> DataFrame:
+        struct = _schema_struct(self._m)
+        if not self._events:
+            if struct is not None:
+                return self._meta(self._spark.read.schema(struct).parquet(*paths), with_meta)
+            return self._meta(
+                self._spark.read.option("mergeSchema", "true").parquet(*paths), with_meta
+            )
+        if struct is None:
+            raise RuntimeError(
+                "column-mapped table without a recorded schema — corrupt manifest"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            rel = os.path.relpath(p, self._tdir)
+            sig = tuple(
+                (f.name, _phys_name(self._events, rel, f.name)) for f in struct.fields
+            )
+            groups.setdefault(sig, []).append(p)
+        outs = []
+        for sig, ps in groups.items():
+            pmap = dict(sig)
+            phys = StructType(
+                [
+                    StructField(pmap[f.name], f.dataType, True, f.metadata)
+                    for f in struct.fields
+                ]
+            )
+            df = self._meta(self._spark.read.schema(phys).parquet(*ps), with_meta)
+            ren = {p_: l for l, p_ in sig if p_ != l}
+            if ren:
+                df = df.withColumnsRenamed(ren)
+            outs.append(df)
+        out = outs[0]
+        for df in outs[1:]:
+            out = out.unionByName(df)
+        return out
+
+
+def _manifest_reader(spark: SparkSession, manifest: dict, table_dir: str) -> _SnapReader:
+    """Parquet reader pinned to the manifest's recorded schema (and its
+    column mapping — see :class:`_SnapReader`); falls back to
+    mergeSchema footer-union for pre-schema manifests. Explicit schema
+    beats mergeSchema at scale: zero footer reads for planning, and
+    deterministic column set on mixed-generation tables."""
+    return _SnapReader(spark, manifest, table_dir)
 
 
 def _uri_to_path(uri_path: str) -> str:
@@ -231,6 +379,7 @@ def _write_data_files(
     data) into the manifest's ``file_rows`` — snapshot_rows() then
     answers COUNT(*) from the manifest alone, and accounting stays
     per-commit-bounded (only the new files' footers are read)."""
+    df = df.drop("_meta_file", "_meta_pos")
     commit = os.path.join(_DATA_DIR, f"commit-{uuid.uuid4().hex}")
     out_dir = os.path.join(table_dir, commit)
     df.write.mode("errorifexists").parquet(out_dir)
@@ -341,27 +490,30 @@ def _dv_frame(
 
 def _apply_dvs(
     spark: SparkSession, df: DataFrame, manifest: dict, table_dir: str,
-    rels: list[str],
+    rels: list[str], keep_meta: bool = False,
 ):
     """Anti-apply the manifest's deletion vectors to a scan over
     ``rels`` (merge-on-read): rows whose (file, row position) appear in
-    a DV sidecar are filtered out via ONE broadcast anti-join on
-    ``_metadata.row_index`` — no data file is ever rewritten by a
-    DV-mode delete, the read pays a position-set join proportional to
-    the DELETED rows (Delta/Iceberg v2 deletion-vector semantics).
-    No-op (zero plan change) when no scanned file carries a DV."""
+    a DV sidecar are filtered out via ONE broadcast anti-join on the
+    row position — no data file is ever rewritten by a DV-mode delete,
+    the read pays a position-set join proportional to the DELETED rows
+    (Delta/Iceberg v2 deletion-vector semantics). No-op (zero plan
+    change) when no scanned file carries a DV.
+
+    ``df`` must come from ``_SnapReader.parquet(..., with_meta=True)``
+    — the materialized ``_meta_file``/``_meta_pos`` columns are how
+    positions survive the column-mapping union (hidden ``_metadata``
+    does not). They are dropped on return unless ``keep_meta``."""
     dv = _dv_frame(spark, manifest, table_dir, rels)
     if dv is None:
-        return df
-    keyed = df.withColumns(
-        {
-            "_dv_key": _dv_key_expr(F.col("_metadata.file_path")),
-            "_dv_pos": F.col("_metadata.row_index"),
-        }
-    )
-    return keyed.join(
-        F.broadcast(dv), ["_dv_key", "_dv_pos"], "left_anti"
-    ).drop("_dv_key", "_dv_pos")
+        return df if keep_meta else df.drop("_meta_file", "_meta_pos")
+    keyed = df.withColumn("_dv_key", _dv_key_expr(F.col("_meta_file")))
+    out = keyed.join(
+        F.broadcast(dv.withColumnRenamed("_dv_pos", "_meta_pos")),
+        ["_dv_key", "_meta_pos"],
+        "left_anti",
+    ).drop("_dv_key")
+    return out if keep_meta else out.drop("_meta_file", "_meta_pos")
 
 
 def _bloom_positions(col, bits: int, k: int) -> list:
@@ -642,13 +794,13 @@ def read_snapshot(
         if version is None:
             raise FileNotFoundError(f"no snapshots in {table_dir}")
     manifest = read_manifest(table_dir, version)
+    events = _mapping_events(manifest)
     rel_files = manifest["files"]
     if key_range is not None:
         col, lo, hi = key_range
-        file_stats = manifest.get("file_stats", {})
 
         def _keep(rel: str) -> bool:
-            s = file_stats.get(rel, {}).get(col)
+            s = _file_stat(manifest, events, rel, col)
             if not s or s[0] is None or s[1] is None:
                 return True
             return not (s[1] < lo or s[0] > hi)
@@ -671,23 +823,22 @@ def read_snapshot(
             )
 
             def _maybe(rel: str) -> bool:
-                words = blooms.get(rel, {}).get(pcol)
+                words = blooms.get(rel, {}).get(
+                    _phys_name(events, rel, pcol) if events else pcol
+                )
                 if not words:
                     return True  # no filter recorded: must scan
                 return all(words[w] & m for w, m in probes)
 
             rel_files = [rel for rel in rel_files if _maybe(rel)]
+    # _SnapReader pins the scan to the manifest's typed schema (Delta's
+    # log-owns-the-schema design: correct on mixed-generation tables
+    # regardless of which file Spark would sample, no footer reads for
+    # planning, missing columns null-backfill) and applies the column
+    # mapping per file generation; pre-schema manifests footer-union
+    # (mergeSchema) regardless of the legacy ``merge_schema`` flag.
+    reader = _manifest_reader(spark, manifest, table_dir)
     struct = _schema_struct(manifest)
-    if struct is not None:
-        # authoritative typed schema from the manifest (Delta's
-        # log-owns-the-schema design): correct on mixed-generation
-        # tables regardless of which file Spark would sample, no footer
-        # reads for planning, and missing columns null-backfill.
-        reader = spark.read.schema(struct)
-    elif merge_schema:
-        reader = spark.read.option("mergeSchema", "true")
-    else:
-        reader = spark.read
     paths = [os.path.join(table_dir, rel) for rel in rel_files]
     if not paths:
         if struct is not None:
@@ -699,7 +850,9 @@ def read_snapshot(
             all_paths = [os.path.join(table_dir, r) for r in manifest["files"]]
             return reader.parquet(*all_paths).limit(0)
         raise FileNotFoundError(f"snapshot v{version} of {table_dir} is empty")
-    df = _apply_dvs(spark, reader.parquet(*paths), manifest, table_dir, rel_files)
+    df = _apply_dvs(
+        spark, reader.parquet(*paths, with_meta=True), manifest, table_dir, rel_files
+    )
     if key_range is not None:
         col, lo, hi = key_range
         df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
@@ -933,13 +1086,12 @@ def _merge_phases(
     file_stats, txns, tbl_fields, upd_fields, evolve_schema, cdc, dv=False,
 ):
     k0 = keys[0]
-    ranged = [
-        (rel, file_stats[rel][k0][0], file_stats[rel][k0][1])
-        for rel in rel_files
-        if rel in file_stats
-        and k0 in file_stats[rel]
-        and file_stats[rel][k0][0] is not None
-    ]
+    events = _mapping_events(manifest)
+    ranged = []
+    for rel in rel_files:
+        s = _file_stat(manifest, events, rel, k0)
+        if s and s[0] is not None:
+            ranged.append((rel, s[0], s[1]))
     candidates = [rel for rel in rel_files if rel not in {r[0] for r in ranged}]
     if ranged:
         ranges_df = spark.createDataFrame(ranged, ["_path", "_lo", "_hi"])
@@ -971,33 +1123,29 @@ def _merge_phases(
     # file's footer and could miss the evolved column, making the
     # unionByName below fail or null-backfill non-deterministically.
     touched_rel: set[str] = set()
-    reader = _manifest_reader(spark, manifest)
+    reader = _manifest_reader(spark, manifest, table_dir)
     if candidates:
         # working column is _mrg_file, NOT a short name like "f": a user
         # column (or merge key) named f would be silently replaced and
         # the key semi-join would then compare file paths — corrupting
         # touched-file detection (same reserved-prefix convention as
         # _dv_key/_dv_pos)
-        cand_df = reader.parquet(
-            *(os.path.join(table_dir, rel) for rel in candidates)
-        ).withColumns(
-            {
-                "_mrg_file": F.col("_metadata.file_path"),
-                "_dv_pos": F.col("_metadata.row_index"),
-            }
+        cand_df = _apply_dvs(
+            spark,
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in candidates),
+                with_meta=True,
+            ),
+            manifest,
+            table_dir,
+            candidates,
+            keep_meta=True,
         )
-        # deletion vectors: a row already DV-deleted must neither flag
-        # its file as touched nor resurrect through the rewrite below
-        dv = _dv_frame(spark, manifest, table_dir, candidates)
-        if dv is not None:
-            cand_df = cand_df.withColumn(
-                "_dv_key", _dv_key_expr(F.col("_mrg_file"))
-            ).join(F.broadcast(dv), ["_dv_key", "_dv_pos"], "left_anti")
         touched_abs = {
-            r._mrg_file
+            r._meta_file
             for r in (
                 cand_df.join(key_set, keys, "left_semi")
-                .select("_mrg_file")
+                .select("_meta_file")
                 .distinct()
                 .collect()
             )
@@ -1028,7 +1176,7 @@ def _merge_phases(
             "schema_json": manifest.get("schema_json"),
             "txns": txns,
         }
-        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints"):
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints", "renames", "dropped"):
             if manifest.get(key):
                 noop[key] = manifest[key]
         _publish(table_dir, base + 1, noop)
@@ -1039,11 +1187,14 @@ def _merge_phases(
     # across merge generations.
     stats_for = None
     if file_stats:
-        stats_for = sorted({c for s in file_stats.values() for c in s})
+        stats_for = _stats_cols(manifest)
     if touched_rel:
         touched_df = _apply_dvs(
             spark,
-            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel)),
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in touched_rel),
+                with_meta=True,
+            ),
             manifest,
             table_dir,
             sorted(touched_rel),
@@ -1116,7 +1267,8 @@ def _merge_phases(
                 _apply_dvs(
                     spark,
                     reader.parquet(
-                        *(os.path.join(table_dir, rel) for rel in touched_rel)
+                        *(os.path.join(table_dir, rel) for rel in touched_rel),
+                        with_meta=True,
                     ),
                     manifest,
                     table_dir,
@@ -1166,30 +1318,30 @@ def _merge_dv(
     is the same commit minus the append."""
     from pyspark.sql.types import StructType
 
-    reader = _manifest_reader(spark, manifest)
+    reader = _manifest_reader(spark, manifest, table_dir)
     dv_rels: list[str] = []
     counts: dict[str, int] = {}
     if candidates:
-        cand = reader.parquet(
-            *(os.path.join(table_dir, rel) for rel in candidates)
-        ).withColumns(
-            {
-                "_dv_fkey": _dv_key_expr(F.col("_metadata.file_path")),
-                "_dv_pos": F.col("_metadata.row_index"),
-            }
+        # _apply_dvs(keep_meta) both anti-applies existing DVs (a row
+        # already DV-dead must not be tombstoned twice — its sidecar
+        # entry would double-count in the manifest's rows) and carries
+        # the (file, position) metadata through any column-mapping union
+        cand = _apply_dvs(
+            spark,
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in candidates),
+                with_meta=True,
+            ),
+            manifest,
+            table_dir,
+            candidates,
+            keep_meta=True,
         )
-        old_dv = _dv_frame(spark, manifest, table_dir, candidates)
-        if old_dv is not None:
-            # a row already DV-dead must not be tombstoned twice — its
-            # sidecar entry would double-count in the manifest's rows
-            cand = (
-                cand.withColumnRenamed("_dv_fkey", "_dv_key")
-                .join(F.broadcast(old_dv), ["_dv_key", "_dv_pos"], "left_anti")
-                .withColumnRenamed("_dv_key", "_dv_fkey")
-            )
         matched = cand.join(key_set, keys, "left_semi").select(
-            F.concat(F.lit(_DATA_DIR + "/"), F.col("_dv_fkey")).alias("_dv_file"),
-            F.col("_dv_pos"),
+            F.concat(
+                F.lit(_DATA_DIR + "/"), _dv_key_expr(F.col("_meta_file"))
+            ).alias("_dv_file"),
+            F.col("_meta_pos").alias("_dv_pos"),
         )
         dv_rels, _, dv_rows_map = _write_data_files(
             matched.repartition(1), table_dir
@@ -1224,7 +1376,7 @@ def _merge_dv(
             "schema_json": manifest.get("schema_json"),
             "txns": txns,
         }
-        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints"):
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints", "renames", "dropped"):
             if manifest.get(key):
                 noop[key] = manifest[key]
         _publish(table_dir, base + 1, noop)
@@ -1243,7 +1395,7 @@ def _merge_dv(
     new_struct = old_struct
     stats_for = None
     if file_stats:
-        stats_for = sorted({c for s in file_stats.values() for c in s})
+        stats_for = _stats_cols(manifest)
     new_files: list[str] = []
     new_stats: dict = {}
     new_rows: dict = {}
@@ -1315,15 +1467,18 @@ def _merge_dv(
             )
             touched = sorted(counts)
             pre = (
-                reader.parquet(*(os.path.join(table_dir, rel) for rel in touched))
+                reader.parquet(
+                    *(os.path.join(table_dir, rel) for rel in touched),
+                    with_meta=True,
+                )
                 .withColumns(
                     {
-                        "_dv_key": _dv_key_expr(F.col("_metadata.file_path")),
-                        "_dv_pos": F.col("_metadata.row_index"),
+                        "_dv_key": _dv_key_expr(F.col("_meta_file")),
+                        "_dv_pos": F.col("_meta_pos"),
                     }
                 )
                 .join(F.broadcast(new_dv), ["_dv_key", "_dv_pos"], "left_semi")
-                .drop("_dv_key", "_dv_pos")
+                .drop("_dv_key", "_dv_pos", "_meta_file", "_meta_pos")
                 .withColumn("_change", F.lit("delete"))
             )
         if pre is not None and ins is not None:
@@ -1359,6 +1514,10 @@ def _carry_file_meta(
     kept_dvs = {rel: dvm[rel] for rel in untouched_rel if rel in dvm}
     if kept_dvs:
         new_manifest["file_dvs"] = kept_dvs
+    # column-mapping history rides every commit that carries old files
+    for key in ("renames", "dropped"):
+        if manifest.get(key):
+            new_manifest[key] = manifest[key]
 
 
 def _carry_blooms(
@@ -1424,6 +1583,15 @@ def snapshot_diff(
     evolved rows differ from their pre-images."""
     mo = read_manifest(table_dir, v_old)
     mn = read_manifest(table_dir, v_new)
+    if (mo.get("renames"), mo.get("dropped")) != (mn.get("renames"), mn.get("dropped")):
+        # a rename/drop is metadata-only: the rows did not change, but a
+        # naive file diff would see every row as changed through the new
+        # column names. Delta likewise restricts CDF across column
+        # mapping changes; be loud instead of silently wrong.
+        raise ValueError(
+            f"snapshot_diff: versions {v_old}..{v_new} of {table_dir} span a "
+            "column rename/drop — diff within each mapping generation instead"
+        )
 
     # a file is "changed" when it left/entered the manifest OR its
     # deletion-vector state differs between the versions (a DV-mode
@@ -1447,12 +1615,12 @@ def snapshot_diff(
         if struct is not None and not rels:
             return spark.createDataFrame([], struct)
         anchor = rels or new_only or old_only or mn["files"] or mo["files"]
-        df = _manifest_reader(spark, manifest).parquet(
-            *(os.path.join(table_dir, r) for r in anchor)
+        df = _manifest_reader(spark, manifest, table_dir).parquet(
+            *(os.path.join(table_dir, r) for r in anchor), with_meta=True
         )
         if rels:
             return _apply_dvs(spark, df, manifest, table_dir, rels)
-        return df.limit(0)
+        return df.drop("_meta_file", "_meta_pos").limit(0)
 
     df_old, df_new = _read(old_only, mo), _read(new_only, mn)
     # align to the union of columns (null backfill) so exceptAll sees
@@ -1509,7 +1677,7 @@ def compact(
         raise FileNotFoundError(f"no snapshots in {table_dir}")
     manifest = read_manifest(table_dir, base)
     file_stats = manifest.get("file_stats", {})
-    stats_for = sorted({c for s in file_stats.values() for c in s}) or None
+    stats_for = _stats_cols(manifest) or None
     df = read_snapshot(spark, table_dir, base)
     if zorder_by:
         z = _zorder_key(df, zorder_by)
@@ -1586,11 +1754,13 @@ def compact_small(
         return base
     carried = [rel for rel in rel_files if rel not in set(small)]
     file_stats = manifest.get("file_stats", {})
-    stats_for = sorted({c for s in file_stats.values() for c in s}) or None
-    reader = _manifest_reader(spark, manifest)
+    stats_for = _stats_cols(manifest) or None
+    reader = _manifest_reader(spark, manifest, table_dir)
     df = _apply_dvs(
         spark,
-        reader.parquet(*(os.path.join(table_dir, rel) for rel in small)),
+        reader.parquet(
+            *(os.path.join(table_dir, rel) for rel in small), with_meta=True
+        ),
         manifest,
         table_dir,
         small,
@@ -1850,15 +2020,17 @@ def _delete_once(
     if key_range is not None:
         col, lo, hi = key_range
 
+        events = _mapping_events(manifest)
+
         def _keep(rel: str) -> bool:
-            s = file_stats.get(rel, {}).get(col)
+            s = _file_stat(manifest, events, rel, col)
             if not s or s[0] is None or s[1] is None:
                 return True
             return not (s[1] < lo or s[0] > hi)
 
         candidates = [rel for rel in rel_files if _keep(rel)]
     pruned_by_stats = len(rel_files) - len(candidates)
-    reader = _manifest_reader(spark, manifest)
+    reader = _manifest_reader(spark, manifest, table_dir)
     if dv:
         return _delete_dv(
             spark, table_dir, manifest, reader, cond, candidates, base,
@@ -1871,14 +2043,18 @@ def _delete_once(
         # flag its file, be counted as kept, or reappear in CDC
         cand_df = _apply_dvs(
             spark,
-            reader.parquet(*(os.path.join(table_dir, rel) for rel in candidates)),
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in candidates),
+                with_meta=True,
+            ),
             manifest,
             table_dir,
             candidates,
+            keep_meta=True,
         )
         hit = (
             cand_df.filter(cond)
-            .select(F.col("_metadata.file_path").alias("f"))
+            .select(F.col("_meta_file").alias("f"))
             .distinct()
             .collect()
         )
@@ -1893,14 +2069,17 @@ def _delete_once(
 
     stats_for = None
     if file_stats:
-        stats_for = sorted({c for s in file_stats.values() for c in s})
+        stats_for = _stats_cols(manifest)
     new_files: list[str] = []
     new_stats: dict = {}
     new_rows: dict = {}
     if touched_rel:
         touched_df = _apply_dvs(
             spark,
-            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched_rel)),
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in touched_rel),
+                with_meta=True,
+            ),
             manifest,
             table_dir,
             sorted(touched_rel),
@@ -1933,7 +2112,8 @@ def _delete_once(
             _apply_dvs(
                 spark,
                 reader.parquet(
-                    *(os.path.join(table_dir, rel) for rel in touched_rel)
+                    *(os.path.join(table_dir, rel) for rel in touched_rel),
+                    with_meta=True,
                 ),
                 manifest,
                 table_dir,
@@ -1961,22 +2141,22 @@ def _delete_dv(
     dv_rels: list[str] = []
     counts: dict[str, int] = {}
     if candidates:
-        cand = reader.parquet(
-            *(os.path.join(table_dir, rel) for rel in candidates)
-        ).withColumns(
-            {
-                "_dv_fkey": _dv_key_expr(F.col("_metadata.file_path")),
-                "_dv_pos": F.col("_metadata.row_index"),
-            }
+        cand = _apply_dvs(
+            spark,
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in candidates),
+                with_meta=True,
+            ),
+            manifest,
+            table_dir,
+            candidates,
+            keep_meta=True,
         )
-        old_dv = _dv_frame(spark, manifest, table_dir, candidates)
-        if old_dv is not None:
-            cand = cand.withColumnRenamed("_dv_fkey", "_dv_key").join(
-                F.broadcast(old_dv), ["_dv_key", "_dv_pos"], "left_anti"
-            ).withColumnRenamed("_dv_key", "_dv_fkey")
         matched = cand.filter(F.coalesce(cond, F.lit(False))).select(
-            F.concat(F.lit(_DATA_DIR + "/"), F.col("_dv_fkey")).alias("_dv_file"),
-            F.col("_dv_pos"),
+            F.concat(
+                F.lit(_DATA_DIR + "/"), _dv_key_expr(F.col("_meta_file"))
+            ).alias("_dv_file"),
+            F.col("_meta_pos").alias("_dv_pos"),
         )
         # repartition(1): ONE sidecar file per commit (Delta's DV file
         # granularity) without capping the candidate scan's parallelism
@@ -2027,7 +2207,7 @@ def _delete_dv(
         new_manifest["file_dvs"] = new_dvm
     # every data file is carried: stats, rows, blooms transfer verbatim
     # (blooms over-approximate deleted values — pruning stays safe)
-    for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "constraints"):
+    for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "constraints", "renames", "dropped"):
         if manifest.get(key):
             new_manifest[key] = manifest[key]
     if cdc and dv_rels:
@@ -2038,15 +2218,18 @@ def _delete_dv(
         )
         touched = sorted(counts)
         deleted = (
-            reader.parquet(*(os.path.join(table_dir, rel) for rel in touched))
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in touched),
+                with_meta=True,
+            )
             .withColumns(
                 {
-                    "_dv_key": _dv_key_expr(F.col("_metadata.file_path")),
-                    "_dv_pos": F.col("_metadata.row_index"),
+                    "_dv_key": _dv_key_expr(F.col("_meta_file")),
+                    "_dv_pos": F.col("_meta_pos"),
                 }
             )
             .join(F.broadcast(new_dv), ["_dv_key", "_dv_pos"], "left_semi")
-            .drop("_dv_key", "_dv_pos")
+            .drop("_dv_key", "_dv_pos", "_meta_file", "_meta_pos")
             .withColumn("_change", F.lit("delete"))
         )
         cdc_rel, _, _ = _write_data_files(deleted.repartition(8), table_dir)
@@ -2264,6 +2447,9 @@ def restore_snapshot(table_dir: str, version: int) -> int:
         new_manifest["file_blooms"] = target.get("file_blooms", {})
     if target.get("file_dvs"):
         new_manifest["file_dvs"] = target["file_dvs"]
+    for key in ("renames", "dropped"):
+        if target.get(key):
+            new_manifest[key] = target[key]
     _publish(table_dir, new_version, new_manifest)
     return new_version
 
@@ -3272,6 +3458,151 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "version int, op string, committed_at double, parent int, "
         "n_files int, n_rows long, dv_rows long, n_rewrote int, "
         "has_cdc boolean, txns string",
+    )
+
+
+def _mapping_guard(manifest: dict, col: str, op: str) -> None:
+    cons = manifest.get("constraints") or {}
+    import re as _re
+
+    for name, expr in cons.items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"{op}: column {col!r} is referenced by CHECK constraint "
+                f"{name!r} ({expr!r}) — drop the constraint first"
+            )
+    bcols = (manifest.get("bloom_conf") or {}).get("cols", ())
+    if col in bcols:
+        raise ValueError(
+            f"{op}: column {col!r} carries a bloom filter index — rewrite "
+            "the table (compact) without bloom_for first"
+        )
+
+
+def _mapping_commit(table_dir: str, manifest: dict, base: int, updates: dict) -> int:
+    """Publish a METADATA-ONLY schema-mapping commit: parent's files,
+    stats, DVs, txns and mapping history carried verbatim (cdc_files
+    deliberately not — re-carrying them would re-emit the parent's
+    deltas into the change feed)."""
+    version = base + 1
+    nm = {
+        "version": version,
+        "parent": base,
+        "files": list(manifest["files"]),
+        "rewrote": [],
+    }
+    for key in (
+        "file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs",
+        "constraints", "txns", "renames", "dropped",
+    ):
+        if manifest.get(key):
+            nm[key] = manifest[key]
+    nm.update(updates)
+    _publish(table_dir, version, nm)
+    return version
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """METADATA-ONLY column rename (Delta/Iceberg column mapping,
+    realized as name indirection): publishes one manifest commit that
+    renames the logical column and records the mapping event with the
+    pre-existing file set — ZERO data files touched, old files stay
+    readable (each scan generation reads its own physical name —
+    :class:`_SnapReader`), and time travel to pre-rename versions shows
+    the old name (old manifests are self-describing). Later MERGEs /
+    DELETEs / compactions write the new name; stats and bloom pruning
+    translate per file through the recorded history. Restrictions
+    (loud, Delta-like): the column must not be referenced by a CHECK
+    constraint or carry a bloom index. Change feeds cannot span the
+    rename commit (:func:`snapshot_diff` raises — a rename changes no
+    rows, but a file diff through the new names would claim every row
+    did). Returns the new version."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"rename_column: no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    struct = _schema_struct(manifest)
+    if struct is None:
+        raise RuntimeError(
+            "rename_column requires a schema-recorded table (manifest "
+            "predates schema recording — rewrite it once via write_snapshot)"
+        )
+    names = [f.name for f in struct.fields]
+    if old not in names:
+        raise ValueError(f"rename_column: no column {old!r} in {sorted(names)}")
+    if new in names:
+        raise ValueError(f"rename_column: {new!r} already exists")
+    if new.startswith("_"):
+        raise ValueError(
+            f"rename_column: {new!r} — leading-underscore names are reserved "
+            "for engine working columns"
+        )
+    _mapping_guard(manifest, old, "rename_column")
+    from pyspark.sql.types import StructField, StructType
+
+    new_struct = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+            for f in struct.fields
+        ]
+    )
+    version = base + 1
+    return _mapping_commit(
+        table_dir, manifest, base,
+        {
+            "op": "rename_column",
+            "schema": sorted(new if n == old else n for n in (manifest.get("schema") or names)),
+            "schema_json": new_struct.json(),
+            "renames": [
+                *manifest.get("renames", []),
+                {
+                    "from": old,
+                    "to": new,
+                    "version": version,
+                    "pre_files": list(manifest["files"]),
+                },
+            ],
+        },
+    )
+
+
+def drop_column(table_dir: str, col: str) -> int:
+    """METADATA-ONLY column drop: one manifest commit removes the
+    column from the logical schema; no data file is rewritten (the
+    pinned-schema read simply never projects it). A LATER re-added
+    column of the same name never resurrects the dead values — files
+    predating the drop map that name to an impossible physical sentinel
+    and null-backfill (:func:`_phys_name`). Time travel to pre-drop
+    versions still shows the column. Same restrictions as
+    :func:`rename_column`; change feeds cannot span the commit."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"drop_column: no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    struct = _schema_struct(manifest)
+    if struct is None:
+        raise RuntimeError("drop_column requires a schema-recorded table")
+    names = [f.name for f in struct.fields]
+    if col not in names:
+        raise ValueError(f"drop_column: no column {col!r} in {sorted(names)}")
+    if len(names) == 1:
+        raise ValueError("drop_column: cannot drop the only column")
+    _mapping_guard(manifest, col, "drop_column")
+    from pyspark.sql.types import StructType
+
+    new_struct = StructType([f for f in struct.fields if f.name != col])
+    version = base + 1
+    return _mapping_commit(
+        table_dir, manifest, base,
+        {
+            "op": "drop_column",
+            "schema": sorted(n for n in (manifest.get("schema") or names) if n != col),
+            "schema_json": new_struct.json(),
+            "dropped": [
+                *manifest.get("dropped", []),
+                {"col": col, "version": version, "pre_files": list(manifest["files"])},
+            ],
+        },
     )
 
 

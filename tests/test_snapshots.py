@@ -2313,3 +2313,85 @@ def test_join_view_watermarks_atomic_with_materialization(spark):
     )
     with pytest.raises(RuntimeError, match="no jv:a/jv:b watermarks"):
         maintain_join_view(spark, rogue, a_dir, b_dir, ("jk", "bk"), "aid", "bid")
+
+
+def test_rename_column_is_metadata_only_and_consistent(spark):
+    """RENAME COLUMN across the full lifecycle: zero files rewritten,
+    old files readable through the mapping, merge/delete/compact across
+    the boundary, pre-rename time travel shows the old name, stats
+    pruning still prunes, and a chained second rename works."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k int, val string"),
+        t, cluster_by=["k"], n_files=4,
+    )
+    v2 = snap.rename_column(t, "val", "name")
+    m2 = snap.read_manifest(t, v2)
+    assert m2["files"] == snap.read_manifest(t, 1)["files"]  # zero rewrites
+    # reads present the new name with old data intact
+    got = {(r.k, r.name) for r in snap.read_snapshot(spark, t).collect()}
+    assert got == {(i, f"v{i}") for i in range(40)}
+    # time travel: pre-rename version shows the OLD name
+    assert snap.read_snapshot(spark, t, version=1).columns == ["k", "val"]
+    # merge across the boundary: only new-name schema accepted; rows
+    # from OLD files must keep their values through the rewrite
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(3, "NEW3"), (100, "n100")], "k int, name string"),
+        ["k"],
+    )
+    got = {r.k: r.name for r in snap.read_snapshot(spark, t).collect()}
+    assert got[3] == "NEW3" and got[7] == "v7" and got[100] == "n100"
+    # stats pruning on the merge key still prunes post-rename
+    m = snap.read_manifest(t, snap.latest_version(t))
+    assert m["pruned_by_stats"] > 0
+    # delete + compact across the boundary
+    snap.delete_where(spark, t, F.col("name") == "v5")
+    snap.compact_small(spark, t, min_file_bytes=1 << 30, target_files=2)
+    got = {r.k: r.name for r in snap.read_snapshot(spark, t).collect()}
+    assert 5 not in got and got[7] == "v7" and len(got) == 40
+    # chained rename
+    snap.rename_column(t, "name", "title")
+    got = {r.k: r.title for r in snap.read_snapshot(spark, t).collect()}
+    assert got[7] == "v7" and got[3] == "NEW3"
+    # key_range read through two renames still correct + pruned
+    one = snap.read_snapshot(spark, t, key_range=("k", 7, 7)).collect()
+    assert [(r.k, r.title) for r in one] == [(7, "v7")]
+
+
+def test_rename_column_guards_and_diff_boundary(spark):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, 2.0)], "k int, x double"), t,
+        constraints={"pos": "x > 0"},
+    )
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snap.rename_column(t, "x", "y")
+    with pytest.raises(ValueError, match="already exists"):
+        snap.rename_column(t, "k", "x")
+    with pytest.raises(ValueError, match="no column"):
+        snap.rename_column(t, "zzz", "y")
+    # unconstrained column renames fine; the feed refuses to span it
+    v = snap.rename_column(t, "k", "id")
+    with pytest.raises(ValueError, match="span a column rename"):
+        snap.snapshot_diff(spark, t, 1, v)
+
+
+def test_drop_column_no_resurrection(spark):
+    """Dropping is metadata-only; a later re-added column of the same
+    name must NOT resurrect the dead values from pre-drop files."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "old1"), (2, "old2")], "k int, note string"), t
+    )
+    v2 = snap.drop_column(t, "note")
+    assert snap.read_snapshot(spark, t).columns == ["k"]
+    assert snap.read_manifest(t, v2)["files"] == snap.read_manifest(t, 1)["files"]
+    # time travel pre-drop still shows it
+    assert {r.note for r in snap.read_snapshot(spark, t, version=1).collect()} == {"old1", "old2"}
+    # re-add the name via evolve_schema merge: old rows read NULL, not old values
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(3, "fresh")], "k int, note string"),
+        ["k"], evolve_schema=True,
+    )
+    got = {r.k: r.note for r in snap.read_snapshot(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: "fresh"}
