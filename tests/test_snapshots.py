@@ -2395,3 +2395,119 @@ def test_drop_column_no_resurrection(spark):
     )
     got = {r.k: r.note for r in snap.read_snapshot(spark, t).collect()}
     assert got == {1: None, 2: None, 3: "fresh"}
+
+
+def test_search_while_ingesting_prefix_consistent_and_isolated(spark, tmp_path):
+    """The production search shape: queries run WHILE the corpus
+    ingests. After every CDC drain, BM25 over the maintained index must
+    equal BM25 over a from-scratch rebuild of the drained prefix (no
+    stale postings, no lost updates mid-stream), and a reader PINNED to
+    a pre-drain index version must keep seeing exactly the old postings
+    while ingestion advances underneath it (snapshot isolation: search
+    never reads a torn index)."""
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        doc_lengths,
+        doc_postings,
+        search_bm25,
+        stream_maintain_token_index,
+    )
+
+    src, idx = _tdir(), _tdir()
+    docs0 = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across executors"),
+            (2, "duck reads parquet"),
+            (3, "spark reads parquet fast and scans parquet again"),
+        ],
+        "doc_id long, text string",
+    )
+    snap.write_snapshot(docs0, src, cluster_by=["doc_id"], n_files=2)
+    build_token_index(docs0, idx, "doc_id", "text", n_files=2)
+
+    def drain(ck):
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_token_index(feed, idx, "doc_id", "text", str(ck))
+        assert q.awaitTermination(120)
+
+    def bm25_maintained():
+        ldir = _tdir()
+        snap.write_snapshot(
+            doc_lengths(snap.read_snapshot(spark, src), "doc_id", "text"), ldir
+        )
+        return [
+            (r.doc_id, r.score, r.rank)
+            for r in search_bm25(
+                spark, idx, ldir, ["spark", "parquet"], "doc_id", topk=5
+            ).collect()
+        ]
+
+    def bm25_rebuilt():
+        ridx, ldir = _tdir(), _tdir()
+        cur = snap.read_snapshot(spark, src)
+        build_token_index(cur, ridx, "doc_id", "text")
+        snap.write_snapshot(doc_lengths(cur, "doc_id", "text"), ldir)
+        return [
+            (r.doc_id, r.score, r.rank)
+            for r in search_bm25(
+                spark, ridx, ldir, ["spark", "parquet"], "doc_id", topk=5
+            ).collect()
+        ]
+
+    batches = [
+        # update 2 (gains 'spark'), insert 4 & 5
+        lambda: snap.upsert_snapshot(
+            spark, src,
+            spark.createDataFrame(
+                [
+                    (2, "duck and spark both read parquet"),
+                    (4, "spark spark spark tuning"),
+                    (5, "unrelated prose entirely"),
+                ],
+                "doc_id long, text string",
+            ),
+            ["doc_id"], cdc=True,
+        ),
+        # delete 1, insert 6 (parquet-heavy)
+        lambda: (
+            snap.delete_where(spark, src, F.col("doc_id") == 1, cdc=True),
+            snap.upsert_snapshot(
+                spark, src,
+                spark.createDataFrame(
+                    [(6, "parquet parquet parquet footers")], "doc_id long, text string"
+                ),
+                ["doc_id"], cdc=True,
+            ),
+        ),
+        # update 4 (loses 'spark' entirely — its postings must retract)
+        lambda: snap.upsert_snapshot(
+            spark, src,
+            spark.createDataFrame([(4, "nothing relevant here")],
+                                  "doc_id long, text string"),
+            ["doc_id"], cdc=True,
+        ),
+    ]
+    pinned_version = None
+    pinned_expected = None
+    for i, ingest in enumerate(batches):
+        ingest()
+        drain(tmp_path / "ck")
+        got, want = bm25_maintained(), bm25_rebuilt()
+        assert got == want and got, f"prefix {i}: {got} != {want}"
+        if i == 0:
+            # pin this index version; later drains must not disturb it
+            pinned_version = snap.latest_version(idx)
+            pinned_expected = sorted(
+                map(tuple, snap.read_snapshot(spark, idx).collect())
+            )
+    assert pinned_version is not None
+    pinned_now = sorted(
+        map(tuple, snap.read_snapshot(spark, idx, version=pinned_version).collect())
+    )
+    assert pinned_now == pinned_expected
+    # and the final maintained index equals a full rebuild, postings-level
+    maintained = sorted(map(tuple, snap.read_snapshot(spark, idx).collect()))
+    rebuilt = sorted(map(tuple, doc_postings(
+        snap.read_snapshot(spark, src), "doc_id", "text"
+    ).collect()))
+    assert maintained == rebuilt
