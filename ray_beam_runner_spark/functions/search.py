@@ -316,3 +316,57 @@ def search_phrase(
         joined.select(F.col(id_col), F.size(acc).alias("n_occ"))
         .filter(F.col("n_occ") > 0)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str,
+    rrf_k: int = 60,
+    topk: int = 10,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of N
+    independently-ranked candidate lists — THE standard hybrid-search
+    combiner (lexical BM25 + vector ANN, plus any other signal that
+    yields a rank): score(d) = Σ_systems 1/(rrf_k + rank_s(d)), with a
+    document absent from a system contributing 0. Rank-based fusion
+    needs no score calibration between systems, which is why it wins
+    over score interpolation in production retrieval stacks.
+
+    Each input must carry (id_col, rank). Scale shape: the inputs are
+    top-pool lists (bounded by each system's own top-k machinery —
+    search_bm25's TakeOrderedAndProject, cosine_topk/ivfpq's window
+    over candidates), so the fusion joins frames of at most pool rows
+    each, never anything corpus-sized; the final cut is again
+    orderBy+limit (TakeOrderedAndProject), rank derived on the ≤topk
+    frame. The float sum is order-pinned (fixed expression order, one
+    row-wise expression, no aggregation) and rounded before ranking —
+    the recipe that keeps the ranking hash-identical cross-engine."""
+    from functools import reduce
+
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse: need at least two ranked inputs")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias(f"_rrf{i}"),
+        )
+        for i, df in enumerate(ranked)
+    ]
+    fused = reduce(lambda a, b: a.join(b, [id_col], "full_outer"), parts)
+    score = F.round(
+        reduce(
+            lambda a, b: a + b,
+            [F.coalesce(F.col(f"_rrf{i}"), F.lit(0.0)) for i in range(len(parts))],
+        ),
+        round_digits,
+    )
+    from pyspark.sql import Window as W
+
+    cut = (
+        fused.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(topk)
+    )
+    w = W.orderBy(F.col("score").desc(), F.col(id_col))
+    return cut.withColumn("rank", F.row_number().over(w))

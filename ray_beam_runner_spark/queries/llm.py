@@ -2414,6 +2414,104 @@ def q_text_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hybrid_search_rrf",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    len AS (SELECT doc_id, len(w) AS dl FROM d),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM len),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+    q AS (SELECT * FROM tf WHERE t IN ('merge', 'window', 'scan')),
+    dfq AS (SELECT t, count(*) AS df FROM q GROUP BY t),
+    sc AS (
+      SELECT q.doc_id,
+             round(sum(
+               ln(1 + ((SELECT n FROM stats) - dfq.df + 0.5) / (dfq.df + 0.5))
+               * q.tf
+               / (q.tf + 1.2 * (0.25 + 0.75 * len.dl / (SELECT avgdl FROM stats)))
+             ), 6) AS score
+      FROM q JOIN dfq USING (t) JOIN len USING (doc_id)
+      GROUP BY q.doc_id),
+    bmr AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+        FROM sc)
+      WHERE rank <= 20),
+    sim AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_cosine_similarity(
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+               c.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings c),
+    annr AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id)::INT AS rank
+        FROM sim)
+      WHERE rank <= 20),
+    fused AS (
+      SELECT doc_id,
+             round(coalesce(1.0 / (60 + b.rank), 0)
+                   + coalesce(1.0 / (60 + a.rank), 0), 9) AS score
+      FROM bmr b FULL OUTER JOIN annr a USING (doc_id))
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+      FROM fused)
+    WHERE rank <= 15
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — lexical BM25 over the inverted index fused
+    with vector cosine ranking by reciprocal-rank fusion
+    (functions.search.rrf_fuse; Cormack et al. SIGIR'09), the standard
+    production RAG retrieval stack: two independent top-20 pools (each
+    bounded by its own TakeOrderedAndProject / window machinery — no
+    corpus-sized frame ever reaches the fusion), full-outer-joined on
+    doc id, score(d) = Σ 1/(60 + rank). The oracle replays BOTH
+    retrievers end to end (BM25 idf/length-norm/6-dp rounding; exact
+    cosine ranking against the vec_id=0 query embedding) AND the
+    fusion arithmetic — a rank off by one in either system reorders
+    the fused list and breaks the hash. documents.doc_id and
+    embeddings.vec_id share an id space in the test corpus, standing
+    in for a corpus with both text and embedding columns."""
+    from ray_beam_runner_spark.functions.search import (
+        build_token_index,
+        doc_lengths,
+        rrf_fuse,
+        search_bm25,
+    )
+    from ray_beam_runner_spark.functions.similarity import cosine_topk
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = scratch_dir("rbrs_hybidx_")
+    lens = scratch_dir("rbrs_hyblen_")
+    build_token_index(docs, idx, "doc_id", "text")
+    snap.write_snapshot(
+        doc_lengths(docs, "doc_id", "text"), lens, cluster_by=["doc_id"], n_files=2
+    )
+    bm25 = search_bm25(
+        spark, idx, lens, ["merge", "window", "scan"], "doc_id", topk=20
+    ).select("doc_id", "rank")
+    embs = t(spark, sf_dir, "embeddings")
+    ann = (
+        cosine_topk(
+            embs.filter(F.col("vec_id") == 0).select(
+                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+            ),
+            embs,
+            k=20,
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([bm25, ann], "doc_id", rrf_k=60, topk=15)
+
+
+@query(
     "q_incremental_dedup",
     oracle=f"""
     WITH corpus AS (

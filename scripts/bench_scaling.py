@@ -74,27 +74,63 @@ def build_scaled(mult: int) -> str:
     done_marker = os.path.join(out_dir, ".done")
     if os.path.exists(done_marker):
         return out_dir
+    # big legs chain off the largest already-built divisor (x1000 = 10
+    # copies of x100, not a 1000-branch union re-read of the source)
+    base_mult, base_dir = 1, SRC
+    for m in sorted(
+        int(d[1:]) for d in os.listdir(ROOT)
+        if d.startswith("x") and d[1:].isdigit()
+        and os.path.exists(os.path.join(ROOT, d, ".done"))
+    ) if os.path.isdir(ROOT) else []:
+        if m < mult and mult % m == 0:
+            base_mult, base_dir = m, os.path.join(ROOT, f"x{m}")
+    copies = mult // base_mult
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
-    spans = _domain_spans(con)
+    # per-copy span over the BASE dir = source-domain span * base_mult
+    spans = {
+        member: span * base_mult for member, span in _domain_spans(con).items()
+    }
     for tbl in TABLES:
-        src = f"{SRC}/{tbl}.parquet"
+        src = _pq(f"{base_dir}/{tbl}.parquet")
         keys = {col: span for (t_, col), span in spans.items() if t_ == tbl}
         if not keys:  # small dims copy through unchanged
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{src}')) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)"
             )
             continue
-        parts = []
-        for i in range(mult):
+        if copies <= 10 and base_mult == 1:
+            parts = []
+            for i in range(copies):
+                sel = ", ".join(
+                    [f"{k} + {i * keys[k]} AS {k}" if k in keys else k for k in _cols(con, src)]
+                )
+                parts.append(f"SELECT {sel} FROM read_parquet('{src}')")
+            union = " UNION ALL ".join(parts)
+            con.execute(f"COPY ({union}) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)")
+            continue
+        # large legs: one COPY per replica into a directory-table —
+        # bounded memory (a monolithic union buffers the whole result
+        # before the write) and the multi-file layout a corpus this
+        # size would really have
+        tdir = os.path.join(out_dir, f"{tbl}.parquet")
+        os.makedirs(tdir, exist_ok=True)
+        for i in range(copies):
             sel = ", ".join(
                 [f"{k} + {i * keys[k]} AS {k}" if k in keys else k for k in _cols(con, src)]
             )
-            parts.append(f"SELECT {sel} FROM read_parquet('{src}')")
-        union = " UNION ALL ".join(parts)
-        con.execute(f"COPY ({union}) TO '{out_dir}/{tbl}.parquet' (FORMAT PARQUET)")
+            con.execute(
+                f"COPY (SELECT {sel} FROM read_parquet('{src}')) "
+                f"TO '{tdir}/copy-{i:04d}.parquet' (FORMAT PARQUET)"
+            )
     open(done_marker, "w").close()
     return out_dir
+
+
+def _pq(path: str) -> str:
+    """read_parquet-able form of a table path: the file itself, or a
+    glob over a directory-table's part files."""
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
 
 
 def _cols(con, src) -> list[str]:
@@ -109,7 +145,7 @@ def time_duckdb(data_dir: str) -> dict[str, float]:
     con = duckdb.connect()
     for tbl in TABLES:
         con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{data_dir}/{tbl}.parquet')"
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{_pq(f'{data_dir}/{tbl}.parquet')}')"
         )
     out = {}
     for name in BENCH_SET:
@@ -125,7 +161,13 @@ def time_spark(data_dir: str, mult: int, warmups: int = 3, timed: int = 2) -> di
     from ray_beam_runner_spark import get_spark
     from ray_beam_runner_spark.queries import QUERIES
 
-    spark = get_spark("bench-scaling")
+    # q_window's result is row-proportional (top-3 per customer): at
+    # x1000 the driver merge is >1 GiB of Arrow batches — raise the
+    # collect cap (the materialization is the benchmark's protocol,
+    # symmetric with DuckDB's .df())
+    spark = get_spark(
+        "bench-scaling", extra_conf={"spark.driver.maxResultSize": "8g"}
+    )
     # Size the session to the leg's input, the same way bench.py sizes
     # sf0.1 (and a cluster deployment sizes shuffle partitions to its
     # executors) — one fixed conf either starves the x1 leg with reduce
@@ -135,11 +177,16 @@ def time_spark(data_dir: str, mult: int, warmups: int = 3, timed: int = 2) -> di
     # - shuffle partitions: scheduling cost dominates under ~50 MB of
     #   shuffle input, so grow with the leg instead of paying 32 reduce
     #   tasks on a 16 MB corpus.
-    biggest = max(
-        os.path.getsize(os.path.join(data_dir, f"{t}.parquet")) for t in TABLES
-    )
+    def _sz(p: str) -> int:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        return os.path.getsize(p)
+
+    biggest = max(_sz(os.path.join(data_dir, f"{t}.parquet")) for t in TABLES)
     split = max(2 * 1024 * 1024, biggest // 64)
-    shuffle = {1: 4, 10: 8}.get(mult, 16)
+    shuffle = {1: 4, 10: 8, 100: 16}.get(mult, 64)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     out: dict[str, float] = {}
@@ -161,6 +208,9 @@ def main() -> None:
     ap.add_argument("--out", default="BENCH_SCALING.json")
     args = ap.parse_args()
     results = {}
+    if os.path.exists(args.out):  # merge: keep legs from earlier runs
+        with open(args.out) as f:
+            results = json.load(f)
     for mult in [int(m) for m in args.mults.split(",")]:
         data_dir = SRC if mult == 1 else build_scaled(mult)
         duck = time_duckdb(data_dir)

@@ -574,3 +574,13 @@ def test_bm25_topk_plan_no_global_window(spark, sf_dir):
     # the TakeOrderedAndProject node's
     w_i, t_i = plan.find("Window"), plan.find("TakeOrderedAndProject")
     assert w_i == -1 or w_i < t_i, plan[:3000]
+
+
+def test_hybrid_rrf_plan_pool_bounded(spark, sf_dir):
+    """rrf_fuse's final cut must also be TakeOrderedAndProject, and the
+    fusion must join the two POOLS (each already limited by its own
+    top-k machinery) — no corpus-sized frame reaches the fusion, so no
+    unpartitioned Window below the limit."""
+    df = QUERIES["q_hybrid_search_rrf"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:3000]

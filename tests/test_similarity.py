@@ -738,3 +738,37 @@ def test_ivfpq_rerank_recovers_recall(spark):
     for qid in range(n_q):
         rows = sorted((r.rank, r.dist) for r in rr if r.q_id == qid)
         assert [d for _, d in rows] == sorted(d for _, d in rows)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF ground truth by hand: doc in both lists sums both reciprocal
+    terms; doc in one list contributes only its own; ties break by id;
+    fewer than two inputs is an error."""
+    from ray_beam_runner_spark.functions.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    got = {
+        r.doc_id: (r.score, r.rank)
+        for r in rrf_fuse([a, b], "doc_id", rrf_k=10, topk=10).collect()
+    }
+    exp_scores = {
+        1: 1 / 11,            # only list a, rank 1
+        2: 1 / 12 + 1 / 11,   # both lists
+        3: 1 / 13,            # only list a
+        4: 1 / 12,            # only list b
+    }
+    assert set(got) == set(exp_scores)
+    for d, s in exp_scores.items():
+        assert abs(got[d][0] - s) < 1e-9, (d, got[d], s)
+    # fused order: 2 (0.174) > 1 (0.0909) > 4 (0.0833) > 3 (0.0769)
+    assert [d for d, (_, rk) in sorted(got.items(), key=lambda kv: kv[1][1])] == [2, 1, 4, 3]
+    # equal-score tie (same rank in disjoint singleton lists) breaks by id
+    x = spark.createDataFrame([(7, 1)], "doc_id long, rank int")
+    y = spark.createDataFrame([(5, 1)], "doc_id long, rank int")
+    tied = rrf_fuse([x, y], "doc_id", rrf_k=10, topk=2).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(tied, key=lambda r: r.rank)] == [(5, 1), (7, 2)]
+    with pytest.raises(ValueError, match="two ranked"):
+        rrf_fuse([a], "doc_id")
+    # topk cuts AFTER fusion
+    assert {r.doc_id for r in rrf_fuse([a, b], "doc_id", rrf_k=10, topk=2).collect()} == {1, 2}
