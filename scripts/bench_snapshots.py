@@ -215,20 +215,113 @@ def join_view_leg(spark, mult: int) -> dict:
         shutil.rmtree(v_dir, ignore_errors=True)
 
 
+CORPUS_BASE_DOCS = 20_000
+
+
+def _corpus_docs(spark, lo: int, hi: int, salt: str):
+    """Deterministic pseudo-docs: 8 hash-word tokens; every 10th doc
+    repeats its neighbor's text so exact dedup has real survivors."""
+    base = F.when(
+        F.col("id") % 10 == 9, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = [
+        F.substring(F.md5(F.concat(base.cast("string"), F.lit(f":{salt}:{i}"))), 1, 6)
+        for i in range(8)
+    ]
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("source"),
+        F.concat_ws(" ", *words).alias("text"),
+    )
+
+
+def corpus_leg(spark, mult: int) -> dict:
+    """End-to-end refresh cost of the COMPOSED corpus pipeline
+    (corpus.py: source CDC -> dedup/quality state -> aggregate IVM +
+    token index + ANN index) vs corpus size: after the one-time
+    materialization, a constant-size mixed batch (400 inserts, 200
+    updates, 100 deletes incl. dedup survivors forcing re-election)
+    must refresh the whole cascade in ~flat time while the corpus
+    grows 16x — every stage reads deltas, probes the standing tables
+    by key/fingerprint, and MERGEs file-pruned."""
+    from ray_beam_runner_spark import corpus
+
+    rows = CORPUS_BASE_DOCS * mult
+    src = tempfile.mkdtemp(prefix="rbrs_corpbench_src_")
+    state = tempfile.mkdtemp(prefix="rbrs_corpbench_state_")
+    work = tempfile.mkdtemp(prefix="rbrs_corpbench_work_")
+    try:
+        snap.write_snapshot(
+            _corpus_docs(spark, 0, rows, "v0"), src,
+            cluster_by=["doc_id"], n_files=max(2, rows // 40_000),
+        )
+        t0 = time.perf_counter()
+        corpus.refresh_corpus_state(spark, src, state, quality_min=0.0)
+        layout = corpus.init_corpus_views(spark, state, work)
+        init_dt = time.perf_counter() - t0
+        # constant-size mixed batch regardless of corpus size
+        ups = _corpus_docs(spark, 1000, 1200, "v1").unionByName(
+            _corpus_docs(spark, rows, rows + 400, "v0")
+        )
+        dels = spark.range(2000, 2100).select(F.col("id").alias("doc_id"))
+        ups.collect()
+        snap.upsert_snapshot(
+            spark, src, ups, ["doc_id"], delete_keys_df=dels, cdc=True
+        )
+        t0 = time.perf_counter()
+        corpus.refresh_corpus_state(spark, src, state, quality_min=0.0)
+        corpus.drain_corpus_views(spark, layout)
+        refresh_dt = time.perf_counter() - t0
+        return {
+            "corpus_rows": rows,
+            "init_sec": round(init_dt, 2),
+            "refresh_sec": round(refresh_dt, 2),
+        }
+    finally:
+        for d in (src, state, work):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--legs", default="all", help="comma list or 'all'")
+    ap.add_argument("--out", default=None, help="merge results into this JSON file")
+    args = ap.parse_args()
+    want = None if args.legs == "all" else set(args.legs.split(","))
+
+    def on(name: str) -> bool:
+        return want is None or name in want
+
     spark = get_spark("bench_snapshots")
-    out = {"clustered": {}, "control_unclustered": {}, "change_feed": {}}
-    for mult in (1, 4, 16):
-        out["clustered"][f"x{mult}"] = leg(spark, mult, clustered=True)
-    out["control_unclustered"]["x16"] = leg(spark, 16, clustered=False)
-    for mult in (1, 4, 16):
-        out["change_feed"][f"x{mult}"] = feed_leg(spark, mult)
-    out["dv_merge_x16"] = dv_leg(spark, 16)
-    out["join_view"] = {
-        "x1": join_view_leg(spark, 1),
-        "x16": join_view_leg(spark, 16),
-    }
+    out = {}
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+    if on("merge"):
+        out["clustered"] = {
+            f"x{m}": leg(spark, m, clustered=True) for m in (1, 4, 16)
+        }
+        out["control_unclustered"] = {"x16": leg(spark, 16, clustered=False)}
+    if on("feed"):
+        out["change_feed"] = {f"x{m}": feed_leg(spark, m) for m in (1, 4, 16)}
+    if on("dv"):
+        out["dv_merge_x16"] = dv_leg(spark, 16)
+    if on("join_view"):
+        out["join_view"] = {
+            "x1": join_view_leg(spark, 1),
+            "x16": join_view_leg(spark, 16),
+        }
+    if on("corpus"):
+        out["corpus_pipeline"] = {
+            "x1": corpus_leg(spark, 1),
+            "x16": corpus_leg(spark, 16),
+        }
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
