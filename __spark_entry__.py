@@ -39,13 +39,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # are excluded from the window; their verification lane is ORACLE_SWEEP
 # + differential pytest. The window is computed from the CORRECTNESS_r*
 # history: the 50 queries whose last driver gate is round 8 are the
-# stalest (everything else was gated r9) — 47 of them lead this window,
-# followed by the THREE queries new in round 10 (q_corpus_ivm, the
+# stalest (everything else was gated r9) — 45 of them lead this window,
+# followed by the FIVE queries new in round 10 (q_corpus_ivm, the
 # composed CDC-cascade pipeline; q_snapshot_rename, column mapping;
-# q_hybrid_search_rrf, BM25+ANN reciprocal-rank fusion — fresh driver
-# rows wanted). The three r8-gated rows displaced by them (q_kmeans,
+# q_hybrid_search_rrf, BM25+ANN reciprocal-rank fusion; q_fuzzy_pairs +
+# q_fuzzy_join, PassJoin edit-distance joins — fresh driver rows
+# wanted). The five r8-gated rows displaced by them (q_kmeans,
 # q_pq_topk, q_ivfpq_topk — the similarity family with the deepest
-# pytest recall coverage) plus everything gated r9 are re-verified in
+# pytest recall coverage — plus q_dedup_span_removal and
+# q_bpe_pair_counts, both carrying their own differential pytests)
+# plus everything gated r9 are re-verified in
 # ORACLE_SWEEP_r10.json at the gate's own sf0.01;
 # scripts/gate_preflight.py replays this exact window on a vanilla
 # session. All queries remain declared and runnable.
@@ -65,10 +68,11 @@ _GATE_FIRST = (
     "q_snapshot_upsert", "q_multimodal_audio", "q_sequence_pack",
     "q_corpus_shuffle", "q_pagerank", "q_bigram_kn_logppl",
     "q_snapshot_ivm", "q_snapshot_zorder", "q_multimodal_video",
-    "q_bpe_pair_counts", "q_streaming_outer_join", "q_streaming_full_outer",
-    "q_dedup_span_removal", "q_snapshot_delete", "q_scd2",
+    "q_streaming_outer_join", "q_streaming_full_outer",
+    "q_snapshot_delete", "q_scd2",
     # new this round
     "q_corpus_ivm", "q_snapshot_rename", "q_hybrid_search_rrf",
+    "q_fuzzy_pairs", "q_fuzzy_join",
 )
 
 

@@ -2626,6 +2626,76 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_KEY = f"array_to_string((string_split({_NORM}, ' '))[1:3], ' ')"
+
+
+@query(
+    "q_fuzzy_pairs",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, {_FUZZY_KEY} AS key FROM documents)
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           levenshtein(a.key, b.key) AS dist
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.key, b.key) BETWEEN 1 AND 3
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss entity pairs: every doc pair whose leading-3-word key is
+    within edit distance 3 but not identical (exact matches belong to
+    `q_dedup_exact`). The Spark plan is NOT the oracle's all-pairs
+    levenshtein: PassJoin segment blocking turns it into a keyed postings
+    equi-join with levenshtein only on the candidate superset — exact by
+    the pigeonhole argument (functions/fuzzy.py), so it hash-matches the
+    quadratic oracle while scaling as postings, not pairs."""
+    from ray_beam_runner_spark.functions.fuzzy import edit_distance_pairs
+    from ray_beam_runner_spark.functions.text import normalize_text
+
+    keys = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 3), " ").alias("key"),
+    )
+    return edit_distance_pairs(keys, "doc_id", "key", max_dist=3)
+
+
+@query(
+    "q_fuzzy_join",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, source, {_FUZZY_KEY} AS key FROM documents)
+    SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+           levenshtein(a.key, b.key) AS dist
+    FROM (SELECT doc_id, key FROM k
+          WHERE source IN ('src0','src1','src2','src3','src4')) a
+    JOIN (SELECT doc_id, key FROM k
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')) b
+      ON levenshtein(a.key, b.key) <= 3
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-relation fuzzy equi-join (entity resolution across feeds): docs
+    from sources src0-4 matched against the rest of the corpus on the
+    leading-3-word key within edit distance 3. The larger relation is
+    segment-indexed; the smaller probes with O(d^3) substring keys/row, so
+    probe cost rides the small side (functions/fuzzy.py fuzzy_join)."""
+    from ray_beam_runner_spark.functions.fuzzy import fuzzy_join
+    from ray_beam_runner_spark.functions.text import normalize_text
+
+    probe_srcs = ("src0", "src1", "src2", "src3", "src4")
+    keys = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 3), " ").alias("key"),
+    )
+    left = keys.filter(F.col("source").isin(*probe_srcs)).select(
+        F.col("doc_id").alias("probe_id"), F.col("key").alias("pkey")
+    )
+    right = keys.filter(~F.col("source").isin(*probe_srcs)).select(
+        F.col("doc_id").alias("corpus_id"), F.col("key").alias("ckey")
+    )
+    return fuzzy_join(left, right, "pkey", "ckey", max_dist=3).select(
+        "probe_id", "corpus_id", "dist"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: semantic dedup, stutter cleanup, vocabulary extraction
 # ---------------------------------------------------------------------------
