@@ -2696,6 +2696,108 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id,
+             (('0x' || substr(md5('wrace:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              + 1)::DOUBLE / n_chars AS key
+      FROM documents WHERE n_chars > 0)
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn
+      FROM w)
+    WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional exactly-k sampling per stratum (the
+    without-replacement draw corpus curation needs when 'sample 5 docs
+    per source, longer docs more likely' must be reproducible): each doc
+    draws a fixed-point md5 uniform u and finishes a race at time
+    (u+1)/weight; the k earliest finishers per stratum win. This is
+    Efraimidis-Sirmakis exponential-race sampling with the exponential
+    -ln(U)/w replaced by its linear fixed-point surrogate U/w — the draw
+    stays monotone in weight and deterministic, and the key needs ONLY
+    integer hashing plus one IEEE-754 division of exactly-representable
+    integers, so Spark and any oracle engine agree bitwise (pow/ln do
+    not cross engines bit-exactly; division does). Same
+    rank<=k-per-group shape as q_stratified_sample: WindowGroupLimit
+    keeps k rows per stratum per map task BEFORE the shuffle, so the
+    exchange carries O(k x strata x tasks) rows at any corpus size."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wrace:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    key = (u + F.lit(1)).cast("double") / F.col("n_chars")
+    w = W.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "q_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT source, median(n_chars) AS med
+      FROM documents GROUP BY source),
+    dev AS (
+      SELECT d.source, d.doc_id, abs(d.n_chars - m.med) AS adev, m.med
+      FROM documents d JOIN med m ON d.source = m.source),
+    mad AS (
+      SELECT source, median(adev) AS mad FROM dev GROUP BY source)
+    SELECT v.source,
+           round(v.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           count(*) FILTER (WHERE v.adev > 3 * m.mad) AS n_outliers,
+           count(*) AS n_docs
+    FROM dev v JOIN mad m ON v.source = m.source
+    GROUP BY v.source, v.med, m.mad
+    ORDER BY v.source
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-stratum outlier detection (median/MAD, the
+    length-anomaly screen that survives the heavy-tailed doc-length
+    distributions a mean/stddev z-score drowns in): exact median and
+    median-absolute-deviation per source, then a 3-MAD outlier count.
+    Two narrow aggregations over the stratum key with the 20-row
+    median table broadcast back between them — the exact-percentile
+    sort is per-group and the group count is small; for
+    high-cardinality keys at 100 TB the mergeable-sketch variant of
+    this screen already exists (q_sketch_quantiles, DDSketch)."""
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    med = d.groupBy("source").agg(F.percentile("n_chars", F.lit(0.5)).alias("med"))
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", "med", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("source").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source", "med", "mad")
+        .agg(
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "n_docs",
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: semantic dedup, stutter cleanup, vocabulary extraction
 # ---------------------------------------------------------------------------

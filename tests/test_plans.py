@@ -433,6 +433,16 @@ def test_stratified_sample_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan[:3000]
 
 
+def test_weighted_sample_window_group_limit_and_broadcast_stats(spark, sf_dir):
+    # weighted race sampler: same pre-shuffle per-group truncation
+    plan = formatted_plan(QUERIES["q_weighted_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:3000]
+    # robust outliers: the 20-row median/MAD tables come back as
+    # broadcast joins, never a shuffled join against the corpus
+    plan = formatted_plan(QUERIES["q_robust_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan[:3000]
+
+
 def test_tpch_partsupp_batch_plans(spark, sf_dir):
     # Q2: correlated min decorrelated — no nested loop outside the
     # deliberate broadcast cross join of the partsupp builder
