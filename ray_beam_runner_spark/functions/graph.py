@@ -317,3 +317,58 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_depth: int = 10,
+    undirected: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: (node, hops) with the MINIMUM hop count from
+    any seed, bounded by ``max_depth`` — reachability rings, blast
+    radius, k-hop neighborhood extraction. Pregel-style frontier
+    expansion as pure DataFrame algebra:
+
+    per round: frontier ⋈ edges (one keyed equi-join — the frontier is
+    node ids only, tiny relative to the corpus) → distinct successors →
+    anti-join against the visited set so each node settles at its first
+    (= minimum) depth and is never expanded twice. Round k's shuffle is
+    proportional to the k-ring's edge boundary, never the graph; the
+    visited set carries one row per reached node. Frontier and visited
+    are eagerly localCheckpoint-ed each round (the module's lineage
+    discipline — see connected_components) so the plan stays one round
+    deep. Early exit on an empty frontier costs one count() of an
+    already-materialized checkpoint per round."""
+    e = edges.select(F.col(src).alias("_bf_s"), F.col(dst).alias("_bf_d")).distinct()
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("_bf_d").alias("_bf_s"), F.col("_bf_s").alias("_bf_d"))
+        ).distinct()
+    from ray_beam_runner_spark.caches import track
+
+    e = track(e)
+    visited = (
+        seeds.select(F.col(node).alias("node")).distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for k in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_bf_s"])
+            .select(F.col("_bf_d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited

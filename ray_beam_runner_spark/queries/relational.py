@@ -2348,6 +2348,54 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bfs_layers",
+    oracle="""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    seeds AS (
+      SELECT DISTINCT 's' || s_suppkey AS node
+      FROM supplier WHERE s_nationkey = 0),
+    walk(node, depth) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.depth < 3)
+    SELECT node, min(depth) AS hops FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer-supplier trade graph: minimum
+    hop count from the nation-0 supplier seed set, depth-bounded at 3
+    (blast-radius / k-hop-neighborhood extraction). Spark side is
+    functions.graph.bfs_layers — Pregel-style frontier expansion, one
+    keyed join + visited anti-join per round, frontiers
+    localCheckpoint-ed; round k's shuffle is the k-ring's edge
+    boundary, never the graph. The oracle walks the SAME rings with a
+    recursive CTE and takes min(depth) per node — frontier iteration
+    vs recursive fixpoint are different plans for the same layer sets,
+    which is what the hash checks."""
+    from ray_beam_runner_spark.functions.graph import bfs_layers
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    out = bfs_layers(edges, seeds, "src", "dst", "node", max_depth=3, undirected=True)
+    return out.orderBy("node")
+
+
+@query(
     "q_snapshot_zorder",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -170,3 +170,33 @@ def test_triangle_count_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_bfs_layers_directed_min_hops(spark):
+    from ray_beam_runner_spark.functions.graph import bfs_layers
+
+    # 0->1->2->3->4 plus shortcut 0->3; 9 unreachable; 4 has no out-edges
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (9, 0)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(0,)], "node int")
+    out = {r.node: r.hops for r in bfs_layers(edges, seeds, max_depth=10).collect()}
+    # shortcut wins: 3 settles at hop 1, 4 at hop 2; 9 not reached (directed)
+    assert out == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_bfs_layers_undirected_depth_bound_and_multi_seed(spark):
+    from ray_beam_runner_spark.functions.graph import bfs_layers
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (9, 0)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(2,), (9,)], "node int")
+    out = {
+        r.node: r.hops
+        for r in bfs_layers(
+            edges, seeds, max_depth=1, undirected=True
+        ).collect()
+    }
+    # depth bound cuts the walk after ring 1; both seeds at 0; min over seeds
+    assert out == {2: 0, 9: 0, 1: 1, 3: 1, 0: 1}
