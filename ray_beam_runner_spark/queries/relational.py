@@ -2669,6 +2669,107 @@ def q_snapshot_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_asof_enrich",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey % 4 = 0),
+    hist AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             0::BIGINT AS effective_from,
+             CASE WHEN c_custkey % 12 = 0 THEN 100 END::BIGINT AS effective_to
+      FROM c
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '-v2', 100::BIGINT,
+             CASE WHEN c_custkey % 24 = 0 THEN 200 END::BIGINT
+      FROM c WHERE c_custkey % 12 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '-v3', 200::BIGINT, NULL::BIGINT
+      FROM c WHERE c_custkey % 24 = 0),
+    facts AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             o_orderkey % 300 AS event_t
+      FROM orders WHERE o_custkey % 4 = 0)
+    SELECT h.segment,
+           count(*) AS n_orders,
+           round(sum(f.o_totalprice), 2) AS revenue
+    FROM facts f
+    JOIN hist h
+      ON h.c_custkey = f.o_custkey
+     AND h.effective_from <= f.event_t
+     AND (h.effective_to IS NULL OR f.event_t < h.effective_to)
+    GROUP BY h.segment
+    ORDER BY h.segment
+    """,
+)
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact enrichment against a LIVE SCD2 dimension — the
+    composition the warehouse pattern exists for: build the same SCD2
+    history snapshot as q_scd2 (two scd2_upsert merges on top of the
+    initial load), then join each order to the dimension version valid
+    AT ITS EVENT TIME (effective_from <= t < effective_to, open tail
+    NULL). The join carries the equi key (custkey) so Spark plans a
+    BroadcastHashJoin on the key with the interval predicate as a
+    post-filter — dimension histories are small relative to facts, so
+    this is the 100 TB shape (facts never shuffle); intervals partition
+    the timeline, so each fact matches exactly one version. Oracle
+    reconstructs the identical history relationally and repeats the
+    interval join."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit(0).cast("long").alias("effective_from"),
+        F.lit(None).cast("long").alias("effective_to"),
+    )
+    tdir = scratch_dir("rbrs_scd2enr_")
+    snap.write_snapshot(base, tdir, cluster_by=["c_custkey"], n_files=8)
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    for mod, at, suffix, bump in ((12, 100, "-v2", 1000.0), (24, 200, "-v3", 2000.0)):
+        upd = dim.filter(F.col("c_custkey") % mod == 0).select(
+            "c_custkey",
+            F.concat(F.col("segment"), F.lit(suffix)).alias("segment"),
+            F.round(F.col("bal") + bump, 2).alias("bal"),
+            F.lit(at).cast("long").alias("effective_from"),
+        )
+        snap.scd2_upsert(spark, tdir, upd, ["c_custkey"])
+    hist = snap.read_snapshot(spark, tdir).select(
+        "c_custkey", "segment", "effective_from", "effective_to"
+    )
+    facts = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 4 == 0)
+        .select(
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % 300).alias("event_t"),
+        )
+    )
+    return (
+        facts.join(
+            F.broadcast(hist),
+            (hist["c_custkey"] == facts["o_custkey"])
+            & (hist["effective_from"] <= facts["event_t"])
+            & (hist["effective_to"].isNull() | (facts["event_t"] < hist["effective_to"])),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
     "q_scd2",
     oracle="""
     WITH c AS (
