@@ -2712,9 +2712,13 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastHashJoin on the key with the interval predicate as a
     post-filter — dimension histories are small relative to facts, so
     this is the 100 TB shape (facts never shuffle); intervals partition
-    the timeline, so each fact matches exactly one version. Oracle
-    reconstructs the identical history relationally and repeats the
-    interval join."""
+    the timeline, so each fact matches exactly one version. Batch
+    counterpart of q_streaming_scd2_enrich (same history mechanics,
+    resolved per micro-batch there): backfills and reprocessing take
+    this path, live events the streaming one — sharing one SCD2 table
+    is the point. Oracle reconstructs the identical history
+    relationally and repeats the interval join, aggregated per
+    segment version."""
     from ray_beam_runner_spark.queries import scratch_dir
     from ray_beam_runner_spark.sources import snapshots as snap
 
