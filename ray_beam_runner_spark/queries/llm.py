@@ -2697,6 +2697,50 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fuzzy_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    k AS (SELECT doc_id, {_FUZZY_KEY} AS key FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM k a JOIN k b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.key, b.key) BETWEEN 1 AND 3),
+    edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+    comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT doc_id,
+           coalesce(component, doc_id) AS cluster,
+           coalesce(component, doc_id) = doc_id AS is_survivor
+    FROM documents LEFT JOIN comp ON doc_id = node
+    """,
+)
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key dedup CLUSTERS: connected components over the
+    edit-distance pair graph (q_fuzzy_pairs' PassJoin output), every doc
+    labeled with its component's min doc_id and a survivor flag — the
+    near-miss-entity consolidation step (typo'd titles collapse to one
+    canonical id). Same composition shape as q_dedup_clusters: banded
+    pair generation feeds the alternating-star components operator;
+    oracle is the all-pairs levenshtein graph's recursive-CTE closure."""
+    from ray_beam_runner_spark.functions.fuzzy import edit_distance_pairs
+    from ray_beam_runner_spark.functions.graph import dedup_clusters
+    from ray_beam_runner_spark.functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 3), " ").alias("key"),
+    )
+    pairs = edit_distance_pairs(keys, "doc_id", "key", max_dist=3).select(
+        F.col("id_1").alias("d1"), F.col("id_2").alias("d2")
+    )
+    return dedup_clusters(docs, pairs, id_col="doc_id")
+
+
+@query(
     "q_weighted_sample",
     oracle="""
     WITH w AS (

@@ -159,9 +159,39 @@ def main() -> None:
             release_tracked()
             spark.catalog.clearCache()
             dt = dt1 if dt is None else min(dt, dt1)
+        print(f"[x{mult}] minhash_lsh done", file=sys.stderr, flush=True)
         row["minhash_lsh"] = {
             "sec": round(dt, 2),
             "pairs": n_pairs,
+            "docs_per_sec": round(n_docs / dt),
+        }
+
+        # fuzzy edit-distance self-join (round 10): PassJoin segment
+        # blocking over the leading-3-word key. d=2 because every key
+        # token carries the copy salt, so cross-copy keys sit at
+        # distance >= 3 — the pair set is within-copy only and grows
+        # LINEARLY with the corpus, isolating the postings-join cost
+        # from a pair-count blow-up. docs/sec holding ~flat is the
+        # subquadratic claim (an all-pairs join would fall as 1/n).
+        from ray_beam_runner_spark.functions.fuzzy import edit_distance_pairs
+        from ray_beam_runner_spark.functions.text import normalize_text
+
+        keys = docs.select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.split(normalize_text(F.col("text")), " "), 1, 3), " "
+            ).alias("key"),
+        )
+        dt, n_fz = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_fz = edit_distance_pairs(keys, "doc_id", "key", max_dist=2).count()
+            d1 = time.perf_counter() - t0
+            dt = d1 if dt is None else min(dt, d1)
+        print(f"[x{mult}] fuzzy_pairs done", file=sys.stderr, flush=True)
+        row["fuzzy_pairs"] = {
+            "sec": round(dt, 2),
+            "pairs": n_fz,
             "docs_per_sec": round(n_docs / dt),
         }
 
@@ -177,6 +207,7 @@ def main() -> None:
             n = QUERIES[qname](spark, data_dir).count()
             dt = time.perf_counter() - t0
             row[qname] = {"sec": round(dt, 2), "rows": n, "docs_per_sec": round(n_docs / dt)}
+            print(f"[x{mult}] {qname} done {dt:.1f}s", file=sys.stderr, flush=True)
 
         # length-aware packing (r8 ask #7): FFD padding waste vs the
         # doc_id-order next-fit baseline over the same (source, shard)
@@ -211,6 +242,7 @@ def main() -> None:
         w_seq, b_seq = waste_of(
             pack_next_fit(base, ["source", "shard"], "doc_id", "n_tok", cap)
         )
+        print(f"[x{mult}] pack_ffd done", file=sys.stderr, flush=True)
         row["pack_ffd"] = {
             "sec": round(dt, 2),
             "docs_per_sec": round(n_docs / dt),
