@@ -1886,6 +1886,50 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interval_join",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, user_id, ts AS a_start, ts + INTERVAL 2 HOUR AS a_end
+      FROM events WHERE event_type = 'signup'),
+    b AS (
+      SELECT event_id, user_id, ts AS b_start, ts + INTERVAL 1 HOUR AS b_end
+      FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id AS a_id, b.event_id AS b_id
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.a_start < b.b_end AND b.b_start < a.a_end
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (concurrent signup/purchase
+    activity windows per user) via operators.joins.interval_overlap_join:
+    both interval sides explode to coarse time buckets, equi-join on
+    (user, bucket), exact overlap predicate filters, and each pair is
+    emitted only in the bucket of greatest(starts) — exactly-once pairs
+    with no post-join distinct. q_range_join is the point-in-interval
+    sibling; this is the general two-interval case a raw predicate
+    would plan as a nested loop."""
+    from ray_beam_runner_spark.operators.joins import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("b_end"),
+    )
+    return interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucket_seconds=3600, extra_on=["u"]
+    ).select("a_id", "b_id")
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events

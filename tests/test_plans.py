@@ -275,6 +275,34 @@ def test_range_bucket_join_matches_plain(spark, sf_dir):
         ev.unpersist()
 
 
+def test_interval_overlap_join_matches_plain_exactly_once(spark):
+    # interval x interval overlap via bucket explode == plain overlap
+    # predicate join, INCLUDING multiplicity: a pair spanning many
+    # shared buckets must appear exactly once (first-shared-bucket
+    # emission, no post-join distinct), and duplicate input rows must
+    # keep their duplicate pairs (a distinct would wrongly collapse
+    # them). Long 10-bucket intervals + second-granularity buckets
+    # exercise the multi-bucket path hard.
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.operators.joins import interval_overlap_join
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    rows_a = [(1, 0.0, 100.0), (2, 50.0, 60.0), (3, 200.0, 201.0), (3, 200.0, 201.0)]
+    rows_b = [(10, 90.0, 150.0), (11, 55.0, 56.0), (12, 100.0, 110.0), (13, 199.5, 200.5)]
+    a = spark.createDataFrame(rows_a, "a_id int, a_s double, a_e double")
+    b = spark.createDataFrame(rows_b, "b_id int, b_s double, b_e double")
+    out = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=10)
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    plain = a.join(b, (a.a_s < b.b_e) & (b.b_s < a.a_e))
+    want = sorted((r.a_id, r.b_id) for r in plain.collect())
+    assert got == want  # same pairs AND same multiplicities
+    assert (1, 10) in got  # multi-bucket overlap emitted once
+    assert got.count((3, 13)) == 2  # duplicate input row keeps both pairs
+    assert (1, 12) not in got  # half-open: [0,100) vs [100,110) don't touch
+    assert "NestedLoop" not in formatted_plan(out)
+
+
 def test_asof_join_forward_and_tolerance(spark):
     import datetime as dt
 
