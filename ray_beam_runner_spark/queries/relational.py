@@ -1930,6 +1930,60 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+      FROM events WHERE event_type IN ('signup', 'click')),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 FROM iv),
+    run AS (
+      SELECT user_id,
+             sum(delta) OVER (
+               PARTITION BY user_id
+               ORDER BY t, delta
+               ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts)
+    SELECT user_id, max(conc)::BIGINT AS peak
+    FROM run GROUP BY user_id
+    HAVING max(conc) >= 2
+    ORDER BY user_id
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity windows per user (max overlapping 2-hour
+    signup/click sessions) by sweep line: each interval contributes a
+    +1 point at its start and a -1 at its end, a running sum ordered by
+    (t, delta) walks the timeline — delta sorts -1 first at equal
+    timestamps, so back-to-back half-open intervals [a,b)+[b,c) never
+    count as concurrent — and the per-user max is the peak. The window
+    partitions by user, so the sort is per-key and shuffles once on the
+    same key as the aggregate; no global ordering anywhere (the
+    all-users variant buckets time and carries per-bucket offsets — a
+    two-pass prefix sum — rather than one unpartitioned window).
+    HAVING >= 2 keeps the result the interesting overlap set."""
+    ev = t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    pts = iv.select("user_id", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = W.partitionBy("user_id").orderBy("t", "delta").rowsBetween(W.unboundedPreceding, 0)
+    run = pts.select("user_id", F.sum("delta").over(w).alias("conc"))
+    return (
+        run.groupBy("user_id")
+        .agg(F.max("conc").alias("peak"))
+        .filter(F.col("peak") >= 2)
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
