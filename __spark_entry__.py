@@ -51,7 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # plus everything gated r9 are re-verified in
 # ORACLE_SWEEP_r10.json at the gate's own sf0.01;
 # scripts/gate_preflight.py replays this exact window on a vanilla
-# session. All queries remain declared and runnable.
+# session. All queries remain declared and runnable. The SEVEN other
+# round-10 queries (q_fuzzy_clusters, q_weighted_sample,
+# q_robust_outliers, q_bfs_layers, q_scd2_asof_enrich,
+# q_interval_join, q_peak_concurrency) don't fit the 50-slot window
+# without making more r8 rows 3 rounds stale; they're sweep-verified
+# at the same sf0.01 this round and are first in line for the r11
+# window.
 _GATE_FIRST = (
     # last driver row r8 (core operators / TPC-H-adjacent)
     "q_gbk", "q_combine_global", "q_cogroup", "q_flatten", "q_setops",
