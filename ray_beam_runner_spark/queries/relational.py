@@ -1984,6 +1984,47 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_concurrency_global",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch(ts) AS s, epoch(ts + INTERVAL 2 HOUR) AS e
+      FROM events WHERE event_type = 'signup'),
+    pts AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e, -1 FROM iv)
+    SELECT t, delta,
+           (sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING))::BIGINT
+             AS concurrency
+    FROM pts
+    """,
+)
+def q_concurrency_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL concurrency timeline (how many 2-hour signup windows are
+    open after every boundary event, across ALL users) via the
+    distributed two-pass prefix sum (operators.sweep): per-bucket delta
+    sums → exclusive prefix over the bucket AGGREGATES (the only
+    ordered pass over 'everything' touches one metadata row per
+    bucket) → within-bucket running sums partitioned BY BUCKET with the
+    offsets broadcast back. The oracle computes the same timeline with
+    the single-process global window Spark must NOT use — identical
+    multiset out, corpus-scale plan in. q_peak_concurrency is the
+    per-key sibling; this is the key-cardinality-1 case that breaks
+    per-key partitioning."""
+    from ray_beam_runner_spark.operators.sweep import concurrency_timeline
+
+    iv = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        )
+    )
+    return concurrency_timeline(iv, "s", "e", bucket_seconds=86400)
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events

@@ -622,3 +622,57 @@ def test_hybrid_rrf_plan_pool_bounded(spark, sf_dir):
     df = QUERIES["q_hybrid_search_rrf"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_concurrency_timeline_matches_naive_window(spark):
+    # two-pass bucketed prefix sum == the naive global running sum,
+    # including the ends-before-starts tie rule (back-to-back intervals
+    # never concurrent) and bucket-boundary crossings
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.operators.sweep import concurrency_timeline
+
+    rows = [
+        (0.0, 25.0),    # crosses bucket boundary (bucket=10)
+        (5.0, 15.0),
+        (15.0, 30.0),   # starts exactly when the previous ends
+        (40.0, 41.0),
+        (40.0, 41.0),   # duplicate interval
+        (9.0, 11.0),
+    ]
+    iv = spark.createDataFrame(rows, "s double, e double")
+    got = sorted(
+        (r.t, r.delta, r.concurrency)
+        for r in concurrency_timeline(iv, "s", "e", bucket_seconds=10).collect()
+    )
+    pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, 0)
+    want = sorted(
+        (r.t, r.delta, int(r.c))
+        for r in pts.select("t", "delta", F.sum("delta").over(w).alias("c")).collect()
+    )
+    assert got == want
+    # tie rule: at t=15 the end of [5,15) lands before the start of [15,30)
+    by_t = {}
+    for t_, d, c in got:
+        by_t.setdefault(t_, []).append((d, c))
+    assert sorted(by_t[15.0]) == [(-1, 1), (1, 2)]
+
+
+def test_concurrency_timeline_per_key(spark):
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.operators.sweep import concurrency_timeline
+
+    iv = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("a", 5.0, 6.0), ("b", 0.0, 1.0)], "k string, s double, e double"
+    )
+    out = concurrency_timeline(iv, "s", "e", bucket_seconds=100, keys=["k"])
+    peaks = {
+        r.k: r.p
+        for r in out.groupBy("k").agg(F.max("concurrency").alias("p")).collect()
+    }
+    assert peaks == {"a": 2, "b": 1}
