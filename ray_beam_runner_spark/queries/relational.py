@@ -385,7 +385,9 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rollup grouping sets (grouping-sets passthrough, SURVEY §7 step 2)."""
+    """Rollup grouping sets (grouping-sets passthrough, SURVEY §7 step 2).
+    Explicit GROUPING SETS (arbitrary combinations, not the rollup/cube
+    lattices) is q_grouping_sets."""
     return (
         t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -396,6 +398,37 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "sum_qty",
         )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-combination form rollup's
+    prefix lattice and cube's powerset can't express (here: the pair,
+    linestatus alone, and the grand total — but NOT returnflag alone).
+    Spark plans one Expand + single aggregate exchange, identical to
+    rollup/cube; the SQL surface routes through spark.sql since the
+    DataFrame API only exposes the two fixed lattices."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS cnt,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
     )
 
 
