@@ -29,7 +29,67 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["concurrency_timeline"]
+__all__ = ["concurrency_timeline", "open_intervals_at"]
+
+
+def _bucketed_running_sum(
+    pts: DataFrame, kn: Sequence[str], bucket_seconds: int
+) -> DataFrame:
+    """The three-pass core over a point set carrying (t, delta, _sw_rank)
+    plus arbitrary passthrough columns: appends ``concurrency`` = the
+    running sum of delta ordered by (t, _sw_rank, delta) within keys,
+    computed with bucket-local windows + broadcast bucket offsets (module
+    doc). Identical rows are interchangeable, so the output MULTISET is
+    deterministic even where the within-tie order is not."""
+    kn = list(kn)
+    pts = pts.withColumn(
+        "_sw_b", F.floor(F.col("t") / F.lit(bucket_seconds)).cast("long")
+    )
+    bw = (
+        W.partitionBy(*kn).orderBy("_sw_b").rowsBetween(W.unboundedPreceding, -1)
+        if kn
+        else W.orderBy("_sw_b").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        pts.groupBy(*kn, "_sw_b")
+        .agg(F.sum("delta").alias("_sw_sum"))
+        .select(
+            *kn, "_sw_b", F.coalesce(F.sum("_sw_sum").over(bw), F.lit(0)).alias("_sw_off")
+        )
+    )
+    rw = W.partitionBy(*kn, "_sw_b").orderBy("t", "_sw_rank", "delta").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    run = pts.withColumn("_sw_run", F.sum("delta").over(rw))
+    return (
+        run.join(F.broadcast(offsets), [*kn, "_sw_b"])
+        .withColumn("concurrency", (F.col("_sw_run") + F.col("_sw_off")).cast("long"))
+        .drop("_sw_b", "_sw_run", "_sw_off")
+    )
+
+
+def _boundary_points(
+    intervals: DataFrame, start: str, end: str, keys: Sequence[str]
+) -> DataFrame:
+    """±1 boundary points of the half-open intervals with the tie rank
+    that makes equal-time events resolve as close-then-open: ends rank 0,
+    starts rank 1 — so [a,b)+[b,c) never overlap, and a rank-2 probe AT a
+    start sees it open ([s,e) includes s) while one AT an end sees it
+    closed."""
+    ks = [F.col(k) for k in keys]
+    return intervals.select(
+        *ks,
+        F.col(start).cast("double").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(1).alias("_sw_rank"),
+    ).unionByName(
+        intervals.select(
+            *ks,
+            F.col(end).cast("double").alias("t"),
+            F.lit(-1).alias("delta"),
+            F.lit(0).alias("_sw_rank"),
+        )
+    )
 
 
 def concurrency_timeline(
@@ -40,57 +100,58 @@ def concurrency_timeline(
     keys: Sequence[str] = (),
 ) -> DataFrame:
     """Concurrency after every boundary event of the half-open intervals
-    [start, end), globally or per ``keys``: returns the input's key
-    columns plus (t, delta, concurrency), where ``concurrency`` is the
-    number of intervals open immediately AFTER time t. Ends sort before
-    starts at equal t, so back-to-back intervals [a,b)+[b,c) never
-    register as concurrent — the same tie rule as the per-key sweep in
+    [start, end), globally or per ``keys``: returns the key columns plus
+    (t, delta, concurrency), where ``concurrency`` is the number of
+    intervals open immediately AFTER time t. Ends sort before starts at
+    equal t, so back-to-back intervals [a,b)+[b,c) never register as
+    concurrent — the same tie rule as the per-key sweep in
     q_peak_concurrency, which this generalizes to key cardinalities
     (including ONE global key) where partitioning the window by key
-    would concentrate the corpus on single tasks.
+    would concentrate the corpus on single tasks."""
+    pts = _boundary_points(intervals, start, end, keys)
+    out = _bucketed_running_sum(pts, list(keys), bucket_seconds)
+    return out.select(*keys, "t", "delta", "concurrency")
 
-    ``F.max_by(t, concurrency)``-style reductions over the result give
-    peak concurrency and when it happened; joining the timeline back to
-    points gives "how many X were open when Y occurred" lookups.
-    """
+
+def open_intervals_at(
+    intervals: DataFrame,
+    start: str,
+    end: str,
+    probes: DataFrame,
+    probe_time: str,
+    bucket_seconds: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """For every probe row: how many intervals [start, end) are open at
+    its time — all probe columns preserved plus ``open_count``. The
+    probes ride the SAME bucketed sweep as the boundaries (delta-0
+    points ranked after close/open at equal t, so a probe exactly at a
+    start counts it and one exactly at an end does not — half-open
+    semantics). One bucket-keyed shuffle over boundaries+probes
+    together; never an as-of join against the full timeline, and never
+    a global window. ``keys`` must exist on both sides."""
     ks = [F.col(k) for k in keys]
-    s_num = F.col(start).cast("double")
-    e_num = F.col(end).cast("double")
-    pts = intervals.select(
-        *ks, s_num.alias("t"), F.lit(1).alias("delta")
-    ).unionByName(intervals.select(*ks, e_num.alias("t"), F.lit(-1).alias("delta")))
-    pts = pts.withColumn(
-        "_sw_b", F.floor(F.col("t") / F.lit(bucket_seconds)).cast("long")
+    payload = [c for c in probes.columns if c not in set(keys)]
+    if probe_time not in payload:
+        raise ValueError(f"open_intervals_at: probe_time {probe_time!r} not in probes")
+    bad = {"t", "delta", "_sw_rank", "concurrency"} & set(probes.columns)
+    if bad:
+        raise ValueError(f"open_intervals_at: probe columns collide: {sorted(bad)}")
+    bpts = _boundary_points(intervals, start, end, keys).select(
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(c) for c in payload],
+        *[F.col(k) for k in keys],
+        "t",
+        "delta",
+        "_sw_rank",
     )
-    kn = list(keys)
-
-    # Pass 1: per-bucket delta sums (map-side combinable, bucket-keyed
-    # shuffle). Pass 2: exclusive prefix over the bucket SUMS — the
-    # single-partition window touches one row per (keys, bucket).
-    bw = (
-        W.partitionBy(*kn).orderBy("_sw_b").rowsBetween(W.unboundedPreceding, -1)
-        if kn
-        else W.orderBy("_sw_b").rowsBetween(W.unboundedPreceding, -1)
+    ppts = probes.select(
+        *payload,
+        *ks,
+        F.col(probe_time).cast("double").alias("t"),
+        F.lit(0).alias("delta"),
+        F.lit(2).alias("_sw_rank"),
     )
-    offsets = (
-        pts.groupBy(*kn, "_sw_b")
-        .agg(F.sum("delta").alias("_sw_sum"))
-        .select(*kn, "_sw_b", F.coalesce(F.sum("_sw_sum").over(bw), F.lit(0)).alias("_sw_off"))
-    )
-
-    # Pass 3: within-bucket running sum, partitioned by bucket — the
-    # per-key sort rides the bucket shuffle; offsets broadcast back.
-    rw = W.partitionBy(*kn, "_sw_b").orderBy("t", "delta").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    run = pts.withColumn("_sw_run", F.sum("delta").over(rw))
-    out_cols: list[Column] = [F.col(k) for k in kn]
-    return (
-        run.join(F.broadcast(offsets), [*kn, "_sw_b"])
-        .select(
-            *out_cols,
-            "t",
-            "delta",
-            (F.col("_sw_run") + F.col("_sw_off")).cast("long").alias("concurrency"),
-        )
+    out = _bucketed_running_sum(bpts.unionByName(ppts), list(keys), bucket_seconds)
+    return out.filter(F.col("_sw_rank") == 2).select(
+        *payload, *keys, F.col("concurrency").alias("open_count")
     )

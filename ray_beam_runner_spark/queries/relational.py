@@ -2058,6 +2058,46 @@ def q_concurrency_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_open_at_purchase",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch(ts) AS s, epoch(ts + INTERVAL 2 HOUR) AS e
+      FROM events WHERE event_type = 'signup'),
+    p AS (
+      SELECT event_id, epoch(ts) AS t
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id,
+           (SELECT count(*) FROM iv WHERE iv.s <= p.t AND p.t < iv.e)::BIGINT
+             AS open_count
+    FROM p
+    """,
+)
+def q_open_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state lookup at corpus scale: for EVERY purchase,
+    how many 2-hour signup windows were open at that instant, across
+    all users. The purchases ride the same bucketed sweep as the
+    window boundaries as delta-0 probe points (operators.sweep.
+    open_intervals_at) — one bucket-keyed shuffle over
+    boundaries+probes together, no as-of join against a materialized
+    timeline and no global window; probe tie rank makes a probe
+    exactly at a start count it and exactly at an end not (half-open).
+    The oracle answers each probe with a correlated count over the
+    raw intervals — a completely different evaluation strategy for
+    the same point-in-time semantics, which is what the hash checks."""
+    from ray_beam_runner_spark.operators.sweep import open_intervals_at
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    return open_intervals_at(iv, "s", "e", probes, "ts", bucket_seconds=86400).select(
+        "event_id", "open_count"
+    )
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events

@@ -676,3 +676,18 @@ def test_concurrency_timeline_per_key(spark):
         for r in out.groupBy("k").agg(F.max("concurrency").alias("p")).collect()
     }
     assert peaks == {"a": 2, "b": 1}
+
+
+def test_open_intervals_at_probe_tie_semantics(spark):
+    # probe exactly AT a start counts it ([s,e) includes s); exactly AT
+    # an end does not; probes between boundaries see the running state;
+    # probe payload columns survive
+    from ray_beam_runner_spark.operators.sweep import open_intervals_at
+
+    iv = spark.createDataFrame([(0.0, 10.0), (5.0, 15.0)], "s double, e double")
+    probes = spark.createDataFrame(
+        [(1, 0.0), (2, 7.0), (3, 10.0), (4, 15.0), (5, 20.0)], "pid int, pt double"
+    )
+    out = {r.pid: r.open_count for r in
+           open_intervals_at(iv, "s", "e", probes, "pt", bucket_seconds=4).collect()}
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0, 5: 0}
