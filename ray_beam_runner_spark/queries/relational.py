@@ -2098,6 +2098,71 @@ def q_open_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_active_time",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch(ts) AS s, epoch(ts + INTERVAL 2 HOUR) AS e
+      FROM events WHERE event_type IN ('signup', 'click')),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e, -1 FROM iv),
+    run AS (
+      SELECT user_id, t,
+             sum(delta) OVER (
+               PARTITION BY user_id ORDER BY t, delta
+               ROWS UNBOUNDED PRECEDING) AS conc,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, delta) AS t_next
+      FROM pts)
+    SELECT user_id,
+           (sum(CASE WHEN conc > 0 THEN t_next - t ELSE 0 END) / 3600.0)
+             AS active_hours
+    FROM run WHERE t_next IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length per user (total hours with >= 1 activity
+    window open, overlaps counted once — the metric naive
+    sum(duration) double-counts): the sweep's running concurrency
+    marks covered segments, lead(t) bounds each segment, and covered
+    segment lengths sum per user. Both windows partition by the
+    aggregate key and share its single shuffle; epoch arithmetic keeps
+    the hours exact halves (2-hour windows), so the double compares
+    bitwise. The per-key twin of the coverage question; peak is
+    q_peak_concurrency, point-in-time is q_open_at_purchase."""
+    ev = t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id",
+        F.col("ts").cast("double").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).cast("double").alias("e"),
+    )
+    pts = iv.select("user_id", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    ow = W.partitionBy("user_id").orderBy("t", "delta")
+    run = pts.select(
+        "user_id",
+        "t",
+        F.sum("delta").over(ow.rowsBetween(W.unboundedPreceding, 0)).alias("conc"),
+        F.lead("t").over(ow).alias("t_next"),
+    )
+    return (
+        run.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("conc") > 0, F.col("t_next") - F.col("t")).otherwise(0.0)
+                )
+                / 3600.0
+            ).alias("active_hours")
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
