@@ -2163,6 +2163,58 @@ def q_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_active_time_global",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch(ts) AS s, epoch(ts + INTERVAL 2 HOUR) AS e
+      FROM events WHERE event_type = 'signup'),
+    pts AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e, -1 FROM iv),
+    run AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts)
+    SELECT round(sum(CASE WHEN delta = -1 AND conc = 0 THEN t
+                          WHEN delta = 1 AND conc = 1 THEN -t
+                          ELSE 0 END) / 3600.0, 6) AS active_hours
+    FROM run
+    """,
+)
+def q_active_time_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL interval union length (total hours where >= 1 signup
+    window is open anywhere) — the key-cardinality-1 coverage that
+    can't use q_active_time's per-key lead(): islands telescope
+    instead. Each island contributes (t_close - t_open), so the union
+    length is sum(t at down-transitions) - sum(t at up-transitions),
+    read directly off the bucketed sweep's timeline — a down-transition
+    is an end whose concurrency hits 0, an up-transition a start whose
+    concurrency was 0 (== 1 after). Close-then-reopen at the same
+    instant nets to zero by the ends-first tie rule, so touching
+    islands merge for free. One aggregation over the distributed
+    timeline, no lead(), no global window anywhere in the Spark plan
+    (the oracle of course uses one)."""
+    from ray_beam_runner_spark.operators.sweep import concurrency_timeline
+
+    iv = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+        )
+    )
+    tl = concurrency_timeline(iv, "s", "e", bucket_seconds=86400)
+    contrib = (
+        F.when((F.col("delta") == -1) & (F.col("concurrency") == 0), F.col("t"))
+        .when((F.col("delta") == 1) & (F.col("concurrency") == 1), -F.col("t"))
+        .otherwise(0.0)
+    )
+    return tl.agg(F.round(F.sum(contrib) / 3600.0, 6).alias("active_hours"))
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
