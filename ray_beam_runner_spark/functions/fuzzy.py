@@ -280,12 +280,19 @@ def fuzzy_join(
     fan-out (O(d³) keys/row) rides the smaller one."""
     if max_dist < 1:
         raise ValueError("fuzzy_join: max_dist must be >= 1")
+    from ray_beam_runner_spark.caches import track
+
     lid, rid = "_fz_lrow", "_fz_rrow"
-    l = (
+    # Each id'd frame is referenced from TWO plan branches (postings and
+    # the payload join-back); monotonically_increasing_id is only stable
+    # per materialization, so pin it with a tracked persist — both
+    # branches then read the same cached ids instead of re-deriving them
+    # under a possibly re-planned (AQE) second evaluation.
+    l = track(
         left.filter(F.col(left_col).isNotNull())
         .withColumn(lid, F.monotonically_increasing_id())
     )
-    r = (
+    r = track(
         right.filter(F.col(right_col).isNotNull())
         .withColumn(rid, F.monotonically_increasing_id())
     )

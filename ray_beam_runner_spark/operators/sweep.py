@@ -61,8 +61,14 @@ def _bucketed_running_sum(
         W.unboundedPreceding, 0
     )
     run = pts.withColumn("_sw_run", F.sum("delta").over(rw))
+    # Global mode: the offsets table is one row per bucket — force the
+    # broadcast. Keyed mode: keys x buckets rows can be arbitrarily
+    # large, so let AQE size the join (it broadcasts when it fits and
+    # falls back to a (keys, bucket)-keyed shuffle join — the same key
+    # the window pass already partitioned on — when it doesn't).
+    off_side = F.broadcast(offsets) if not kn else offsets
     return (
-        run.join(F.broadcast(offsets), [*kn, "_sw_b"])
+        run.join(off_side, [*kn, "_sw_b"])
         .withColumn("concurrency", (F.col("_sw_run") + F.col("_sw_off")).cast("long"))
         .drop("_sw_b", "_sw_run", "_sw_off")
     )
