@@ -2741,6 +2741,51 @@ def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_incremental_fuzzy",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, source, {_FUZZY_KEY} AS key FROM documents),
+    corpus AS (
+      SELECT DISTINCT key FROM k WHERE source NOT IN ('src18', 'src19')),
+    inc AS (
+      SELECT doc_id, key FROM k WHERE source IN ('src18', 'src19'))
+    SELECT i.doc_id, min(levenshtein(i.key, c.key)) AS best_dist
+    FROM inc i JOIN corpus c ON levenshtein(i.key, c.key) <= 2
+    GROUP BY i.doc_id
+    ORDER BY i.doc_id
+    """,
+)
+def q_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-miss detection AT INGESTION: each incoming doc (src18/19)
+    probed against the standing corpus's distinct keys for the closest
+    match within 2 edits — the fuzzy sibling of q_incremental_dedup's
+    exact-fingerprint probe (a typo'd near-copy slips an exact
+    fingerprint; this catches it). The corpus side reduces to its
+    distinct segment-indexable keys (the only standing state fuzzy
+    ingestion needs — index it once, probe every increment); the small
+    increment side pays the O(d^3) probe fan-out, so per-batch cost
+    rides the batch. min() per incoming doc keeps the gate row one
+    line per flagged doc."""
+    from ray_beam_runner_spark.functions.fuzzy import fuzzy_join
+    from ray_beam_runner_spark.functions.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    key = F.array_join(
+        F.slice(F.split(normalize_text(F.col("text")), " "), 1, 3), " "
+    ).alias("key")
+    inc_src = F.col("source").isin("src18", "src19")
+    corpus = docs.filter(~inc_src).select(key).distinct().select(
+        F.col("key").alias("ckey")
+    )
+    inc = docs.filter(inc_src).select("doc_id", key)
+    return (
+        fuzzy_join(inc, corpus, "key", "ckey", max_dist=2)
+        .groupBy("doc_id")
+        .agg(F.min("dist").alias("best_dist"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_weighted_sample",
     oracle="""
     WITH w AS (
