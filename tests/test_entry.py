@@ -1,0 +1,51 @@
+"""Driver-contract invariants on __spark_entry__ — cheap guards that
+catch a broken gate window (typo'd name, duplicate, rows-only query in a
+hash-checked slot, oracle drift) before the driver does. No Spark
+session needed: these run on the registry alone."""
+
+import importlib.util
+import os
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# rows-only by design (no oracle): must never occupy a gate slot
+_ROWS_ONLY = {"q_bpe_merges", "q_dedup_semantic_scale", "q_sequence_pack_ffd"}
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(_ROOT, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_gate_window_is_50_unique_hash_checkable():
+    mod = _entry()
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    window = list(queries)[:50]
+    assert len(set(window)) == 50
+    # every gate slot has an oracle (the driver hash-compares all 50)
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"gate slots without oracle SQL: {missing}"
+    assert not (_ROWS_ONLY & set(window))
+
+
+def test_gate_first_names_all_resolve():
+    mod = _entry()
+    queries = mod.queries()
+    unknown = [n for n in mod._GATE_FIRST if n not in queries]
+    assert not unknown, f"_GATE_FIRST names not in registry: {unknown}"
+    assert len(mod._GATE_FIRST) == len(set(mod._GATE_FIRST))
+
+
+def test_registry_and_oracle_consistency():
+    mod = _entry()
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    # oracles only for declared queries; rows-only set is exactly the
+    # declared-minus-oracle complement
+    assert set(oracles) <= set(queries)
+    assert set(queries) - set(oracles) == _ROWS_ONLY
