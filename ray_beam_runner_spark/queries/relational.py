@@ -2215,6 +2215,43 @@ def q_active_time_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cumulative_uniques",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS d
+      FROM events GROUP BY user_id),
+    per_day AS (
+      SELECT d, count(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d, new_users,
+           (sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))::BIGINT
+             AS cumulative_users
+    FROM per_day ORDER BY d
+    """,
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by hour — the growth curve that naive
+    windowing makes quadratic (count(DISTINCT) over an expanding frame
+    re-scans history per day). Reduced instead to: first-seen day per
+    user (ONE user-keyed shuffle with map-side partial min), new-user
+    counts per day, and a running sum over the per-day aggregates —
+    that last window is single-partition but touches one metadata row
+    per day, the same bucket-aggregate discipline as operators.sweep.
+    A user's lifetime contribution to every later day costs one row,
+    not one row per day."""
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("d")
+    )
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return per_day.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("d")
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
