@@ -115,6 +115,22 @@ EXTRA_SET = (
     "q_text_bm25",
     # round 10
     "q_corpus_ivm",
+    "q_snapshot_rename",
+    "q_hybrid_search_rrf",
+    "q_fuzzy_join",
+    "q_incremental_fuzzy",
+    "q_weighted_sample",
+    "q_robust_outliers",
+    "q_bfs_layers",
+    "q_scd2_asof_enrich",
+    "q_interval_join",
+    "q_peak_concurrency",
+    "q_concurrency_global",
+    "q_open_at_purchase",
+    "q_active_time",
+    "q_active_time_global",
+    "q_cumulative_uniques",
+    "q_grouping_sets",
 )
 
 
