@@ -2252,6 +2252,55 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_activity_streaks",
+    oracle="""
+    WITH hrs AS (
+      SELECT DISTINCT user_id,
+             (epoch(date_trunc('hour', ts)) / 3600)::BIGINT AS h
+      FROM events),
+    isl AS (
+      SELECT user_id, h,
+             h - row_number() OVER (PARTITION BY user_id ORDER BY h)
+               AS island
+      FROM hrs),
+    runs AS (
+      SELECT user_id, island, count(*) AS len
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, max(len)::BIGINT AS longest_streak
+    FROM runs GROUP BY user_id
+    HAVING max(len) >= 3
+    ORDER BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    hours (streaks — the retention signal gap-based sessionization
+    doesn't give). The islands trick: within a user, consecutive hours
+    share (hour_index − row_number), so one per-key window turns run
+    detection into a groupBy — no self-join, no iteration; every
+    window and aggregate partitions by the user key and rides one
+    shuffle. HAVING >= 3 keeps the gate row the interesting streaks."""
+    ev = t(spark, sf_dir, "events")
+    hrs = ev.select(
+        "user_id",
+        F.floor(F.date_trunc("hour", F.col("ts")).cast("double") / 3600)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("h")
+    isl = hrs.select(
+        "user_id", "h", (F.col("h") - F.row_number().over(w)).alias("island")
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"))
+        .filter(F.col("longest_streak") >= 3)
+        .orderBy("user_id")
+    )
+
+
+@query(
     "q_funnel",
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
