@@ -65,7 +65,7 @@ def _seg_bounds(length: Column, d: int, i: int) -> tuple[Column, Column]:
     into d+1 even segments, the LAST ``length % (d+1)`` segments one
     char longer (fixed convention shared by index and probe sides)."""
     n = d + 1
-    base, rem = length - (length % n), length % n  # base = n*floor(l/n)
+    rem = length % n
     floor_len = (length - rem) / n
     extra = F.when(F.lit(i) >= (F.lit(n) - rem), F.lit(1)).otherwise(F.lit(0))
     seg_len = (floor_len + extra).cast("int")
@@ -280,6 +280,21 @@ def fuzzy_join(
     fan-out (O(d³) keys/row) rides the smaller one."""
     if max_dist < 1:
         raise ValueError("fuzzy_join: max_dist must be >= 1")
+    # The final join-back keeps ALL columns of both inputs; a shared
+    # name (both sides carrying "doc_id", say) would come out duplicate
+    # and ambiguous to select-by-name downstream. Guard loudly — same
+    # reserved-name discipline as the _fz_* working columns.
+    overlap = sorted(set(left.columns) & set(right.columns))
+    if overlap:
+        raise ValueError(
+            f"fuzzy_join: left and right share column name(s) {overlap}; "
+            "rename one side (e.g. right.withColumnRenamed) before joining "
+            "— the result preserves all columns of both inputs"
+        )
+    if "dist" in left.columns or "dist" in right.columns:
+        raise ValueError(
+            "fuzzy_join: 'dist' is reserved for the output edit-distance column"
+        )
     from ray_beam_runner_spark.caches import track
 
     lid, rid = "_fz_lrow", "_fz_rrow"

@@ -62,6 +62,22 @@ def _check_time_bases(named_types: Sequence[tuple[str, object]], op: str) -> Non
         )
 
 
+def _check_reserved(
+    left: DataFrame, right: DataFrame, names: Sequence[str], op: str
+) -> None:
+    """Loudly reject inputs that already carry one of the operator's
+    reserved working-column names — the alternative is a silent
+    overwrite followed by a drop that destroys the user's column
+    (round-10 advisor finding)."""
+    hit = sorted({*names} & ({*left.columns} | {*right.columns}))
+    if hit:
+        raise ValueError(
+            f"{op}: input already has reserved working column(s) {hit}; "
+            "rename them before calling (they would be overwritten and "
+            "dropped from the output)"
+        )
+
+
 def keyed_join(
     left: DataFrame,
     right: DataFrame,
@@ -191,17 +207,18 @@ def range_bucket_join(
         [(left_point, lp_t), (right_start, rs_t), (right_end, re_t)],
         "range_bucket_join",
     )
+    _check_reserved(left, right, ("_rbj_bucket", "_rbj_buckets"), "range_bucket_join")
     lb = left.withColumn(
-        "__bucket", F.floor(_epoch_seconds(F.col(left_point), lp_t) / bucket_seconds).cast("long")
+        "_rbj_bucket", F.floor(_epoch_seconds(F.col(left_point), lp_t) / bucket_seconds).cast("long")
     )
     rb = right.withColumn(
-        "__buckets",
+        "_rbj_buckets",
         F.sequence(
             F.floor(_epoch_seconds(F.col(right_start), rs_t) / bucket_seconds).cast("long"),
             F.floor(_epoch_seconds(F.col(right_end), re_t) / bucket_seconds).cast("long"),
         ),
-    ).withColumn("__bucket", F.explode("__buckets")).drop("__buckets")
-    joined = lb.join(rb, [*extra_on, "__bucket"]).drop("__bucket")
+    ).withColumn("_rbj_bucket", F.explode("_rbj_buckets")).drop("_rbj_buckets")
+    joined = lb.join(rb, [*extra_on, "_rbj_bucket"]).drop("_rbj_bucket")
     return joined.filter(
         (F.col(left_point) >= F.col(right_start)) & (F.col(left_point) < F.col(right_end))
     )
@@ -244,6 +261,8 @@ def interval_overlap_join(
         "interval_overlap_join",
     )
 
+    _check_reserved(left, right, ("_ivj_bucket",), "interval_overlap_join")
+
     def buckets(s: Column, s_t, e: Column, e_t) -> Column:
         return F.sequence(
             F.floor(_epoch_seconds(s, s_t) / bucket_seconds).cast("long"),
@@ -251,19 +270,19 @@ def interval_overlap_join(
         )
 
     lb = left.withColumn(
-        "__bucket",
+        "_ivj_bucket",
         F.explode(buckets(F.col(left_start), ls_t, F.col(left_end), le_t)),
     )
     rb = right.withColumn(
-        "__bucket",
+        "_ivj_bucket",
         F.explode(buckets(F.col(right_start), rs_t, F.col(right_end), re_t)),
     )
-    joined = lb.join(rb, [*extra_on, "__bucket"])
+    joined = lb.join(rb, [*extra_on, "_ivj_bucket"])
     anchor = F.greatest(
         _epoch_seconds(F.col(left_start), ls_t), _epoch_seconds(F.col(right_start), rs_t)
     )
     return joined.filter(
         (F.col(left_start) < F.col(right_end))
         & (F.col(right_start) < F.col(left_end))
-        & (F.col("__bucket") == F.floor(anchor / bucket_seconds).cast("long"))
-    ).drop("__bucket")
+        & (F.col("_ivj_bucket") == F.floor(anchor / bucket_seconds).cast("long"))
+    ).drop("_ivj_bucket")

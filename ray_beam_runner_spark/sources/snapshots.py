@@ -1869,7 +1869,7 @@ def vacuum(
         return []
     # tag-referenced versions are PINNED: a named release must survive
     # vacuum regardless of keep_last, or tags silently dangle
-    tagged = {int(v) for v in _read_tags(table_dir).values()}
+    tagged = {int(v) for v in _read_tags(table_dir, strict=True).values()}
     keep_set = set(vs[-keep_last:]) | (tagged & set(vs))
     keep_vs = [v for v in vs if v in keep_set]
     drop_vs = [v for v in vs if v not in keep_set]
@@ -3618,10 +3618,19 @@ def _tag_file(table_dir: str, name: str) -> str:
     return os.path.join(_tags_dir(table_dir), quote(name, safe="") + ".json")
 
 
-def _read_tags(table_dir: str) -> dict:
+def _read_tags(table_dir: str, strict: bool = False) -> dict:
     """All tags: one file per tag under _manifests/tags/ (current
     layout) merged over the legacy single tags.json (pre-round-10
-    tables), per-tag files winning."""
+    tables), per-tag files winning.
+
+    ``strict=False`` (read paths like :func:`resolve_tag`): a tag file
+    that exists but cannot be read/parsed is skipped — a concurrent
+    atomic replace mid-listing is benign and the caller retries.
+    ``strict=True`` (DESTRUCTIVE consumers — :func:`vacuum`): the same
+    failure raises instead, because treating an unreadable tag as
+    "untagged" would un-pin a release and delete its data files — a
+    transient EMFILE/permission blip must never become irreversible
+    data loss (round-10 advisor finding)."""
     from urllib.parse import unquote
 
     tags: dict = {}
@@ -3638,7 +3647,15 @@ def _read_tags(table_dir: str) -> dict:
             try:
                 with open(os.path.join(tdir, fn)) as f:
                     tags[unquote(fn[:-5])] = int(json.load(f)["version"])
-            except (OSError, ValueError, KeyError):
+            except FileNotFoundError:
+                continue  # deleted between listdir and open: genuinely gone
+            except (OSError, ValueError, KeyError) as e:
+                if strict:
+                    raise RuntimeError(
+                        f"unreadable tag file {fn!r} in {tdir}: {e!r}; "
+                        "refusing to treat its pinned version as untagged "
+                        "(a destructive caller would delete pinned files)"
+                    ) from e
                 continue  # concurrent replace mid-read: skip, caller retries
     return tags
 
@@ -3674,26 +3691,38 @@ def tag_snapshot(table_dir: str, name: str, version: int | None = None) -> int:
 
 def delete_tag(table_dir: str, name: str) -> None:
     """Remove a tag (the pinned version becomes vacuum-eligible
-    again). Loud on unknown tags."""
+    again). Loud on unknown tags. Removes the name from BOTH layouts:
+    a pre-round-10 table whose tag lived in the legacy single
+    tags.json and was later re-tagged (per-tag file) must not have the
+    legacy entry resurrect after deletion — :func:`_read_tags` merges
+    legacy under per-tag files, so an early return after removing only
+    the per-tag file would leave the stale legacy version resolvable
+    and vacuum-pinned (round-10 advisor finding)."""
+    removed = False
     try:
         os.remove(_tag_file(table_dir, name))
-        return
+        removed = True
     except FileNotFoundError:
         pass
-    # legacy single-file layout
+    # legacy single-file layout: fall through even when the per-tag
+    # file existed, so a stale legacy entry can't shadow the deletion
     legacy = os.path.join(table_dir, _MANIFEST_DIR, "tags.json")
     try:
         with open(legacy) as f:
             tags = json.load(f)
     except FileNotFoundError:
         tags = {}
-    if name not in tags:
-        raise KeyError(f"unknown tag {name!r} on {table_dir}; have {sorted(_read_tags(table_dir))}")
-    del tags[name]
-    tmp = legacy + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(tags, f)
-    os.replace(tmp, legacy)
+    if name in tags:
+        del tags[name]
+        tmp = legacy + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, legacy)
+        removed = True
+    if not removed:
+        raise KeyError(
+            f"unknown tag {name!r} on {table_dir}; have {sorted(_read_tags(table_dir))}"
+        )
 
 
 def resolve_tag(table_dir: str, name: str) -> int:

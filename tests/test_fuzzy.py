@@ -93,3 +93,20 @@ def test_hot_key_cap_returns_subset(spark):
     # every surviving pair is a true pair at the right distance
     for _, _, dist in capped:
         assert 1 <= dist <= 2
+
+
+def test_fuzzy_join_rejects_column_collisions(spark):
+    """Regression (round-10 advisor): the join-back preserves all
+    columns of both inputs — a shared name (or a pre-existing 'dist')
+    must be rejected loudly, not emitted as an ambiguous duplicate."""
+    import pytest
+
+    from ray_beam_runner_spark.functions.fuzzy import fuzzy_join
+
+    a = spark.createDataFrame([(1, "abc")], "doc_id int, s string")
+    b = spark.createDataFrame([(2, "abd")], "doc_id int, t string")
+    with pytest.raises(ValueError, match="share column"):
+        fuzzy_join(a, b, "s", "t", max_dist=1)
+    c = spark.createDataFrame([(2, "abd", 0)], "other_id int, t string, dist int")
+    with pytest.raises(ValueError, match="reserved"):
+        fuzzy_join(a.withColumnRenamed("doc_id", "l_id"), c, "s", "t", max_dist=1)

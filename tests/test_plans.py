@@ -691,3 +691,25 @@ def test_open_intervals_at_probe_tie_semantics(spark):
     out = {r.pid: r.open_count for r in
            open_intervals_at(iv, "s", "e", probes, "pt", bucket_seconds=4).collect()}
     assert out == {1: 1, 2: 2, 3: 1, 4: 0, 5: 0}
+
+
+def test_bucket_joins_reject_reserved_working_columns(spark):
+    """Regression (round-10 advisor): an input already carrying the
+    operator's working-column name used to be silently overwritten and
+    then dropped from the output; now it's a loud error."""
+    import pytest
+
+    from ray_beam_runner_spark.operators.joins import (
+        interval_overlap_join,
+        range_bucket_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1.0, 2.0, 7)], "a_s double, a_e double, _ivj_bucket int"
+    )
+    b = spark.createDataFrame([(0.0, 3.0)], "b_s double, b_e double")
+    with pytest.raises(ValueError, match="reserved working column"):
+        interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=10)
+    p = spark.createDataFrame([(1.5, 9)], "pt double, _rbj_bucket int")
+    with pytest.raises(ValueError, match="reserved working column"):
+        range_bucket_join(p, b, "pt", "b_s", "b_e", bucket_seconds=10)

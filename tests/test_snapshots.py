@@ -2511,3 +2511,70 @@ def test_search_while_ingesting_prefix_consistent_and_isolated(spark, tmp_path):
         snap.read_snapshot(spark, src), "doc_id", "text"
     ).collect()))
     assert maintained == rebuilt
+
+
+def test_delete_tag_also_clears_legacy_entry(spark):
+    """Regression (round-10 advisor): a pre-round-10 table whose tag
+    lived in the legacy single tags.json and was later re-tagged (per-
+    tag file) must have BOTH entries removed on delete_tag — otherwise
+    the stale legacy entry resurrects (resolve_tag returns the old
+    version, vacuum keeps pinning it)."""
+    import json
+
+    from ray_beam_runner_spark.sources.snapshots import (
+        _MANIFEST_DIR,
+        delete_tag,
+        resolve_tag,
+        tag_snapshot,
+    )
+
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "v1")], "k int, s string"), t)
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "v2")], "k int, s string"), ["k"]
+    )
+    # simulate the legacy layout: tag "release" -> v1 in tags.json
+    with open(os.path.join(t, _MANIFEST_DIR, "tags.json"), "w") as f:
+        json.dump({"release": 1}, f)
+    assert resolve_tag(t, "release") == 1
+    # re-tag via the current per-tag-file path, then delete
+    tag_snapshot(t, "release", version=2)
+    assert resolve_tag(t, "release") == 2
+    delete_tag(t, "release")
+    # the legacy entry must NOT resurrect the tag
+    with pytest.raises(KeyError, match="unknown tag"):
+        resolve_tag(t, "release")
+    # and vacuum no longer pins v1
+    snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        snap.read_manifest(t, 1)
+
+
+def test_vacuum_refuses_unreadable_tag_file(spark):
+    """Regression (round-10 advisor): vacuum consumes the tag set
+    DESTRUCTIVELY — a tag file that exists but can't be parsed must
+    abort the vacuum (raise), never be skipped as 'untagged', or a
+    transient read blip deletes a pinned release's data files. Read
+    paths (resolve_tag) keep the lenient skip."""
+    from ray_beam_runner_spark.sources.snapshots import (
+        _tag_file,
+        resolve_tag,
+        tag_snapshot,
+    )
+
+    t = _tdir()
+    snap.write_snapshot(spark.createDataFrame([(1, "v1")], "k int, s string"), t)
+    tag_snapshot(t, "pinned")
+    snap.upsert_snapshot(
+        spark, t, spark.createDataFrame([(1, "v2")], "k int, s string"), ["k"]
+    )
+    # corrupt the tag file in place (parse error, not FileNotFound)
+    with open(_tag_file(t, "pinned"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(RuntimeError, match="unreadable tag"):
+        snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    # nothing was deleted: v1 is still readable
+    assert {r.s for r in snap.read_snapshot(spark, t, version=1).collect()} == {"v1"}
+    # lenient read path skips the bad file instead of raising
+    with pytest.raises(KeyError, match="unknown tag"):
+        resolve_tag(t, "pinned")
