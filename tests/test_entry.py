@@ -49,3 +49,22 @@ def test_registry_and_oracle_consistency():
     # declared-minus-oracle complement
     assert set(oracles) <= set(queries)
     assert set(queries) - set(oracles) == _ROWS_ONLY
+
+
+def test_gate_window_is_stalest_first():
+    """_GATE_FIRST must equal the stalest-first rotation recomputed
+    from the CORRECTNESS_r*.json history strictly before _GATE_ROUND —
+    the documented policy (never-gated first, then oldest gate row,
+    ties by registry declaration order). Keeps the hand-pasted tuple
+    in lockstep with scripts/gate_rotation.py."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_ROOT, "scripts"))
+    from gate_rotation import rotation_window
+
+    mod = _entry()
+    want = rotation_window(50, _ROOT, before_round=mod._GATE_ROUND)
+    assert list(mod._GATE_FIRST) == want, (
+        "gate window drifted from stalest-first policy; regenerate with "
+        "scripts/gate_rotation.py"
+    )
