@@ -64,6 +64,7 @@ __all__ = [
     "corpus_feed",
     "init_corpus_views",
     "drain_corpus_views",
+    "refit_corpus_ann",
 ]
 
 WATERMARK_APP = "corpus:src"
@@ -275,10 +276,20 @@ def init_corpus_views(
         vecs, "doc_id", "emb", n_cells=ann_cells, m=ann_m, k=ann_k
     )
     # quantizer frozen as tables: every later drain (and any rebuild
-    # comparison) encodes against the exact same centroids
+    # comparison) encodes against the exact same centroids. The index
+    # commit PINS the quantizer versions it was encoded against
+    # (ann:coarse/ann:books txns — see clustering.load_ivfpq), so a
+    # reader can never pair the index with a different quantizer
+    # generation, even while refit_corpus_ann swaps them.
     snap.write_snapshot(coarse, layout["coarse"])
     snap.write_snapshot(books, layout["books"])
-    snap.write_snapshot(index, layout["ann"], cluster_by=["doc_id"], n_files=2)
+    snap.write_snapshot(
+        index, layout["ann"], cluster_by=["doc_id"], n_files=2,
+        txns={
+            "ann:coarse": snap.latest_version(layout["coarse"]),
+            "ann:books": snap.latest_version(layout["books"]),
+        },
+    )
     return layout
 
 
@@ -307,8 +318,14 @@ def drain_corpus_views(
         app_id="corpus:idx",
     )
     _drain(idx_q, timeout, "corpus token index")
-    coarse = snap.read_snapshot(spark, layout["coarse"])
-    books = snap.read_snapshot(spark, layout["books"])
+    # quantizer resolved through the index's version pins: a drain
+    # interleaving with refit_corpus_ann encodes against the generation
+    # the index currently IS, never a half-swapped pair
+    from ray_beam_runner_spark.functions.clustering import load_ivfpq
+
+    coarse, books, _ = load_ivfpq(
+        spark, layout["coarse"], layout["books"], layout["ann"]
+    )
     emb_dim = int(layout["emb_dim"])
     ann_feed = corpus_feed(
         spark, state_dir, starting_version=layout["from_version"]
@@ -323,3 +340,35 @@ def drain_corpus_views(
         layout["ckpt_ann"], app_id="corpus:ann",
     )
     _drain(ann_q, timeout, "corpus ANN index")
+
+
+def refit_corpus_ann(
+    spark: SparkSession,
+    layout: dict,
+    ann_cells: int = 4,
+    ann_m: int = 4,
+    ann_k: int = 8,
+    sample_mod: int | None = None,
+) -> dict:
+    """Re-train the corpus ANN quantizer on the CURRENT canonical
+    corpus and atomically swap the index to it
+    (:func:`functions.clustering.refit_ivfpq`) — the drift answer for a
+    long-lived corpus whose init-time quantizer no longer matches the
+    embedding distribution. Drain the views first (the refit encodes
+    the state the index is supposed to reflect); later drains pick up
+    the new generation through the index's version pins and stay
+    incrementally consistent: maintained-after-refit equals a from-
+    scratch rebuild against the refit quantizer. Returns the committed
+    {"coarse", "books", "index"} versions."""
+    from ray_beam_runner_spark.functions.clustering import refit_ivfpq
+
+    emb_dim = int(layout["emb_dim"])
+    canon = snap.read_snapshot(spark, layout["state"]).filter(F.col("is_canon"))
+    vecs = canon.select(
+        "doc_id", text_embedding(F.col("text"), emb_dim).alias("emb")
+    )
+    return refit_ivfpq(
+        spark, vecs, "doc_id", "emb",
+        layout["coarse"], layout["books"], layout["ann"],
+        n_cells=ann_cells, m=ann_m, k=ann_k, sample_mod=sample_mod,
+    )

@@ -610,6 +610,107 @@ def stream_maintain_ivfpq(
     )
 
 
+def refit_ivfpq(
+    spark,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse_dir: str,
+    books_dir: str,
+    index_dir: str,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+    sample_mod: int | None = None,
+) -> dict:
+    """Re-train the IVF-PQ quantizer on the CURRENT corpus and swap the
+    index to it — the distribution-drift answer for a long-lived corpus
+    whose frozen quantizer (correct for incremental consistency,
+    corpus.py) has gone stale. FAISS's retrain-and-add analog, done as
+    table commits:
+
+    1. FIT on the current vectors (optionally a deterministic hash
+       sample — ``sample_mod=N`` keeps ids where xxhash64(id) % N == 0,
+       the 100 TB path: quantizer quality needs a sample, not a scan);
+    2. COMMIT the new coarse/books tables, then read them back so the
+       encode uses exactly the committed quantizer bytes;
+    3. RE-ENCODE the whole corpus in ONE partition-parallel pass
+       (:func:`ivfpq_encode` — model-sized broadcast joins, the corpus
+       never shuffles);
+    4. COMMIT the re-encoded index LAST, carrying (a) the parent
+       index's txn watermarks so the streaming maintainer's
+       exactly-once dedupe survives the swap, and (b) ``ann:coarse`` /
+       ``ann:books`` PINS naming the quantizer versions this index was
+       encoded against.
+
+    The index commit is the single atomicity point: a reader that
+    resolves the triple through :func:`load_ivfpq` (index manifest →
+    pinned quantizer versions) can never observe a mixed-generation
+    quantizer/index pair, no matter how the three commits interleave
+    with its reads. A maintainer drain AFTER the refit encodes new
+    batches against the pinned tables, so maintained-after-refit equals
+    rebuilt-from-scratch (tests/test_similarity.py). Returns
+    {"coarse": v, "books": v, "index": v} — the committed versions."""
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    fit_df = vectors
+    if sample_mod is not None and sample_mod > 1:
+        sampled = vectors.filter(
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(0x5EED)),
+                F.lit(sample_mod),
+            )
+            == 0
+        )
+        # a tiny corpus can sample to nothing — fall back to the full
+        # set rather than raising from an empty fit
+        fit_df = sampled if sampled.limit(1).count() else vectors
+    coarse_new, books_new, _ = ivfpq_index(
+        fit_df, id_col, vec_col, n_cells=n_cells, m=m, k=k, n_iter=n_iter
+    )
+    snap.write_snapshot(coarse_new, coarse_dir)
+    snap.write_snapshot(books_new, books_dir)
+    vc = snap.latest_version(coarse_dir)
+    vb = snap.latest_version(books_dir)
+    coarse_t = snap.read_snapshot(spark, coarse_dir, version=vc)
+    books_t = snap.read_snapshot(spark, books_dir, version=vb)
+    enc = ivfpq_encode(vectors, coarse_t, books_t, id_col, vec_col, m=m)
+    prev = snap.latest_version(index_dir)
+    txns: dict = {}
+    if prev is not None:
+        txns.update(snap.read_manifest(index_dir, prev).get("txns", {}))
+    txns.update({"ann:coarse": int(vc), "ann:books": int(vb)})
+    snap.write_snapshot(enc, index_dir, cluster_by=[id_col], n_files=2, txns=txns)
+    return {"coarse": vc, "books": vb, "index": snap.latest_version(index_dir)}
+
+
+def load_ivfpq(spark, coarse_dir: str, books_dir: str, index_dir: str):
+    """Resolve a CONSISTENT (coarse, books, index) triple: read the
+    index's latest manifest first and open the quantizer tables at the
+    versions its ``ann:coarse``/``ann:books`` txn pins name. Readers
+    interleaving with :func:`refit_ivfpq` therefore see either the old
+    generation whole or the new generation whole — never a new index
+    decoded against old codebooks or vice versa. Pre-pinning indexes
+    (no txn entries) fall back to latest-everything."""
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    vi = snap.latest_version(index_dir)
+    if vi is None:
+        raise FileNotFoundError(f"load_ivfpq: no index at {index_dir}")
+    t = snap.read_manifest(index_dir, vi).get("txns", {})
+    vc = t.get("ann:coarse")
+    vb = t.get("ann:books")
+    coarse = snap.read_snapshot(
+        spark, coarse_dir, version=int(vc) if vc is not None else None
+    )
+    books = snap.read_snapshot(
+        spark, books_dir, version=int(vb) if vb is not None else None
+    )
+    index = snap.read_snapshot(spark, index_dir, version=vi)
+    return coarse, books, index
+
+
 def ivfpq_topk_rerank(
     queries: DataFrame,
     coarse: DataFrame,

@@ -145,6 +145,62 @@ def _publish(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def _check_merge_types(old_struct, upd_schema, evolve_schema: bool) -> None:
+    """Typed compatibility guard for a MERGE batch against the table's
+    recorded schema. Shared columns must be same-typed, NARROWER than
+    the table (the written file promotes at read under the pinned wide
+    schema), or — with ``evolve_schema=True`` — a legal WIDENING (the
+    logical schema then widens; see :func:`widen_column_type` for the
+    standalone ALTER). Anything else is a loud error: committing a
+    same-name different-type file under an unchanged schema_json would
+    corrupt later pinned reads."""
+    old = {f.name: f.dataType.simpleString() for f in old_struct.fields}
+    for f in upd_schema.fields:
+        t_tbl = old.get(f.name)
+        if t_tbl is None:
+            continue  # new column: evolve_schema's existing name guard applies
+        t_upd = f.dataType.simpleString()
+        if t_upd == t_tbl or _is_widening(t_upd, t_tbl):
+            continue  # exact or narrower-than-table: safe
+        if _is_widening(t_tbl, t_upd):
+            if evolve_schema:
+                continue  # legal widening, schema evolves below
+            raise ValueError(
+                f"update column {f.name!r} is {t_upd} but the table records "
+                f"{t_tbl}; pass evolve_schema=True to widen the column type"
+            )
+        raise ValueError(
+            f"update column {f.name!r} type {t_upd} is incompatible with the "
+            f"table's {t_tbl} (not a legal widening; cast the batch first)"
+        )
+
+
+def _evolved_struct(old_struct, upd_schema):
+    """The union struct an ``evolve_schema`` MERGE commits: parent
+    fields keep their order; a shared field whose update type is a
+    legal widening takes the WIDER type (old files promote at scan
+    time under the pinned schema — zero rewrite); genuinely new fields
+    append. Returns (struct, widened) where ``widened`` maps each
+    widened logical column to its OLD simple type (bloom stamping)."""
+    from pyspark.sql.types import StructField, StructType
+
+    upd = {f.name: f for f in upd_schema.fields}
+    widened: dict[str, str] = {}
+    fields = []
+    for f in old_struct.fields:
+        uf = upd.get(f.name)
+        if uf is not None and _is_widening(
+            f.dataType.simpleString(), uf.dataType.simpleString()
+        ):
+            fields.append(StructField(f.name, uf.dataType, True, f.metadata))
+            widened[f.name] = f.dataType.simpleString()
+        else:
+            fields.append(f)
+    old_names = {f.name for f in old_struct.fields}
+    fields += [f for f in upd_schema.fields if f.name not in old_names]
+    return StructType(fields), widened
+
+
 def _schema_struct(manifest: dict):
     """The table's authoritative typed schema, recorded in the manifest
     at commit time (Delta keeps it in the transaction log the same way).
@@ -598,19 +654,45 @@ def _compute_blooms(
     return out
 
 
+# Legal type widenings (Delta's type widening / Iceberg schema evolution
+# set, restricted to conversions the parquet vectorized reader promotes
+# LOSSLESSLY at scan time): widening integral chain, float->double, and
+# integral-up-to-int->double (int32 is exact in a float64). bigint->double
+# is lossy (>2^53) and excluded.
+_WIDENINGS: dict[str, frozenset[str]] = {
+    "tinyint": frozenset({"smallint", "int", "bigint", "double"}),
+    "smallint": frozenset({"int", "bigint", "double"}),
+    "int": frozenset({"bigint", "double"}),
+    "float": frozenset({"double"}),
+}
+
+
+def _is_widening(old_t: str, new_t: str) -> bool:
+    """True when new_t is a legal lossless widening of old_t
+    (simpleString names)."""
+    return new_t in _WIDENINGS.get(old_t, ())
+
+
 def _bloom_probe(spark: SparkSession, value, dtype: str, bits: int, k: int):
-    """(word, mask) membership probes for a point-lookup value. The
-    literal is CAST to the column's manifest type first — xxhash64
-    hashes by physical type, so an un-cast int literal would probe a
-    bigint column's filter at the wrong positions."""
+    """(word, mask) membership probes for a point-lookup value, or
+    ``None`` when the value is UNREPRESENTABLE in ``dtype``. The literal
+    is CAST to the filter's hashed type first — xxhash64 hashes by
+    physical type, so an un-cast int literal would probe a bigint
+    column's filter at the wrong positions. try_cast instead of cast:
+    probing a pre-widening filter (hashed int) with a value only the
+    widened type can hold (2^40) must not ANSI-overflow — a value the
+    narrow type cannot store cannot be IN that file, so the caller
+    prunes it outright."""
+    probe = F.lit(value).try_cast(dtype)
     row = spark.range(1).select(
+        probe.isNull().alias("_nofit"),
         *[
             p.alias(f"p{i}")
-            for i, p in enumerate(
-                _bloom_positions(F.lit(value).cast(dtype), bits, k)
-            )
-        ]
+            for i, p in enumerate(_bloom_positions(probe, bits, k))
+        ],
     ).first()
+    if row._nofit:
+        return None
     return [
         (row[f"p{i}"] // 64, 1 << (row[f"p{i}"] % 64)) for i in range(k)
     ]
@@ -818,16 +900,35 @@ def read_snapshot(
                     (f.dataType.simpleString() for f in struct0.fields if f.name == pcol),
                     None,
                 )
-            probes = _bloom_probe(
-                spark, pval, dtype or "string", conf["bits"], conf["k"]
-            )
+            # xxhash64 hashes by PHYSICAL type: a bloom built before a
+            # type widening hashed the narrow type, so probing it with
+            # the widened literal would false-NEGATIVE and wrongly prune
+            # the file. bloom_types records, per (file, column), the
+            # type each surviving filter hashed; probe each file with
+            # ITS type (probe sets cached per distinct type).
+            bloom_types = manifest.get("bloom_types", {})
+            _probe_cache: dict[str, list] = {}
+
+            def _probes_for(dt: str) -> list:
+                got = _probe_cache.get(dt)
+                if got is None:
+                    got = _probe_cache.setdefault(
+                        dt, _bloom_probe(spark, pval, dt, conf["bits"], conf["k"])
+                    )
+                return got
 
             def _maybe(rel: str) -> bool:
-                words = blooms.get(rel, {}).get(
-                    _phys_name(events, rel, pcol) if events else pcol
-                )
+                phys = _phys_name(events, rel, pcol) if events else pcol
+                words = blooms.get(rel, {}).get(phys)
                 if not words:
                     return True  # no filter recorded: must scan
+                ft = bloom_types.get(rel, {}).get(phys) or dtype or "string"
+                probes = _probes_for(ft)
+                if probes is None:
+                    # value unrepresentable in the type this file's
+                    # filter hashed (e.g. 2^40 vs a pre-widen int file):
+                    # the file cannot contain it
+                    return False
                 return all(words[w] & m for w, m in probes)
 
             rel_files = [rel for rel in rel_files if _maybe(rel)]
@@ -1047,6 +1148,9 @@ def _upsert_once(
             f"update schema {sorted(upd_fields)} != table schema "
             f"{sorted(tbl_fields)}; pass evolve_schema=True to merge schemas"
         )
+    _struct0 = _schema_struct(manifest)
+    if _struct0 is not None:  # pre-schema manifests: legacy, unchecked
+        _check_merge_types(_struct0, updates.schema, evolve_schema)
 
     # Phase 1 — manifest-stats pruning (no data read at all): a file
     # whose recorded [min, max] range of the first key column cannot
@@ -1176,7 +1280,7 @@ def _merge_phases(
             "schema_json": manifest.get("schema_json"),
             "txns": txns,
         }
-        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints", "renames", "dropped"):
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "bloom_types", "file_dvs", "constraints", "renames", "dropped"):
             if manifest.get(key):
                 noop[key] = manifest[key]
         _publish(table_dir, base + 1, noop)
@@ -1225,12 +1329,13 @@ def _merge_phases(
         old_struct = reader.parquet(
             *(os.path.join(table_dir, rel) for rel in rel_files)
         ).schema
+    widened: dict[str, str] = {}
     if evolve_schema:
-        old_names = {f.name for f in old_struct.fields}
-        new_struct = StructType(
-            list(old_struct.fields)
-            + [f for f in updates.schema.fields if f.name not in old_names]
-        )
+        # shared fields take the WIDER of table/update types (legal
+        # widenings only, guarded in upsert_snapshot): old files promote
+        # at scan time under the pinned schema — type widening with
+        # zero rewrite (Delta's type widening)
+        new_struct, widened = _evolved_struct(old_struct, updates.schema)
     else:
         new_struct = old_struct
     version = base + 1
@@ -1249,7 +1354,10 @@ def _merge_phases(
     if manifest.get("constraints"):
         new_manifest["constraints"] = manifest["constraints"]
     _carry_file_meta(manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows)
-    _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
+    _carry_blooms(
+        spark, table_dir, manifest, new_manifest, untouched_rel, new_files,
+        widened=widened,
+    )
     if cdc:
         # Change-data sidecar (Delta's enableChangeDataFeed design): the
         # merge's logical deltas — every update-batch row as 'insert',
@@ -1376,7 +1484,7 @@ def _merge_dv(
             "schema_json": manifest.get("schema_json"),
             "txns": txns,
         }
-        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs", "constraints", "renames", "dropped"):
+        for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "bloom_types", "file_dvs", "constraints", "renames", "dropped"):
             if manifest.get(key):
                 noop[key] = manifest[key]
         _publish(table_dir, base + 1, noop)
@@ -1393,6 +1501,7 @@ def _merge_dv(
             *(os.path.join(table_dir, rel) for rel in rel_files)
         ).schema
     new_struct = old_struct
+    widened: dict[str, str] = {}
     stats_for = None
     if file_stats:
         stats_for = _stats_cols(manifest)
@@ -1402,11 +1511,7 @@ def _merge_dv(
     if updates is not None:
         aligned = updates
         if evolve_schema:
-            old_names = {f.name for f in old_struct.fields}
-            new_struct = StructType(
-                list(old_struct.fields)
-                + [f for f in updates.schema.fields if f.name not in old_names]
-            )
+            new_struct, widened = _evolved_struct(old_struct, updates.schema)
             aligned = updates.select(
                 *[
                     F.col(f.name)
@@ -1442,7 +1547,10 @@ def _merge_dv(
     # stats/blooms over-approximate DV-dead values, which keeps pruning
     # safe — a pruned-in file simply yields zero live rows after the join
     _carry_file_meta(manifest, new_manifest, rel_files, file_stats, new_stats, new_rows)
-    _carry_blooms(spark, table_dir, manifest, new_manifest, rel_files, new_files)
+    _carry_blooms(
+        spark, table_dir, manifest, new_manifest, rel_files, new_files,
+        widened=widened,
+    )
     if counts:
         dvm = {rel: dict(e) for rel, e in (new_manifest.get("file_dvs") or {}).items()}
         for rel, n in counts.items():
@@ -1521,11 +1629,20 @@ def _carry_file_meta(
 
 
 def _carry_blooms(
-    spark, table_dir, manifest, new_manifest, untouched_rel, new_files
+    spark, table_dir, manifest, new_manifest, untouched_rel, new_files,
+    widened: dict[str, str] | None = None,
 ) -> None:
     """Carry the bloom index across a rewrite commit: untouched files
     keep their filters, rewritten/new files get theirs recomputed under
-    the manifest's recorded bloom_conf (one change-proportional scan)."""
+    the manifest's recorded bloom_conf (one change-proportional scan).
+
+    ``bloom_types`` rides along: per (file, column), the type a carried
+    filter HASHED when it differs from the current logical type —
+    xxhash64 is type-sensitive, so after a widening the probe must use
+    each file's recorded type or it false-negatives (see the point-read
+    path). ``widened`` (logical col -> OLD simple type) stamps the
+    carried files of a commit that widens in-flight; recomputed filters
+    hash the new schema and need no entry."""
     bconf = manifest.get("bloom_conf")
     if not bconf:
         return
@@ -1539,6 +1656,20 @@ def _carry_blooms(
         )
     )
     new_manifest["file_blooms"] = blooms
+    old_bt = manifest.get("bloom_types", {})
+    bt = {rel: dict(old_bt[rel]) for rel in untouched_rel if rel in old_bt}
+    if widened:
+        events = _mapping_events(manifest)
+        for rel in untouched_rel:
+            fb = old_blooms.get(rel)
+            if not fb:
+                continue
+            for col, old_t in widened.items():
+                phys = _phys_name(events, rel, col) if events else col
+                if phys in fb and phys not in bt.get(rel, {}):
+                    bt.setdefault(rel, {})[phys] = old_t
+    if bt:
+        new_manifest["bloom_types"] = bt
 
 
 def snapshot_rows(table_dir: str, version: int | None = None) -> int | None:
@@ -2207,7 +2338,7 @@ def _delete_dv(
         new_manifest["file_dvs"] = new_dvm
     # every data file is carried: stats, rows, blooms transfer verbatim
     # (blooms over-approximate deleted values — pruning stays safe)
-    for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "constraints", "renames", "dropped"):
+    for key in ("file_stats", "file_rows", "bloom_conf", "file_blooms", "bloom_types", "constraints", "renames", "dropped"):
         if manifest.get(key):
             new_manifest[key] = manifest[key]
     if cdc and dv_rels:
@@ -2445,6 +2576,8 @@ def restore_snapshot(table_dir: str, version: int) -> int:
     if target.get("bloom_conf"):
         new_manifest["bloom_conf"] = target["bloom_conf"]
         new_manifest["file_blooms"] = target.get("file_blooms", {})
+        if target.get("bloom_types"):
+            new_manifest["bloom_types"] = target["bloom_types"]
     if target.get("file_dvs"):
         new_manifest["file_dvs"] = target["file_dvs"]
     for key in ("renames", "dropped"):
@@ -2601,7 +2734,7 @@ def _version_plan(table_dir: str, v: int, cols: list[str]) -> list[_CdcPartition
         return []  # version numbers are dense, but be tolerant
     op = manifest.get("op")
     parent = manifest.get("parent")
-    if op == "compact":
+    if op in ("compact", "widen"):
         return []  # content-identical by construction: no deltas
     if manifest.get("cdc_files"):  # merge or delete committed with cdc=True
         return [
@@ -3492,8 +3625,8 @@ def _mapping_commit(table_dir: str, manifest: dict, base: int, updates: dict) ->
         "rewrote": [],
     }
     for key in (
-        "file_stats", "file_rows", "bloom_conf", "file_blooms", "file_dvs",
-        "constraints", "txns", "renames", "dropped",
+        "file_stats", "file_rows", "bloom_conf", "file_blooms", "bloom_types",
+        "file_dvs", "constraints", "txns", "renames", "dropped",
     ):
         if manifest.get(key):
             nm[key] = manifest[key]
@@ -3604,6 +3737,107 @@ def drop_column(table_dir: str, col: str) -> int:
             ],
         },
     )
+
+
+def widen_column_type(table_dir: str, col: str, new_type: str) -> int:
+    """METADATA-ONLY column type widening (Delta's type widening /
+    Iceberg schema evolution): one manifest commit changes the column's
+    LOGICAL type to a wider one — int->bigint, float->double, and the
+    other lossless promotions in ``_WIDENINGS`` — with ZERO data files
+    rewritten. Old files keep their narrow physical type; every pinned
+    read promotes at scan time (the parquet vectorized reader upcasts
+    under a declared wider schema), including per-generation reads on
+    column-mapped tables (:class:`_SnapReader` builds each generation's
+    physical schema from the logical types). Time travel to pre-widen
+    versions shows the narrow type (old manifests are self-describing);
+    later MERGEs / DV-deletes / compactions write the wide type, and a
+    compaction materializes the widening the same way it materializes
+    DVs.
+
+    Bloom filters survive: xxhash64 is type-sensitive, so each carried
+    file's filter records the type it hashed (``bloom_types``) and point
+    reads probe per-file (see the point-read path) — no index rebuild,
+    no false negatives. Min/max file stats compare by value and carry
+    unchanged. CHECK constraints keep holding (values are preserved
+    exactly) and keep being enforced on later merges. The change feed
+    spans the commit naturally: a widen changes no rows, and the commit
+    shares every file with its parent, so the diff is empty.
+
+    The in-flight variant — an ``upsert_snapshot(evolve_schema=True)``
+    whose batch carries a wider type — widens the schema in the same
+    commit as the merge (:func:`_evolved_struct`). Returns the new
+    version. Use case: the first time a counter column overflows int32.
+    """
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"widen_column_type: no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    struct = _schema_struct(manifest)
+    if struct is None:
+        raise RuntimeError(
+            "widen_column_type requires a schema-recorded table (manifest "
+            "predates schema recording — rewrite it once via write_snapshot)"
+        )
+    field = next((f for f in struct.fields if f.name == col), None)
+    if field is None:
+        raise ValueError(
+            f"widen_column_type: no column {col!r} in "
+            f"{sorted(f.name for f in struct.fields)}"
+        )
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    aliases = {"long": "bigint", "integer": "int", "short": "smallint"}
+    old_t = field.dataType.simpleString()
+    new_t = new_type.strip().lower()
+    new_t = aliases.get(new_t, new_t)
+    if new_t == old_t:
+        return base  # idempotent no-op
+    if not _is_widening(old_t, new_t):
+        legal = sorted(_WIDENINGS.get(old_t, ()))
+        raise ValueError(
+            f"widen_column_type: {old_t} -> {new_t} is not a lossless "
+            f"widening; legal targets for {old_t}: {legal or 'none'}"
+        )
+    new_dt = {
+        "smallint": ShortType(),
+        "int": IntegerType(),
+        "bigint": LongType(),
+        "double": DoubleType(),
+    }[new_t]
+    new_struct = StructType(
+        [
+            StructField(col, new_dt, True, f.metadata) if f.name == col else f
+            for f in struct.fields
+        ]
+    )
+    # Stamp the hash type of every surviving bloom on this column: the
+    # filters were built hashing the narrow type and stay valid only if
+    # probed with it (first widen wins — an already-stamped entry means
+    # the bloom predates an EARLIER widen and must keep that older type).
+    events = _mapping_events(manifest)
+    bt = {rel: dict(cols) for rel, cols in manifest.get("bloom_types", {}).items()}
+    for rel in manifest["files"]:
+        fb = manifest.get("file_blooms", {}).get(rel)
+        if not fb:
+            continue
+        phys = _phys_name(events, rel, col) if events else col
+        if phys in fb and phys not in bt.get(rel, {}):
+            bt.setdefault(rel, {})[phys] = old_t
+    updates: dict = {
+        "op": "widen",
+        "schema": manifest.get("schema") or sorted(f.name for f in struct.fields),
+        "schema_json": new_struct.json(),
+    }
+    if bt:
+        updates["bloom_types"] = bt
+    return _mapping_commit(table_dir, manifest, base, updates)
 
 
 def _tags_dir(table_dir: str) -> str:
