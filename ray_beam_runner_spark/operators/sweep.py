@@ -19,6 +19,21 @@ Every corpus-sized exchange is bucket-keyed; the only ordered pass over
 analytic-window operator at all (aggregations are CombinePerKey —
 SURVEY.md §2.3); this is the Spark-first shape for the global variant
 its users would otherwise collect() for.
+
+BUCKET SIZING. ``bucket_seconds`` trades the two passes against each
+other: too COARSE (one bucket) degenerates pass 3 into the global
+window the module exists to avoid; too FINE (bucket count ~ row count)
+makes the pass-2 offsets table corpus-sized, so the single-partition
+prefix sum over it is the global sort again. Anything within a couple
+of orders of magnitude of sqrt(rows) is fine — the sweet spot is flat
+and wide. When the caller passes ``bucket_seconds=None`` (the default)
+it is DERIVED from the data: one tiny min/max aggregation over the
+boundary points targets ~4096 buckets across the observed time range
+(10^3-10^4 buckets keeps the offsets table trivially broadcastable up
+to billions of rows while leaving each bucket's within-partition sort
+far below task-memory scale). The extra job costs two scalars to the
+driver; callers on a hot path with a known time scale pass an explicit
+value and skip it.
 """
 
 from __future__ import annotations
@@ -32,8 +47,24 @@ from pyspark.sql import functions as F
 __all__ = ["concurrency_timeline", "open_intervals_at"]
 
 
+_AUTO_TARGET_BUCKETS = 4096
+
+
+def _auto_bucket_seconds(pts: DataFrame) -> int:
+    """Derive a bucket width from the point set's time range, targeting
+    ~_AUTO_TARGET_BUCKETS buckets (module doc: the sweet spot is flat,
+    10^3-10^4 is safe at any corpus size). Zero-range and empty inputs
+    get 1 — a single bucket over a single instant is exact."""
+    import math
+
+    lo, hi = pts.agg(F.min("t"), F.max("t")).first()
+    if lo is None or hi <= lo:
+        return 1
+    return max(1, math.ceil((hi - lo) / _AUTO_TARGET_BUCKETS))
+
+
 def _bucketed_running_sum(
-    pts: DataFrame, kn: Sequence[str], bucket_seconds: int
+    pts: DataFrame, kn: Sequence[str], bucket_seconds: int | None
 ) -> DataFrame:
     """The three-pass core over a point set carrying (t, delta, _sw_rank)
     plus arbitrary passthrough columns: appends ``concurrency`` = the
@@ -42,6 +73,8 @@ def _bucketed_running_sum(
     doc). Identical rows are interchangeable, so the output MULTISET is
     deterministic even where the within-tie order is not."""
     kn = list(kn)
+    if bucket_seconds is None:
+        bucket_seconds = _auto_bucket_seconds(pts)
     pts = pts.withColumn(
         "_sw_b", F.floor(F.col("t") / F.lit(bucket_seconds)).cast("long")
     )
@@ -102,7 +135,7 @@ def concurrency_timeline(
     intervals: DataFrame,
     start: str,
     end: str,
-    bucket_seconds: int,
+    bucket_seconds: int | None = None,
     keys: Sequence[str] = (),
 ) -> DataFrame:
     """Concurrency after every boundary event of the half-open intervals
@@ -125,7 +158,7 @@ def open_intervals_at(
     end: str,
     probes: DataFrame,
     probe_time: str,
-    bucket_seconds: int,
+    bucket_seconds: int | None = None,
     keys: Sequence[str] = (),
 ) -> DataFrame:
     """For every probe row: how many intervals [start, end) are open at

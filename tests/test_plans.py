@@ -713,3 +713,47 @@ def test_bucket_joins_reject_reserved_working_columns(spark):
     p = spark.createDataFrame([(1.5, 9)], "pt double, _rbj_bucket int")
     with pytest.raises(ValueError, match="reserved working column"):
         range_bucket_join(p, b, "pt", "b_s", "b_e", bucket_seconds=10)
+
+
+def test_sweep_auto_bucket_sizing(spark):
+    """bucket_seconds=None derives the width from the data's time range
+    (target ~4096 buckets) — pathological ranges (one instant, huge
+    span) still compute exactly and never degenerate to per-row
+    buckets."""
+    from ray_beam_runner_spark.operators.sweep import (
+        _auto_bucket_seconds,
+        _boundary_points,
+        concurrency_timeline,
+        open_intervals_at,
+    )
+
+    # huge span: 100 intervals across 10^9 seconds
+    iv = spark.createDataFrame(
+        [(float(i * 10_000_000), float(i * 10_000_000 + 5_000_000)) for i in range(100)],
+        "s double, e double",
+    )
+    auto = concurrency_timeline(iv, "s", "e")  # no bucket_seconds
+    explicit = concurrency_timeline(iv, "s", "e", bucket_seconds=500_000)
+    rows = lambda df: sorted((r.t, r.delta, r.concurrency) for r in df.collect())
+    assert rows(auto) == rows(explicit)
+    # the derived width targets ~4096 buckets, not per-row buckets
+    w = _auto_bucket_seconds(_boundary_points(iv, "s", "e", []))
+    span = 99 * 10_000_000 + 5_000_000
+    assert 1000 <= span // w <= 10_000
+    # zero range: every boundary at one instant -> width 1, exact result
+    inst = spark.createDataFrame([(5.0, 5.0)] * 3, "s double, e double")
+    got = rows(concurrency_timeline(inst, "s", "e"))
+    assert got == rows(concurrency_timeline(inst, "s", "e", bucket_seconds=7))
+    # probes ride the auto width too
+    probes = spark.createDataFrame(
+        [(1, 25_000_000.0), (2, 999_000_000.0)], "pid int, pt double"
+    )
+    opened = {
+        r.pid: r.open_count
+        for r in open_intervals_at(iv, "s", "e", probes, "pt").collect()
+    }
+    want = {
+        pid: sum(1 for i in range(100) if i * 1e7 <= t < i * 1e7 + 5e6)
+        for pid, t in [(1, 25_000_000.0), (2, 999_000_000.0)]
+    }
+    assert opened == want
