@@ -174,3 +174,115 @@ def test_refresh_is_noop_and_replay_safe(spark, cascade):
     v = snap.latest_version(state)
     # source unchanged -> refresh is a pure no-op (same version)
     assert refresh_corpus_state(spark, cascade["src"], state) == v
+
+
+def test_queries_between_maintainer_drains_see_pre_or_post_never_mixed(
+    spark, monkeypatch
+):
+    """Search-while-ingesting across the FULL cascade (round-10 verdict
+    ask #7): queries issued BETWEEN each maintainer's drain inside
+    drain_corpus_views must see each view either entirely pre-commit or
+    entirely post-commit — never a mix. Each view read pins one
+    manifest, so a mixed result would mean a maintainer published a
+    half-applied batch. Instrumented by wrapping corpus._drain to
+    observe all three views right after every maintainer finishes."""
+    import ray_beam_runner_spark.corpus as corpus_mod
+    from ray_beam_runner_spark.functions.clustering import ivfpq_encode, load_ivfpq
+    from ray_beam_runner_spark.functions.search import doc_postings
+
+    src, state, work = _mkdir(), _mkdir(), _mkdir()
+    rows = [(i, f"src{i % 2}", g(i % 3)) for i in range(1, 8)]
+    snap.write_snapshot(_src_rows(spark, rows), src, cluster_by=["doc_id"], n_files=2)
+    refresh_corpus_state(spark, src, state)
+    layout = init_corpus_views(spark, state, work)
+    drain_corpus_views(spark, layout)
+
+    def agg_set():
+        return _rows_set(
+            snap.read_snapshot(spark, layout["agg"]).filter(F.col("cnt") > 0)
+            .select("source", "cnt", F.col("sum_n_tok").cast("long").alias("s")),
+            "source", "cnt", "s",
+        )
+
+    def idx_set():
+        return _rows_set(
+            snap.read_snapshot(spark, layout["idx"]), "token", "doc_id", "tf"
+        )
+
+    def ann_set():
+        return {
+            (r.doc_id, r.cell, tuple(r.codes))
+            for r in snap.read_snapshot(spark, layout["ann"]).collect()
+        }
+
+    def views_for(canon):
+        coarse, books, _ = load_ivfpq(
+            spark, layout["coarse"], layout["books"], layout["ann"]
+        )
+        want_agg = {
+            (r.source, r.cnt, r.s)
+            for r in canon.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_tok").cast("long").alias("s"))
+            .collect()
+        }
+        want_idx = _rows_set(
+            doc_postings(canon, "doc_id", "text"), "token", "doc_id", "tf"
+        )
+        want_ann = {
+            (r.doc_id, r.cell, tuple(r.codes))
+            for r in ivfpq_encode(
+                canon.select(
+                    "doc_id",
+                    text_embedding(F.col("text"), int(layout["emb_dim"])).alias("emb"),
+                ),
+                coarse, books, "doc_id", "emb",
+            ).collect()
+        }
+        return want_agg, want_idx, want_ann
+
+    pre_state = snap.read_snapshot(spark, state).filter("is_canon").persist()
+    pre = views_for(pre_state)
+
+    # the ingest: a mixed commit that touches every view (new docs, a
+    # survivor deletion, a dup insert)
+    snap.upsert_snapshot(
+        spark, src,
+        _src_rows(spark, [(8, "src1", g(1)), (9, "src0", GOOD + " novel words")]),
+        ["doc_id"], cdc=True,
+    )
+    snap.delete_keys(
+        spark, src, spark.createDataFrame([(1,)], "doc_id long"), ["doc_id"],
+        cdc=True,
+    )
+    refresh_corpus_state(spark, src, state)
+    post_state = snap.read_snapshot(spark, state).filter("is_canon").persist()
+    post = views_for(post_state)
+    assert pre != post  # the commit must actually move every view
+
+    observations = []
+    real_drain = corpus_mod._drain
+
+    def observing_drain(q, timeout, what):
+        real_drain(q, timeout, what)
+        observations.append((what, agg_set(), idx_set(), ann_set()))
+
+    monkeypatch.setattr(corpus_mod, "_drain", observing_drain)
+    try:
+        drain_corpus_views(spark, layout)
+    finally:
+        monkeypatch.undo()
+        pre_state.unpersist()
+        post_state.unpersist()
+
+    assert [w for w, *_ in observations] == [
+        "corpus aggregate", "corpus token index", "corpus ANN index"
+    ]
+    names = ("aggregate", "token index", "ANN index")
+    for what, *views in observations:
+        for name, got, want_pre, want_post in zip(names, views, pre, post):
+            assert got in (want_pre, want_post), (
+                f"after '{what}' drain, the {name} view is a pre/post MIX"
+            )
+    # and after the full drain, everything is post
+    final = (agg_set(), idx_set(), ann_set())
+    assert final == post
