@@ -930,6 +930,83 @@ def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(queries, coarse, books, index, k=5)
 
 
+@query(
+    "q_ann_refit",
+    oracle=_ivfpq_oracle(
+        n_cells=4, m=2, k=4, n_iter=1, dim=64,
+        corpus_where="vec_id >= 8 AND vec_id % 7 <> 0",
+        train_where="vec_id >= 8",
+    ),
+)
+def q_ann_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER REFRESH lifecycle, oracle-checked through
+    exhaustive-probe search (round-11 verdict ask #4): fit the initial
+    quantizer on the first corpus slice, CDC-ingest the rest under that
+    frozen generation, then REFIT on the now-complete corpus
+    (functions.clustering.refit_ivfpq — retrain, one-pass re-encode,
+    index committed LAST with ann:coarse/ann:books version pins), and
+    keep maintaining: a CDC delete drains against the NEW generation
+    resolved through the pins (load_ivfpq). The oracle replays the END
+    state in SQL — Lloyd trained on the FULL corpus (what the refit
+    saw), codes and residual-ADC over the merged-minus-deleted rows —
+    so a refit bug (stale codes from generation 1, a mixed
+    quantizer/index pair, an unretracted delete) breaks the hash."""
+    from ray_beam_runner_spark.functions.clustering import (
+        ivfpq_topk,
+        load_ivfpq,
+        refit_ivfpq,
+        stream_maintain_ivfpq,
+    )
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    emb = t(spark, sf_dir, "embeddings")
+    initial = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 != 0)).select(
+        "vec_id", "embedding"
+    )
+    arriving = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 == 0)).select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    src = scratch_dir("rbrs_refsrc_")
+    cd = scratch_dir("rbrs_refcoarse_")
+    bd = scratch_dir("rbrs_refbooks_")
+    xd = scratch_dir("rbrs_refidx_")
+    ckpt = scratch_dir("rbrs_refckpt_")
+    snap.write_snapshot(initial, src, cluster_by=["vec_id"], n_files=4)
+    # generation 1: fit + encode the initial corpus
+    refit_ivfpq(
+        spark, initial, "vec_id", "embedding", cd, bd, xd,
+        n_cells=4, m=2, k=4, n_iter=1,
+    )
+
+    def drain() -> None:
+        coarse, books, _ = load_ivfpq(spark, cd, bd, xd)
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_ivfpq(
+            feed, xd, coarse, books, "vec_id", "embedding", ckpt
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ANN refit drain exceeded 300s")
+
+    snap.upsert_snapshot(spark, src, arriving, ["vec_id"], cdc=True)
+    drain()  # gen-1 maintenance: arrivals encoded under the old quantizer
+    # REFIT on the complete corpus: retrain + one-pass re-encode + swap
+    refit_ivfpq(
+        spark, snap.read_snapshot(spark, src), "vec_id", "embedding",
+        cd, bd, xd, n_cells=4, m=2, k=4, n_iter=1,
+    )
+    snap.delete_where(
+        spark, src, (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 8), cdc=True
+    )
+    drain()  # gen-2 maintenance through the pins
+    coarse, books, index = load_ivfpq(spark, cd, bd, xd)
+    return ivfpq_topk(queries, coarse, books, index, k=5)
+
+
 def _logreg_oracle(n_buckets: int, n_iter: int, lr: float = 8.0) -> str:
     """Per-round CTE oracle for the quality classifier: fixed-point
     term-frequency features + a length feature, then one (score,

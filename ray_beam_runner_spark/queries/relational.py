@@ -2898,6 +2898,57 @@ def q_snapshot_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_widen",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS cnt
+      FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 21 = 0
+                THEN CAST(cnt AS BIGINT) + 1099511627776
+                ELSE CAST(cnt AS BIGINT) END AS cnt
+    FROM base
+    WHERE NOT (o_orderkey % 35 = 0)
+    """,
+)
+def q_snapshot_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column TYPE widening end to end (round-11: int→bigint with zero
+    rewrite — sources/snapshots.py widen_column_type): load every 7th
+    order with an int32 counter, WIDEN it to bigint in one metadata-only
+    commit (asserted: every data file carried verbatim), MERGE values
+    only int64 can hold (cnt + 2^40) into the mixed-generation table,
+    then DV-DELETE a slice across the boundary. The hash checks that
+    (a) pre-widen files read their stored values promoted to the wide
+    type, (b) merged rows carry genuine int64 values, and (c) the DV
+    retraction applied — the overflow case a long-lived counter table
+    hits the first time it outgrows int32."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+    from ray_beam_runner_spark.sources.snapshots import widen_column_type
+
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.col("o_custkey").cast("int").alias("cnt")
+    )
+    tdir = scratch_dir("rbrs_widen_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=4)
+    files_v1 = list(snap.read_manifest(tdir, 1)["files"])
+    v = widen_column_type(tdir, "cnt", "bigint")
+    assert (
+        snap.read_manifest(tdir, v)["files"] == files_v1
+    ), "widen must be metadata-only (zero data files rewritten)"
+    updates = base.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey", (F.col("cnt").cast("long") + (1 << 40)).alias("cnt")
+    )
+    snap.upsert_snapshot(spark, tdir, updates, ["o_orderkey"])
+    snap.delete_keys(
+        spark, tdir,
+        base.filter(F.col("o_orderkey") % 35 == 0).select("o_orderkey"),
+        ["o_orderkey"], dv=True,
+    )
+    return snap.read_snapshot(spark, tdir).select("o_orderkey", "cnt")
+
+
+@query(
     "q_snapshot_delete",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 4) AS totalprice, o_orderstatus
