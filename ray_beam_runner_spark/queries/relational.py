@@ -2811,6 +2811,60 @@ def q_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_shortest_paths",
+    oracle="""
+    WITH RECURSIVE
+    e0 AS (
+      SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+    seeds AS (
+      SELECT DISTINCT 's' || s_suppkey AS node
+      FROM supplier WHERE s_suppkey <= 3),
+    walk(node, dist, hops) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+      UNION
+      SELECT e.dst, w.dist + e.w, w.hops + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hops < 3)
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths over the customer-supplier
+    trade graph (cheapest supply-chain radius): minimum total
+    min-quantity cost from the nation-0 supplier seeds over paths of at
+    most 3 hops. Spark side is functions.graph.shortest_paths —
+    frontier Bellman-Ford, one keyed relaxation join per round over the
+    improved frontier only, rounds localCheckpoint-ed; parallel edges
+    pre-aggregate to their min weight. The oracle walks the same
+    bounded-hop space with a recursive CTE and takes min(dist) per node
+    — frontier relaxation vs recursive fixpoint are different plans for
+    the same distance function, which is what the hash checks. Integer
+    weights keep every sum exact in both engines."""
+    from ray_beam_runner_spark.functions.graph import shortest_paths
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 3)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    out = shortest_paths(
+        edges, seeds, "src", "dst", "w", "node", max_iters=3, undirected=True
+    )
+    return out.select("node", F.col("dist").cast("long").alias("dist")).orderBy("node")
+
+
+@query(
     "q_snapshot_zorder",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

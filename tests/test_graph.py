@@ -200,3 +200,70 @@ def test_bfs_layers_undirected_depth_bound_and_multi_seed(spark):
     }
     # depth bound cuts the walk after ring 1; both seeds at 0; min over seeds
     assert out == {2: 0, 9: 0, 1: 1, 3: 1, 0: 1}
+
+
+def test_shortest_paths_equals_dijkstra(spark):
+    """Frontier Bellman-Ford == driver-side Dijkstra on a small random
+    weighted graph (deterministic edges), directed and undirected,
+    including parallel edges (min wins) and an unreachable island."""
+    import heapq
+
+    from ray_beam_runner_spark.functions.graph import shortest_paths
+
+    edges = []
+    for i in range(30):
+        edges.append((f"n{i}", f"n{(i * 7 + 3) % 30}", (i * 13) % 9 + 1))
+        edges.append((f"n{i}", f"n{(i + 1) % 30}", (i * 5) % 7 + 1))
+    edges.append(("n0", "n1", 100))  # parallel edge: min must win
+    edges.append(("island_a", "island_b", 2))  # unreachable from seeds
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("n0",), ("n17",)], "node string")
+
+    def dijkstra(adj, starts):
+        dist = {s: 0 for s in starts}
+        pq = [(0, s) for s in starts]
+        heapq.heapify(pq)
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        return dist
+
+    for undirected in (False, True):
+        adj = {}
+        for s, d, w in edges:
+            adj.setdefault(s, []).append((d, w))
+            if undirected:
+                adj.setdefault(d, []).append((s, w))
+        want = dijkstra(adj, ["n0", "n17"])
+        got = {
+            r.node: r.dist
+            for r in shortest_paths(
+                e, seeds, max_iters=40, undirected=undirected
+            ).collect()
+        }
+        assert got == {k: float(v) for k, v in want.items()}, f"undirected={undirected}"
+        assert "island_a" not in got
+
+    # bounded-hop semantics: with max_iters=1 only direct neighbors appear
+    one = {
+        r.node: r.dist
+        for r in shortest_paths(e, seeds, max_iters=1).collect()
+    }
+    direct = {"n0": 0.0, "n17": 0.0}
+    for s, d, w in edges:
+        if s in ("n0", "n17"):
+            direct[d] = min(direct.get(d, float("inf")), float(w) + (0.0))
+    assert one == direct
+
+    # negative weights are loud
+    import pytest
+
+    neg = spark.createDataFrame([("a", "b", -1)], "src string, dst string, w long")
+    with pytest.raises(ValueError, match="negative edge weight"):
+        shortest_paths(neg, spark.createDataFrame([("a",)], "node string"))
