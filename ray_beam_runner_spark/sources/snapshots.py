@@ -666,11 +666,33 @@ _WIDENINGS: dict[str, frozenset[str]] = {
     "float": frozenset({"double"}),
 }
 
+_DECIMAL_RE = None  # compiled lazily
+
 
 def _is_widening(old_t: str, new_t: str) -> bool:
     """True when new_t is a legal lossless widening of old_t
-    (simpleString names)."""
-    return new_t in _WIDENINGS.get(old_t, ())
+    (simpleString names). Beyond the scalar chain: DATE ->
+    TIMESTAMP_NTZ (midnight wall-clock, no zone reinterpretation) and
+    DECIMAL(p,s) -> DECIMAL(p',s') when neither integral digits
+    (p - s) nor fractional digits (s) shrink — every representable
+    value stays exact. All of these are promotions the parquet
+    vectorized reader performs at scan time under a declared wider
+    schema, which is what keeps the widen commit metadata-only."""
+    if new_t in _WIDENINGS.get(old_t, ()):
+        return True
+    if old_t == "date" and new_t == "timestamp_ntz":
+        return True
+    global _DECIMAL_RE
+    if _DECIMAL_RE is None:
+        import re as _re
+
+        _DECIMAL_RE = _re.compile(r"^decimal\((\d+),(\d+)\)$")
+    mo, mn = _DECIMAL_RE.match(old_t), _DECIMAL_RE.match(new_t)
+    if mo and mn:
+        po, so = int(mo.group(1)), int(mo.group(2))
+        pn, sn = int(mn.group(1)), int(mn.group(2))
+        return (pn, sn) != (po, so) and sn >= so and (pn - sn) >= (po - so)
+    return False
 
 
 def _bloom_probe(spark: SparkSession, value, dtype: str, bits: int, k: int):
@@ -3785,17 +3807,19 @@ def widen_column_type(table_dir: str, col: str, new_type: str) -> int:
             f"{sorted(f.name for f in struct.fields)}"
         )
     from pyspark.sql.types import (
+        DecimalType,
         DoubleType,
         IntegerType,
         LongType,
         ShortType,
         StructField,
         StructType,
+        TimestampNTZType,
     )
 
     aliases = {"long": "bigint", "integer": "int", "short": "smallint"}
     old_t = field.dataType.simpleString()
-    new_t = new_type.strip().lower()
+    new_t = new_type.strip().lower().replace(" ", "")
     new_t = aliases.get(new_t, new_t)
     if new_t == old_t:
         return base  # idempotent no-op
@@ -3803,14 +3827,21 @@ def widen_column_type(table_dir: str, col: str, new_type: str) -> int:
         legal = sorted(_WIDENINGS.get(old_t, ()))
         raise ValueError(
             f"widen_column_type: {old_t} -> {new_t} is not a lossless "
-            f"widening; legal targets for {old_t}: {legal or 'none'}"
+            f"widening; legal scalar targets for {old_t}: {legal or 'none'} "
+            "(also: date -> timestamp_ntz; decimal(p,s) -> decimal(p',s') "
+            "with p'-s' >= p-s and s' >= s)"
         )
-    new_dt = {
-        "smallint": ShortType(),
-        "int": IntegerType(),
-        "bigint": LongType(),
-        "double": DoubleType(),
-    }[new_t]
+    if new_t.startswith("decimal("):
+        m = _DECIMAL_RE.match(new_t)
+        new_dt = DecimalType(int(m.group(1)), int(m.group(2)))
+    else:
+        new_dt = {
+            "smallint": ShortType(),
+            "int": IntegerType(),
+            "bigint": LongType(),
+            "double": DoubleType(),
+            "timestamp_ntz": TimestampNTZType(),
+        }[new_t]
     new_struct = StructType(
         [
             StructField(col, new_dt, True, f.metadata) if f.name == col else f

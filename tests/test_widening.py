@@ -216,3 +216,47 @@ def test_widen_composes_with_column_mapping(spark):
     # pre-rename version: old name, narrow type
     v1 = snap.read_snapshot(spark, t, version=1)
     assert dict(v1.dtypes)["cnt"] == "int"
+
+
+def test_widen_decimal_and_date(spark):
+    """The non-scalar widenings: decimal precision/scale growth (no
+    integral or fractional digits lost) and date -> timestamp_ntz —
+    both metadata-only, both promoted at scan time."""
+    import datetime
+    from decimal import Decimal
+
+    t = _tdir()
+    snap.write_snapshot(
+        spark.sql(
+            "SELECT 1 AS k, CAST(1.25 AS DECIMAL(10,2)) AS amt, "
+            "CAST('2024-03-05' AS DATE) AS d"
+        ),
+        t,
+    )
+    files = snap.read_manifest(t, 1)["files"]
+    widen_column_type(t, "amt", "decimal(20,4)")
+    widen_column_type(t, "d", "timestamp_ntz")
+    m = snap.read_manifest(t, 3)
+    assert m["files"] == files  # still zero rewrite
+    df = snap.read_snapshot(spark, t)
+    assert dict(df.dtypes) == {"k": "int", "amt": "decimal(20,4)", "d": "timestamp_ntz"}
+    row = df.first()
+    assert row.amt == Decimal("1.2500")
+    assert row.d == datetime.datetime(2024, 3, 5, 0, 0)
+    # shrinking digits is loud in both dimensions
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        widen_column_type(t, "amt", "decimal(20,2)")  # scale 4->2: fractional digits lost
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        widen_column_type(t, "amt", "decimal(10,4)")  # p-s 16->6: integral digits lost
+    # post-widen merge with the wide types round-trips
+    snap.upsert_snapshot(
+        spark, t,
+        spark.sql(
+            "SELECT 2 AS k, CAST(123456789012345.6789 AS DECIMAL(20,4)) AS amt, "
+            "CAST('2024-03-05 12:34:56' AS TIMESTAMP_NTZ) AS d"
+        ),
+        ["k"],
+    )
+    got = {r.k: (r.amt, r.d) for r in snap.read_snapshot(spark, t).collect()}
+    assert got[2][0] == Decimal("123456789012345.6789")
+    assert got[1][0] == Decimal("1.2500")
