@@ -41,6 +41,9 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_lsh_pairs",
+    "lsh_index_buckets",
+    "lsh_pairs_from_index",
+    "stream_maintain_lsh_index",
     "simhash",
     "simhash_pairs",
     "hamming_pairs",
@@ -292,6 +295,30 @@ def minhash_signatures(
     return part.mapInPandas(kernel, schema="id long, sz long, sig array<long>")
 
 
+def _band_buckets(sigs: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """(id, sz, bucket) banded-signature postings: one 64-bit hash of
+    (band index, signature slice) per band per doc — the LSH bucket key
+    both the in-memory candidate self-join and the MAINTAINED index
+    table are built from (identical derivation is what makes the
+    maintained index equal a batch rebuild)."""
+    n_bands = num_hashes // rows_per_band
+    return sigs.select(
+        "id",
+        "sz",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     grams: DataFrame, num_hashes: int = 128, rows_per_band: int = 4
 ) -> DataFrame:
@@ -311,22 +338,7 @@ def minhash_lsh_candidates(
     from ray_beam_runner_spark.caches import track
 
     sigs = track(minhash_signatures(None, num_hashes=num_hashes, grams=grams))
-    n_bands = num_hashes // rows_per_band
-    bands = sigs.select(
-        "id",
-        "sz",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bucket"),
-    )
+    bands = _band_buckets(sigs, num_hashes, rows_per_band)
     a = bands.select(F.col("id").alias("d1"), F.col("sz").alias("n1"), "bucket")
     b = bands.select(F.col("id").alias("d2"), F.col("sz").alias("n2"), "bucket")
     return (
@@ -406,6 +418,17 @@ def minhash_lsh_pairs(
     # broadcast limits must pass broadcast_candidates=False to verify
     # through ordinary id-keyed shuffle joins instead of failing on the
     # 8 GB broadcast cap.
+    return _verify_candidates(cands, grams, threshold, broadcast_candidates)
+
+
+def _verify_candidates(
+    cands: DataFrame, grams: DataFrame, threshold: float, broadcast_candidates: bool
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs ONLY (the shared
+    verification tail of minhash_lsh_pairs and lsh_pairs_from_index):
+    two postings joins intersect the candidates' shingle sets; set
+    sizes ride on the candidate rows. Candidates broadcast by default
+    (forced hint, see minhash_lsh_pairs docstring)."""
     cand_side = F.broadcast(cands) if broadcast_candidates else cands
     g1 = grams.select(F.col("id").alias("d1"), "g")
     g2 = grams.select(F.col("id").alias("d2"), "g")
@@ -767,3 +790,148 @@ def remove_repeated_spans(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def lsh_index_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Batch-build the MAINTAINABLE LSH index content for a document
+    frame: (id_col, sz, bucket) banded-signature postings, the exact
+    rows :func:`stream_maintain_lsh_index` merges per micro-batch —
+    one derivation shared by init, maintenance, and the
+    maintained-equals-rebuilt comparison. Default banding sizes to the
+    verification ``threshold`` (lsh_banding) so downstream
+    :func:`lsh_pairs_from_index` is exact at that threshold."""
+    if (num_hashes is None) != (rows_per_band is None):
+        raise ValueError("pass both num_hashes and rows_per_band, or neither")
+    if num_hashes is None:
+        num_hashes, rows_per_band = lsh_banding(threshold)
+    grams = shingle_postings(df, id_col, text_col, n)
+    sigs = minhash_signatures(None, grams=grams, num_hashes=num_hashes)
+    return _band_buckets(sigs, num_hashes, rows_per_band).select(
+        F.col("id").alias(id_col), "sz", "bucket"
+    )
+
+
+def stream_maintain_lsh_index(
+    feed: DataFrame,
+    index_dir: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    num_hashes: int | None = None,
+    rows_per_band: int | None = None,
+    threshold: float = 0.5,
+    app_id: str | None = None,
+):
+    """Maintain a near-dup LSH index TABLE from a documents change
+    feed — the dedup-family member of the maintained-index set (token
+    index, IVF-PQ): per micro-batch, net the deltas per id (a doc
+    inserted then deleted within one drain never lands; an update's
+    pair resolves to the insert), re-shingle + re-sign ONLY the batch's
+    final inserts, and MERGE their (id, sz, bucket) band postings keyed
+    by id — the keyed MERGE replaces the doc's whole posting set, so an
+    updated text swaps its buckets atomically. Pure deletes retract via
+    a keyed DELETE. Both commits carry (app, batch) txn ids: replayed
+    batches are manifest-detected no-ops, exactly-once on top of the
+    feed's checkpointed version offsets.
+
+    Scale shape: per trigger the corpus is never touched — only batch
+    docs are hashed (the banding math is per-doc), and only the index
+    files containing affected ids are rewritten (id-clustered keyed
+    MERGE). An index maintained across N drains equals
+    :func:`lsh_index_buckets` over the final corpus
+    (tests/test_dedup.py), which is what makes
+    :func:`lsh_pairs_from_index` on the maintained table exact."""
+    import os as _os
+
+    from pyspark.sql import Window as W
+
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    if (num_hashes is None) != (rows_per_band is None):
+        raise ValueError("pass both num_hashes and rows_per_band, or neither")
+    if num_hashes is None:
+        num_hashes, rows_per_band = lsh_banding(threshold)
+    app = app_id or f"lshidx:{_os.path.basename(_os.path.abspath(index_dir))}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = W.partitionBy(id_col).orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change") == "insert", 1).otherwise(0).desc(),
+        )
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
+        try:
+            counts = dict(last.groupBy("_change").count().collect())
+            if counts.get("insert"):
+                ins = last.filter(F.col("_change") == "insert").select(
+                    id_col, text_col
+                )
+                snap.upsert_snapshot(
+                    spark, index_dir,
+                    lsh_index_buckets(
+                        ins, id_col, text_col, n,
+                        num_hashes=num_hashes, rows_per_band=rows_per_band,
+                    ),
+                    [id_col], txn_app=app, txn_version=batch_id,
+                )
+            if counts.get("delete"):
+                dels = last.filter(F.col("_change") == "delete").select(id_col)
+                snap.delete_keys(
+                    spark, index_dir, dels, [id_col],
+                    txn_app=f"{app}#del", txn_version=batch_id,
+                )
+        finally:
+            last.unpersist()
+
+    return (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def lsh_pairs_from_index(
+    index_df: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Near-dup pairs from a MAINTAINED bucket index (the read side of
+    :func:`stream_maintain_lsh_index`): candidate pairs come from the
+    bucket-keyed self-join over the INDEX TABLE (no re-hashing of the
+    corpus), then exact n-gram Jaccard verifies candidates only against
+    the CURRENT documents. With default banding the index detects a
+    threshold-J pair with prob >= 1-1e-6, so the verified output equals
+    the exact pair set — same contract as minhash_lsh_pairs, with the
+    signature work amortized into ingestion instead of paid per query."""
+    from ray_beam_runner_spark.caches import track
+
+    bands = index_df.select(F.col(id_col).alias("id"), "sz", "bucket")
+    a = bands.select(F.col("id").alias("d1"), F.col("sz").alias("n1"), "bucket")
+    b = bands.select(F.col("id").alias("d2"), F.col("sz").alias("n2"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "n1", "n2")
+        .distinct()
+    )
+    grams = track(shingle_postings(docs, id_col, text_col, n))
+    return _verify_candidates(cands, grams, threshold, broadcast_candidates)

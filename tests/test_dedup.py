@@ -237,3 +237,77 @@ def test_leakage_safe_split_never_straddles_pairs(spark):
         for r in leakage_safe_split(docs, pairs, id_col="doc_id", val_pct=30).collect()
     }
     assert again == rows
+
+
+def test_lsh_index_maintained_equals_rebuild_and_pairs_exact(spark, tmp_path):
+    """CDC-maintained LSH bucket index through insert/update/delete
+    churn == lsh_index_buckets over the final corpus; pairs read from
+    the maintained index == minhash_lsh_pairs on the same docs; a
+    replayed drain is a no-op."""
+    import os
+
+    from ray_beam_runner_spark.functions.dedup import (
+        lsh_index_buckets,
+        lsh_pairs_from_index,
+        minhash_lsh_pairs,
+        stream_maintain_lsh_index,
+    )
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    base = "the quick brown fox jumps over the lazy dog and then naps in the warm sun"
+    rows = [(i, base + f" variant {i % 4}") for i in range(1, 13)]
+    docs0 = spark.createDataFrame(rows, "doc_id long, text string")
+    src = os.path.join(str(tmp_path), "src")
+    idx = os.path.join(str(tmp_path), "idx")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    initial = docs0.filter(F.col("doc_id") % 3 != 0)
+    snap.write_snapshot(initial, src, cluster_by=["doc_id"], n_files=2)
+    snap.write_snapshot(
+        lsh_index_buckets(initial, "doc_id", "text"),
+        idx, cluster_by=["doc_id"], n_files=2,
+    )
+
+    def drain():
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_lsh_index(feed, idx, "doc_id", "text", ckpt)
+        assert q.awaitTermination(180)
+
+    # churn: insert the rest, update two texts, delete two docs
+    snap.upsert_snapshot(
+        spark, src, docs0.filter(F.col("doc_id") % 3 == 0), ["doc_id"], cdc=True
+    )
+    snap.upsert_snapshot(
+        spark, src,
+        spark.createDataFrame(
+            [(2, base + " rewritten entirely different words now"),
+             (5, base + " variant 0")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"], cdc=True,
+    )
+    snap.delete_keys(
+        spark, src, spark.createDataFrame([(7,), (12,)], "doc_id long"),
+        ["doc_id"], cdc=True,
+    )
+    drain()
+
+    final_docs = snap.read_snapshot(spark, src)
+    rows_set = lambda df: {tuple(r) for r in df.collect()}
+    maintained = rows_set(snap.read_snapshot(spark, idx))
+    rebuilt = rows_set(lsh_index_buckets(final_docs, "doc_id", "text"))
+    assert maintained == rebuilt and maintained
+
+    got_pairs = rows_set(
+        lsh_pairs_from_index(
+            snap.read_snapshot(spark, idx), final_docs, "doc_id", "text"
+        )
+    )
+    want_pairs = rows_set(minhash_lsh_pairs(final_docs, "doc_id", "text"))
+    assert got_pairs == want_pairs and got_pairs
+    # deleted docs really retracted from the pair space
+    assert not any(7 in (a, b) or 12 in (a, b) for a, b, _ in got_pairs)
+
+    # replayed drain is a no-op (offsets consumed, txns dedupe)
+    v = snap.latest_version(idx)
+    drain()
+    assert snap.latest_version(idx) == v
