@@ -3003,6 +3003,59 @@ def q_snapshot_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_sync",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, round(o_totalprice, 4) AS price
+      FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT o_orderkey, round(price * 2, 4) AS price, 'synced' AS status
+    FROM base WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT o_orderkey, price, 'stale' AS status
+    FROM base WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey + 1000000 AS o_orderkey, price, 'synced' AS status
+    FROM base WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync MERGE with WHEN NOT MATCHED BY SOURCE (round 11,
+    Delta 2.3+/SQL:2023 — sources/snapshots.py merge_into): make the
+    table reflect a feed in ONE atomic commit — matched rows replaced
+    (doubled price, re-marked synced), brand-new feed rows inserted,
+    and rows the feed no longer carries SOFT-DELETED via the
+    not-matched-by-source UPDATE SET (status -> 'stale'). The orphan
+    clause forces a full target read by construction (every row must
+    test source membership), while the rewrite stays file-pruned to
+    the keys that change; the oracle states the same end state
+    relationally."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.lit("synced").alias("status"),
+    )
+    tdir = scratch_dir("rbrs_sync_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=4)
+    feed = base.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.round(F.col("price") * 2, 4).alias("price"),
+        "status",
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 7 == 0).select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"), "price", "status"
+        )
+    )
+    snap.merge_into(
+        spark, tdir, feed, ["o_orderkey"],
+        not_matched_by_source_set={"status": "'stale'"},
+    )
+    return snap.read_snapshot(spark, tdir).select("o_orderkey", "price", "status")
+
+
+@query(
     "q_snapshot_delete",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 4) AS totalprice, o_orderstatus

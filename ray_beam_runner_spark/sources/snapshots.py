@@ -3416,6 +3416,9 @@ def merge_into(
     cdc: bool = False,
     dv: bool = False,
     retries: int = 2,
+    not_matched_by_source_delete: bool | str = False,
+    not_matched_by_source_set: dict[str, str] | None = None,
+    not_matched_by_source_condition: str | None = None,
 ) -> int:
     """Delta-style ``MERGE INTO`` with WHEN clauses, published as ONE
     atomic snapshot commit:
@@ -3423,6 +3426,22 @@ def merge_into(
         WHEN MATCHED [AND delete_condition] THEN DELETE
         WHEN MATCHED [AND update_condition] THEN UPDATE SET update_set
         WHEN NOT MATCHED [AND insert_condition] THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE / UPDATE SET
+
+    ``WHEN NOT MATCHED BY SOURCE`` (Delta 2.3+ / SQL:2023) acts on
+    TARGET rows whose key has no source row — the full-sync shape
+    ("make the table equal the feed": matched rows update, new rows
+    insert, disappeared rows delete or get flagged).
+    ``not_matched_by_source_delete`` is False (off), True
+    (unconditional) or a SQL condition over ``t.*``;
+    ``not_matched_by_source_set`` updates the orphaned rows instead
+    (``t.*`` expressions only — there IS no source row), optionally
+    gated by ``not_matched_by_source_condition``; delete wins when both
+    fire. These clauses force a FULL target read (every target row must
+    test for source membership — the stats-pruned source-key-span read
+    is only sound for matched/insert clauses), exactly Delta's cost
+    model for such merges; the REWRITE is still file-pruned to the keys
+    that actually change.
 
     Clause semantics follow Delta: conditions and SET expressions are
     SQL strings over the aliased namespaces ``t.<col>`` (target) and
@@ -3459,6 +3478,8 @@ def merge_into(
                 spark, table_dir, source, keys, update_set,
                 update_condition, delete_condition, insert,
                 insert_condition, txn_app, txn_version, cdc, dv,
+                not_matched_by_source_delete, not_matched_by_source_set,
+                not_matched_by_source_condition,
             )
         except ConcurrentCommitError:
             if attempt == retries:
@@ -3480,6 +3501,9 @@ def _merge_into_once(
     txn_version: int | None,
     cdc: bool,
     dv: bool,
+    nmbs_delete: bool | str = False,
+    nmbs_set: dict[str, str] | None = None,
+    nmbs_condition: str | None = None,
 ) -> int:
     """One merge_into attempt, computed against and pinned to the
     current snapshot — see :func:`merge_into` for semantics."""
@@ -3490,11 +3514,17 @@ def _merge_into_once(
     tgt_cols = sorted(manifest.get("schema") or ())
     if not tgt_cols:
         tgt_cols = read_snapshot(spark, table_dir, cur).columns
+    nmbs_on = bool(nmbs_delete) or nmbs_set is not None
     k0 = keys[0]
     span = source.agg(
         F.min(F.col(k0)).alias("lo"), F.max(F.col(k0)).alias("hi")
     ).first()
-    if span is None or span.lo is None:
+    if nmbs_on:
+        # NOT MATCHED BY SOURCE must see EVERY target row — a
+        # source-key-span-pruned read would silently exempt rows whose
+        # keys fall outside the span from the clause
+        tgt = read_snapshot(spark, table_dir, cur)
+    elif span is None or span.lo is None:
         tgt = read_snapshot(spark, table_dir, cur).limit(0)
     else:
         tgt = read_snapshot(spark, table_dir, cur, key_range=(k0, span.lo, span.hi))
@@ -3557,6 +3587,43 @@ def _merge_into_once(
             replacements = upd_rows.unionByName(ins_rows)
         else:
             replacements = upd_rows
+        if nmbs_on:
+            # target rows with no source key: alias as "t" AFTER the
+            # anti-join so the clause expressions keep the t.* namespace
+            orphans = tgt.join(src.select(*keys), keys, "left_anti").alias("t")
+            n_del = (
+                F.lit(True)
+                if nmbs_delete is True
+                else (
+                    F.coalesce(F.expr(nmbs_delete), F.lit(False))
+                    if nmbs_delete
+                    else F.lit(False)
+                )
+            )
+            del_keys = del_keys.unionByName(
+                orphans.filter(n_del).select(*[F.col(f"t.{k}").alias(k) for k in keys])
+            )
+            if nmbs_set is not None:
+                n_sets = dict(nmbs_set)
+                bad = (set(n_sets) - set(tgt_cols)) | (set(n_sets) & set(keys))
+                if bad:
+                    raise ValueError(
+                        f"merge_into: NOT MATCHED BY SOURCE SET targets {sorted(bad)} "
+                        "must be non-key table columns"
+                    )
+                n_upd = (
+                    F.coalesce(F.expr(nmbs_condition), F.lit(False))
+                    if nmbs_condition is not None
+                    else F.lit(True)
+                )
+                replacements = replacements.unionByName(
+                    orphans.filter(~n_del & n_upd).select(
+                        *[
+                            (F.expr(n_sets[c]) if c in n_sets else F.col(f"t.{c}")).alias(c)
+                            for c in tgt_cols
+                        ]
+                    )
+                )
         return upsert_snapshot(
             spark, table_dir, replacements, keys,
             txn_app=txn_app, txn_version=txn_version,

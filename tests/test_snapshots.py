@@ -2578,3 +2578,80 @@ def test_vacuum_refuses_unreadable_tag_file(spark):
     # lenient read path skips the bad file instead of raising
     with pytest.raises(KeyError, match="unknown tag"):
         resolve_tag(t, "pinned")
+
+
+def test_merge_when_not_matched_by_source(spark):
+    """WHEN NOT MATCHED BY SOURCE (Delta 2.3+/SQL:2023): the full-sync
+    merge — matched rows update, new rows insert, rows absent from the
+    source delete (or get flagged via UPDATE SET). Conditions see t.*
+    only; delete wins over update; key-span pruning is disabled for
+    these merges (every target row must test source membership)."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}", "live") for i in range(1, 7)],
+            "k int, val string, status string",
+        ),
+        t, cluster_by=["k"], n_files=3,
+    )
+    src = spark.createDataFrame(
+        [(2, "v2-new", "live"), (3, "v3", "live"), (7, "v7", "live")],
+        "k int, val string, status string",
+    )
+    # full sync: delete every target row the source no longer carries
+    snap.merge_into(
+        spark, t, src, ["k"], not_matched_by_source_delete=True, cdc=True
+    )
+    got = sorted((r.k, r.val) for r in snap.read_snapshot(spark, t).collect())
+    assert got == [(2, "v2-new"), (3, "v3"), (7, "v7")]
+    # CDC nets the sync: disappeared keys are pure deletes
+    d = snap.snapshot_diff(spark, t, 1, 2)
+    dels = {r.k for r in d.filter("_change = 'delete'").collect()}
+    assert {1, 4, 5, 6} <= dels
+
+    # soft-delete variant: flag orphans instead of removing them,
+    # gated by a t.* condition
+    t2 = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10, "live"), (2, 20, "live"), (3, 30, "archived")],
+            "k int, n int, status string",
+        ),
+        t2,
+    )
+    snap.merge_into(
+        spark, t2,
+        spark.createDataFrame([(1, 11, "live")], "k int, n int, status string"),
+        ["k"],
+        not_matched_by_source_set={"status": "'stale'", "n": "t.n + 1000"},
+        not_matched_by_source_condition="t.status = 'live'",
+    )
+    got2 = {r.k: (r.n, r.status) for r in snap.read_snapshot(spark, t2).collect()}
+    assert got2 == {
+        1: (11, "live"),        # matched: replaced by source
+        2: (1020, "stale"),     # orphan, condition true: flagged
+        3: (30, "archived"),    # orphan, condition false: untouched
+    }
+
+    # delete wins over update when both clauses are present
+    t3 = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), t3
+    )
+    snap.merge_into(
+        spark, t3,
+        spark.createDataFrame([(1, "a2")], "k int, v string"), ["k"],
+        not_matched_by_source_delete="t.k = 2",
+        not_matched_by_source_set={"v": "'flagged'"},
+    )
+    assert {(r.k, r.v) for r in snap.read_snapshot(spark, t3).collect()} == {
+        (1, "a2")
+    }
+    # guards: SET cannot target keys or unknown columns
+    import pytest
+
+    with pytest.raises(ValueError, match="non-key table columns"):
+        snap.merge_into(
+            spark, t3, spark.createDataFrame([(1, "x")], "k int, v string"),
+            ["k"], not_matched_by_source_set={"k": "t.k + 1"},
+        )
