@@ -131,6 +131,14 @@ EXTRA_SET = (
     "q_active_time_global",
     "q_cumulative_uniques",
     "q_grouping_sets",
+    # round 11 (q_ann_refit / q_incremental_minhash excluded by size:
+    # both are multi-commit lifecycle demos — 43 s / 27 s at sf0.1,
+    # ~3.5 min of bench budget for numbers that measure the demo's
+    # commit count, not an operator's throughput; their wall time is
+    # recorded every round by the ORACLE_SWEEP lane instead)
+    "q_snapshot_widen",
+    "q_snapshot_sync",
+    "q_shortest_paths",
 )
 
 
