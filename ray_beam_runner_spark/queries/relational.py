@@ -3056,6 +3056,59 @@ def q_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_clone",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, round(o_totalprice, 4) AS price
+      FROM orders WHERE o_orderkey % 9 = 0)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 27 = 0 THEN round(price * 3, 4)
+                ELSE price END AS price,
+           'branch' AS lineage
+    FROM base
+    UNION ALL
+    SELECT o_orderkey, price, 'source' AS lineage FROM base
+    """,
+)
+def q_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE branch-and-diverge (round 11, Delta
+    CREATE TABLE CLONE — sources/snapshots.py clone_snapshot): clone a
+    populated table (asserted O(1): the clone commit carries the
+    source's files by reference, nothing copied), MERGE divergent
+    prices into the BRANCH only, then read branch and source side by
+    side. The hash checks both lineages at once: the branch carries
+    the updates (rewritten into the clone's own directory), the source
+    is untouched by them — the experimentation-branch workflow on a
+    production corpus."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+    from ray_beam_runner_spark.sources.snapshots import clone_snapshot
+
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("price")
+    )
+    src = scratch_dir("rbrs_clsrc_")
+    dst = scratch_dir("rbrs_cldst_")
+    snap.write_snapshot(base, src, cluster_by=["o_orderkey"], n_files=4)
+    clone_snapshot(src, dst)
+    import os as _os
+
+    assert all(
+        _os.path.isabs(f) for f in snap.read_manifest(dst, 1)["files"]
+    ), "clone must reference source files, not copy them"
+    snap.upsert_snapshot(
+        spark, dst,
+        base.filter(F.col("o_orderkey") % 27 == 0).select(
+            "o_orderkey", F.round(F.col("price") * 3, 4).alias("price")
+        ),
+        ["o_orderkey"],
+    )
+    branch = snap.read_snapshot(spark, dst).withColumn("lineage", F.lit("branch"))
+    source = snap.read_snapshot(spark, src).withColumn("lineage", F.lit("source"))
+    return branch.unionByName(source).select("o_orderkey", "price", "lineage")
+
+
+@query(
     "q_snapshot_delete",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 4) AS totalprice, o_orderstatus

@@ -1235,6 +1235,16 @@ def _merge_phases(
     pruned_by_stats = len(rel_files) - len(candidates)
 
     if dv:
+        foreign = [rel for rel in rel_files if os.path.isabs(rel)]
+        if foreign:
+            # DV sidecars key files by their table-relative tail; a
+            # shallow clone's foreign (absolute) refs would mis-key and
+            # the tombstones would silently never apply
+            raise ValueError(
+                f"dv=True on a table still referencing {len(foreign)} "
+                "source-owned file(s) from clone_snapshot — run compact() "
+                "first (materializes the clone), then DV mode works"
+            )
         return _merge_dv(
             spark, table_dir, updates, keys, key_set, base, manifest,
             rel_files, file_stats, txns, tbl_fields, upd_fields,
@@ -2068,6 +2078,11 @@ def vacuum(
                 dead.add(rel)
     deleted = []
     for rel in sorted(dead):
+        if os.path.isabs(rel):
+            # shallow-clone reference (clone_snapshot): the file belongs
+            # to ANOTHER table — dropping a clone version must never
+            # reach into the source's data directory
+            continue
         p = os.path.join(table_dir, rel)
         if os.path.exists(p):
             os.remove(p)
@@ -3826,6 +3841,71 @@ def drop_column(table_dir: str, col: str) -> int:
             ],
         },
     )
+
+
+def clone_snapshot(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... CLONE``): publish a new
+    table at ``dst_dir`` whose v1 manifest REFERENCES the source
+    snapshot's data files by absolute path — zero bytes copied, O(1)
+    regardless of table size. The clone then lives its own life:
+    merges/deletes rewrite only the files they touch INTO THE CLONE's
+    directory (untouched source files stay referenced), compact
+    materializes every row locally (after which the clone is a deep
+    copy with no source dependency), time travel covers the clone's own
+    history. Stats, blooms (incl. bloom_types), constraints, column
+    mapping and schema carry verbatim, so pruning and typed reads work
+    from the first query. Use cases: experimentation branches on a
+    production corpus, point-in-time dev copies, what-if compactions.
+
+    Caveats (both enforced, not just documented):
+    - the clone's :func:`vacuum` NEVER deletes source-owned files
+      (absolute refs are skipped — dropping a clone version cannot
+      reach into the source table);
+    - DV-mode writes (``dv=True`` merge/delete) are rejected while the
+      table still references foreign files — the DV sidecar keying is
+      table-relative — run :func:`compact` first (materializing the
+      clone) and DV mode works from then on.
+    Like Delta shallow clones, vacuuming the SOURCE can remove files a
+    clone still references (the source does not know its clones); pin
+    the source version with :func:`tag_snapshot` for a durable clone,
+    or compact the clone to cut the dependency."""
+    if version is None:
+        version = latest_version(src_dir)
+        if version is None:
+            raise FileNotFoundError(f"clone_snapshot: no snapshots in {src_dir}")
+    if latest_version(dst_dir) is not None:
+        raise FileExistsError(f"clone_snapshot: {dst_dir} already has snapshots")
+    m = read_manifest(src_dir, version)
+    src_abs = os.path.abspath(src_dir)
+
+    def _abs(rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(src_abs, rel)
+
+    nm: dict = {
+        "version": 1,
+        "parent": None,
+        "files": [_abs(rel) for rel in m["files"]],
+        "op": "clone",
+        "cloned_from": {"table": src_abs, "version": int(version)},
+        "schema": m.get("schema"),
+        "schema_json": m.get("schema_json"),
+    }
+    for key in ("constraints", "renames", "dropped", "bloom_conf"):
+        if m.get(key):
+            nm[key] = m[key]
+    for key in ("file_stats", "file_rows", "file_blooms", "bloom_types"):
+        if m.get(key):
+            nm[key] = {_abs(rel): v for rel, v in m[key].items()}
+    if m.get("file_dvs"):
+        nm["file_dvs"] = {
+            _abs(rel): {**e, "paths": [_abs(p) for p in e["paths"]]}
+            for rel, e in m["file_dvs"].items()
+        }
+    os.makedirs(dst_dir, exist_ok=True)
+    _publish(dst_dir, 1, nm)
+    return 1
 
 
 def widen_column_type(table_dir: str, col: str, new_type: str) -> int:

@@ -2655,3 +2655,92 @@ def test_merge_when_not_matched_by_source(spark):
             spark, t3, spark.createDataFrame([(1, "x")], "k int, v string"),
             ["k"], not_matched_by_source_set={"k": "t.k + 1"},
         )
+
+
+def test_shallow_clone_lifecycle(spark):
+    """clone_snapshot: zero-copy branch of a source snapshot —
+    divergent merges rewrite only into the clone, the source is
+    byte-for-byte untouched, carried DVs keep applying, the clone's
+    vacuum can never delete source files, DV-mode writes are rejected
+    until compact materializes the clone, and compact cuts the source
+    dependency entirely."""
+    import os
+
+    from ray_beam_runner_spark.sources.snapshots import clone_snapshot
+
+    src = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 9)], "k int, val string"
+        ),
+        src, cluster_by=["k"], n_files=2,
+    )
+    # a DV tombstone in the source must carry into the clone
+    snap.delete_keys(
+        spark, src, spark.createDataFrame([(8,)], "k int"), ["k"], dv=True
+    )
+    src_files = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(src) for f in fs
+    }
+    src_mtimes = {p: os.path.getmtime(p) for p in src_files}
+
+    dst = _tdir()
+    clone_snapshot(src, dst)
+    m = snap.read_manifest(dst, 1)
+    assert m["op"] == "clone" and all(os.path.isabs(f) for f in m["files"])
+    got = sorted((r.k, r.val) for r in snap.read_snapshot(spark, dst).collect())
+    assert got == [(i, f"v{i}") for i in range(1, 8)]  # DV applied (8 dead)
+
+    # diverge the clone; the source must be untouched, byte for byte
+    snap.upsert_snapshot(
+        spark, dst,
+        spark.createDataFrame([(2, "branched"), (9, "new")], "k int, val string"),
+        ["k"],
+    )
+    got_dst = {r.k: r.val for r in snap.read_snapshot(spark, dst).collect()}
+    assert got_dst[2] == "branched" and got_dst[9] == "new" and got_dst[3] == "v3"
+    got_src = {r.k: r.val for r in snap.read_snapshot(spark, src).collect()}
+    assert got_src[2] == "v2" and 9 not in got_src
+    assert {p: os.path.getmtime(p) for p in src_files} == src_mtimes
+    # untouched source files remain referenced (absolute), touched ones local
+    m2 = snap.read_manifest(dst, 2)
+    assert any(os.path.isabs(f) for f in m2["files"])
+    assert any(not os.path.isabs(f) for f in m2["files"])
+
+    # DV-mode writes rejected while foreign refs remain
+    import pytest
+
+    with pytest.raises(ValueError, match="clone_snapshot"):
+        snap.delete_keys(
+            spark, dst, spark.createDataFrame([(3,)], "k int"), ["k"], dv=True
+        )
+
+    # the clone's vacuum never deletes source files
+    snap.vacuum(dst, keep_last=1, orphan_ttl_seconds=0)
+    assert all(os.path.exists(p) for p in src_files)
+    assert {r.k for r in snap.read_snapshot(spark, dst).collect()} == set(
+        range(1, 10)
+    ) - {8}
+
+    # compact materializes: no foreign refs, DV mode now works, and the
+    # clone survives the source's deletion outright
+    snap.compact(spark, dst, n_files=1)
+    snap.vacuum(dst, keep_last=1, orphan_ttl_seconds=0)
+    assert all(
+        not os.path.isabs(f)
+        for f in snap.read_manifest(dst, snap.latest_version(dst))["files"]
+    )
+    snap.delete_keys(
+        spark, dst, spark.createDataFrame([(3,)], "k int"), ["k"], dv=True
+    )
+    import shutil
+
+    shutil.rmtree(src)
+    got_final = {r.k: r.val for r in snap.read_snapshot(spark, dst).collect()}
+    assert set(got_final) == set(range(1, 10)) - {3, 8}
+    assert got_final[2] == "branched"
+
+    # cloning over an existing table is loud
+    with pytest.raises(FileExistsError):
+        clone_snapshot(dst, dst)
