@@ -757,3 +757,36 @@ def test_sweep_auto_bucket_sizing(spark):
         for pid, t in [(1, 25_000_000.0), (2, 999_000_000.0)]
     }
     assert opened == want
+
+
+def test_round11_operators_plan_shapes(spark):
+    """Plan audit for the round-11 operators: no cartesian/nested-loop
+    anywhere, candidates stay equi-joined."""
+    from ray_beam_runner_spark.functions.dedup import (
+        lsh_index_buckets,
+        lsh_pairs_from_index,
+    )
+    from ray_beam_runner_spark.functions.graph import shortest_paths
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i % 3}")
+         for i in range(1, 10)],
+        "doc_id long, text string",
+    )
+    idx = lsh_index_buckets(docs, "doc_id", "text")
+    pairs = lsh_pairs_from_index(idx, docs, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:3000]
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 12}", i % 5 + 1) for i in range(12)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    out = shortest_paths(edges, seeds, max_iters=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:3000]
+    )
