@@ -4253,6 +4253,67 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sketch_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    x AS (SELECT count(*) AS n_overlap FROM s JOIN p USING (user_id))
+    SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchase,
+           (SELECT n_overlap FROM x)::BIGINT AS n_overlap,
+           TRUE AS overlap_est_ok
+    """,
+)
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA (round 11): estimated audience overlap between
+    two event populations by inclusion–exclusion over mergeable
+    sketches — |A∩B| ≈ est(A) + est(B) − est(A∪B) — computed entirely
+    from three sketch BLOBS, never a distinct-join of the populations.
+    This is the sketch answer to "how many signup users also purchased"
+    at 100 TB: each population keeps a bytes-sized HLL (maintained
+    incrementally per shard/day), the union comes from hll_union_agg of
+    the two blobs, and the overlap is arithmetic. Inclusion–exclusion
+    compounds the individual estimator errors, so the in-query check
+    uses a wider documented band (10% of the TRUE overlap + 2% of the
+    union, covering small-intersection blowup); the oracle computes the
+    exact populations and intersection and expects the flag TRUE."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select("user_id")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    sk = (
+        s.agg(F.expr("hll_sketch_agg(user_id, 12)").alias("_a"))
+        .crossJoin(p.agg(F.expr("hll_sketch_agg(user_id, 12)").alias("_b")))
+    )
+    est = sk.select(
+        F.expr("hll_sketch_estimate(_a)").alias("_ea"),
+        F.expr("hll_sketch_estimate(_b)").alias("_eb"),
+        F.expr(
+            "hll_sketch_estimate(hll_union(_a, _b))"
+        ).alias("_eu"),
+    ).select((F.col("_ea") + F.col("_eb") - F.col("_eu")).alias("_eo"), "_eu")
+    exact = (
+        s.distinct().agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(p.distinct().agg(F.count(F.lit(1)).alias("n_purchase")))
+        .crossJoin(
+            s.distinct().join(p.distinct(), "user_id").agg(
+                F.count(F.lit(1)).alias("n_overlap")
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_signup",
+        "n_purchase",
+        "n_overlap",
+        (
+            F.abs(F.col("_eo") - F.col("n_overlap"))
+            <= F.greatest(
+                F.col("n_overlap") * 0.10 + F.col("_eu") * 0.02, F.lit(5.0)
+            )
+        ).alias("overlap_est_ok"),
+    )
+
+
 _CORPUS_QUALITY = (
     "0.4 * (least(len(ws), 100) / 100.0)"
     f" + 0.4 * least((len(list_filter(ws, t -> t IN ({_STOP_EN})))::DOUBLE"
