@@ -311,3 +311,64 @@ def test_lsh_index_maintained_equals_rebuild_and_pairs_exact(spark, tmp_path):
     v = snap.latest_version(idx)
     drain()
     assert snap.latest_version(idx) == v
+
+
+def test_lsh_maintainer_crash_inside_merge_replays_exactly_once(spark, tmp_path, monkeypatch):
+    """Fault injection for the LSH maintainer (same discipline as the
+    cascade's tests/test_corpus_faults.py): the micro-batch MERGE dies
+    after its data files are written but BEFORE the manifest publish;
+    restart replays the batch and applies it exactly once — the index
+    still equals a batch rebuild."""
+    import os
+
+    import pytest
+
+    from ray_beam_runner_spark.functions.dedup import (
+        lsh_index_buckets,
+        stream_maintain_lsh_index,
+    )
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    base = "the quick brown fox jumps over the lazy dog and naps in warm sun"
+    docs0 = spark.createDataFrame(
+        [(i, base + f" variant {i % 3}") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    src = os.path.join(str(tmp_path), "src")
+    idx = os.path.join(str(tmp_path), "idx")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    initial = docs0.filter(F.col("doc_id") % 2 != 0)
+    snap.write_snapshot(initial, src, cluster_by=["doc_id"], n_files=2)
+    snap.write_snapshot(
+        lsh_index_buckets(initial, "doc_id", "text"), idx,
+        cluster_by=["doc_id"], n_files=2,
+    )
+    snap.upsert_snapshot(
+        spark, src, docs0.filter(F.col("doc_id") % 2 == 0), ["doc_id"], cdc=True
+    )
+
+    real = snap._publish
+    fired = {"done": False}
+
+    def boom(table_dir, version, manifest):
+        if os.path.abspath(table_dir) == os.path.abspath(idx) and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected crash before index manifest publish")
+        return real(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", boom)
+
+    def drain():
+        feed = snap.read_snapshot_stream(spark, src, starting_version=2)
+        q = stream_maintain_lsh_index(feed, idx, "doc_id", "text", ckpt)
+        return q.awaitTermination(180)
+
+    with pytest.raises(Exception):  # StreamingQueryException wraps it
+        drain()
+    assert fired["done"]
+    monkeypatch.undo()
+    assert drain()
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    assert rows(snap.read_snapshot(spark, idx)) == rows(
+        lsh_index_buckets(snap.read_snapshot(spark, src), "doc_id", "text")
+    )
