@@ -3843,6 +3843,74 @@ def drop_column(table_dir: str, col: str) -> int:
     )
 
 
+def maintain_table(
+    spark: SparkSession,
+    table_dir: str,
+    small_file_bytes: int = 32 << 20,
+    max_small_files: int = 8,
+    max_dv_ratio: float = 0.2,
+    vacuum_keep_last: int | None = None,
+    vacuum_orphan_ttl_seconds: float = 24 * 3600,
+) -> dict:
+    """Manifest-driven maintenance policy (the OPTIMIZE scheduler a
+    long-lived 100 TB table needs): inspect the CURRENT manifest's
+    health — small-file count, deletion-vector debt — and run exactly
+    the repairs the numbers justify. Decisions cost O(manifest) (file
+    sizes + recorded row counts; zero data read); repairs are the
+    existing change-proportional operators:
+
+    - more than ``max_small_files`` files under ``small_file_bytes`` →
+      :func:`compact_small` folds ONLY the small tail (streaming
+      micro-batches leave KB-sized leftovers; full compact would
+      rewrite terabytes to fix them);
+    - DV tombstones exceeding ``max_dv_ratio`` of recorded rows →
+      full :func:`compact` (pays down the merge-on-read position-join
+      debt, Delta's OPTIMIZE-purges-DVs);
+    - ``vacuum_keep_last`` set → :func:`vacuum` afterwards (tag-pinned
+      versions always survive; on shallow clones, source-owned files
+      are never touched).
+
+    Returns {"actions": [...], "small_files": n, "dv_ratio": x,
+    "version": v} — run it from a cron/trigger loop; a healthy table is
+    a cheap no-op. Not atomic across repairs (each repair is its own
+    atomic commit, like running OPTIMIZE then VACUUM)."""
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"maintain_table: no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    rel_files = manifest["files"]
+    small = [
+        rel
+        for rel in rel_files
+        if not os.path.isabs(rel)
+        and os.path.getsize(os.path.join(table_dir, rel)) < small_file_bytes
+    ]
+    rows_map = manifest.get("file_rows", {})
+    total_rows = sum(rows_map.get(rel, 0) for rel in rel_files)
+    dv_rows = sum(e.get("rows", 0) for e in _dv_entries(manifest).values())
+    dv_ratio = (dv_rows / total_rows) if total_rows else 0.0
+    actions: list[str] = []
+    if dv_ratio > max_dv_ratio:
+        # full rewrite: sheds every DV and the small tail with it
+        compact(spark, table_dir, n_files=max(1, len(rel_files) - len(small) + 1))
+        actions.append("compact")
+    elif len(small) > max_small_files:
+        compact_small(spark, table_dir, small_file_bytes)
+        actions.append("compact_small")
+    if vacuum_keep_last is not None:
+        vacuum(
+            table_dir, keep_last=vacuum_keep_last,
+            orphan_ttl_seconds=vacuum_orphan_ttl_seconds,
+        )
+        actions.append("vacuum")
+    return {
+        "actions": actions,
+        "small_files": len(small),
+        "dv_ratio": round(dv_ratio, 4),
+        "version": latest_version(table_dir),
+    }
+
+
 def clone_snapshot(
     src_dir: str, dst_dir: str, version: int | None = None
 ) -> int:

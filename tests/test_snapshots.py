@@ -2744,3 +2744,41 @@ def test_shallow_clone_lifecycle(spark):
     # cloning over an existing table is loud
     with pytest.raises(FileExistsError):
         clone_snapshot(dst, dst)
+
+
+def test_maintain_table_policy(spark):
+    """maintain_table runs exactly the repairs the manifest's health
+    numbers justify: small-file tail -> compact_small; DV debt -> full
+    compact; healthy -> no-op; vacuum riding along when asked."""
+    from ray_beam_runner_spark.sources.snapshots import maintain_table
+
+    # fragmented table: 12 tiny files
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(60)], "k int, v string"),
+        t, cluster_by=["k"], n_files=12,
+    )
+    rep = maintain_table(spark, t, small_file_bytes=1 << 20, max_small_files=8)
+    assert rep["actions"] == ["compact_small"] and rep["small_files"] == 12
+    n_after = len(snap.read_manifest(t, snap.latest_version(t))["files"])
+    assert n_after < 12
+    # now healthy under the same thresholds (files merged; count <= max)
+    rep2 = maintain_table(spark, t, small_file_bytes=1 << 20, max_small_files=8)
+    assert rep2["actions"] == []
+    assert {r.k for r in snap.read_snapshot(spark, t).collect()} == set(range(60))
+
+    # DV debt: delete 30 of 60 rows merge-on-read, then maintain
+    snap.delete_where(spark, t, F.col("k") < 30, dv=True)
+    rep3 = maintain_table(
+        spark, t, small_file_bytes=1, max_small_files=999, max_dv_ratio=0.2,
+        vacuum_keep_last=1, vacuum_orphan_ttl_seconds=0,
+    )
+    assert rep3["actions"] == ["compact", "vacuum"] and rep3["dv_ratio"] >= 0.2
+    m = snap.read_manifest(t, snap.latest_version(t))
+    assert not m.get("file_dvs")  # debt paid down
+    assert {r.k for r in snap.read_snapshot(spark, t).collect()} == set(range(30, 60))
+    # vacuum pruned history down to keep_last
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        snap.read_manifest(t, 1)
