@@ -18,7 +18,8 @@ Topology::
         │ change feed, filtered to is_canon rows  [corpus_feed]
         ├──────────────► per-source aggregate view   (IVM: cnt, sum tokens)
         ├──────────────► inverted token index        (CDC-maintained postings)
-        └──────────────► IVF-PQ ANN index            (frozen quantizer, CDC)
+        ├──────────────► IVF-PQ ANN index            (frozen quantizer, CDC)
+        └──────────────► MinHash-LSH dedup index     (banded buckets, CDC)
 
 Scale/consistency invariants (the properties that make this hold at
 100 TB of continuously-ingesting corpus):
@@ -249,6 +250,7 @@ def init_corpus_views(
     aggregate view is created by its own first micro-batch (delta fold
     from empty == batch aggregate)."""
     from ray_beam_runner_spark.functions.clustering import ivfpq_index
+    from ray_beam_runner_spark.functions.dedup import lsh_index_buckets
     from ray_beam_runner_spark.functions.search import build_token_index
 
     base = snap.latest_version(state_dir)
@@ -259,16 +261,31 @@ def init_corpus_views(
         "agg": os.path.join(work_dir, "agg"),
         "idx": os.path.join(work_dir, "idx"),
         "ann": os.path.join(work_dir, "ann"),
+        "lsh": os.path.join(work_dir, "lsh"),
         "coarse": os.path.join(work_dir, "ann_coarse"),
         "books": os.path.join(work_dir, "ann_books"),
         "ckpt_agg": os.path.join(work_dir, "ckpt_agg"),
         "ckpt_idx": os.path.join(work_dir, "ckpt_idx"),
         "ckpt_ann": os.path.join(work_dir, "ckpt_ann"),
+        "ckpt_lsh": os.path.join(work_dir, "ckpt_lsh"),
         "from_version": base + 1,
         "emb_dim": emb_dim,
     }
     canon = snap.read_snapshot(spark, state_dir).filter(F.col("is_canon"))
     build_token_index(canon, layout["idx"], "doc_id", "text")
+    # near-dup LSH bucket index over the CANONICAL docs: exact dedup is
+    # the state's own survivor election; this view serves NEAR-dup
+    # queries (lsh_pairs_from_index) with ingestion-amortized hashing.
+    # Explicit b=32/r=4 banding (the documented gapped-corpus preset:
+    # detection 1-5e-8 at J>=0.8, 2.4x fewer hashes than the
+    # threshold-exact default) — the cascade's near-dup use is
+    # high-similarity lookup, not threshold-exact pair enumeration
+    snap.write_snapshot(
+        lsh_index_buckets(
+            canon, "doc_id", "text", num_hashes=128, rows_per_band=4
+        ),
+        layout["lsh"], cluster_by=["doc_id"], n_files=2,
+    )
     vecs = canon.select(
         "doc_id", text_embedding(F.col("text"), emb_dim).alias("emb")
     )
@@ -301,6 +318,7 @@ def drain_corpus_views(
     offsets). Each view's MERGEs carry (app, batch) txn ids —
     exactly-once per stage even if a drain is replayed."""
     from ray_beam_runner_spark.functions.clustering import stream_maintain_ivfpq
+    from ray_beam_runner_spark.functions.dedup import stream_maintain_lsh_index
     from ray_beam_runner_spark.functions.search import stream_maintain_token_index
 
     state_dir = layout["state"]
@@ -340,6 +358,14 @@ def drain_corpus_views(
         layout["ckpt_ann"], app_id="corpus:ann",
     )
     _drain(ann_q, timeout, "corpus ANN index")
+    if "lsh" in layout:  # pre-round-11 layouts have no LSH view
+        lsh_q = stream_maintain_lsh_index(
+            corpus_feed(spark, state_dir, starting_version=layout["from_version"]),
+            layout["lsh"], "doc_id", "text", layout["ckpt_lsh"],
+            num_hashes=128, rows_per_band=4,  # must match the init banding
+            app_id="corpus:lsh",
+        )
+        _drain(lsh_q, timeout, "corpus LSH index")
 
 
 def refit_corpus_ann(

@@ -1,6 +1,6 @@
 """Composed incremental corpus pipeline: one source change feed drives
-state (dedup + quality, WITH survivor retraction) and three downstream
-views (aggregate IVM, token index, ANN index). The cascade invariant:
+state (dedup + quality, WITH survivor retraction) and four downstream
+views (aggregate IVM, token index, ANN index, LSH dedup index). The cascade invariant:
 after any sequence of mixed commits, every maintained table equals a
 from-scratch batch recompute — the table-level analog of the reference
 runner's arbitrary pipeline composition (ray_runner_test.py:821-829)."""
@@ -169,6 +169,17 @@ def test_ann_index_equals_rebuild(spark, cascade):
     assert to_set(snap.read_snapshot(spark, layout["ann"])) == to_set(want)
 
 
+def test_lsh_view_equals_rebuild(spark, cascade):
+    from ray_beam_runner_spark.functions.dedup import lsh_index_buckets
+
+    lsh = snap.read_snapshot(spark, cascade["layout"]["lsh"])
+    canon = snap.read_snapshot(spark, cascade["state"]).filter("is_canon")
+    want = lsh_index_buckets(canon, "doc_id", "text", num_hashes=128, rows_per_band=4)
+    assert _rows_set(lsh, "doc_id", "sz", "bucket") == _rows_set(
+        want, "doc_id", "sz", "bucket"
+    )
+
+
 def test_refresh_is_noop_and_replay_safe(spark, cascade):
     state = cascade["state"]
     v = snap.latest_version(state)
@@ -215,6 +226,11 @@ def test_queries_between_maintainer_drains_see_pre_or_post_never_mixed(
             for r in snap.read_snapshot(spark, layout["ann"]).collect()
         }
 
+    def lsh_set():
+        return _rows_set(
+            snap.read_snapshot(spark, layout["lsh"]), "doc_id", "sz", "bucket"
+        )
+
     def views_for(canon):
         coarse, books, _ = load_ivfpq(
             spark, layout["coarse"], layout["books"], layout["ann"]
@@ -238,7 +254,13 @@ def test_queries_between_maintainer_drains_see_pre_or_post_never_mixed(
                 coarse, books, "doc_id", "emb",
             ).collect()
         }
-        return want_agg, want_idx, want_ann
+        from ray_beam_runner_spark.functions.dedup import lsh_index_buckets
+
+        want_lsh = _rows_set(
+            lsh_index_buckets(canon, "doc_id", "text", num_hashes=128, rows_per_band=4),
+            "doc_id", "sz", "bucket",
+        )
+        return want_agg, want_idx, want_ann, want_lsh
 
     pre_state = snap.read_snapshot(spark, state).filter("is_canon").persist()
     pre = views_for(pre_state)
@@ -264,7 +286,7 @@ def test_queries_between_maintainer_drains_see_pre_or_post_never_mixed(
 
     def observing_drain(q, timeout, what):
         real_drain(q, timeout, what)
-        observations.append((what, agg_set(), idx_set(), ann_set()))
+        observations.append((what, agg_set(), idx_set(), ann_set(), lsh_set()))
 
     monkeypatch.setattr(corpus_mod, "_drain", observing_drain)
     try:
@@ -275,14 +297,15 @@ def test_queries_between_maintainer_drains_see_pre_or_post_never_mixed(
         post_state.unpersist()
 
     assert [w for w, *_ in observations] == [
-        "corpus aggregate", "corpus token index", "corpus ANN index"
+        "corpus aggregate", "corpus token index", "corpus ANN index",
+        "corpus LSH index",
     ]
-    names = ("aggregate", "token index", "ANN index")
+    names = ("aggregate", "token index", "ANN index", "LSH index")
     for what, *views in observations:
         for name, got, want_pre, want_post in zip(names, views, pre, post):
             assert got in (want_pre, want_post), (
                 f"after '{what}' drain, the {name} view is a pre/post MIX"
             )
     # and after the full drain, everything is post
-    final = (agg_set(), idx_set(), ann_set())
+    final = (agg_set(), idx_set(), ann_set(), lsh_set())
     assert final == post

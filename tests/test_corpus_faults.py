@@ -126,6 +126,13 @@ def _assert_converged(spark, dirs):
         want_ann
     ), "ANN index diverged"
 
+    from ray_beam_runner_spark.functions.dedup import lsh_index_buckets
+
+    want_lsh = lsh_index_buckets(canon, "doc_id", "text", num_hashes=128, rows_per_band=4)
+    assert rows(snap.read_snapshot(spark, layout["lsh"]), "doc_id", "sz", "bucket") == rows(
+        want_lsh, "doc_id", "sz", "bucket"
+    ), "LSH index diverged"
+
 
 def _crash_publish_once(monkeypatch, target_dir: str):
     """Make the NEXT manifest publish on ``target_dir`` raise — data
