@@ -18,8 +18,8 @@ Seams exercised:
      records the batch (checkpoint commits/N deleted) — restart replays
      the batch and the (app, batch) txn makes it a no-op.
 
-Every case ends with all four maintained tables equal to independent
-batch recomputes."""
+Every case ends with all five maintained tables (state + four views)
+equal to independent batch recomputes."""
 
 import os
 import tempfile
@@ -79,7 +79,7 @@ def _commit_v2(spark, src):
 
 
 def _assert_converged(spark, dirs):
-    """All four maintained tables == independent batch recomputes."""
+    """All five maintained tables == independent batch recomputes."""
     from pyspark.sql import Window as W
 
     from ray_beam_runner_spark.functions.clustering import ivfpq_encode
