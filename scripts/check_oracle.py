@@ -45,6 +45,18 @@ def main() -> int:
         print(f"[{status}] {name:28s} {dt:6.2f}s  {msg}")
         results[name] = {"ok": ok, "sec": round(dt, 2), "msg": msg}
         failures += 0 if ok else 1
+        # Release per-query tracked persists so one query's cached
+        # frames never pressure its sweep NEIGHBORS' timings (measured:
+        # the heavy lifecycle queries inflate adjacent queries 1.5-2.5x
+        # without this) — each row then times an independent session
+        # state, which is what makes sweep timings comparable across
+        # rounds.
+        try:
+            from ray_beam_runner_spark.caches import release_tracked
+
+            release_tracked()
+        except Exception:  # noqa: BLE001
+            pass
     print(f"\n{len(QUERIES) if not only else len(only)} queries, {failures} failures")
     if json_out:
         import json
