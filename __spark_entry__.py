@@ -51,19 +51,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-11 window under that rule: all 34 never-driver-gated queries —
+# Round-11 window under that rule: all 35 never-driver-gated queries —
 # the 27 pre-round-11 ones (incl. the seven round-10 sweep-only ones
 # the round-10 verdict named: q_fuzzy_clusters, q_weighted_sample,
 # q_robust_outliers, q_bfs_layers, q_scd2_asof_enrich, q_interval_join,
 # q_peak_concurrency — plus the full-text family q_text_search/
-# q_text_bm25/q_text_phrase and the sweep-line family) plus the SEVEN new
+# q_text_bm25/q_text_phrase and the sweep-line family) plus the EIGHT new
 # round-11 queries (q_snapshot_widen, type widening; q_ann_refit,
 # quantizer refresh; q_shortest_paths, weighted SSSP;
 # q_incremental_minhash, CDC-maintained LSH dedup index;
 # q_snapshot_sync, WHEN NOT MATCHED BY SOURCE full-sync merge;
 # q_snapshot_clone, zero-copy shallow clone; q_sketch_overlap, HLL
-# inclusion–exclusion set algebra) — followed by
-# the 16 stalest r7-gated (dedup / similarity / text-quality /
+# inclusion–exclusion set algebra; q_snapshot_update, UPDATE WHERE) —
+# followed by the 15 stalest r7-gated (dedup / similarity / text-quality /
 # multimodal / wordcount). The remaining 21 stale rows (16 r7:
 # streaming + scalar families, q_dedup_spans, q_sequence_pack_sharded,
 # q_pmi_pairs; 5 r8: the similarity trio + q_dedup_span_removal +
@@ -75,24 +75,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # checks the lockstep.
 _GATE_ROUND = 11
 _GATE_FIRST = (
-    # never driver-gated (34)
+    # never driver-gated (35)
     "q_grouping_sets", "q_interval_join", "q_peak_concurrency",
     "q_concurrency_global", "q_open_at_purchase", "q_active_time",
     "q_active_time_global", "q_cumulative_uniques", "q_activity_streaks",
     "q_bfs_layers", "q_shortest_paths", "q_snapshot_widen",
-    "q_snapshot_sync", "q_snapshot_clone", "q_scd2_asof_enrich",
-    "q_snapshot_join_ivm", "q_snapshot_merge_when", "q_dedup_phash_clusters",
-    "q_hard_negatives", "q_ann_refit", "q_temperature_mix", "q_chunk_shared",
-    "q_text_search", "q_text_bm25", "q_text_phrase", "q_incremental_minhash",
-    "q_fuzzy_clusters", "q_incremental_fuzzy", "q_weighted_sample",
-    "q_robust_outliers", "q_sketch_freq", "q_sketch_overlap",
-    "q_streaming_scd2_enrich", "q_streaming_quantiles",
-    # last driver row r7 (16 stalest by registry order)
+    "q_snapshot_sync", "q_snapshot_update", "q_snapshot_clone",
+    "q_scd2_asof_enrich", "q_snapshot_join_ivm", "q_snapshot_merge_when",
+    "q_dedup_phash_clusters", "q_hard_negatives", "q_ann_refit",
+    "q_temperature_mix", "q_chunk_shared", "q_text_search", "q_text_bm25",
+    "q_text_phrase", "q_incremental_minhash", "q_fuzzy_clusters",
+    "q_incremental_fuzzy", "q_weighted_sample", "q_robust_outliers",
+    "q_sketch_freq", "q_sketch_overlap", "q_streaming_scd2_enrich",
+    "q_streaming_quantiles",
+    # last driver row r7 (15 stalest by registry order)
     "q_dedup_clusters", "q_dedup_simhash", "q_dedup_embedding",
     "q_similarity_topk", "q_similarity_ivf", "q_embedding_stats",
     "q_text_stats", "q_lang_id", "q_quality_filter", "q_repetition",
     "q_fingerprint", "q_multimodal", "q_multimodal_image", "q_wordcount",
-    "q_decontaminate", "q_pii_scrub",
+    "q_decontaminate",
 )
 
 

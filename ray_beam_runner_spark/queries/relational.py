@@ -3056,6 +3056,49 @@ def q_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_update",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, round(o_totalprice, 4) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 = 0)
+    SELECT o_orderkey,
+           CASE WHEN status = 'F' AND price > 100000
+                THEN round(price * 0.9, 4) ELSE price END AS price,
+           CASE WHEN status = 'F' AND price > 100000
+                THEN 'D' ELSE status END AS status
+    FROM base
+    """,
+)
+def q_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE on a snapshot table (round 11 —
+    sources/snapshots.py update_where, Delta UPDATE semantics): apply a
+    bulk discount-and-restatus to expensive finalized orders in ONE
+    atomic copy-on-write commit. Detection touches only candidate
+    files; only files containing a match rewrite (stats/blooms
+    recomputed); SET expressions evaluate against the pre-image and
+    cast back to the column's recorded type. The oracle states the same
+    end state as a CASE projection."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+    from ray_beam_runner_spark.sources.snapshots import update_where
+
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    tdir = scratch_dir("rbrs_upd_")
+    snap.write_snapshot(base, tdir, cluster_by=["o_orderkey"], n_files=4)
+    update_where(
+        spark, tdir,
+        {"price": "round(price * 0.9, 4)", "status": "'D'"},
+        "status = 'F' AND price > 100000",
+    )
+    return snap.read_snapshot(spark, tdir).select("o_orderkey", "price", "status")
+
+
+@query(
     "q_snapshot_clone",
     oracle="""
     WITH base AS (

@@ -2098,6 +2098,192 @@ def vacuum(
     return deleted
 
 
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    set: dict[str, str],
+    condition,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+    cdc: bool = False,
+    key_range: tuple[str, object, object] | None = None,
+    retries: int = 2,
+) -> int:
+    """UPDATE table SET ... WHERE condition (Delta UPDATE semantics):
+    rows where the predicate is TRUE get the SET expressions applied
+    (evaluated against the PRE-image row, all assignments
+    simultaneously — ``{"a": "b", "b": "a"}`` swaps); rows where it is
+    FALSE **or NULL** are untouched. Copy-on-write, published as one
+    atomic snapshot: detection scans only stats-candidate files
+    (optional ``key_range`` hint, same contract as delete_where), only
+    files truly containing a match are rewritten (re-clustered, stats
+    and blooms recomputed), everything else is carried verbatim. Each
+    SET result is cast to the column's recorded type (an expression
+    cannot silently widen or retype the schema — use
+    :func:`widen_column_type` for that); CHECK constraints are
+    re-validated on the post-image rows; ``cdc=True`` writes the
+    matched rows' delete+insert pairs at commit time. Idempotent via
+    (txn_app, txn_version); a predicate matching nothing is a no-op.
+    The predicate must be deterministic (evaluated in detection,
+    rewrite, and CDC scans — Delta's UPDATE has the same caveat)."""
+    for attempt in range(retries + 1):
+        try:
+            return _update_once(
+                spark, table_dir, set, condition, txn_app, txn_version,
+                cdc, key_range,
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _update_once(
+    spark, table_dir, set_map, condition, txn_app, txn_version, cdc, key_range
+) -> int:
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
+    if not set_map:
+        raise ValueError("update_where: empty SET")
+    base = latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    manifest = read_manifest(table_dir, base)
+    txns: dict = dict(manifest.get("txns", {}))
+    if txn_app is not None and txns.get(txn_app, -1) >= txn_version:
+        return base  # replayed transaction: already applied, no-op
+    if txn_app is not None:
+        txns[txn_app] = int(txn_version)
+    struct = _schema_struct(manifest)
+    if struct is None:
+        raise RuntimeError(
+            "update_where requires a schema-recorded table (manifest "
+            "predates schema recording — rewrite it once via write_snapshot)"
+        )
+    types = {f.name: f.dataType for f in struct.fields}
+    unknown = set(set_map) - set(types)
+    if unknown:
+        raise ValueError(
+            f"update_where: SET targets {sorted(unknown)} not in table "
+            f"schema {sorted(types)}"
+        )
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    rel_files = manifest["files"]
+    file_stats: dict[str, dict] = manifest.get("file_stats", {})
+    candidates = rel_files
+    if key_range is not None:
+        col, lo, hi = key_range
+        events = _mapping_events(manifest)
+
+        def _keep(rel: str) -> bool:
+            s = _file_stat(manifest, events, rel, col)
+            if not s or s[0] is None or s[1] is None:
+                return True
+            return not (s[1] < lo or s[0] > hi)
+
+        candidates = [rel for rel in rel_files if _keep(rel)]
+    pruned_by_stats = len(rel_files) - len(candidates)
+    reader = _manifest_reader(spark, manifest, table_dir)
+    touched_rel: set[str] = set()
+    if candidates:
+        cand_df = _apply_dvs(
+            spark,
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in candidates),
+                with_meta=True,
+            ),
+            manifest,
+            table_dir,
+            candidates,
+            keep_meta=True,
+        )
+        hit = (
+            cand_df.filter(cond)
+            .select(F.col("_meta_file").alias("f"))
+            .distinct()
+            .collect()
+        )
+        touched_rel = {
+            rel
+            for r in hit
+            if (rel := _rel_of(r.f, candidates, table_dir)) is not None
+        }
+    if not touched_rel and txn_app is None:
+        return base  # nothing matched: no-op
+    untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
+    hit_cond = F.coalesce(cond, F.lit(False))  # NULL predicate keeps the row
+    # all SET expressions evaluate against the PRE-image in ONE
+    # projection (simultaneous-assignment UPDATE semantics); results
+    # cast back to the column's recorded type
+    post_cols = [
+        (
+            F.when(hit_cond, F.expr(set_map[f.name]).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in set_map
+            else F.col(f.name)
+        )
+        for f in struct.fields
+    ]
+    stats_for = None
+    if file_stats:
+        stats_for = _stats_cols(manifest)
+    new_files: list[str] = []
+    new_stats: dict = {}
+    new_rows: dict = {}
+    touched_df = None
+    if touched_rel:
+        touched_df = _apply_dvs(
+            spark,
+            reader.parquet(
+                *(os.path.join(table_dir, rel) for rel in touched_rel),
+                with_meta=True,
+            ),
+            manifest,
+            table_dir,
+            sorted(touched_rel),
+        )
+        rewritten = touched_df.select(*post_cols)
+        cons = manifest.get("constraints")
+        if cons:
+            # post-images must still satisfy every CHECK constraint
+            _validate_constraints(rewritten.filter(hit_cond), cons, "UPDATE")
+        if stats_for:
+            rewritten = rewritten.repartitionByRange(*stats_for).sortWithinPartitions(
+                *stats_for
+            )
+        new_files, new_stats, new_rows = _write_data_files(
+            rewritten, table_dir, stats_for
+        )
+    version = base + 1
+    new_manifest = {
+        "version": version,
+        "parent": base,
+        "files": [*untouched_rel, *new_files],
+        "op": "update",
+        "rewrote": sorted(touched_rel),
+        "pruned_by_stats": pruned_by_stats,
+        "schema": manifest.get("schema"),
+        "schema_json": manifest.get("schema_json"),
+    }
+    if txns:
+        new_manifest["txns"] = txns
+    if manifest.get("constraints"):
+        new_manifest["constraints"] = manifest["constraints"]
+    _carry_file_meta(manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows)
+    _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
+    if cdc and touched_rel:
+        matched = touched_df.filter(hit_cond)
+        cdc_df = matched.withColumn("_change", F.lit("delete")).unionByName(
+            matched.select(*post_cols).withColumn("_change", F.lit("insert"))
+        )
+        cdc_rel, _, _ = _write_data_files(cdc_df.repartition(8), table_dir)
+        if cdc_rel:
+            new_manifest["cdc_files"] = cdc_rel
+    _publish(table_dir, version, new_manifest)
+    return version
+
+
 def delete_where(
     spark: SparkSession,
     table_dir: str,

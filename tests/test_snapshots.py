@@ -2782,3 +2782,55 @@ def test_maintain_table_policy(spark):
 
     with pytest.raises(FileNotFoundError):
         snap.read_manifest(t, 1)
+
+
+def test_update_where_semantics(spark):
+    """UPDATE ... SET ... WHERE: pre-image simultaneous assignment,
+    NULL predicate keeps rows, type discipline (results cast to the
+    column's recorded type), file-pruned rewrite, CHECK re-validation,
+    CDC delete+insert pairs, replay idempotency."""
+    from ray_beam_runner_spark.sources.snapshots import update_where
+
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10, 20, "x"), (2, 30, 40, "y"), (3, None, 5, "x")],
+            "k int, a int, b int, tag string",
+        ),
+        t, cluster_by=["k"], n_files=3, constraints={"b_pos": "b > 0"},
+    )
+    # simultaneous assignment: swap a and b where tag = 'x'; the NULL-a
+    # row swaps too (predicate on tag, not a)
+    update_where(spark, t, {"a": "b", "b": "a"}, "tag = 'x'", cdc=True)
+    got = {r.k: (r.a, r.b) for r in snap.read_snapshot(spark, t).collect()}
+    assert got == {1: (20, 10), 2: (30, 40), 3: (5, None)}
+    # NULL predicate rows kept untouched
+    update_where(spark, t, {"b": "b * 100"}, "a > 25")  # a NULL on k=3 -> kept
+    got2 = {r.k: r.b for r in snap.read_snapshot(spark, t).collect()}
+    assert got2 == {1: 10, 2: 4000, 3: None}
+    # file pruning: only files containing matches rewrote
+    m = snap.read_manifest(t, snap.latest_version(t))
+    assert len(m["rewrote"]) < len(snap.read_manifest(t, 1)["files"])
+    # type discipline: int column stays int even when the expr widens
+    update_where(spark, t, {"b": "CAST(b AS BIGINT) + 1"}, "k = 1")
+    assert dict(snap.read_snapshot(spark, t).dtypes)["b"] == "int"
+    # CHECK constraints re-validated on post-images
+    with pytest.raises(ValueError, match="b_pos"):
+        update_where(spark, t, {"b": "-b"}, "k = 2")
+    # CDC carries delete+insert pairs of the matched rows only
+    d = snap.snapshot_diff(spark, t, 1, 2)
+    ch = {(r.k, r.a, r.b, r._change) for r in d.collect()}
+    assert (1, 10, 20, "delete") in ch and (1, 20, 10, "insert") in ch
+    assert (3, None, 5, "delete") in ch and (3, 5, None, "insert") in ch
+    assert not any(k == 2 for k, *_ in ch)
+    # unknown SET target and empty SET are loud; no-match is a no-op
+    with pytest.raises(ValueError, match="SET targets"):
+        update_where(spark, t, {"nope": "1"}, "k = 1")
+    with pytest.raises(ValueError, match="empty SET"):
+        update_where(spark, t, {}, "k = 1")
+    v = snap.latest_version(t)
+    assert update_where(spark, t, {"b": "b"}, "k = 999") == v
+    # replayed txn is a manifest-detected no-op
+    update_where(spark, t, {"b": "b + 1"}, "k = 1", txn_app="u", txn_version=7)
+    v2 = snap.latest_version(t)
+    assert update_where(spark, t, {"b": "b + 1"}, "k = 1", txn_app="u", txn_version=7) == v2
