@@ -355,3 +355,57 @@ def test_bpe_encode_reconstructs_and_respects_merges(word_counts, n_merges):
         assert all(
             (toks[i], toks[i + 1]) not in ranks for i in range(len(toks) - 1)
         )
+
+
+def test_widening_legality_properties():
+    """Property: every legal widening is value-preserving — any value
+    representable in the narrow type is exactly representable in the
+    wide type — and the relation is transitive and irreflexive."""
+    from decimal import Decimal
+
+    from hypothesis import given
+    from hypothesis import strategies as st
+
+    from ray_beam_runner_spark.sources.snapshots import _WIDENINGS, _is_widening
+
+    # scalar chain: ranges nest
+    ranges = {
+        "tinyint": (-(1 << 7), (1 << 7) - 1),
+        "smallint": (-(1 << 15), (1 << 15) - 1),
+        "int": (-(1 << 31), (1 << 31) - 1),
+        "bigint": (-(1 << 63), (1 << 63) - 1),
+    }
+    for old, news in _WIDENINGS.items():
+        for new in news:
+            if old in ranges and new in ranges:
+                lo_o, hi_o = ranges[old]
+                lo_n, hi_n = ranges[new]
+                assert lo_n <= lo_o and hi_o <= hi_n, (old, new)
+            if new == "double" and old in ranges:
+                # every int up to 2^31 is exact in a float64 (2^53 mantissa)
+                assert ranges[old][1] < (1 << 53)
+    assert not _is_widening("bigint", "double")  # >2^53 would be lossy
+    # irreflexive + no narrowing anywhere in the scalar chain
+    for t in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        assert not _is_widening(t, t)
+    assert not _is_widening("bigint", "int") and not _is_widening("double", "float")
+
+    dec = st.tuples(st.integers(1, 38), st.integers(0, 37)).filter(
+        lambda ps: ps[1] < ps[0]
+    )
+
+    @given(dec, dec)
+    def decimal_widening_preserves_values(a, b):
+        (pa, sa), (pb, sb) = a, b
+        ta, tb = f"decimal({pa},{sa})", f"decimal({pb},{sb})"
+        legal = _is_widening(ta, tb)
+        # legality == both digit budgets non-shrinking (and not equal)
+        assert legal == ((pb - sb >= pa - sa) and (sb >= sa) and (pa, sa) != (pb, sb))
+        if legal:
+            # the extreme narrow value fits the wide type exactly
+            extreme = Decimal(f"{'9' * (pa - sa)}.{'9' * sa}" if sa else "9" * (pa - sa))
+            assert len(str(extreme).replace(".", "").replace("-", "")) <= pb
+
+    decimal_widening_preserves_values()
+    assert _is_widening("date", "timestamp_ntz")
+    assert not _is_widening("timestamp_ntz", "date")
