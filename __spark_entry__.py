@@ -51,49 +51,72 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-11 window under that rule: all 35 never-driver-gated queries —
-# the 27 pre-round-11 ones (incl. the seven round-10 sweep-only ones
-# the round-10 verdict named: q_fuzzy_clusters, q_weighted_sample,
-# q_robust_outliers, q_bfs_layers, q_scd2_asof_enrich, q_interval_join,
-# q_peak_concurrency — plus the full-text family q_text_search/
-# q_text_bm25/q_text_phrase and the sweep-line family) plus the EIGHT new
-# round-11 queries (q_snapshot_widen, type widening; q_ann_refit,
-# quantizer refresh; q_shortest_paths, weighted SSSP;
-# q_incremental_minhash, CDC-maintained LSH dedup index;
-# q_snapshot_sync, WHEN NOT MATCHED BY SOURCE full-sync merge;
-# q_snapshot_clone, zero-copy shallow clone; q_sketch_overlap, HLL
-# inclusion–exclusion set algebra; q_snapshot_update, UPDATE WHERE) —
-# followed by the 15 stalest r7-gated (dedup / similarity / text-quality /
-# multimodal / wordcount). The remaining 21 stale rows (16 r7:
-# streaming + scalar families, q_dedup_spans, q_sequence_pack_sharded,
-# q_pmi_pairs; 5 r8: the similarity trio + q_dedup_span_removal +
-# q_bpe_pair_counts) lead the r12 window; everything displaced stays
-# sweep-green every round.
+# Round-12 window under that rule: leads with the 21 stale rows the
+# round-11 verdict named (16 last-gated r7: the streaming + scalar
+# families, q_pii_scrub, q_train_val_split, q_embedding_quantize,
+# q_incremental_dedup, q_dedup_containment, q_dedup_spans,
+# q_sequence_pack_sharded, q_pmi_pairs, q_bigram_logppl,
+# q_sketch_distinct; 5 last-gated r8: q_kmeans, q_pq_topk, q_ivfpq_topk,
+# q_bpe_pair_counts, q_dedup_span_removal), any never-gated round-12
+# additions, then the stalest r9 rows up to the 50-slot window. After
+# this round every query has a driver-gate row at most 4 rounds old.
+# Everything displaced stays sweep-green every round.
 # _GATE_ROUND = the round this window was computed FOR (from
 # CORRECTNESS_r*.json history strictly before it). Bump when
 # regenerating via scripts/gate_rotation.py; tests/test_entry.py
 # checks the lockstep.
-_GATE_ROUND = 11
+_GATE_ROUND = 12
 _GATE_FIRST = (
-    # never driver-gated (35)
-    "q_grouping_sets", "q_interval_join", "q_peak_concurrency",
-    "q_concurrency_global", "q_open_at_purchase", "q_active_time",
-    "q_active_time_global", "q_cumulative_uniques", "q_activity_streaks",
-    "q_bfs_layers", "q_shortest_paths", "q_snapshot_widen",
-    "q_snapshot_sync", "q_snapshot_update", "q_snapshot_clone",
-    "q_scd2_asof_enrich", "q_snapshot_join_ivm", "q_snapshot_merge_when",
-    "q_dedup_phash_clusters", "q_hard_negatives", "q_ann_refit",
-    "q_temperature_mix", "q_chunk_shared", "q_text_search", "q_text_bm25",
-    "q_text_phrase", "q_incremental_minhash", "q_fuzzy_clusters",
-    "q_incremental_fuzzy", "q_weighted_sample", "q_robust_outliers",
-    "q_sketch_freq", "q_sketch_overlap", "q_streaming_scd2_enrich",
-    "q_streaming_quantiles",
-    # last driver row r7 (15 stalest by registry order)
-    "q_dedup_clusters", "q_dedup_simhash", "q_dedup_embedding",
-    "q_similarity_topk", "q_similarity_ivf", "q_embedding_stats",
-    "q_text_stats", "q_lang_id", "q_quality_filter", "q_repetition",
-    "q_fingerprint", "q_multimodal", "q_multimodal_image", "q_wordcount",
-    "q_decontaminate",
+    "q_pii_scrub",  # last gated r7
+    "q_train_val_split",  # last gated r7
+    "q_embedding_quantize",  # last gated r7
+    "q_incremental_dedup",  # last gated r7
+    "q_dedup_containment",  # last gated r7
+    "q_dedup_spans",  # last gated r7
+    "q_sequence_pack_sharded",  # last gated r7
+    "q_pmi_pairs",  # last gated r7
+    "q_bigram_logppl",  # last gated r7
+    "q_sketch_distinct",  # last gated r7
+    "q_streaming_window",  # last gated r7
+    "q_streaming_stateful",  # last gated r7
+    "q_streaming_dedup",  # last gated r7
+    "q_streaming_join",  # last gated r7
+    "q_streaming_session",  # last gated r7
+    "q_streaming_enrich",  # last gated r7
+    "q_scalar_math2",  # last gated r7
+    "q_scalar_string2",  # last gated r7
+    "q_scalar_datetime2",  # last gated r7
+    "q_regex_funcs",  # last gated r7
+    "q_null_handling",  # last gated r7
+    "q_kmeans",  # last gated r8
+    "q_pq_topk",  # last gated r8
+    "q_ivfpq_topk",  # last gated r8
+    "q_bpe_pair_counts",  # last gated r8
+    "q_dedup_span_removal",  # last gated r8
+    "q_agg",  # last gated r9
+    "q_join",  # last gated r9
+    "q_window",  # last gated r9
+    "q_events_window",  # last gated r9
+    "q_distinct",  # last gated r9
+    "q_session_window",  # last gated r9
+    "q_asof_join",  # last gated r9
+    "q_scalar_string",  # last gated r9
+    "q_scalar_mathdate",  # last gated r9
+    "q_json",  # last gated r9
+    "q_moving_agg",  # last gated r9
+    "q_waiting_supplier",  # last gated r9
+    "q_min_cost_supplier",  # last gated r9
+    "q_important_stock",  # last gated r9
+    "q_supplier_relationship",  # last gated r9
+    "q_excess_stock_supplier",  # last gated r9
+    "q_unpivot",  # last gated r9
+    "q_range_join",  # last gated r9
+    "q_funnel",  # last gated r9
+    "q_retention_cohorts",  # last gated r9
+    "q_data_quality",  # last gated r9
+    "q_snapshot_cdf",  # last gated r9
+    "q_snapshot_cdf_stream",  # last gated r9
+    "q_triangle_count",  # last gated r9
 )
 
 
