@@ -665,7 +665,7 @@ def refit_ivfpq(
         )
         # a tiny corpus can sample to nothing — fall back to the full
         # set rather than raising from an empty fit
-        fit_df = sampled if sampled.limit(1).count() else vectors
+        fit_df = vectors if sampled.isEmpty() else sampled
     coarse_new, books_new, _ = ivfpq_index(
         fit_df, id_col, vec_col, n_cells=n_cells, m=m, k=k, n_iter=n_iter
     )

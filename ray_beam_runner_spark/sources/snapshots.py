@@ -932,12 +932,15 @@ def read_snapshot(
             _probe_cache: dict[str, list] = {}
 
             def _probes_for(dt: str) -> list:
-                got = _probe_cache.get(dt)
-                if got is None:
-                    got = _probe_cache.setdefault(
-                        dt, _bloom_probe(spark, pval, dt, conf["bits"], conf["k"])
+                # membership check, not get()-is-None: an unrepresentable
+                # value legitimately caches None (e.g. 2^40 probed against
+                # pre-widen int files) and must not re-run the probe job
+                # once per FILE of that type
+                if dt not in _probe_cache:
+                    _probe_cache[dt] = _bloom_probe(
+                        spark, pval, dt, conf["bits"], conf["k"]
                     )
-                return got
+                return _probe_cache[dt]
 
             def _maybe(rel: str) -> bool:
                 phys = _phys_name(events, rel, pcol) if events else pcol
@@ -2243,11 +2246,22 @@ def _update_once(
             table_dir,
             sorted(touched_rel),
         )
-        rewritten = touched_df.select(*post_cols)
+        # mark matches on the PRE-image: re-evaluating the predicate on
+        # the post-image would miss every row whose SET changed a
+        # predicate column (e.g. SET status='D' WHERE status='F' makes
+        # the predicate false on all updated rows), silently skipping
+        # CHECK validation of exactly the rows that changed
+        marked = touched_df.withColumn("_upd_hit", hit_cond)
+        rewritten_marked = marked.select(*post_cols, F.col("_upd_hit"))
         cons = manifest.get("constraints")
         if cons:
             # post-images must still satisfy every CHECK constraint
-            _validate_constraints(rewritten.filter(hit_cond), cons, "UPDATE")
+            _validate_constraints(
+                rewritten_marked.filter("_upd_hit").drop("_upd_hit"),
+                cons,
+                "UPDATE",
+            )
+        rewritten = rewritten_marked.drop("_upd_hit")
         if stats_for:
             rewritten = rewritten.repartitionByRange(*stats_for).sortWithinPartitions(
                 *stats_for
@@ -2273,7 +2287,9 @@ def _update_once(
     _carry_file_meta(manifest, new_manifest, untouched_rel, file_stats, new_stats, new_rows)
     _carry_blooms(spark, table_dir, manifest, new_manifest, untouched_rel, new_files)
     if cdc and touched_rel:
-        matched = touched_df.filter(hit_cond)
+        # same pre-image marker: the matched set must be the rows the
+        # predicate hit BEFORE the update, never a post-image re-eval
+        matched = marked.filter("_upd_hit").drop("_upd_hit")
         cdc_df = matched.withColumn("_change", F.lit("delete")).unionByName(
             matched.select(*post_cols).withColumn("_change", F.lit("insert"))
         )
@@ -4072,9 +4088,16 @@ def maintain_table(
         and os.path.getsize(os.path.join(table_dir, rel)) < small_file_bytes
     ]
     rows_map = manifest.get("file_rows", {})
+    # the ratio is only meaningful when EVERY live file has row
+    # accounting: a file predating file_rows would count 0 in the
+    # denominator while its DV tombstones still count in the numerator,
+    # overstating the ratio (it can exceed 1.0) and triggering a
+    # premature full compact on legacy tables — mirror snapshot_rows'
+    # None behavior and skip the trigger instead
+    rows_known = all(rel in rows_map for rel in rel_files)
     total_rows = sum(rows_map.get(rel, 0) for rel in rel_files)
     dv_rows = sum(e.get("rows", 0) for e in _dv_entries(manifest).values())
-    dv_ratio = (dv_rows / total_rows) if total_rows else 0.0
+    dv_ratio = (dv_rows / total_rows) if (rows_known and total_rows) else 0.0
     actions: list[str] = []
     if dv_ratio > max_dv_ratio:
         # full rewrite: sheds every DV and the small tail with it

@@ -2784,6 +2784,37 @@ def test_maintain_table_policy(spark):
         snap.read_manifest(t, 1)
 
 
+def test_maintain_table_dv_ratio_skipped_on_legacy_row_accounting(spark):
+    """Round-11 advice (low): a live file with no file_rows entry counts
+    0 in the DV-ratio denominator while its tombstones still count in
+    the numerator — the overstated ratio (>1.0 possible) must NOT
+    trigger a premature full compact; skip the trigger instead (same
+    None discipline as snapshot_rows)."""
+    from ray_beam_runner_spark.sources.snapshots import (
+        _manifest_path, maintain_table,
+    )
+
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)], "k int, v string"),
+        t, cluster_by=["k"], n_files=2,
+    )
+    snap.delete_where(spark, t, F.col("k") < 10, dv=True)
+    v = snap.latest_version(t)
+    m = snap.read_manifest(t, v)
+    # simulate a legacy file predating row accounting
+    dropped = next(iter(m["file_rows"]))
+    del m["file_rows"][dropped]
+    import json as _json
+    with open(_manifest_path(t, v), "w") as f:
+        _json.dump(m, f)
+    rep = maintain_table(
+        spark, t, small_file_bytes=1, max_small_files=999, max_dv_ratio=0.2,
+    )
+    assert "compact" not in rep["actions"]
+    assert rep["dv_ratio"] == 0.0  # unknown, not overstated
+
+
 def test_update_where_semantics(spark):
     """UPDATE ... SET ... WHERE: pre-image simultaneous assignment,
     NULL predicate keeps rows, type discipline (results cast to the
@@ -2834,3 +2865,32 @@ def test_update_where_semantics(spark):
     update_where(spark, t, {"b": "b + 1"}, "k = 1", txn_app="u", txn_version=7)
     v2 = snap.latest_version(t)
     assert update_where(spark, t, {"b": "b + 1"}, "k = 1", txn_app="u", txn_version=7) == v2
+
+
+def test_update_where_check_validates_when_set_changes_predicate_column(spark):
+    """Round-11 advice (high): CHECK validation must run on the rows the
+    predicate hit on the PRE-image. Re-evaluating the WHERE on the
+    post-image misses every row whose SET changed a predicate column
+    (the common 'SET status = done WHERE status = open' shape), letting
+    constraint-violating data commit silently."""
+    from ray_beam_runner_spark.sources.snapshots import update_where
+
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(1, 1), (2, 10)], "k int, v int"),
+        t, cluster_by=["k"], constraints={"v_pos": "v > 0"},
+    )
+    # SET targets the predicate column itself: post-image rows no longer
+    # satisfy 'v = 10', yet they MUST be validated — and must fail v > 0
+    with pytest.raises(ValueError, match="v_pos"):
+        update_where(spark, t, {"v": "-5"}, "v = 10")
+    got = {r.k: r.v for r in snap.read_snapshot(spark, t).collect()}
+    assert got == {1: 1, 2: 10}  # nothing committed
+    # a legal SET on the predicate column still works, and the CDC
+    # matched set is the pre-image hit (not a post-image re-eval)
+    update_where(spark, t, {"v": "99"}, "v = 10", cdc=True)
+    got = {r.k: r.v for r in snap.read_snapshot(spark, t).collect()}
+    assert got == {1: 1, 2: 99}
+    d = snap.snapshot_diff(spark, t, 1, 2)
+    ch = {(r.k, r.v, r._change) for r in d.collect()}
+    assert ch == {(2, 10, "delete"), (2, 99, "insert")}

@@ -260,3 +260,28 @@ def test_widen_decimal_and_date(spark):
     got = {r.k: (r.amt, r.d) for r in snap.read_snapshot(spark, t).collect()}
     assert got[2][0] == Decimal("123456789012345.6789")
     assert got[1][0] == Decimal("1.2500")
+
+
+def test_unrepresentable_probe_cached_once_per_type(spark, monkeypatch):
+    """Round-11 advice (low): a point value unrepresentable in a file's
+    hashed type caches a None probe result; the probe job must run once
+    per distinct bloom TYPE, not once per file of that type."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame([(i, i) for i in range(40)], "k int, v int"),
+        t, cluster_by=["k"], n_files=4, bloom_for=["v"],
+    )
+    widen_column_type(t, "v", "bigint")
+    calls = []
+    real = snap._bloom_probe
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(snap, "_bloom_probe", counting)
+    # BIG fits bigint but not the int the 4 pre-widen files hashed:
+    # every file prunes, and the None verdict is computed exactly once
+    out = snap.read_snapshot(spark, t, point=("v", BIG)).collect()
+    assert out == []
+    assert len(calls) == 1
