@@ -260,13 +260,19 @@ def main() -> None:
     }
     # Round-9 verdict ask #5: the one-line JSON outgrew the driver's 2 KB
     # stdout-tail capture (BENCH_r09 parsed: null). Emit the full record
-    # first for humans/scripts, persist it to BENCH_DETAIL.json, and make
+    # first for humans/scripts, persist it to a detail file, and make
     # the FINAL line a compact (<2 KB) headline record so a tail-window
     # parse always sees a complete JSON object.
+    # Round-11 verdict ask #7: every run (driver, judge, builder) used to
+    # clobber the single BENCH_DETAIL.json, destroying round-over-round
+    # per-query history. $SPARK_GRAFT_DETAIL_OUT names the output; the
+    # default stays BENCH_DETAIL.json for tooling compatibility, but the
+    # builder commits round-stamped copies (BENCH_DETAIL_r{N}.json).
     print(json.dumps(detail))
+    detail_name = os.environ.get("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL.json")
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name),
             "w",
         ) as f:
             json.dump(detail, f, indent=1)
@@ -280,7 +286,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: timings[n] for n in BENCH_SET if n in timings},
                 "sf": sf,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )
