@@ -49,6 +49,238 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# ---------------------------------------------------------------------------
+# Tiered manifests (meta_format 2) — manifest scalability at 100 TB file
+# counts. A 100 TB table is ~10^5-10^6 files; keeping per-file stats, row
+# counts, byte sizes and bloom bitsets INLINE in one JSON manifest makes
+# every commit and every read O(files) driver-side JSON (GBs once blooms
+# exist). Format 2 splits the manifest the way Iceberg splits metadata
+# into manifest lists + avro manifests:
+#
+#   header (v{N}.json)  — everything SMALL: schema, txns, constraints,
+#       bloom_conf, column-mapping events, DV index, bloom_types, tags —
+#       plus `meta_shards`: an ordered list of immutable parquet SHARDS
+#       under _manifests/meta/ that carry the per-file metadata.
+#   add shard           — one row per data file: rel path, min/max stats
+#       (JSON), footer row count, byte size, bloom bitsets (JSON).
+#       Written ONCE when the file is committed and reused by reference
+#       by every later commit — an incremental MERGE's commit cost is
+#       O(files it touched), not O(table).
+#   remove shard        — rel paths dropped by a rewrite commit. The
+#       live file list = union(add shards) - union(remove shards), in
+#       shard order (data file names are uuid-unique, so a rel is added
+#       at most once and never resurrected).
+#
+# Readers hydrate LAZILY via _LazyManifest: the file list and the light
+# columns (stats/rows/sizes) decode in one columnar pass without touching
+# the bloom column; bloom bitsets — the dominant bytes — load only when a
+# point lookup actually probes them. Shard bloat from carried-forward
+# dead rows is bounded: when total add-shard rows exceed 2x the live file
+# count (or the shard list gets long), the commit rewrites one compacted
+# shard. Small tables (< the threshold below) keep the round-1 inline
+# JSON format — same keys, zero migration.
+#
+# Invariant the shard reuse rests on: per-file metadata is WRITE-ONCE
+# (stats/rows/sizes/blooms never change for a committed file). The two
+# mutable per-file maps — file_dvs (DV appends) and bloom_types (stamped
+# on carried files by in-flight widenings) — stay inline in the header,
+# where they are value-small and bounded by compaction.
+_META_SUBDIR = "meta"
+_SHARD_KEYS = ("files", "file_stats", "file_rows", "file_sizes", "file_blooms")
+
+
+def _meta_inline_max(manifest: dict | None = None, parent_hdr: dict | None = None) -> int:
+    """Externalization threshold (file count): table property
+    ``meta_inline_max`` wins, then $SPARK_GRAFT_META_INLINE_MAX, then a
+    default sized so interactive tables stay single-JSON."""
+    for src in (manifest, parent_hdr):
+        if src is not None and src.get("meta_inline_max") is not None:
+            return int(src["meta_inline_max"])
+    return int(os.environ.get("SPARK_GRAFT_META_INLINE_MAX", "2048"))
+
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, _META_SUBDIR)
+
+
+def _write_meta_shard(table_dir: str, rows: list[dict]) -> dict:
+    """Write one immutable metadata shard; returns its header entry.
+    ``rows``: [{"rel", "stats", "rows", "size", "blooms"}] with JSON
+    strings for the nested values. Shards are uuid-named and written
+    before the header publishes — a crashed or racing writer leaves an
+    unreferenced shard that vacuum's orphan TTL reclaims."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = _meta_dir(table_dir)
+    os.makedirs(mdir, exist_ok=True)
+    rel = os.path.join(_MANIFEST_DIR, _META_SUBDIR, f"shard-{uuid.uuid4().hex[:16]}.parquet")
+    table = pa.table(
+        {
+            "rel": pa.array([r["rel"] for r in rows], pa.string()),
+            "stats": pa.array([r.get("stats") for r in rows], pa.string()),
+            "rows": pa.array([r.get("rows") for r in rows], pa.int64()),
+            "size": pa.array([r.get("size") for r in rows], pa.int64()),
+            "blooms": pa.array([r.get("blooms") for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(table_dir, rel), compression="zstd")
+    return {"path": rel, "n": len(rows)}
+
+
+def _read_shard_cols(table_dir: str, shards: list[dict], kind: str, columns: list[str]):
+    """Columnar read of the requested columns across ``kind`` shards, in
+    shard order. Column projection is the point: a stats-pruning read
+    never decodes the bloom column."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for s in shards:
+        if s.get("kind", "add") != kind:
+            continue
+        out.append(
+            pq.read_table(os.path.join(table_dir, s["path"]), columns=columns)
+        )
+    return out
+
+
+class _LazyManifest(dict):
+    """A format-2 manifest behaving as the plain dict every consumer
+    already expects: the shard-backed keys (`files`, `file_stats`,
+    `file_rows`, `file_sizes`, `file_blooms`) hydrate from the parquet
+    shards on first access and cache in the dict. Header keys are
+    available immediately."""
+
+    def __init__(self, header: dict, table_dir: str):
+        super().__init__(header)
+        self._tdir = table_dir
+
+    def _shards(self) -> list[dict]:
+        return dict.get(self, "meta_shards", [])
+
+    def _hydrate_files(self) -> None:
+        import pyarrow as pa
+
+        removed: set[str] = set()
+        for t in _read_shard_cols(self._tdir, self._shards(), "remove", ["rel"]):
+            removed.update(t.column("rel").to_pylist())
+        live: list[str] = []
+        for t in _read_shard_cols(self._tdir, self._shards(), "add", ["rel"]):
+            live.extend(r for r in t.column("rel").to_pylist() if r not in removed)
+        dict.__setitem__(self, "files", live)
+
+    def _hydrate_light(self) -> None:
+        live = set(self["files"])
+        stats: dict = {}
+        rows: dict = {}
+        sizes: dict = {}
+        for t in _read_shard_cols(
+            self._tdir, self._shards(), "add", ["rel", "stats", "rows", "size"]
+        ):
+            for rel, st, n, sz in zip(
+                t.column("rel").to_pylist(),
+                t.column("stats").to_pylist(),
+                t.column("rows").to_pylist(),
+                t.column("size").to_pylist(),
+            ):
+                if rel not in live:
+                    continue
+                if st is not None:
+                    stats[rel] = json.loads(st)
+                if n is not None:
+                    rows[rel] = n
+                if sz is not None:
+                    sizes[rel] = sz
+        dict.__setitem__(self, "file_stats", stats)
+        dict.__setitem__(self, "file_rows", rows)
+        dict.__setitem__(self, "file_sizes", sizes)
+
+    def _hydrate_blooms(self) -> None:
+        live = set(self["files"])
+        blooms: dict = {}
+        for t in _read_shard_cols(self._tdir, self._shards(), "add", ["rel", "blooms"]):
+            for rel, b in zip(t.column("rel").to_pylist(), t.column("blooms").to_pylist()):
+                if b is not None and rel in live:
+                    blooms[rel] = json.loads(b)
+        dict.__setitem__(self, "file_blooms", blooms)
+
+    def _hydrate(self, key: str) -> None:
+        if key == "files":
+            self._hydrate_files()
+        elif key in ("file_stats", "file_rows", "file_sizes"):
+            self._hydrate_light()
+        elif key == "file_blooms":
+            self._hydrate_blooms()
+
+    def __getitem__(self, key):
+        if key in _SHARD_KEYS and not dict.__contains__(self, key):
+            self._hydrate(key)
+        return dict.__getitem__(self, key)
+
+    def get(self, key, default=None):
+        if key in _SHARD_KEYS and not dict.__contains__(self, key):
+            self._hydrate(key)
+        return dict.get(self, key, default)
+
+    def __contains__(self, key):
+        if key in _SHARD_KEYS and not dict.__contains__(self, key):
+            self._hydrate(key)
+        return dict.__contains__(self, key)
+
+
+class _CarriedBlooms:
+    """O(touched) bloom carry across a rewrite commit: ``overrides``
+    holds this commit's recomputed filters; every rel in ``keep`` reads
+    through to the parent's shard-backed blooms — WITHOUT decoding the
+    bloom column unless someone actually asks. _publish recognizes the
+    view and writes only the overrides (carried rels stay in the
+    parent's shards)."""
+
+    def __init__(self, parent_manifest: "_LazyManifest", keep, overrides: dict):
+        self._parent = parent_manifest
+        self._keep = set(keep)
+        self._over = dict(overrides)
+
+    def _pmap(self) -> dict:
+        return self._parent.get("file_blooms", {})
+
+    def __getitem__(self, rel):
+        if rel in self._over:
+            return self._over[rel]
+        if rel in self._keep:
+            m = self._pmap()
+            if rel in m:
+                return m[rel]
+        raise KeyError(rel)
+
+    def get(self, rel, default=None):
+        try:
+            return self[rel]
+        except KeyError:
+            return default
+
+    def __iter__(self):
+        seen = set(self._over)
+        yield from self._over
+        for rel in self._pmap():
+            if rel in self._keep and rel not in seen:
+                yield rel
+
+    def __len__(self):
+        return len(self._over) + sum(
+            1 for rel in self._pmap() if rel in self._keep and rel not in self._over
+        )
+
+    def __bool__(self):
+        # answered WITHOUT hydrating when possible: a commit under a
+        # bloom_conf either recomputed filters or carries some
+        if self._over:
+            return True
+        return len(self) > 0
+
+    def materialize(self) -> dict:
+        return {rel: self[rel] for rel in self}
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first (optimistic-concurrency loss)."""
@@ -110,7 +342,169 @@ def version_as_of(table_dir: str, ts: float) -> int:
 
 def read_manifest(table_dir: str, version: int) -> dict:
     with open(_manifest_path(table_dir, version)) as f:
-        return json.load(f)
+        hdr = json.load(f)
+    if hdr.get("meta_format") == 2:
+        return _LazyManifest(hdr, table_dir)
+    return hdr
+
+
+def _read_header(table_dir: str, version) -> dict | None:
+    """Raw header JSON (no shard hydration) — what _publish consults
+    about the parent; O(header), never O(files)."""
+    if not version:
+        return None
+    try:
+        with open(_manifest_path(table_dir, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _file_size_of(table_dir: str, rel: str) -> int | None:
+    p = rel if os.path.isabs(rel) else os.path.join(table_dir, rel)
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return None
+
+
+def _externalize_meta(table_dir: str, manifest: dict) -> dict:
+    """Turn the in-memory commit dict into the header to publish:
+    inline JSON below the threshold (round-1 format, unchanged), else
+    meta_format 2 — per-file metadata in parquet shards, carried
+    commits reusing the parent's shards so commit cost is O(files this
+    commit touched). Also records each NEW file's byte size at commit
+    (file_sizes), so maintain_table never stats data files."""
+    files = manifest.get("files")
+    parent_hdr = _read_header(table_dir, manifest.get("parent"))
+    threshold = _meta_inline_max(manifest, parent_hdr)
+    prop = (
+        manifest.get("meta_inline_max")
+        if manifest.get("meta_inline_max") is not None
+        else (parent_hdr or {}).get("meta_inline_max")
+    )
+
+    def _psizes() -> dict:
+        if not parent_hdr:
+            return {}
+        if parent_hdr.get("meta_format") == 2:
+            lm = _LazyManifest(parent_hdr, table_dir)
+            return lm.get("file_sizes", {})
+        return parent_hdr.get("file_sizes", {})
+
+    if files is None or len(files) <= threshold:
+        out = {
+            k: (v.materialize() if isinstance(v, _CarriedBlooms) else v)
+            for k, v in manifest.items()
+        }
+        out.pop("meta_format", None)
+        out.pop("meta_shards", None)
+        out.pop("n_files", None)
+        if prop is not None:
+            out["meta_inline_max"] = int(prop)
+        if files is not None:
+            psz = _psizes()
+            sizes = {}
+            for rel in files:
+                sz = psz.get(rel)
+                if sz is None:
+                    sz = _file_size_of(table_dir, rel)
+                if sz is not None:
+                    sizes[rel] = sz
+            if sizes:
+                out["file_sizes"] = sizes
+        return out
+
+    # ---- shard path -------------------------------------------------
+    parent_shards: list[dict] = (
+        list(parent_hdr.get("meta_shards", []))
+        if parent_hdr and parent_hdr.get("meta_format") == 2
+        else []
+    )
+    cover: set[str] = set()
+    for t in _read_shard_cols(table_dir, parent_shards, "add", ["rel"]):
+        cover.update(t.column("rel").to_pylist())
+    if parent_hdr is not None:
+        if parent_hdr.get("meta_format") == 2:
+            removed_prev: set[str] = set()
+            for t in _read_shard_cols(table_dir, parent_shards, "remove", ["rel"]):
+                removed_prev.update(t.column("rel").to_pylist())
+            parent_live = [r for r in cover if r not in removed_prev]
+        else:
+            parent_live = parent_hdr.get("files", [])
+    else:
+        parent_live = []
+    live_set = set(files)
+    removed = [r for r in parent_live if r not in live_set]
+    new_rels = [r for r in files if r not in cover]
+
+    stats_m = manifest.get("file_stats") or {}
+    rows_m = manifest.get("file_rows") or {}
+    blooms_v = manifest.get("file_blooms")
+    blooms_lookup = (
+        blooms_v._over if isinstance(blooms_v, _CarriedBlooms) else (blooms_v or {})
+    )
+
+    def _row(rel: str) -> dict:
+        st = stats_m.get(rel)
+        bl = blooms_lookup.get(rel)
+        return {
+            "rel": rel,
+            "stats": json.dumps(st) if st is not None else None,
+            "rows": rows_m.get(rel),
+            "size": _file_size_of(table_dir, rel),
+            "blooms": json.dumps(bl) if bl is not None else None,
+        }
+
+    shards = parent_shards
+    if new_rels:
+        entry = _write_meta_shard(table_dir, [_row(rel) for rel in new_rels])
+        shards = [*shards, {**entry, "kind": "add"}]
+    if removed:
+        entry = _write_meta_shard(table_dir, [{"rel": r} for r in removed])
+        shards = [*shards, {**entry, "kind": "remove"}]
+
+    total_add = sum(s["n"] for s in shards if s.get("kind") == "add")
+    if total_add > 2 * len(files) or len(shards) > 64:
+        # shard compaction: dead rows from rewrites have outgrown the
+        # live set (or the list got long) — rewrite ONE shard holding
+        # exactly the live files' metadata. Amortized: triggered at most
+        # once per doubling of dead rows.
+        full_blooms = (
+            blooms_v.materialize()
+            if isinstance(blooms_v, _CarriedBlooms)
+            else (blooms_v or {})
+        )
+        sizes_prev: dict = {}
+        for t in _read_shard_cols(table_dir, shards, "add", ["rel", "size"]):
+            for rel, sz in zip(
+                t.column("rel").to_pylist(), t.column("size").to_pylist()
+            ):
+                if sz is not None:
+                    sizes_prev.setdefault(rel, sz)
+
+        def _full_row(rel: str) -> dict:
+            st = stats_m.get(rel)
+            bl = full_blooms.get(rel)
+            sz = sizes_prev.get(rel)
+            return {
+                "rel": rel,
+                "stats": json.dumps(st) if st is not None else None,
+                "rows": rows_m.get(rel),
+                "size": sz if sz is not None else _file_size_of(table_dir, rel),
+                "blooms": json.dumps(bl) if bl is not None else None,
+            }
+
+        entry = _write_meta_shard(table_dir, [_full_row(rel) for rel in files])
+        shards = [{**entry, "kind": "add"}]
+
+    header = {k: v for k, v in manifest.items() if k not in _SHARD_KEYS}
+    header["meta_format"] = 2
+    header["meta_shards"] = shards
+    header["n_files"] = len(files)
+    if prop is not None:
+        header["meta_inline_max"] = int(prop)
+    return header
 
 
 def _publish(table_dir: str, version: int, manifest: dict) -> None:
@@ -127,11 +521,12 @@ def _publish(table_dir: str, version: int, manifest: dict) -> None:
     clock step backwards merely makes two adjacent versions share a
     timestamp, which AS OF resolves to the later one."""
     manifest.setdefault("committed_at", time.time())
+    header = _externalize_meta(table_dir, manifest)
     mdir = os.path.join(table_dir, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        json.dump(header, f)
         f.flush()
         os.fsync(f.fileno())
     final = _manifest_path(table_dir, version)
@@ -766,8 +1161,14 @@ def write_snapshot(
     bloom_k: int = 3,
     constraints: dict[str, str] | None = None,
     txns: dict[str, int] | None = None,
+    meta_inline_max: int | None = None,
 ) -> int:
     """Create or fully replace the table contents as one atomic snapshot.
+
+    ``meta_inline_max``: table property — file count above which commits
+    externalize per-file metadata into parquet shards (meta_format 2;
+    see the tiered-manifest block at the top of this module). Recorded
+    in the header and inherited by every later commit.
 
     ``txns``: transaction watermarks recorded ATOMICALLY with this
     commit (same manifest), e.g. a materialized view writing its
@@ -830,6 +1231,8 @@ def write_snapshot(
         "schema": sorted(f.name for f in df.schema.fields),
         "schema_json": df.schema.json(),
     }
+    if meta_inline_max is not None:
+        manifest["meta_inline_max"] = int(meta_inline_max)
     if txns:
         manifest["txns"] = {str(k): int(v) for k, v in txns.items()}
     if constraints:
@@ -1682,14 +2085,30 @@ def _carry_blooms(
     if not bconf:
         return
     new_manifest["bloom_conf"] = bconf
+    computed = _compute_blooms(
+        spark, table_dir, new_files, bconf["cols"], bconf["bits"], bconf["k"],
+        schema_json=new_manifest.get("schema_json") or manifest.get("schema_json"),
+    )
+    if (
+        isinstance(manifest, _LazyManifest)
+        and not dict.__contains__(manifest, "file_blooms")
+        and not widened
+    ):
+        # shard-backed parent whose bloom column was never decoded: carry
+        # by reference — _publish writes only the recomputed filters and
+        # reuses the parent's shards for the rest, keeping commit cost
+        # O(touched) instead of O(table) bloom-JSON decode+encode
+        new_manifest["file_blooms"] = _CarriedBlooms(
+            manifest, untouched_rel, computed
+        )
+        old_bt = manifest.get("bloom_types", {})
+        bt = {rel: dict(old_bt[rel]) for rel in untouched_rel if rel in old_bt}
+        if bt:
+            new_manifest["bloom_types"] = bt
+        return
     old_blooms = manifest.get("file_blooms", {})
     blooms = {rel: old_blooms[rel] for rel in untouched_rel if rel in old_blooms}
-    blooms.update(
-        _compute_blooms(
-            spark, table_dir, new_files, bconf["cols"], bconf["bits"], bconf["k"],
-            schema_json=new_manifest.get("schema_json") or manifest.get("schema_json"),
-        )
-    )
+    blooms.update(computed)
     new_manifest["file_blooms"] = blooms
     old_bt = manifest.get("bloom_types", {})
     bt = {rel: dict(old_bt[rel]) for rel in untouched_rel if rel in old_bt}
@@ -2089,6 +2508,29 @@ def vacuum(
         p = os.path.join(table_dir, rel)
         if os.path.exists(p):
             os.remove(p)
+            deleted.append(rel)
+    # metadata shards (format-2 manifests): keep every shard a RETAINED
+    # header references; shards only referenced by dropped versions die
+    # with them; unreferenced shards (crashed/racing writers) fall under
+    # the same orphan TTL as data files
+    drop_shards: set[str] = set()
+    for v in drop_vs:
+        hdr = _read_header(table_dir, v) or {}
+        drop_shards.update(s["path"] for s in hdr.get("meta_shards", []))
+    kept_shards: set[str] = set()
+    for v in keep_vs:
+        hdr = _read_header(table_dir, v) or {}
+        kept_shards.update(s["path"] for s in hdr.get("meta_shards", []))
+    msdir = _meta_dir(table_dir)
+    if os.path.isdir(msdir):
+        for name in os.listdir(msdir):
+            rel = os.path.join(_MANIFEST_DIR, _META_SUBDIR, name)
+            if rel in kept_shards:
+                continue
+            full = os.path.join(table_dir, rel)
+            if rel not in drop_shards and now - os.path.getmtime(full) <= orphan_ttl_seconds:
+                continue
+            os.remove(full)
             deleted.append(rel)
     for v in drop_vs:
         os.remove(_manifest_path(table_dir, v))
@@ -4081,11 +4523,20 @@ def maintain_table(
         raise FileNotFoundError(f"maintain_table: no snapshots in {table_dir}")
     manifest = read_manifest(table_dir, base)
     rel_files = manifest["files"]
+    # byte sizes come from the manifest (recorded at commit since the
+    # format-2 work) — the decision is O(manifest-read); the per-file
+    # getsize fallback only fires for legacy files committed before size
+    # accounting
+    sizes = manifest.get("file_sizes", {})
+
+    def _size(rel: str) -> int:
+        sz = sizes.get(rel)
+        if sz is None:
+            sz = _file_size_of(table_dir, rel)
+        return sz if sz is not None else small_file_bytes  # unknown: not "small"
+
     small = [
-        rel
-        for rel in rel_files
-        if not os.path.isabs(rel)
-        and os.path.getsize(os.path.join(table_dir, rel)) < small_file_bytes
+        rel for rel in rel_files if not os.path.isabs(rel) and _size(rel) < small_file_bytes
     ]
     rows_map = manifest.get("file_rows", {})
     # the ratio is only meaningful when EVERY live file has row
