@@ -3099,6 +3099,84 @@ def q_snapshot_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_meta_shards",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, round(o_totalprice, 4) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 = 0),
+    upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                       AND o_orderkey < 0.25 * (SELECT max(o_orderkey) FROM base)
+                  THEN round(price * 1.1, 4)
+                  ELSE price END AS price,
+             status
+      FROM base)
+    SELECT o_orderkey, price, status FROM upd
+    WHERE NOT (status = 'F' AND o_orderkey % 20 = 0)
+    """,
+)
+def q_snapshot_meta_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered manifests end-to-end (round 12 — sources/snapshots.py
+    meta_format 2): a snapshot table whose per-file stats / row counts /
+    byte sizes / bloom bitsets live in parquet metadata SHARDS instead
+    of the JSON manifest (Iceberg's manifest-list design; the 100 TB
+    file-count path). Forces externalization via the meta_inline_max
+    table property, then runs the steady-state lifecycle across the
+    format: MERGE (asserted to REUSE the parent's shards — commit cost
+    O(touched)), merge-on-read DV delete, and a final read that
+    hydrates the file list + stats lazily. The oracle states the same
+    end state relationally; the hash therefore proves format-2 commits,
+    shard carry, DV application and lazy hydration all preserve exact
+    table contents."""
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    base = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    cutoff = 0.25 * base.agg(F.max("o_orderkey")).first()[0]
+    tdir = scratch_dir("rbrs_meta2_")
+    snap.write_snapshot(
+        base, tdir, cluster_by=["o_orderkey"], n_files=8,
+        bloom_for=["o_orderkey"], meta_inline_max=4,
+    )
+    import json as _json
+
+    with open(snap._manifest_path(tdir, 1)) as f:
+        h1 = _json.load(f)
+    assert h1.get("meta_format") == 2 and "files" not in h1, (
+        "expected a sharded (format-2) manifest"
+    )
+    snap.upsert_snapshot(
+        spark, tdir,
+        # key-range-scoped batch (bottom quartile of the key space):
+        # stats pruning leaves the high-range files untouched, so the
+        # commit demonstrably reuses their shards instead of rewriting
+        # the table
+        base.filter(
+            (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") < cutoff)
+        ).select(
+            "o_orderkey", F.round(F.col("price") * 1.1, 4).alias("price"), "status"
+        ),
+        ["o_orderkey"],
+    )
+    with open(snap._manifest_path(tdir, 2)) as f:
+        h2 = _json.load(f)
+    reused = {s["path"] for s in h1["meta_shards"]} & {
+        s["path"] for s in h2["meta_shards"]
+    }
+    assert reused, "incremental MERGE must reuse the parent's metadata shards"
+    snap.delete_where(
+        spark, tdir, "status = 'F' AND o_orderkey % 20 = 0", dv=True,
+    )
+    return snap.read_snapshot(spark, tdir).select("o_orderkey", "price", "status")
+
+
+@query(
     "q_snapshot_clone",
     oracle="""
     WITH base AS (
