@@ -68,6 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ROUND = 12
 _GATE_FIRST = (
     "q_snapshot_meta_shards",  # last gated never
+    "q_corpus_epoch_read",  # last gated never
     "q_pii_scrub",  # last gated r7
     "q_train_val_split",  # last gated r7
     "q_embedding_quantize",  # last gated r7
@@ -116,7 +117,6 @@ _GATE_FIRST = (
     "q_retention_cohorts",  # last gated r9
     "q_data_quality",  # last gated r9
     "q_snapshot_cdf",  # last gated r9
-    "q_snapshot_cdf_stream",  # last gated r9
 )
 
 

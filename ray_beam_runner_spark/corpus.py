@@ -66,7 +66,15 @@ __all__ = [
     "init_corpus_views",
     "drain_corpus_views",
     "refit_corpus_ann",
+    "record_corpus_epoch",
+    "latest_corpus_epoch",
+    "read_corpus",
 ]
+
+# Table directories every epoch vector pins (quantizer tables resolve
+# through the ANN index's own version pins — see clustering.load_ivfpq —
+# so pinning "ann" pins the whole generation)
+_EPOCH_VIEWS = ("agg", "idx", "ann", "lsh")
 
 WATERMARK_APP = "corpus:src"
 
@@ -307,16 +315,22 @@ def init_corpus_views(
             "ann:books": snap.latest_version(layout["books"]),
         },
     )
+    # initial read epoch: the batch-built views are mutually consistent
+    # right now — record it so read_corpus works before the first drain.
+    # (The aggregate view materializes on its first drain; the vector
+    # simply omits it until then.)
+    record_corpus_epoch(spark, layout)
     return layout
 
 
 def drain_corpus_views(
     spark: SparkSession, layout: dict, timeout: float = 300.0
-) -> None:
+) -> dict:
     """One availableNow maintenance pass of every downstream view over
     the state versions committed since the last drain (checkpointed
     offsets). Each view's MERGEs carry (app, batch) txn ids —
-    exactly-once per stage even if a drain is replayed."""
+    exactly-once per stage even if a drain is replayed. Returns the
+    recorded read-epoch vector (:func:`record_corpus_epoch`)."""
     from ray_beam_runner_spark.functions.clustering import stream_maintain_ivfpq
     from ray_beam_runner_spark.functions.dedup import stream_maintain_lsh_index
     from ray_beam_runner_spark.functions.search import stream_maintain_token_index
@@ -366,6 +380,113 @@ def drain_corpus_views(
             app_id="corpus:lsh",
         )
         _drain(lsh_q, timeout, "corpus LSH index")
+    # publish the READ EPOCH: cross-view consistency for readers that
+    # join two views (read_corpus) — recorded in the state table's
+    # manifest so it is atomic, time-travellable, and vacuums with the
+    # history it describes
+    return record_corpus_epoch(spark, layout)
+
+
+def record_corpus_epoch(spark: SparkSession, layout: dict) -> dict:
+    """Commit a cascade READ EPOCH: one metadata-only commit on the
+    STATE table whose manifest records the version vector of every
+    maintained view at this moment — {state, agg, idx, ann, lsh}. A
+    reader that pins each view to one recorded vector
+    (:func:`read_corpus`) can never observe a torn cascade: each view
+    is individually snapshot-isolated already, but a query JOINING two
+    views (hybrid BM25+ANN, token index × aggregate) could previously
+    see the token index post-drain and the ANN index pre-drain. The
+    epoch closes that.
+
+    The commit shares every data file with its parent (the widen-commit
+    pattern: the change feed's file diff across it is empty, so
+    downstream maintainers see no phantom rows) and is idempotent to
+    replay. Single-maintainer discipline (the same assumption the rest
+    of the cascade makes): the recorded vector is mutually consistent
+    because nothing advances the views between the last maintainer
+    drain and this commit."""
+    state_dir = layout["state"]
+    vector = {}
+    for name in _EPOCH_VIEWS:
+        if name in layout:
+            v = snap.latest_version(layout[name])
+            if v is not None:  # e.g. the agg view before its first drain
+                vector[name] = v
+    for attempt in range(3):
+        base = snap.latest_version(state_dir)
+        m = snap.read_manifest(state_dir, base)
+        vector = {**vector, "state": base}
+        nm = {
+            "version": base + 1,
+            "parent": base,
+            "files": m["files"],
+            "op": "epoch",
+            "corpus_epoch": vector,
+            "schema": m.get("schema"),
+            "schema_json": m.get("schema_json"),
+        }
+        for key in (
+            "file_stats", "file_rows", "bloom_conf", "file_blooms",
+            "bloom_types", "file_dvs", "constraints", "renames", "dropped",
+            "txns",
+        ):
+            if m.get(key):
+                nm[key] = m[key]
+        try:
+            snap._publish(state_dir, base + 1, nm)
+            return vector
+        except snap.ConcurrentCommitError:
+            if attempt == 2:
+                raise
+    raise AssertionError("unreachable")
+
+
+def latest_corpus_epoch(state_dir: str) -> dict | None:
+    """The most recent recorded epoch vector, scanning manifests from
+    the head (epochs are recorded every drain, so this reads one or two
+    headers in steady state). None before the first record."""
+    latest = snap.latest_version(state_dir)
+    if latest is None:
+        return None
+    for v in range(latest, 0, -1):
+        try:
+            m = snap.read_manifest(state_dir, v)
+        except FileNotFoundError:
+            return None  # older manifests vacuumed
+        e = m.get("corpus_epoch")
+        if e is not None:
+            return dict(e)
+    return None
+
+
+def read_corpus(
+    spark: SparkSession, layout: dict, epoch: dict | None = None
+) -> dict:
+    """Epoch-pinned cascade read: every maintained view as a DataFrame
+    time-travelled to ONE recorded version vector — the cross-view
+    read-consistency contract. ``epoch=None`` resolves the latest
+    recorded vector; passing a previously returned vector replays that
+    exact cascade state (audit / reproduction). Returns
+    {"state", "agg", "idx", "ann", "lsh", "epoch"}; a query that joins
+    any two of these sees the cascade as of one drain, never a mix —
+    even while a drain is advancing the live tables."""
+    if epoch is None:
+        epoch = latest_corpus_epoch(layout["state"])
+        if epoch is None:
+            raise FileNotFoundError(
+                "read_corpus: no epoch recorded yet — run drain_corpus_views "
+                "(or record_corpus_epoch) first"
+            )
+    out: dict = {"epoch": dict(epoch)}
+    out["state"] = snap.read_snapshot(
+        spark, layout["state"], version=epoch["state"]
+    )
+    for name in _EPOCH_VIEWS:
+        if name in layout and name in epoch:
+            out[name] = snap.read_snapshot(
+                spark, layout[name], version=epoch[name]
+            )
+    return out
 
 
 def refit_corpus_ann(

@@ -4324,6 +4324,94 @@ _CORPUS_QUALITY = (
 
 
 @query(
+    "q_corpus_epoch_read",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 1),
+    en AS (
+      SELECT doc_id, source, text, {{TOKS}} AS ws, md5({{NORM}}) AS fp
+      FROM a),
+    sc AS (
+      SELECT doc_id, source, fp, ws, len(ws) AS n_tok,
+             round({{QUAL}}, 6) AS q
+      FROM en),
+    pass AS (SELECT * FROM sc WHERE q >= 0.5),
+    canon AS (
+      SELECT doc_id, source, ws, n_tok FROM (
+        SELECT doc_id, source, ws, n_tok,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM pass) WHERE rn = 1),
+    agg AS (
+      SELECT source, count(*)::BIGINT AS cnt, sum(n_tok)::BIGINT AS sum_n_tok
+      FROM canon GROUP BY source),
+    post AS (
+      SELECT source, count(*)::BIGINT AS n_postings FROM (
+        SELECT DISTINCT doc_id, source, unnest(ws) AS t FROM canon)
+      GROUP BY source)
+    SELECT source, cnt, sum_n_tok, n_postings
+    FROM agg JOIN post USING (source) ORDER BY source
+    """.replace("{TOKS}", _TOKS).replace("{NORM}", _NORM).replace(
+        "{QUAL}", _CORPUS_QUALITY
+    ),
+)
+def q_corpus_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade READ EPOCHS (round 12 — corpus.record_corpus_epoch /
+    read_corpus): cross-view read consistency for queries that JOIN
+    maintained views. Builds the corpus cascade over batch A
+    (doc_id % 4 = 1), drains — recording epoch E1's version vector in
+    the state table's manifest — then ingests batch B (% 4 = 2) into
+    the LIVE state WITHOUT draining. The returned query joins THREE
+    views (token index × state × aggregate IVM) through read_corpus(),
+    which pins all of them to E1: per-source canonical doc counts,
+    token totals, and inverted-index posting counts. The oracle
+    computes the same numbers from batch A ALONE — the hash therefore
+    proves the epoch pin (any leakage of batch B through any of the
+    three views, or a torn read mixing E1 and the advanced state,
+    changes the counts). Each view alone was always snapshot-isolated;
+    the epoch makes the JOIN isolated."""
+    from ray_beam_runner_spark.corpus import (
+        init_corpus_views,
+        drain_corpus_views,
+        read_corpus,
+        refresh_corpus_state,
+    )
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = scratch_dir("rbrs_epoch_src_")
+    state = scratch_dir("rbrs_epoch_state_")
+    work = scratch_dir("rbrs_epoch_work_")
+
+    snap.write_snapshot(
+        docs.filter(F.col("doc_id") % 4 == 1), src, cluster_by=["doc_id"], n_files=2
+    )
+    refresh_corpus_state(spark, src, state)
+    layout = init_corpus_views(spark, state, work)
+    drain_corpus_views(spark, layout)  # records epoch E1
+
+    # batch B lands in the LIVE cascade state — but no drain, no epoch:
+    # an unpinned multi-view join here could mix pre/post views
+    snap.upsert_snapshot(
+        spark, src, docs.filter(F.col("doc_id") % 4 == 2), ["doc_id"], cdc=True
+    )
+    refresh_corpus_state(spark, src, state)
+
+    c = read_corpus(spark, layout)  # pinned to E1, all views at once
+    canon = c["state"].filter("is_canon").select("doc_id", "source")
+    postings = (
+        c["idx"]
+        .join(canon, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+    )
+    agg = c["agg"].filter(F.col("cnt") > 0).select(
+        "source", "cnt", F.col("sum_n_tok").cast("long").alias("sum_n_tok")
+    )
+    return agg.join(postings, "source").orderBy("source")
+
+
+@query(
     "q_corpus_ivm",
     oracle=f"""
     WITH init AS (
