@@ -1,0 +1,136 @@
+"""File-disjoint concurrent commits (round-11 verdict ask #4, Delta's
+conflict-detection granularity): a rewrite MERGE that loses the publish
+race REBASES its already-computed manifest onto the new head when the
+interloper is provably disjoint — no schema change, our pre-image files
+untouched (incl. DV state), their added files' key-range stats disjoint
+from our batch keys. Both key-disjoint merges then commit without a
+merge re-run; an overlapping pair still re-runs."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark.sources import snapshots as snap
+
+
+def _tdir():
+    return tempfile.mkdtemp(prefix="rbrs_rebase_")
+
+
+def _batch(spark, lo, hi, tag):
+    return spark.createDataFrame(
+        [(k, k * 1000, tag) for k in range(lo, hi)], "k int, v int, s string"
+    )
+
+
+def _race(spark, monkeypatch, t, mine, theirs, retries=0):
+    """Deterministic race: while `mine` is mid-merge (computed against
+    the current head, about to publish), `theirs` commits first."""
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest.get("op") == "merge":
+            fired["done"] = True
+            snap.upsert_snapshot(spark, t, theirs, ["k"])
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    try:
+        return snap.upsert_snapshot(spark, t, mine, ["k"], retries=retries)
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+
+
+@pytest.mark.parametrize("inline_max", [None, 4], ids=["inline", "sharded"])
+def test_disjoint_merges_both_commit_without_rerun(spark, monkeypatch, inline_max):
+    t = _tdir()
+    kw = {"meta_inline_max": inline_max} if inline_max else {}
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(k, k, "base") for k in range(100)], "k int, v int, s string"
+        ),
+        t, cluster_by=["k"], n_files=6, **kw,
+    )
+    # retries=0: a merge RE-RUN would require a retry and raise instead —
+    # success proves the loser rebased, not re-ran
+    v = _race(
+        spark, monkeypatch, t,
+        mine=_batch(spark, 0, 8, "mine"),
+        theirs=_batch(spark, 92, 100, "theirs"),
+        retries=0,
+    )
+    assert v == 3  # base(1) + interloper(2) + rebased(3)
+    m = snap.read_manifest(t, 3)
+    assert m.get("rebased_from") == 2  # the version the loser had computed
+    got = {r.k: (r.v, r.s) for r in snap.read_snapshot(spark, t).collect()}
+    assert all(got[k] == (k * 1000, "mine") for k in range(0, 8))
+    assert all(got[k] == (k * 1000, "theirs") for k in range(92, 100))
+    assert all(got[k] == (k, "base") for k in range(8, 92))
+    assert len(got) == 100
+
+
+def test_overlapping_merges_still_rerun(spark, monkeypatch):
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(k, k, "base") for k in range(100)], "k int, v int, s string"
+        ),
+        t, cluster_by=["k"], n_files=6,
+    )
+    # overlapping key ranges: the interloper's new file may contain our
+    # keys — rebase must REFUSE; with retries=0 the loser raises...
+    with pytest.raises(snap.ConcurrentCommitError):
+        _race(
+            spark, monkeypatch, t,
+            mine=_batch(spark, 0, 20, "mine"),
+            theirs=_batch(spark, 10, 30, "theirs"),
+            retries=0,
+        )
+    # ...and with a retry budget it re-runs against the new head and
+    # converges to last-writer-wins on the overlap
+    v = snap.upsert_snapshot(spark, t, _batch(spark, 0, 20, "mine"), ["k"])
+    got = {r.k: r.s for r in snap.read_snapshot(spark, t).collect()}
+    assert all(got[k] == "mine" for k in range(0, 20))
+    assert all(got[k] == "theirs" for k in range(20, 30))
+    assert v == snap.latest_version(t)
+
+
+def test_rebase_refuses_on_dv_change_inside_preimages(spark, monkeypatch):
+    """The interloper DV-deleted a row inside a file our merge rewrote:
+    our pre-image scan predates the tombstone — rebasing would resurrect
+    the deleted row (lost delete). Must re-run."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(k, k, "base") for k in range(100)], "k int, v int, s string"
+        ),
+        t, cluster_by=["k"], n_files=6,
+    )
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest.get("op") == "merge":
+            fired["done"] = True
+            # deletes k=1 as a DV INSIDE the file the racer is rewriting
+            snap.delete_where(spark, t, F.col("k") == 1, dv=True)
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    try:
+        with pytest.raises(snap.ConcurrentCommitError):
+            snap.upsert_snapshot(
+                spark, t, _batch(spark, 0, 8, "mine"), ["k"], retries=0
+            )
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+    # the re-run path honors the delete
+    snap.upsert_snapshot(spark, t, _batch(spark, 0, 8, "mine"), ["k"])
+    got = {r.k for r in snap.read_snapshot(spark, t).collect()}
+    assert 1 in got  # our batch re-inserts k=1 (merge semantics)...
+    assert len(got) == 100
+    # ...but via the re-run: the merge saw the DV and rewrote correctly
+    vals = {r.k: r.s for r in snap.read_snapshot(spark, t).collect()}
+    assert vals[1] == "mine" and vals[50] == "base"
