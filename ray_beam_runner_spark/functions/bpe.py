@@ -141,12 +141,21 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return seq
 
 
-def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    cache_counters=None,
+) -> DataFrame:
     """Tokenize the corpus with learned merges (adds ``bpe_tokens``
     array<string> and ``n_bpe_tokens``). Arrow-batched mapInPandas —
     the encode loop is per-word Python (the documented slow path;
     production swaps in a compiled tokenizer with the same merge
-    table), with a per-task LRU so repeated words encode once."""
+    table), with a per-task LRU so repeated words encode once.
+    ``cache_counters``: optional (words_total, words_missed)
+    :class:`metrics.Counter` pair updated from the workers — the
+    per-task cache hit rate is 1 - missed/total (the number that
+    decides whether the Python encode amortizes at corpus scale)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -172,11 +181,15 @@ def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> D
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list[str]] = {}
+        n_total = n_miss = 0
 
         def enc(text: str) -> list[str]:
+            nonlocal n_total, n_miss
             toks: list[str] = []
             for w in (text or "").lower().split():
+                n_total += 1
                 if w not in cache:
+                    n_miss += 1
                     if len(cache) > 200_000:
                         cache.clear()
                     cache[w] = bpe_encode_word(w, ranks)
@@ -188,5 +201,9 @@ def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> D
             out["bpe_tokens"] = [enc(t) for t in pdf[text_col]]
             out["n_bpe_tokens"] = [len(t) for t in out["bpe_tokens"]]
             yield out
+        if cache_counters is not None:
+            total_c, miss_c = cache_counters
+            total_c.inc(n_total)
+            miss_c.inc(n_miss)
 
     return df.mapInPandas(kernel, schema=out_schema)

@@ -673,7 +673,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
@@ -698,8 +698,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-way join with a same-nation co-location
-    predicate. All dims broadcast; the single shuffle is the final
-    n_name aggregation."""
+    predicate. The BOUNDED dims (nation, region) broadcast; customer
+    and supplier are corpus-proportional, so their joins are left to
+    AQE — broadcast while they fit, shuffle at scale (forcing a
+    broadcast of a scaled customer was this family's one measured
+    x100 plan regression, 33x DuckDB before the fix)."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -708,9 +711,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -970,7 +973,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -1023,7 +1026,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
     return (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -1113,7 +1116,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
@@ -1264,8 +1267,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -1315,8 +1318,8 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -1411,18 +1414,21 @@ def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from below-half-average-quantity orders.
     The correlated scalar subquery is decorrelated by hand: a left-semi
-    broadcast of the qualifying partkeys prunes lineitem FIRST, the
+    join on the qualifying partkeys prunes lineitem FIRST, the
     per-part average is computed over that reduced set only (identical
     semantics — the subquery correlates on partkey, and every surviving
     row has a qualifying partkey), then one equi-join applies the
     threshold. At scale this avoids aggregating the 99% of lineitem whose
-    parts never pass the brand/size filter."""
+    parts never pass the brand/size filter. The key set and per-part
+    averages are filtered but still PART-proportional, so their joins
+    are left to AQE (broadcast when small, shuffle at scale) rather
+    than force-broadcast."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
     )
     li_q = li.join(
-        F.broadcast(p.select("p_partkey")),
+        p.select("p_partkey"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -1430,7 +1436,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li_q.join(F.broadcast(half_avg), F.col("l_partkey") == F.col("pa_partkey"))
+        li_q.join(half_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
@@ -1510,7 +1516,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#4") & sz.between(1, 15) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
@@ -1583,7 +1589,7 @@ def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(o, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1631,7 +1637,7 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").select("p_partkey")
     s = t(spark, sf_dir, "supplier").select("s_suppkey")
     return (
-        p.crossJoin(F.broadcast(s))
+        p.crossJoin(s)
         .filter(_ps_hash(2654435761, 40503, 7, 100) < 20)
         .select(
             F.col("p_partkey").alias("ps_partkey"),
@@ -1680,7 +1686,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
     )
     costs = (
-        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        ps.join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_suppkey", "ps_cost10", "s_name", "s_acctbal", "n_name")
@@ -1694,7 +1700,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("m_partkey"))
             & (F.col("ps_cost10") == F.col("min_cost10")),
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             F.round("s_acctbal", 6).alias("s_acctbal"),
             "s_name",
@@ -1735,7 +1741,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     natps = (
-        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        ps.join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("ps_partkey", (F.col("ps_cost10") * F.col("ps_availqty")).alias("val10"))
     )
@@ -1781,7 +1787,7 @@ def q_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        ps.join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .join(
             F.broadcast(flagged), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
         )
@@ -1830,9 +1836,9 @@ def q_excess_stock_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
     return (
-        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        ps.join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .join(
             shipped,
             (F.col("l_partkey") == F.col("ps_partkey"))
