@@ -685,17 +685,26 @@ def refit_ivfpq(
     return {"coarse": vc, "books": vb, "index": snap.latest_version(index_dir)}
 
 
-def load_ivfpq(spark, coarse_dir: str, books_dir: str, index_dir: str):
+def load_ivfpq(
+    spark, coarse_dir: str, books_dir: str, index_dir: str,
+    index_version: int | None = None,
+):
     """Resolve a CONSISTENT (coarse, books, index) triple: read the
-    index's latest manifest first and open the quantizer tables at the
+    index's manifest first and open the quantizer tables at the
     versions its ``ann:coarse``/``ann:books`` txn pins name. Readers
     interleaving with :func:`refit_ivfpq` therefore see either the old
     generation whole or the new generation whole — never a new index
     decoded against old codebooks or vice versa. Pre-pinning indexes
-    (no txn entries) fall back to latest-everything."""
+    (no txn entries) fall back to latest-everything.
+
+    ``index_version`` pins the INDEX itself (e.g. a cascade read
+    epoch's vector entry — corpus.read_corpus): the quantizer then
+    resolves through THAT version's pins, so an epoch-pinned ANN search
+    is generation-consistent even after a later refit swapped the live
+    quantizer."""
     from ray_beam_runner_spark.sources import snapshots as snap
 
-    vi = snap.latest_version(index_dir)
+    vi = index_version if index_version is not None else snap.latest_version(index_dir)
     if vi is None:
         raise FileNotFoundError(f"load_ivfpq: no index at {index_dir}")
     t = snap.read_manifest(index_dir, vi).get("txns", {})

@@ -127,3 +127,35 @@ def test_hybrid_join_through_one_epoch_is_consistent(spark, cascade):
         ).collect()
     }
     assert agg == want
+
+
+def test_epoch_pinned_ann_survives_quantizer_refit(spark, cascade):
+    """An epoch-pinned ANN read must stay generation-consistent across
+    refit_corpus_ann: load_ivfpq(index_version=epoch['ann']) resolves
+    the quantizer through THAT version's pins, never the post-refit
+    live generation."""
+    from ray_beam_runner_spark.corpus import refit_corpus_ann
+    from ray_beam_runner_spark.functions.clustering import load_ivfpq
+
+    layout = cascade["layout"]
+    e = latest_corpus_epoch(cascade["state"])
+    pinned_before = snap.read_manifest(layout["ann"], e["ann"]).get("txns", {})
+    refit_corpus_ann(spark, layout)  # swaps quantizer + re-encodes
+    live_pins = snap.read_manifest(
+        layout["ann"], snap.latest_version(layout["ann"])
+    ).get("txns", {})
+    assert live_pins["ann:coarse"] > pinned_before["ann:coarse"]
+    coarse, books, index = load_ivfpq(
+        spark, layout["coarse"], layout["books"], layout["ann"],
+        index_version=e["ann"],
+    )
+    # the pinned triple is the OLD generation, whole
+    assert coarse.count() > 0 and books.count() > 0
+    old_docs = {r.doc_id for r in index.select("doc_id").collect()}
+    epoch_state_docs = {
+        r.doc_id
+        for r in snap.read_snapshot(
+            spark, cascade["state"], version=e["state"]
+        ).filter("is_canon").collect()
+    }
+    assert old_docs == epoch_state_docs
