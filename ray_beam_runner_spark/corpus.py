@@ -69,6 +69,7 @@ __all__ = [
     "record_corpus_epoch",
     "latest_corpus_epoch",
     "read_corpus",
+    "corpus_hybrid_search",
 ]
 
 # Table directories every epoch vector pins (quantizer tables resolve
@@ -489,6 +490,105 @@ def read_corpus(
     return out
 
 
+def corpus_hybrid_search(
+    spark: SparkSession,
+    layout: dict,
+    terms: list[str],
+    query_text: str | None = None,
+    topk: int = 10,
+    pool: int = 20,
+    epoch: dict | None = None,
+) -> DataFrame:
+    """HYBRID retrieval over the cascade through ONE read epoch: a BM25
+    pool over the token index fused (reciprocal-rank, k=60) with an
+    IVF-PQ cosine pool over the ANN index — the query shape the epoch
+    machinery exists for. Every leg reads epoch-pinned versions: the
+    token postings (token-pruned point reads at the pinned index
+    version), document lengths and N from the pinned STATE (n_tok is
+    already materialized there — no lengths side-table needed), and the
+    ANN triple through load_ivfpq(index_version=...) so the quantizer
+    generation matches the pinned index even across a refit. A drain
+    (or refit) racing this query cannot tear the result: both pools
+    rank one cascade state. ``query_text`` defaults to the terms joined
+    — the ANN query embeds it with the cascade's own text_embedding.
+
+    Returns (doc_id, score, rank), rank <= topk."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    from ray_beam_runner_spark.functions.clustering import (
+        ivfpq_topk_rerank,
+        load_ivfpq,
+    )
+    from ray_beam_runner_spark.functions.search import rrf_fuse
+
+    if not terms:
+        raise ValueError("corpus_hybrid_search: empty term list")
+    if epoch is None:
+        epoch = latest_corpus_epoch(layout["state"])
+        if epoch is None:
+            raise FileNotFoundError(
+                "corpus_hybrid_search: no epoch recorded — drain first"
+            )
+    state = snap.read_snapshot(
+        spark, layout["state"], version=epoch["state"]
+    ).filter(F.col("is_canon"))
+    lengths = state.select("doc_id", F.col("n_tok").alias("dl"))
+    n_docs = lengths.count()
+    avgdl = lengths.agg(F.avg("dl")).first()[0] or 1.0
+    parts = [
+        snap.read_snapshot(
+            spark, layout["idx"], version=epoch["idx"], key_range=("token", t, t)
+        ).filter(F.col("token") == t)
+        for t in sorted(set(terms))
+    ]
+    post = reduce(lambda a, b: a.unionByName(b), parts)
+    df_t = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    k1, b = 1.2, 0.75
+    contrib = idf * F.col("tf") / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+    )
+    scored = (
+        post.join(df_t, "token")
+        .join(lengths, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    bm25 = (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("score").desc(), F.col("doc_id"))
+            ).cast("int"),
+        )
+        .filter(F.col("rank") <= pool)
+        .select("doc_id", "rank")
+    )
+    coarse, books, index = load_ivfpq(
+        spark, layout["coarse"], layout["books"], layout["ann"],
+        index_version=epoch["ann"],
+    )
+    emb_dim = int(layout["emb_dim"])
+    q_df = spark.createDataFrame(
+        [(0, query_text if query_text is not None else " ".join(terms))],
+        "q_id long, q_text string",
+    ).select("q_id", text_embedding(F.col("q_text"), emb_dim).alias("q_vec"))
+    vectors = state.select(
+        "doc_id", text_embedding(F.col("text"), emb_dim).alias("emb")
+    )
+    ann = ivfpq_topk_rerank(
+        q_df, coarse, books, index, vectors, k=pool,
+        index_id="doc_id", vec_col="emb",
+    ).select("doc_id", "rank")
+    return rrf_fuse([bm25, ann], "doc_id", rrf_k=60, topk=topk)
+
+
 def refit_corpus_ann(
     spark: SparkSession,
     layout: dict,
@@ -514,8 +614,14 @@ def refit_corpus_ann(
     vecs = canon.select(
         "doc_id", text_embedding(F.col("text"), emb_dim).alias("emb")
     )
-    return refit_ivfpq(
+    out = refit_ivfpq(
         spark, vecs, "doc_id", "emb",
         layout["coarse"], layout["books"], layout["ann"],
         n_cells=ann_cells, m=ann_m, k=ann_k, sample_mod=sample_mod,
     )
+    # the refit is a generation swap over the SAME cascade state —
+    # publish a fresh epoch so pinned readers can adopt the new
+    # quantizer without waiting for the next drain (older epochs keep
+    # resolving the old generation through the index version pins)
+    record_corpus_epoch(spark, layout)
+    return out

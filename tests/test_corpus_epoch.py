@@ -159,3 +159,24 @@ def test_epoch_pinned_ann_survives_quantizer_refit(spark, cascade):
         ).filter("is_canon").collect()
     }
     assert old_docs == epoch_state_docs
+
+
+def test_corpus_hybrid_search_reads_one_epoch(spark, cascade):
+    """corpus_hybrid_search: BM25 + IVF-PQ fused through ONE epoch.
+    Pinned to an old vector it ranks exactly the docs of that epoch's
+    state — a doc that joined the cascade later never appears — and
+    the default (latest epoch) includes it."""
+    from ray_beam_runner_spark.corpus import corpus_hybrid_search
+
+    layout = cascade["layout"]
+    # e1 predates doc 99 (added by the mid-drain test above)
+    res_old = corpus_hybrid_search(
+        spark, layout, ["epochword", "fox"], topk=10, epoch=cascade["e1"]
+    )
+    rows_old = res_old.collect()
+    assert rows_old and all(r.doc_id != 99 for r in rows_old)
+    assert [r.rank for r in rows_old] == list(range(1, len(rows_old) + 1))
+    # latest epoch: doc 99 is canonical, contains 'epochword', and the
+    # BM25 leg must surface it
+    res_new = corpus_hybrid_search(spark, layout, ["epochword", "fox"], topk=10)
+    assert any(r.doc_id == 99 for r in res_new.collect())
