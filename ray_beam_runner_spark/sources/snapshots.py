@@ -1838,9 +1838,15 @@ def _merge_phases(
         cdc_rel, _, _ = _write_data_files(cdc_df.repartition(8), table_dir)
         if cdc_rel:
             new_manifest["cdc_files"] = cdc_rel
+    def _merge_key_bounds():
+        row = key_set.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).first()
+        return (row.lo, row.hi)
+
     return _publish_or_rebase(
-        spark, table_dir, version, new_manifest, manifest,
-        set(touched_rel), new_files, keys[0], key_set,
+        table_dir, version, new_manifest, manifest,
+        set(touched_rel), new_files, keys[0], _merge_key_bounds,
     )
 
 
@@ -1855,32 +1861,36 @@ def _rebase_compatible(base_m: dict, cur_m: dict) -> bool:
 
 
 def _publish_or_rebase(
-    spark, table_dir, version, new_manifest, base_manifest,
-    touched: set, new_files: list, key_col: str, key_set,
+    table_dir, version, new_manifest, base_manifest,
+    touched: set, new_files: list, key_col: str | None, bounds_fn,
 ) -> int:
-    """Commit-conflict resolution for rewrite MERGEs (Delta's
-    conflict-detection granularity, round-11 verdict ask #4): when the
-    optimistic publish loses the race, check whether the interloper's
-    commits are PROVABLY disjoint from this merge — if so, REBASE the
-    already-computed manifest onto the new head instead of re-running
-    the whole merge (detection + rewrite + CDC scans). On a busy
-    multi-writer table, key-disjoint merges then all commit in one
-    pass each.
+    """Commit-conflict resolution for rewrite commits — MERGE, and
+    UPDATE/DELETE when a ``key_range`` hint scopes their predicate
+    (Delta's conflict-detection granularity, round-11 verdict ask #4):
+    when the optimistic publish loses the race, check whether the
+    interloper's commits are PROVABLY disjoint from this commit — if
+    so, REBASE the already-computed manifest onto the new head instead
+    of re-running the whole operation (detection + rewrite + CDC
+    scans). On a busy multi-writer table, key-disjoint writers then all
+    commit in one pass each, and any writer racing a metadata-only
+    commit (an epoch record, a no-file txn bump) rebases for free.
 
-    Rebase is legal iff, cumulatively from the merge's read snapshot to
-    the current head:
+    Rebase is legal iff, cumulatively from this commit's read snapshot
+    to the current head:
       1. no schema / constraint / column-mapping / bloom-conf change
-         (and this merge itself evolved nothing);
-      2. every file this merge REWROTE is still live with an unchanged
+         (and this commit itself evolved nothing);
+      2. every file this commit REWROTE is still live with an unchanged
          DV state — else the interloper deleted or updated rows inside
          our pre-images (lost update);
       3. every file the interloper ADDED has recorded min/max stats on
-         the merge key whose range cannot contain any of this merge's
-         batch keys — else their new rows might match our predicate and
-         our merge would have missed them (write skew). Missing stats
-         conservatively conflict.
+         ``key_col`` whose range cannot intersect this commit's key
+         bounds (``bounds_fn()``) — else their new rows might match our
+         predicate and we would have missed them (write skew). Missing
+         stats, a missing hint (key_col/bounds_fn None), or unbounded
+         keys conservatively conflict — UNLESS the interloper added no
+         files at all, where no check is needed.
     Anything else re-raises ConcurrentCommitError and the caller's
-    retry loop re-runs the merge, exactly as before."""
+    retry loop re-runs the operation, exactly as before."""
     try:
         _publish(table_dir, version, new_manifest)
         return version
@@ -1889,17 +1899,14 @@ def _publish_or_rebase(
     if new_manifest.get("schema_json") != base_manifest.get("schema_json"):
         raise ConcurrentCommitError(
             f"version {version} of {table_dir} was committed concurrently "
-            "(schema-evolving merge: rebase not attempted)"
+            "(schema-evolving commit: rebase not attempted)"
         )
-    bounds = None  # computed once, only on the conflict path
+    bounds = ()  # computed once, only on the conflict path
 
     def _key_bounds():
         nonlocal bounds
-        if bounds is None:
-            row = key_set.agg(
-                F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
-            ).first()
-            bounds = (row.lo, row.hi)
+        if bounds == ():
+            bounds = bounds_fn() if bounds_fn is not None else None
         return bounds
 
     base_files = set(base_manifest["files"])
@@ -1932,9 +1939,10 @@ def _publish_or_rebase(
             raise conflict  # interloper DV-deleted inside our pre-images
         added = [r for r in cur_files if r not in base_files]
         if added:
-            lo, hi = _key_bounds()
-            if lo is None:
+            b = _key_bounds()
+            if key_col is None or b is None or b[0] is None:
                 raise conflict
+            lo, hi = b
             events = _mapping_events(cur)
             for rel in added:
                 s = _file_stat(cur, events, rel, key_col)
@@ -2889,8 +2897,16 @@ def _update_once(
         cdc_rel, _, _ = _write_data_files(cdc_df.repartition(8), table_dir)
         if cdc_rel:
             new_manifest["cdc_files"] = cdc_rel
-    _publish(table_dir, version, new_manifest)
-    return version
+    # lost-race resolution: with a key_range hint the same disjointness
+    # proof as MERGE applies (the hint asserts predicate ⊆ range);
+    # racing a no-file-added commit (epoch record, txn bump) rebases
+    # even without one
+    return _publish_or_rebase(
+        table_dir, version, new_manifest, manifest,
+        set(touched_rel), new_files,
+        key_range[0] if key_range else None,
+        (lambda: (key_range[1], key_range[2])) if key_range else None,
+    )
 
 
 def delete_where(
@@ -3088,8 +3104,13 @@ def _delete_once(
         cdc_rel, _, _ = _write_data_files(deleted.repartition(8), table_dir)
         if cdc_rel:
             new_manifest["cdc_files"] = cdc_rel
-    _publish(table_dir, version, new_manifest)
-    return version
+    # same lost-race rebase contract as update_where above
+    return _publish_or_rebase(
+        table_dir, version, new_manifest, manifest,
+        set(touched_rel), new_files,
+        key_range[0] if key_range else None,
+        (lambda: (key_range[1], key_range[2])) if key_range else None,
+    )
 
 
 def _delete_dv(

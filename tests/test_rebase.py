@@ -134,3 +134,71 @@ def test_rebase_refuses_on_dv_change_inside_preimages(spark, monkeypatch):
     # ...but via the re-run: the merge saw the DV and rewrote correctly
     vals = {r.k: r.s for r in snap.read_snapshot(spark, t).collect()}
     assert vals[1] == "mine" and vals[50] == "base"
+
+
+def test_update_delete_rebase_with_key_range_hint(spark, monkeypatch):
+    """UPDATE/DELETE join the rebase contract when a key_range hint
+    scopes their predicate; and ANY rewrite commit racing a commit that
+    added no files (a metadata-only epoch record / txn bump) rebases
+    without a hint."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(k, k, "base") for k in range(100)], "k int, v int, s string"
+        ),
+        t, cluster_by=["k"], n_files=6,
+    )
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest.get("op") == "update":
+            fired["done"] = True
+            # key-disjoint interloper DELETE at the top of the key space
+            snap.delete_where(
+                spark, t, F.col("k") >= 95, key_range=("k", 95, 99)
+            )
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    try:
+        v = snap.update_where(
+            spark, t, {"v": "v + 1000"}, "k < 5",
+            key_range=("k", 0, 4), retries=0,
+        )
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+    assert snap.read_manifest(t, v).get("rebased_from") is not None
+    got = {r.k: r.v for r in snap.read_snapshot(spark, t).collect()}
+    assert all(got[k] == k + 1000 for k in range(0, 5))
+    assert all(k not in got for k in range(95, 100))
+    assert len(got) == 95
+
+    # no-files-added interloper: a pure txn/metadata commit — the DELETE
+    # rebases even without a key_range hint
+    fired2 = {"done": False}
+
+    def racing_publish2(table_dir, version, manifest):
+        if not fired2["done"] and manifest.get("op") == "delete":
+            fired2["done"] = True
+            base = snap.latest_version(t)
+            m = snap.read_manifest(t, base)
+            nm = {
+                "version": base + 1, "parent": base, "files": m["files"],
+                "op": "metaonly", "schema": m.get("schema"),
+                "schema_json": m.get("schema_json"),
+            }
+            for key in ("file_stats", "file_rows", "file_blooms",
+                        "bloom_types", "file_dvs", "constraints"):
+                if m.get(key):
+                    nm[key] = m[key]
+            real_publish(t, base + 1, nm)
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish2)
+    try:
+        v2 = snap.delete_where(spark, t, F.col("k") < 2, retries=0)
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+    assert snap.read_manifest(t, v2).get("rebased_from") is not None
+    assert {r.k for r in snap.read_snapshot(spark, t).collect()} == set(range(2, 95))
