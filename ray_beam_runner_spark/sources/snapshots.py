@@ -128,6 +128,15 @@ def _write_meta_shard(table_dir: str, rows: list[dict]) -> dict:
     return {"path": rel, "n": len(rows)}
 
 
+# Shards are IMMUTABLE and uuid-named (content-addressed by path), so a
+# small driver-side cache is always coherent: repeated planning against
+# the same big table (read → prune → merge → read ...) decodes each
+# shard's columns once instead of once per read_manifest call. Bounded
+# FIFO — at 10^5 files the light columns are ~10 MB per table.
+_SHARD_CACHE: dict = {}
+_SHARD_CACHE_MAX = 64
+
+
 def _read_shard_cols(table_dir: str, shards: list[dict], kind: str, columns: list[str]):
     """Columnar read of the requested columns across ``kind`` shards, in
     shard order. Column projection is the point: a stats-pruning read
@@ -138,9 +147,14 @@ def _read_shard_cols(table_dir: str, shards: list[dict], kind: str, columns: lis
     for s in shards:
         if s.get("kind", "add") != kind:
             continue
-        out.append(
-            pq.read_table(os.path.join(table_dir, s["path"]), columns=columns)
-        )
+        key = (os.path.abspath(os.path.join(table_dir, s["path"])), tuple(columns))
+        t = _SHARD_CACHE.get(key)
+        if t is None:
+            t = pq.read_table(key[0], columns=columns)
+            if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+                _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+            _SHARD_CACHE[key] = t
+        out.append(t)
     return out
 
 

@@ -208,3 +208,29 @@ def test_shrink_below_threshold_returns_inline(spark):
     assert h.get("meta_format") is None and len(h["files"]) <= 4
     assert "file_sizes" in h  # sizes recorded inline too
     assert {r.k for r in snap.read_snapshot(spark, t).collect()} == set(range(60))
+
+
+def test_shard_reads_are_cached_across_manifest_reads(spark, monkeypatch):
+    """Shards are immutable and uuid-named, so repeated planning against
+    the same table decodes each (shard, columns) pair once — not once
+    per read_manifest call."""
+    import pyarrow.parquet as pq
+
+    t = _tdir()
+    _mk(spark, t, meta_inline_max=4)
+    calls = []
+    real = pq.read_table
+
+    def counting(path, *a, **kw):
+        calls.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_table", counting)
+    snap._SHARD_CACHE.clear()
+    m1 = snap.read_manifest(t, 1)
+    _ = m1["files"], m1["file_rows"]
+    first = len(calls)
+    assert first > 0
+    m2 = snap.read_manifest(t, 1)
+    _ = m2["files"], m2["file_rows"]
+    assert len(calls) == first  # second read: all cache hits
