@@ -70,6 +70,7 @@ __all__ = [
     "latest_corpus_epoch",
     "read_corpus",
     "corpus_hybrid_search",
+    "vacuum_corpus",
 ]
 
 # Table directories every epoch vector pins (quantizer tables resolve
@@ -487,6 +488,50 @@ def read_corpus(
             out[name] = snap.read_snapshot(
                 spark, layout[name], version=epoch[name]
             )
+    return out
+
+
+def vacuum_corpus(
+    layout: dict,
+    keep_epochs: int = 2,
+    keep_last: int = 1,
+    orphan_ttl_seconds: float = 24 * 3600,
+) -> dict:
+    """Vacuum every cascade table WITHOUT stranding read epochs: the
+    last ``keep_epochs`` recorded vectors (and the state manifests that
+    carry them) are pinned through each table's vacuum, so
+    ``read_corpus(epoch=...)`` keeps working for exactly the retained
+    epochs — the cascade analog of Delta's retention window. Each
+    table's own ``keep_last``/tag pins still apply on top. Returns
+    {table: [deleted rel paths]}."""
+    state_dir = layout["state"]
+    latest = snap.latest_version(state_dir)
+    epochs: list[tuple[int, dict]] = []  # (record version, vector)
+    if latest is not None:
+        for v in range(latest, 0, -1):
+            if len(epochs) >= keep_epochs:
+                break
+            try:
+                m = snap.read_manifest(state_dir, v)
+            except FileNotFoundError:
+                break
+            e = m.get("corpus_epoch")
+            if e is not None:
+                epochs.append((v, dict(e)))
+    out: dict = {}
+    state_pins = {v for v, _ in epochs} | {e["state"] for _, e in epochs}
+    out["state"] = snap.vacuum(
+        state_dir, keep_last=keep_last,
+        orphan_ttl_seconds=orphan_ttl_seconds, pin_versions=state_pins,
+    )
+    for name in _EPOCH_VIEWS:
+        if name not in layout or snap.latest_version(layout[name]) is None:
+            continue
+        pins = {e[name] for _, e in epochs if name in e}
+        out[name] = snap.vacuum(
+            layout[name], keep_last=keep_last,
+            orphan_ttl_seconds=orphan_ttl_seconds, pin_versions=pins,
+        )
     return out
 
 

@@ -2603,7 +2603,10 @@ def stream_upsert(
 
 
 def vacuum(
-    table_dir: str, keep_last: int = 1, orphan_ttl_seconds: float = 24 * 3600
+    table_dir: str,
+    keep_last: int = 1,
+    orphan_ttl_seconds: float = 24 * 3600,
+    pin_versions=None,
 ) -> list[str]:
     """Delete data files not referenced by the last ``keep_last``
     manifests (and drop the older manifests), plus ORPHANS — files on
@@ -2628,7 +2631,11 @@ def vacuum(
     # tag-referenced versions are PINNED: a named release must survive
     # vacuum regardless of keep_last, or tags silently dangle
     tagged = {int(v) for v in _read_tags(table_dir, strict=True).values()}
-    keep_set = set(vs[-keep_last:]) | (tagged & set(vs))
+    # caller-pinned versions survive like tags: e.g. the versions the
+    # cascade's retained read epochs name (corpus.vacuum_corpus), so an
+    # epoch-pinned reader never dangles
+    pinned = {int(v) for v in (pin_versions or ())}
+    keep_set = set(vs[-keep_last:]) | ((tagged | pinned) & set(vs))
     keep_vs = [v for v in vs if v in keep_set]
     drop_vs = [v for v in vs if v not in keep_set]
     def _all_refs(m: dict) -> set[str]:

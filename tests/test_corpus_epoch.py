@@ -180,3 +180,24 @@ def test_corpus_hybrid_search_reads_one_epoch(spark, cascade):
     # BM25 leg must surface it
     res_new = corpus_hybrid_search(spark, layout, ["epochword", "fox"], topk=10)
     assert any(r.doc_id == 99 for r in res_new.collect())
+
+
+def test_vacuum_corpus_retains_pinned_epochs(spark, cascade):
+    """vacuum_corpus keeps the last K epochs readable end to end: the
+    pinned versions of every view (and the state manifests carrying the
+    vectors) survive, older history is reclaimed, and read_corpus of a
+    DROPPED epoch fails loudly rather than reading wrong data."""
+    from ray_beam_runner_spark.corpus import vacuum_corpus
+
+    layout = cascade["layout"]
+    e_latest = latest_corpus_epoch(cascade["state"])
+    e_old = cascade["e1"]
+    assert e_old != e_latest  # earlier tests advanced the cascade
+    vacuum_corpus(layout, keep_epochs=1, keep_last=1, orphan_ttl_seconds=0)
+    # the latest epoch reads whole...
+    c = read_corpus(spark, layout)
+    assert c["epoch"] == e_latest
+    assert c["idx"].count() > 0 and c["ann"].count() > 0 and c["agg"].count() > 0
+    # ...and the dropped one fails loudly (its manifests were reclaimed)
+    with pytest.raises(FileNotFoundError):
+        read_corpus(spark, layout, epoch=e_old)["state"].count()
