@@ -2620,7 +2620,9 @@ def vacuum(
     snapshots are unaffected; time travel beyond ``keep_last`` versions
     is given up — the same contract as Delta's VACUUM — EXCEPT versions
     pinned by a tag (:func:`tag_snapshot`), which are always retained
-    until the tag is deleted."""
+    until the tag is deleted, and versions in ``pin_versions`` (caller
+    pins, e.g. the versions the cascade's retained read epochs name —
+    :func:`corpus.vacuum_corpus`), retained for this call."""
     import time as _time
 
     if keep_last < 1:
