@@ -427,13 +427,20 @@ def record_corpus_epoch(spark: SparkSession, layout: dict) -> dict:
             "schema": m.get("schema"),
             "schema_json": m.get("schema_json"),
         }
+        fmt2 = dict.get(m, "meta_format") == 2
         for key in (
             "file_stats", "file_rows", "bloom_conf", "file_blooms",
             "bloom_types", "file_dvs", "constraints", "renames", "dropped",
             "txns",
         ):
-            if m.get(key):
-                nm[key] = m[key]
+            # On a format-2 parent the shard-backed keys stay in the
+            # parent's shards (files are unchanged, so _externalize_meta
+            # carries them by reference) — dict.get avoids hydrating the
+            # full bloom column (O(table) JSON) for a metadata-only commit
+            # that would strip those keys back out anyway.
+            v = dict.get(m, key) if (fmt2 and key in snap._SHARD_KEYS) else m.get(key)
+            if v:
+                nm[key] = v
         try:
             snap._publish(state_dir, base + 1, nm)
             return vector

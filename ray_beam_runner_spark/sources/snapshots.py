@@ -158,6 +158,24 @@ def _read_shard_cols(table_dir: str, shards: list[dict], kind: str, columns: lis
     return out
 
 
+def _live_rels(table_dir: str, shards: list[dict]) -> list[str]:
+    """Live file list under ORDER-AWARE shard semantics: apply add and
+    remove shards sequentially; the LAST operation on a rel wins. This
+    matters for RESTORE — restoring past a rewrite publishes a fresh add
+    shard for rels an earlier remove shard had killed, and the later add
+    must resurrect them. (An order-free union(add)-union(remove) would
+    keep a resurrected rel dead forever and let vacuum delete its data.)
+    Output order is first-add order, matching the pre-restore listing."""
+    state: dict[str, bool] = {}
+    for s in shards:
+        kind = s.get("kind", "add")
+        for t in _read_shard_cols(table_dir, [s], kind, ["rel"]):
+            alive = kind == "add"
+            for rel in t.column("rel").to_pylist():
+                state[rel] = alive
+    return [rel for rel, alive in state.items() if alive]
+
+
 class _LazyManifest(dict):
     """A format-2 manifest behaving as the plain dict every consumer
     already expects: the shard-backed keys (`files`, `file_stats`,
@@ -173,15 +191,7 @@ class _LazyManifest(dict):
         return dict.get(self, "meta_shards", [])
 
     def _hydrate_files(self) -> None:
-        import pyarrow as pa
-
-        removed: set[str] = set()
-        for t in _read_shard_cols(self._tdir, self._shards(), "remove", ["rel"]):
-            removed.update(t.column("rel").to_pylist())
-        live: list[str] = []
-        for t in _read_shard_cols(self._tdir, self._shards(), "add", ["rel"]):
-            live.extend(r for r in t.column("rel").to_pylist() if r not in removed)
-        dict.__setitem__(self, "files", live)
+        dict.__setitem__(self, "files", _live_rels(self._tdir, self._shards()))
 
     def _hydrate_light(self) -> None:
         live = set(self["files"])
@@ -435,22 +445,21 @@ def _externalize_meta(table_dir: str, manifest: dict) -> dict:
         if parent_hdr and parent_hdr.get("meta_format") == 2
         else []
     )
-    cover: set[str] = set()
-    for t in _read_shard_cols(table_dir, parent_shards, "add", ["rel"]):
-        cover.update(t.column("rel").to_pylist())
     if parent_hdr is not None:
         if parent_hdr.get("meta_format") == 2:
-            removed_prev: set[str] = set()
-            for t in _read_shard_cols(table_dir, parent_shards, "remove", ["rel"]):
-                removed_prev.update(t.column("rel").to_pylist())
-            parent_live = [r for r in cover if r not in removed_prev]
+            parent_live = _live_rels(table_dir, parent_shards)
         else:
             parent_live = parent_hdr.get("files", [])
     else:
         parent_live = []
+    parent_live_set = set(parent_live)
     live_set = set(files)
     removed = [r for r in parent_live if r not in live_set]
-    new_rels = [r for r in files if r not in cover]
+    # A rel absent from parent_live gets a fresh add-shard row whether it
+    # is brand-new OR resurrected by a restore (present in an old add
+    # shard but killed by a later remove shard) — the fresh add shard
+    # supersedes the remove under _live_rels' last-op-wins ordering.
+    new_rels = [r for r in files if r not in parent_live_set]
 
     stats_m = manifest.get("file_stats") or {}
     rows_m = manifest.get("file_rows") or {}
@@ -1974,7 +1983,15 @@ def _publish_or_rebase(
         rm["parent"] = head
         rm["files"] = [*keep, *new_files]
         rm["rebased_from"] = version
-        merged_txns = {**cur.get("txns", {}), **txn_delta}
+        cur_txns = cur.get("txns", {})
+        if any(cur_txns.get(app) != base_txns.get(app) for app in txn_delta):
+            # The interloper advanced a watermark for one of OUR txn apps:
+            # a blind {**cur, **ours} merge could regress the monotone
+            # watermark (re-opening replay of their batch) or re-apply a
+            # batch their guard already recorded. Conflict — the retry
+            # path re-reads the head and the idempotence guard decides.
+            raise conflict
+        merged_txns = {**cur_txns, **txn_delta}
         if merged_txns:
             rm["txns"] = merged_txns
         cur_stats = cur.get("file_stats", {})

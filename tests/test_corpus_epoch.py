@@ -201,3 +201,31 @@ def test_vacuum_corpus_retains_pinned_epochs(spark, cascade):
     # ...and the dropped one fails loudly (its manifests were reclaimed)
     with pytest.raises(FileNotFoundError):
         read_corpus(spark, layout, epoch=e_old)["state"].count()
+
+
+def test_epoch_record_skips_bloom_hydration_on_format2(spark, monkeypatch):
+    """Round-12 advice (low): record_corpus_epoch on a format-2 state
+    table must not hydrate the full bloom column (O(table) JSON decode
+    per drain) — the shard-backed keys are carried by reference and
+    _externalize_meta strips them from the published header anyway."""
+    from ray_beam_runner_spark.corpus import record_corpus_epoch
+
+    t = _mkdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(i, i * 10, f"s{i}") for i in range(60)], "k int, v int, s string"
+        ),
+        t, cluster_by=["k"], n_files=6, bloom_for=["v"], meta_inline_max=4,
+    )
+    calls = []
+    orig = snap._LazyManifest._hydrate_blooms
+    monkeypatch.setattr(
+        snap._LazyManifest, "_hydrate_blooms",
+        lambda self: (calls.append(1), orig(self))[1],
+    )
+    vector = record_corpus_epoch(spark, {"state": t})
+    assert not calls  # metadata-only commit never decoded the bloom column
+    assert vector["state"] == 1 and snap.latest_version(t) == 2
+    # the epoch commit preserved blooms: a point read still prunes/hits
+    hit = {r.k for r in snap.read_snapshot(spark, t, point=("v", 550)).collect()}
+    assert hit == {55}

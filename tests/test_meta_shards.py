@@ -234,3 +234,44 @@ def test_shard_reads_are_cached_across_manifest_reads(spark, monkeypatch):
     m2 = snap.read_manifest(t, 1)
     _ = m2["files"], m2["file_rows"]
     assert len(calls) == first  # second read: all cache hits
+
+
+def test_restore_resurrects_removed_files_on_format2(spark):
+    """Round-12 advice (high): RESTORE past a rewrite on a format-2
+    table must resurrect files an intervening remove shard killed.
+    Order-free hydration (union(add) - union(remove)) kept a resurrected
+    rel dead, later commits inherited the loss, and vacuum deleted the
+    data file. Hydration is now order-aware (last op per rel wins) and
+    _externalize_meta writes resurrected rels into a fresh add shard."""
+    t = _tdir()
+    _mk(spark, t, meta_inline_max=4)
+    v1_files = set(snap.read_manifest(t, 1)["files"])
+    v1_rows = sorted((r.k, r.v) for r in snap.read_snapshot(spark, t).collect())
+    # v2: MERGE rewrites one file -> a remove shard kills it
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(5, 555, "x")], "k int, v int, s string"),
+        ["k"],
+    )
+    killed = v1_files - set(snap.read_manifest(t, 2)["files"])
+    assert killed  # the rewrite removed at least one v1 file
+    v3 = snap.restore_snapshot(t, 1)
+    m3 = snap.read_manifest(t, v3)
+    assert set(m3["files"]) == v1_files  # resurrected, not silently lost
+    # per-file metadata of the resurrected files survives the round trip
+    assert all(rel in m3["file_rows"] for rel in killed)
+    got = sorted((r.k, r.v) for r in snap.read_snapshot(spark, t).collect())
+    assert got == v1_rows
+    # a later incremental commit INHERITS the resurrection
+    snap.upsert_snapshot(
+        spark, t,
+        spark.createDataFrame([(100, 1, "n")], "k int, v int, s string"),
+        ["k"],
+    )
+    v4 = snap.latest_version(t)
+    assert v1_files <= set(snap.read_manifest(t, v4)["files"])
+    # and vacuum keeps the resurrected data alive
+    deleted = snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    assert not (killed & set(deleted))
+    got = sorted((r.k, r.v) for r in snap.read_snapshot(spark, t).collect())
+    assert (100, 1) in got and all(x in got for x in v1_rows)

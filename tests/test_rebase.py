@@ -202,3 +202,70 @@ def test_update_delete_rebase_with_key_range_hint(spark, monkeypatch):
         monkeypatch.setattr(snap, "_publish", real_publish)
     assert snap.read_manifest(t, v2).get("rebased_from") is not None
     assert {r.k for r in snap.read_snapshot(spark, t).collect()} == set(range(2, 95))
+
+
+def test_rebase_conflicts_on_concurrent_txn_watermark(spark, monkeypatch):
+    """Round-12 advice (medium): a rebasing writer whose txn_app
+    watermark was concurrently advanced must CONFLICT, not blind-merge
+    {**cur, **ours} — the blind merge regressed the monotone watermark
+    (re-opening replay of the newer batch) and applied the stale one.
+    With the fix, the re-run path's idempotence guard skips the stale
+    batch and the newer watermark survives."""
+    t = _tdir()
+    snap.write_snapshot(_batch(spark, 0, 60, "base"), t, cluster_by=["k"], n_files=6)
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest.get("op") == "merge":
+            fired["done"] = True
+            snap.upsert_snapshot(
+                spark, t, _batch(spark, 200, 205, "theirs"), ["k"],
+                txn_app="app", txn_version=7,
+            )
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    try:
+        snap.upsert_snapshot(
+            spark, t, _batch(spark, 100, 105, "mine"), ["k"],
+            txn_app="app", txn_version=5, retries=1,
+        )
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+    head = snap.read_manifest(t, snap.latest_version(t))
+    assert head.get("txns", {}).get("app") == 7  # never regressed to 5
+    ks = {r.k for r in snap.read_snapshot(spark, t).collect()}
+    assert 200 in ks and 100 not in ks  # stale batch 5 skipped, batch 7 kept
+
+
+def test_rebase_merges_watermarks_of_distinct_txn_apps(spark, monkeypatch):
+    """Different txn apps are independent watermarks: a rebase across a
+    racer writing app2 keeps BOTH app watermarks, with no re-run."""
+    t = _tdir()
+    snap.write_snapshot(_batch(spark, 0, 60, "base"), t, cluster_by=["k"], n_files=6)
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest.get("op") == "merge":
+            fired["done"] = True
+            snap.upsert_snapshot(
+                spark, t, _batch(spark, 200, 205, "theirs"), ["k"],
+                txn_app="app2", txn_version=7,
+            )
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    try:
+        v = snap.upsert_snapshot(
+            spark, t, _batch(spark, 100, 105, "mine"), ["k"],
+            txn_app="app1", txn_version=5, retries=0,
+        )
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+    head = snap.read_manifest(t, v)
+    assert head.get("rebased_from") is not None  # rebase, not re-run
+    assert head["txns"] == {"app1": 5, "app2": 7}
+    ks = {r.k for r in snap.read_snapshot(spark, t).collect()}
+    assert {100, 200} <= ks
