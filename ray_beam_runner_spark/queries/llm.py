@@ -3732,8 +3732,10 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = cw.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
         cp.filter(F.col("c") >= 5)
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
+        # c1/c2 are vocabulary-sized (grow with the corpus under Heaps'
+        # law): no broadcast hint — AQE decides per scale.
+        .join(c1, "w1")
+        .join(c2, "w2")
         .crossJoin(F.broadcast(n_tot))
         .crossJoin(F.broadcast(p_tot))
         .select(

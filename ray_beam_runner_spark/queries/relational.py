@@ -72,8 +72,11 @@ def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
+    # customer is corpus-proportional (~15 M rows at x1000): no broadcast
+    # hint — AQE picks broadcast at tiny SFs and shuffle join at scale.
+    # nation is a bounded 25-row dim: always broadcast.
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("rev"))
@@ -1788,9 +1791,9 @@ def q_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ps.join(p, F.col("p_partkey") == F.col("ps_partkey"))
-        .join(
-            F.broadcast(flagged), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
-        )
+        # flagged is a constant fraction of a corpus-proportional table:
+        # no hint — AQE broadcasts while it fits, shuffles beyond.
+        .join(flagged, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -3511,8 +3514,11 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
+        # hist scales with customer x versions; the predicate has an equi
+        # component (c_custkey == o_custkey), so sort-merge is available
+        # without a hint — AQE decides, the range terms post-filter.
         facts.join(
-            F.broadcast(hist),
+            hist,
             (hist["c_custkey"] == facts["o_custkey"])
             & (hist["effective_from"] <= facts["event_t"])
             & (hist["effective_to"].isNull() | (facts["event_t"] < hist["effective_to"])),

@@ -517,7 +517,10 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         FileDropStream(spark, drop_dir)
         .write_slices(events, "ts", n_slices=3)
         .read_stream()
-        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner")
+        # customer is corpus-proportional: no broadcast hint — the
+        # stream-static equi join shuffles per micro-batch at scale and
+        # Spark still broadcasts while the dim fits its threshold.
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "inner")
     )
     agg = windowed_agg_stream(
         stream,
@@ -570,7 +573,7 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     t=0, re-segmentations at t=100/200 closing prior versions); the
     events stream (file-drop micro-batches, availableNow drain) carries
     its temporal coordinate te = event_id % 300 and each micro-batch
-    resolves its rows against the BROADCAST history table with the
+    resolves its rows against the history table with the
     interval predicate ef <= te < et — stateless per batch, no join
     state, no watermark interaction; exactly one version matches per
     event by the SCD2 non-overlap invariant. The oracle rebuilds the
@@ -607,8 +610,11 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .read_stream()
         .withColumn("te", F.col("event_id") % 300)
     )
+    # history scales with customer x versions: no broadcast hint — the
+    # equi component (user_id == c_custkey) keeps a shuffle join
+    # available per micro-batch; the interval terms post-filter.
     joined = stream.join(
-        F.broadcast(dim),
+        dim,
         (stream["user_id"] == dim["c_custkey"])
         & (dim["effective_from"] <= F.col("te"))
         & (dim["effective_to"].isNull() | (F.col("te") < dim["effective_to"])),
