@@ -728,6 +728,80 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_spj_local_supplier_volume",
+    oracle="""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q_spj_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 over STORAGE-PARTITIONED fact tables — the x100 leg's
+    diagnosed bottleneck (two shuffle materializations per
+    lineitem x orders join) removed by layout: lineitem and orders are
+    written as co-bucketed snapshot tables on the order key
+    (sources/bucketed.py), and their join plans with ZERO shuffle
+    exchanges — asserted IN-QUERY under a disabled broadcast threshold,
+    so a silent layout mismatch fails the gate rather than quietly
+    reintroducing the exchange. The remaining dims join as in
+    q_local_supplier_volume (nation/region broadcast, customer/supplier
+    left to AQE). Same oracle SQL as the shuffled variant: bucketing is
+    layout, never semantics."""
+    import os as _os
+
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+    from ray_beam_runner_spark.sources import bucketed as bkt
+
+    base = scratch_dir("rbrs_spj_")
+    li_dir = _os.path.join(base, "lineitem")
+    ord_dir = _os.path.join(base, "orders")
+    n_buckets = 8  # sized for the test SFs; ~10^5 at 100 TB (module doc)
+    bkt.write_bucketed(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        ),
+        li_dir, ["l_orderkey"], n_buckets,
+    )
+    bkt.write_bucketed(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        ord_dir, ["o_orderkey"], n_buckets,
+    )
+    lo = bkt.storage_partitioned_join(spark, li_dir, ord_dir, "l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert count_exchanges(lo) == 0, (
+            "storage-partitioned join reintroduced a shuffle exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        lo.join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            supp,
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+@query(
     "q_priority_counts",
     oracle="""
     SELECT o_orderpriority,
