@@ -19,6 +19,10 @@ Four timings per scale, per format:
                 including blooms; shards decode three light columns.
   plan_blooms   additionally decode the bloom column (point-lookup
                 path only).
+  probe_point   cold-driver point probe: read_manifest + blooms of 8
+                stats-surviving candidate files. Shards answer via the
+                rel-filtered selective read (round-13: O(candidates)
+                bloom bytes); inline pays its full JSON parse.
 
 Writes BENCH_MANIFEST.json and prints one JSON line.
 """
@@ -109,12 +113,30 @@ def _bench_format(n, sharded):
         plan_blooms = time.perf_counter() - t0
         assert nb == n
 
+        # probe_point: blooms of 8 stats-surviving candidate files, cold
+        # driver (fresh manifest, shard cache cleared). The round-12 ask:
+        # a point lookup must decode O(candidates) bloom bytes — the
+        # rel-filtered shard read — not the whole bloom column. Inline
+        # pays its full JSON parse by construction.
+        cand = kept[:: max(1, len(kept) // 8)][:8]
+        snap._SHARD_CACHE.clear()
+        t0 = time.perf_counter()
+        mp = snap.read_manifest(t, 2)
+        if isinstance(mp, snap._LazyManifest):
+            pb = mp.blooms_for(cand)
+        else:
+            fb = mp.get("file_blooms", {})
+            pb = {r: fb[r] for r in cand if r in fb}
+        probe_point = time.perf_counter() - t0
+        assert len(pb) == len(cand)
+
         hdr_bytes = os.path.getsize(snap._manifest_path(t, 2))
         return {
             "commit_full_s": round(commit_full, 4),
             "commit_incr_s": round(commit_incr, 4),
             "plan_light_s": round(plan_light, 4),
             "plan_blooms_s": round(plan_blooms, 4),
+            "probe_point_s": round(probe_point, 4),
             "header_bytes": hdr_bytes,
         }
     finally:
