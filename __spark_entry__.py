@@ -51,72 +51,68 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-12 window under that rule: leads with the 21 stale rows the
-# round-11 verdict named (16 last-gated r7: the streaming + scalar
-# families, q_pii_scrub, q_train_val_split, q_embedding_quantize,
-# q_incremental_dedup, q_dedup_containment, q_dedup_spans,
-# q_sequence_pack_sharded, q_pmi_pairs, q_bigram_logppl,
-# q_sketch_distinct; 5 last-gated r8: q_kmeans, q_pq_topk, q_ivfpq_topk,
-# q_bpe_pair_counts, q_dedup_span_removal), any never-gated round-12
-# additions, then the stalest r9 rows up to the 50-slot window. After
-# this round every query has a driver-gate row at most 4 rounds old.
-# Everything displaced stays sweep-green every round.
+# Round-13 window under that rule: leads with the two never-gated
+# round-13 additions (q_spj_local_supplier_volume — storage-partitioned
+# TPC-H Q5; q_corpus_hybrid_search — epoch-pinned BM25+IVF-PQ RRF), then
+# the 28 rows last gated r9 the round-12 verdict's histogram names, then
+# the stalest r10 rows up to the 50-slot window. Everything displaced
+# stays sweep-green every round.
 # _GATE_ROUND = the round this window was computed FOR (from
 # CORRECTNESS_r*.json history strictly before it). Bump when
 # regenerating via scripts/gate_rotation.py; tests/test_entry.py
 # checks the lockstep.
-_GATE_ROUND = 12
+_GATE_ROUND = 13
 _GATE_FIRST = (
-    "q_snapshot_meta_shards",  # last gated never
-    "q_corpus_epoch_read",  # last gated never
-    "q_pii_scrub",  # last gated r7
-    "q_train_val_split",  # last gated r7
-    "q_embedding_quantize",  # last gated r7
-    "q_incremental_dedup",  # last gated r7
-    "q_dedup_containment",  # last gated r7
-    "q_dedup_spans",  # last gated r7
-    "q_sequence_pack_sharded",  # last gated r7
-    "q_pmi_pairs",  # last gated r7
-    "q_bigram_logppl",  # last gated r7
-    "q_sketch_distinct",  # last gated r7
-    "q_streaming_window",  # last gated r7
-    "q_streaming_stateful",  # last gated r7
-    "q_streaming_dedup",  # last gated r7
-    "q_streaming_join",  # last gated r7
-    "q_streaming_session",  # last gated r7
-    "q_streaming_enrich",  # last gated r7
-    "q_scalar_math2",  # last gated r7
-    "q_scalar_string2",  # last gated r7
-    "q_scalar_datetime2",  # last gated r7
-    "q_regex_funcs",  # last gated r7
-    "q_null_handling",  # last gated r7
-    "q_kmeans",  # last gated r8
-    "q_pq_topk",  # last gated r8
-    "q_ivfpq_topk",  # last gated r8
-    "q_bpe_pair_counts",  # last gated r8
-    "q_dedup_span_removal",  # last gated r8
-    "q_agg",  # last gated r9
-    "q_join",  # last gated r9
-    "q_window",  # last gated r9
-    "q_events_window",  # last gated r9
-    "q_distinct",  # last gated r9
-    "q_session_window",  # last gated r9
-    "q_asof_join",  # last gated r9
-    "q_scalar_string",  # last gated r9
-    "q_scalar_mathdate",  # last gated r9
-    "q_json",  # last gated r9
-    "q_moving_agg",  # last gated r9
-    "q_waiting_supplier",  # last gated r9
-    "q_min_cost_supplier",  # last gated r9
-    "q_important_stock",  # last gated r9
-    "q_supplier_relationship",  # last gated r9
-    "q_excess_stock_supplier",  # last gated r9
-    "q_unpivot",  # last gated r9
-    "q_range_join",  # last gated r9
-    "q_funnel",  # last gated r9
-    "q_retention_cohorts",  # last gated r9
-    "q_data_quality",  # last gated r9
-    "q_snapshot_cdf",  # last gated r9
+    "q_spj_local_supplier_volume",  # last gated never
+    "q_corpus_hybrid_search",  # last gated never
+    "q_snapshot_cdf_stream",  # last gated r9
+    "q_triangle_count",  # last gated r9
+    "q_snapshot_delete_dv",  # last gated r9
+    "q_snapshot_merge_dv",  # last gated r9
+    "q_dedup_exact",  # last gated r9
+    "q_dedup_ngram_jaccard",  # last gated r9
+    "q_dedup_minhash_lsh",  # last gated r9
+    "q_split_leakage_safe",  # last gated r9
+    "q_dedup_phash",  # last gated r9
+    "q_ivfpq_incremental",  # last gated r9
+    "q_quality_classifier",  # last gated r9
+    "q_audio_frames",  # last gated r9
+    "q_multimodal_jpeg",  # last gated r9
+    "q_sample_mix",  # last gated r9
+    "q_chunk_documents",  # last gated r9
+    "q_chunk_cdc",  # last gated r9
+    "q_stratified_sample",  # last gated r9
+    "q_dedup_semantic",  # last gated r9
+    "q_collapse_repeats",  # last gated r9
+    "q_vocab_topk",  # last gated r9
+    "q_token_entropy",  # last gated r9
+    "q_tfidf_keywords",  # last gated r9
+    "q_unigram_logppl",  # last gated r9
+    "q_decayed_engagement",  # last gated r9
+    "q_trigram_kn_logppl",  # last gated r9
+    "q_sketch_quantiles",  # last gated r9
+    "q_streaming_cdc",  # last gated r9
+    "q_array_funcs",  # last gated r9
+    "q_gbk",  # last gated r10
+    "q_combine_global",  # last gated r10
+    "q_cogroup",  # last gated r10
+    "q_flatten",  # last gated r10
+    "q_setops",  # last gated r10
+    "q_semi_anti",  # last gated r10
+    "q_topk",  # last gated r10
+    "q_window_analytics",  # last gated r10
+    "q_rollup",  # last gated r10
+    "q_pivot",  # last gated r10
+    "q_subquery",  # last gated r10
+    "q_shipping_priority",  # last gated r10
+    "q_local_supplier_volume",  # last gated r10
+    "q_priority_counts",  # last gated r10
+    "q_percentiles",  # last gated r10
+    "q_approx_distinct",  # last gated r10
+    "q_skewed_agg",  # last gated r10
+    "q_returned_items",  # last gated r10
+    "q_promo_revenue",  # last gated r10
+    "q_volume_shipping",  # last gated r10
 )
 
 

@@ -702,6 +702,10 @@ def _ivfpq_oracle(
     dim: int,
     corpus_where: str = "vec_id >= 8",
     train_where: str | None = None,
+    prelude: list[str] | None = None,
+    v_sql: str | None = None,
+    q_sql: str | None = None,
+    tail: str | None = None,
 ) -> str:
     """Composed IVF-PQ oracle: coarse Lloyd CTEs on full vectors,
     residuals against the final coarse centroids, per-subspace Lloyd
@@ -711,7 +715,14 @@ def _ivfpq_oracle(
     incremental index maintenance: Lloyd CTEs (coarse + books) run over
     the TRAIN slice only, while assignments/codes/search run over
     ``corpus_where`` — exactly what ivfpq_encode against a fitted
-    quantizer computes for vectors that arrived after the fit."""
+    quantizer computes for vectors that arrived after the fit.
+
+    Composition hooks (the corpus-cascade hybrid oracle builds its ANN
+    leg from the same verified machinery): ``prelude`` = CTEs emitted
+    before everything (e.g. computing embeddings from document text);
+    ``v_sql``/``q_sql`` override the corpus/query CTE definitions (must
+    define v(vid, e) and q(qid, e)); ``tail`` replaces the final SELECT
+    — pass "" to keep composing CTEs after the ADC scores in ``sc``."""
     d = dim // m
 
     def sq(a, b):
@@ -753,10 +764,13 @@ def _ivfpq_oracle(
             )
         return out
 
-    parts = [
-        f"WITH v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings"
+    parts = list(prelude or [])
+    parts += [
+        v_sql
+        or f"v AS (SELECT vec_id AS vid, embedding AS e FROM embeddings"
         f" WHERE {corpus_where})",
-        "q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 8)",
+        q_sql
+        or "q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 8)",
         "vs AS (SELECT vid, e AS s FROM v)",
     ]
     # training slice: defaults to the corpus itself; a distinct slice
@@ -819,15 +833,17 @@ def _ivfpq_oracle(
         f"sc AS (SELECT q0.qid, a.vid, round({adc}, 6) AS adc\n"
         f"      FROM gaF a {code_joins})"
     )
-    return (
-        ",\n    ".join(parts)
-        + """
+    default_tail = """
     SELECT qid AS q_id, vid AS vec_id, adc, rank FROM (
       SELECT qid, vid, adc,
              row_number() OVER (PARTITION BY qid ORDER BY adc, vid)::INT AS rank
       FROM sc)
     WHERE rank <= 5
     """
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + (tail if tail is not None else default_tail)
     )
 
 
@@ -4411,6 +4427,139 @@ def q_corpus_epoch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "cnt", F.col("sum_n_tok").cast("long").alias("sum_n_tok")
     )
     return agg.join(postings, "source").orderBy("source")
+
+
+_HYBRID_TERMS = ("merge", "window", "scan")
+
+
+def _corpus_hybrid_oracle() -> str:
+    """Epoch-pinned hybrid retrieval replayed end to end in SQL: the
+    cascade state at E1 (batch A enrich → quality gate → canonical
+    election), the deterministic text embedding (md5 feature hashing,
+    dim 8, L2-normalized — corpus.text_embedding's documented DuckDB
+    analog), the CASCADE's IVF-PQ quantizer training + encode + ADC
+    shortlist (the verified _ivfpq_oracle machinery via its composition
+    hooks), exact-L2 re-rank of the shortlist, BM25 over the E1 token
+    postings, and reciprocal-rank fusion. Any leakage of the advanced
+    live state through any leg — or a torn read mixing quantizer
+    generations — changes ranks and breaks the hash."""
+    terms_in = ", ".join(f"'{t}'" for t in _HYBRID_TERMS)
+    qtext = " ".join(_HYBRID_TERMS)
+    bucket = "('0x' || substr(md5('emb:' || t), 1, 8))::BIGINT % 8"
+    cnt_ws = (
+        "list_transform(generate_series(0, 7), b -> "
+        f"(len(list_filter(ws, t -> {bucket} = b)))::DOUBLE)"
+    )
+    norm = "greatest(sqrt(list_sum(list_transform(cnt, y -> y * y))), 1.0)"
+    prelude = [
+        "a AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1)",
+        f"en AS (SELECT doc_id, text, {_TOKS} AS ws, md5({_NORM}) AS fp FROM a)",
+        "qual AS (SELECT doc_id, fp, ws, len(ws) AS n_tok, "
+        f"round({_CORPUS_QUALITY}, 6) AS qq FROM en)",
+        "pass AS (SELECT * FROM qual WHERE qq >= 0.5)",
+        "canon AS (SELECT doc_id, ws, n_tok FROM ("
+        "SELECT doc_id, ws, n_tok,"
+        " row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn"
+        " FROM pass) WHERE rn = 1)",
+        f"vc AS (SELECT doc_id AS vid, {cnt_ws} AS cnt FROM canon)",
+        f"qtv AS (SELECT {cnt_ws} AS cnt FROM "
+        f"(SELECT {_TOKS} AS ws FROM (SELECT '{qtext}' AS text)))",
+    ]
+    ann = _ivfpq_oracle(
+        n_cells=4, m=4, k=8, n_iter=1, dim=8,
+        prelude=prelude,
+        v_sql=f"v AS (SELECT vid, list_transform(cnt, x -> x / {norm}) AS e FROM vc)",
+        q_sql=f"q AS (SELECT 0 AS qid, list_transform(cnt, x -> x / {norm}) AS e FROM qtv)",
+        tail="",
+    )
+    more = [
+        # ADC shortlist (k * alpha = 20 * 4, ivfpq_topk_rerank stage 1)
+        "shortl AS (SELECT vid FROM ("
+        "SELECT vid, row_number() OVER (ORDER BY adc, vid) AS rn FROM sc)"
+        " WHERE rn <= 80)",
+        # exact squared-L2 re-rank of the shortlist (stage 2)
+        "rrd AS (SELECT v.vid, round(list_sum(list_transform(generate_series(1, 8),"
+        " i -> (q.e[i] - v.e[i]) * (q.e[i] - v.e[i]))), 6) AS dist"
+        " FROM v JOIN shortl USING (vid), q)",
+        "annr AS (SELECT vid AS doc_id, rank FROM ("
+        "SELECT vid, row_number() OVER (ORDER BY dist, vid)::INT AS rank FROM rrd)"
+        " WHERE rank <= 20)",
+        # BM25 over the E1 postings (tf per doc/term, df, n_tok lengths)
+        "bmtok AS (SELECT doc_id, unnest(ws) AS t FROM canon)",
+        f"bmtf AS (SELECT doc_id, t, count(*) AS tf FROM bmtok"
+        f" WHERE t IN ({terms_in}) GROUP BY doc_id, t)",
+        "bmdf AS (SELECT t, count(*) AS df FROM bmtf GROUP BY t)",
+        "bmstat AS (SELECT count(*)::DOUBLE AS n, avg(n_tok) AS avgdl FROM canon)",
+        "bmsc AS (SELECT f.doc_id, round(sum("
+        "ln(1.0 + ((SELECT n FROM bmstat) - d.df + 0.5) / (d.df + 0.5))"
+        " * f.tf / (f.tf + 1.2 * (0.25 + 0.75 * c.n_tok / (SELECT avgdl FROM bmstat)))"
+        "), 6) AS score"
+        " FROM bmtf f JOIN bmdf d USING (t) JOIN canon c USING (doc_id)"
+        " GROUP BY f.doc_id)",
+        "bmr AS (SELECT doc_id, rank FROM ("
+        "SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank"
+        " FROM bmsc) WHERE rank <= 20)",
+        "fused AS (SELECT doc_id,"
+        " round(coalesce(1.0 / (60 + b.rank), 0)"
+        " + coalesce(1.0 / (60 + a.rank), 0), 9) AS score"
+        " FROM bmr b FULL OUTER JOIN annr a USING (doc_id))",
+    ]
+    tail = """
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+      FROM fused)
+    WHERE rank <= 10
+    """
+    return ann + ",\n    " + ",\n    ".join(more) + tail
+
+
+@query("q_corpus_hybrid_search", oracle=_corpus_hybrid_oracle())
+def q_corpus_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-PINNED HYBRID SEARCH over the corpus cascade (round-12
+    verdict "What's missing" #5 — the epoch machinery's flagship query
+    shape, now oracle-hashed): build the cascade over batch A
+    (doc_id % 4 = 1), drain — epoch E1 — then ADVANCE the live state
+    with batch B (% 4 = 2) WITHOUT draining, and run
+    corpus.corpus_hybrid_search at E1: a BM25 top-20 pool over the E1
+    token index (token-pruned point reads, lengths and N from the E1
+    state) fused by reciprocal rank (k=60) with an IVF-PQ
+    cosine-family pool (ADC shortlist 80 → exact-L2 re-rank top 20,
+    quantizer generation pinned through the index's version pins).
+    The oracle replays every leg from batch A alone — leaked batch-B
+    postings, vectors, lengths, or a mixed quantizer generation all
+    reorder the fused list and break the hash."""
+    from ray_beam_runner_spark.corpus import (
+        corpus_hybrid_search,
+        drain_corpus_views,
+        init_corpus_views,
+        refresh_corpus_state,
+    )
+    from ray_beam_runner_spark.queries import scratch_dir
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src = scratch_dir("rbrs_hyb_src_")
+    state = scratch_dir("rbrs_hyb_state_")
+    work = scratch_dir("rbrs_hyb_work_")
+
+    snap.write_snapshot(
+        docs.filter(F.col("doc_id") % 4 == 1), src, cluster_by=["doc_id"], n_files=2
+    )
+    refresh_corpus_state(spark, src, state)
+    layout = init_corpus_views(spark, state, work)
+    e1 = drain_corpus_views(spark, layout)  # epoch E1
+
+    # live state advances past E1 — no drain, no new epoch: the search
+    # below must not see ANY of this through ANY leg
+    snap.upsert_snapshot(
+        spark, src, docs.filter(F.col("doc_id") % 4 == 2), ["doc_id"], cdc=True
+    )
+    refresh_corpus_state(spark, src, state)
+
+    return corpus_hybrid_search(
+        spark, layout, list(_HYBRID_TERMS), topk=10, pool=20, epoch=e1
+    )
 
 
 @query(
