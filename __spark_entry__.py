@@ -51,9 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-13 window under that rule: leads with the two never-gated
+# Round-13 window under that rule: leads with the three never-gated
 # round-13 additions (q_spj_local_supplier_volume — storage-partitioned
-# TPC-H Q5; q_corpus_hybrid_search — epoch-pinned BM25+IVF-PQ RRF), then
+# TPC-H Q5; q_corpus_hybrid_search — epoch-pinned BM25+IVF-PQ RRF;
+# q_spj_merge — bucket-preserving incremental MERGE), then
 # the 28 rows last gated r9 the round-12 verdict's histogram names, then
 # the stalest r10 rows up to the 50-slot window. Everything displaced
 # stays sweep-green every round.
@@ -64,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ROUND = 13
 _GATE_FIRST = (
     "q_spj_local_supplier_volume",  # last gated never
+    "q_spj_merge",  # last gated never
     "q_corpus_hybrid_search",  # last gated never
     "q_snapshot_cdf_stream",  # last gated r9
     "q_triangle_count",  # last gated r9
@@ -112,7 +114,6 @@ _GATE_FIRST = (
     "q_skewed_agg",  # last gated r10
     "q_returned_items",  # last gated r10
     "q_promo_revenue",  # last gated r10
-    "q_volume_shipping",  # last gated r10
 )
 
 

@@ -802,6 +802,80 @@ def q_spj_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_spj_merge",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey + 1000000 AS o_custkey FROM orders
+      WHERE o_orderkey % 10 = 3),
+    kept AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderkey % 10 NOT IN (3, 7)),
+    merged AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM upd)
+    SELECT o_custkey % 13 AS grp,
+           count(*) AS n_li,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM merged JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY grp ORDER BY grp
+    """,
+)
+def q_spj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED storage-partitioned layout (round 13):
+    lineitem and orders written co-bucketed on the order key, then a
+    keyed MERGE into the bucketed orders table — an UPDATE batch
+    (every o_orderkey % 10 = 3 gets a rekeyed customer) plus a
+    WHEN MATCHED DELETE (% 10 = 7) in one atomic commit — rewriting
+    ONLY the affected buckets (sources/bucketed.merge_bucketed;
+    untouched buckets carry by link). The post-merge fact join still
+    plans with ZERO shuffle exchanges, asserted in-query: incremental
+    maintenance must not cost the layout its exchange-freedom. The
+    oracle replays the merge semantics relationally — a lost delete, a
+    double-applied update, or a bucket written with the wrong hash all
+    change the aggregate."""
+    import os as _os
+
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+    from ray_beam_runner_spark.sources import bucketed as bkt
+
+    base = scratch_dir("rbrs_spjm_")
+    li_dir = _os.path.join(base, "lineitem")
+    ord_dir = _os.path.join(base, "orders")
+    n_buckets = 8
+    bkt.write_bucketed(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        li_dir, ["l_orderkey"], n_buckets,
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bkt.write_bucketed(orders, ord_dir, ["o_orderkey"], n_buckets)
+    upd = orders.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", (F.col("o_custkey") + 1000000).alias("o_custkey")
+    )
+    dels = orders.filter(F.col("o_orderkey") % 10 == 7).select("o_orderkey")
+    bkt.merge_bucketed(spark, ord_dir, upd, delete_keys_df=dels)
+    lo = bkt.storage_partitioned_join(spark, li_dir, ord_dir, "l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert count_exchanges(lo) == 0, (
+            "post-merge storage-partitioned join reintroduced an exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return (
+        lo.groupBy((F.col("o_custkey") % 13).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
     "q_priority_counts",
     oracle="""
     SELECT o_orderpriority,

@@ -65,7 +65,13 @@ from pyspark.sql.types import StructType
 
 from . import snapshots as snap
 
-__all__ = ["write_bucketed", "read_bucketed", "bucket_spec", "storage_partitioned_join"]
+__all__ = [
+    "write_bucketed",
+    "merge_bucketed",
+    "read_bucketed",
+    "bucket_spec",
+    "storage_partitioned_join",
+]
 
 
 def _reg_name(table_dir: str, version: int) -> str:
@@ -250,3 +256,150 @@ def storage_partitioned_join(
         term = left[lc] == right[rc]
         cond = term if cond is None else (cond & term)
     return left.join(right, cond, how)
+
+
+_BUCKET_ID_RE = None
+
+
+def _bucket_id_of(rel: str) -> int | None:
+    """Bucket id parsed from Spark's bucketed file name
+    (``part-00000-<uuid>_00007.c000...`` -> 7) — the suffix the scan
+    planner itself keys on."""
+    global _BUCKET_ID_RE
+    if _BUCKET_ID_RE is None:
+        import re
+
+        _BUCKET_ID_RE = re.compile(r"_(\d{5})\.c\d+")
+    m = _BUCKET_ID_RE.search(os.path.basename(rel))
+    return int(m.group(1)) if m else None
+
+
+def merge_bucketed(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    delete_keys_df: DataFrame | None = None,
+) -> int:
+    """Keyed MERGE into a bucketed table that PRESERVES the bucket
+    layout — the incremental write path storage-partitioned joins need
+    (round-13; write_bucketed alone made the layout overwrite-only, so
+    a maintained 100 TB fact table could not stay exchange-free).
+
+    The merge keys ARE the bucket columns: each update row lands in
+    exactly one bucket (pmod(murmur3(keys), n) — the same expression
+    bucketBy uses), so only the AFFECTED buckets' files are rewritten
+    (old bucket rows anti-joined on the keys, union the updates, one
+    sorted file per bucket with the correct bucket-id suffix).
+    Untouched buckets carry forward by hard link into the new commit
+    directory — the local-filesystem analog of a metadata file
+    reference (an object-store deployment would reference, not link) —
+    so every version stays one self-contained bucketed directory the
+    catalog registration can point at, and time travel / vacuum ride
+    the manifest machinery unchanged. ``delete_keys_df`` drops those
+    keys' rows in the same atomic commit (WHEN MATCHED DELETE).
+
+    Write amplification is O(affected buckets), never O(table): a
+    batch touching k distinct keys rewrites at most k buckets of n.
+    After the merge the table joins/aggregates on the bucket key with
+    zero exchanges, exactly as freshly written (plan-asserted in
+    tests/test_bucketed.py)."""
+    base = snap.latest_version(table_dir)
+    if base is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    m = snap.read_manifest(table_dir, base)
+    spec = m.get("bucket_spec")
+    if not spec:
+        raise ValueError(f"merge_bucketed: {table_dir} is not a bucketed table")
+    cols, n = list(spec["cols"]), int(spec["n"])
+    tbl_fields = set(m.get("schema") or [])
+    upd_fields = set(f.name for f in updates.schema.fields)
+    if tbl_fields and upd_fields != tbl_fields:
+        raise ValueError(
+            f"merge_bucketed: update schema {sorted(upd_fields)} != table "
+            f"schema {sorted(tbl_fields)} (bucketed tables do not evolve)"
+        )
+    bucket_of = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n))
+    key_set = updates.select(*cols).distinct()
+    if delete_keys_df is not None:
+        key_set = key_set.unionByName(delete_keys_df.select(*cols)).distinct()
+    affected = {
+        r._b for r in key_set.select(bucket_of.alias("_b")).distinct().collect()
+    }
+    rel_files = list(m["files"])
+    replaced = [r for r in rel_files if _bucket_id_of(r) in affected]
+    carried = [r for r in rel_files if r not in set(replaced)]
+
+    commit_rel = os.path.join(snap._DATA_DIR, f"bucketed-{uuid.uuid4().hex}")
+    out_dir = os.path.join(table_dir, commit_rel)
+    os.makedirs(out_dir, exist_ok=True)
+
+    old_affected = (
+        spark.read.schema(StructType.fromJson(json.loads(m["schema_json"]))).parquet(
+            *(os.path.join(table_dir, r) for r in replaced)
+        )
+        if replaced
+        else None
+    )
+    survivors = old_affected
+    if old_affected is not None:
+        survivors = old_affected.join(F.broadcast(key_set), cols, "left_anti")
+    new_rows = updates
+    if delete_keys_df is not None:
+        new_rows = new_rows.join(
+            F.broadcast(delete_keys_df.select(*cols).distinct()), cols, "left_anti"
+        )
+    merged = (
+        new_rows if survivors is None else survivors.unionByName(new_rows)
+    )
+    sort_cols = list(spec.get("sorted", cols))
+    tmp = f"rbrs_bktm_{uuid.uuid4().hex[:12]}"
+    (
+        merged.repartition(n, *[F.col(c) for c in cols])
+        .write.format("parquet")
+        .bucketBy(n, *cols)
+        .sortBy(*sort_cols)
+        .option("path", out_dir)
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE `{tmp}`")
+    new_files = [
+        os.path.join(commit_rel, name)
+        for name in sorted(os.listdir(out_dir))
+        if name.endswith(".parquet")
+    ]
+    # carry untouched buckets into the self-contained commit dir
+    carried_new: list[str] = []
+    for rel in carried:
+        dst_rel = os.path.join(commit_rel, os.path.basename(rel))
+        src, dst = os.path.join(table_dir, rel), os.path.join(table_dir, dst_rel)
+        try:
+            os.link(src, dst)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src, dst)
+        carried_new.append(dst_rel)
+
+    rows_map: dict[str, int] = {}
+    try:
+        import pyarrow.parquet as pq
+
+        for rel in (*new_files, *carried_new):
+            rows_map[rel] = pq.read_metadata(os.path.join(table_dir, rel)).num_rows
+    except Exception:
+        rows_map = {}
+    version = base + 1
+    manifest = {
+        "version": version,
+        "parent": base,
+        "files": [*carried_new, *new_files],
+        "op": "merge",
+        "rewrote": sorted(replaced),
+        "schema": m.get("schema"),
+        "schema_json": m.get("schema_json"),
+        "bucket_spec": {**spec, "dir": commit_rel},
+    }
+    if rows_map:
+        manifest["file_rows"] = rows_map
+    snap._publish(table_dir, version, manifest)
+    return version

@@ -190,6 +190,44 @@ def time_spj(data_dir: str, shuffled_q5_s: float, duck_q5_s: float) -> dict:
     n_exch = count_exchanges(fact)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # ISOLATED fact-join experiment — the apples-to-apples the layout
+    # is about: the SAME physical files joined (a) through the bucketed
+    # catalog registration (scan reports HashPartitioning -> zero
+    # exchanges) and (b) as plain parquet (planner must shuffle both
+    # sides). Identical bytes, identical join, identical aggregate; the
+    # difference IS the exchange + sort cost. The full-Q5 comparison
+    # below additionally carries the dim joins' x100 fan-out, which the
+    # layout does not address and whose noise can swamp the saving.
+    from ray_beam_runner_spark.sources.bucketed import bucket_spec as _spec
+
+    li_loc = os.path.join(li_dir, _spec(li_dir)["dir"])
+    ord_loc = os.path.join(ord_dir, _spec(ord_dir)["dir"])
+
+    def fact_agg(join_df):
+        return join_df.agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def fact_bucketed():
+        return fact_agg(bkt.storage_partitioned_join(spark, li_dir, ord_dir, "l_orderkey"))
+
+    def fact_plain():
+        li = spark.read.parquet(li_loc)
+        od = spark.read.parquet(ord_loc)
+        return fact_agg(li.join(od, li.l_orderkey == od.o_orderkey))
+
+    timings: dict[str, float] = {}
+    for label, fn in (("fact_bucketed_s", fact_bucketed), ("fact_plain_s", fact_plain)):
+        fn().collect()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().collect()
+            dt = round(time.perf_counter() - t0, 4)
+            best = dt if best is None or dt < best else best
+        timings[label] = best
+
     len(q5().toPandas())  # warm
     spj_s = None
     for _ in range(2):
@@ -197,12 +235,19 @@ def time_spj(data_dir: str, shuffled_q5_s: float, duck_q5_s: float) -> dict:
         len(q5().toPandas())
         dt = round(time.perf_counter() - t0, 4)
         spj_s = dt if spj_s is None or dt < spj_s else spj_s
-    print(f"[spj] build {build_s}s q5 {spj_s}s (shuffled {shuffled_q5_s}s)", file=sys.stderr)
+    print(
+        f"[spj] build {build_s}s q5 {spj_s}s (shuffled {shuffled_q5_s}s) "
+        f"fact bucketed {timings['fact_bucketed_s']}s vs plain {timings['fact_plain_s']}s",
+        file=sys.stderr,
+    )
     return {
         "query": "q_local_supplier_volume",
         "n_buckets": n_buckets,
         "fact_join_exchanges": n_exch,
         "bucketed_build_s": build_s,
+        "fact_bucketed_s": timings["fact_bucketed_s"],
+        "fact_plain_s": timings["fact_plain_s"],
+        "fact_speedup": round(timings["fact_plain_s"] / timings["fact_bucketed_s"], 3),
         "spj_q5_s": spj_s,
         "shuffled_q5_s": shuffled_q5_s,
         "duckdb_q5_s": duck_q5_s,

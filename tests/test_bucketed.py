@@ -140,3 +140,76 @@ def test_read_bucketed_falls_back_on_unbucketed_table(spark):
     t = _tdir()
     snap.write_snapshot(_facts(spark, 200), t, cluster_by=["k"], n_files=4)
     assert bkt.read_bucketed(spark, t).count() == 200
+
+
+def test_merge_bucketed_rewrites_only_affected_buckets(spark):
+    """Incremental MERGE keeps the bucket layout: only the buckets the
+    update keys hash into are rewritten, everything else carries by
+    link; content equals anti-join ∪ updates minus deletes."""
+    t = _tdir()
+    bkt.write_bucketed(_facts(spark, 3000), t, ["k"], 8)
+    m1 = snap.read_manifest(t, 1)
+    upd = spark.createDataFrame([(5, 555), (6, 666), (9000, 9)], "k long, v long")
+    dels = spark.createDataFrame([(7,)], "k long")
+    v = bkt.merge_bucketed(spark, t, upd, delete_keys_df=dels)
+    assert v == 2
+    m2 = snap.read_manifest(t, 2)
+    # affected buckets = hash-buckets of keys {5, 6, 9000, 7}
+    affected = {
+        r._b for r in spark.createDataFrame([(5,), (6,), (9000,), (7,)], "k long")
+        .select(F.pmod(F.hash("k"), F.lit(8)).alias("_b")).distinct().collect()
+    }
+    assert set(m2["rewrote"]) == {
+        r for r in m1["files"] if bkt._bucket_id_of(r) in affected
+    }
+    # carried files: same basenames, new commit dir
+    carried_b = {os.path.basename(r) for r in m1["files"]} - {
+        os.path.basename(r) for r in m2["rewrote"]
+    }
+    assert carried_b <= {os.path.basename(r) for r in m2["files"]}
+    got = {r.k: r.v for r in bkt.read_bucketed(spark, t).collect()}
+    assert got[5] == 555 and got[6] == 666 and got[9000] == 9
+    assert 7 not in got
+    assert len(got) == 3000 - 1 + 1  # -deleted k=7, +new k=9000
+    # time travel still shows the pre-merge table
+    old = {r.k: r.v for r in bkt.read_bucketed(spark, t, version=1).collect()}
+    assert len(old) == 3000 and 7 in old
+
+
+def test_merged_table_still_joins_exchange_free(spark, no_broadcast):
+    """The layout invariant survives the merge: a co-bucketed join
+    against an untouched partner still plans with zero exchanges, and
+    the file bucket-id suffixes still agree with pmod(hash, n)."""
+    ta, tb = _tdir(), _tdir()
+    bkt.write_bucketed(_facts(spark, 2000), ta, ["k"], 8)
+    bkt.write_bucketed(
+        _facts(spark, 2000, seed=9).withColumnRenamed("v", "w"), tb, ["k"], 8
+    )
+    bkt.merge_bucketed(
+        spark, ta, spark.createDataFrame([(11, 1), (4000, 2)], "k long, v long")
+    )
+    j = bkt.storage_partitioned_join(spark, ta, tb, "k")
+    assert count_exchanges(j) == 0
+    got = {r.k: r.v for r in j.collect()}
+    assert got[11] == 1 and 4000 not in got  # 4000 has no partner row
+    # every data file's name-suffix bucket id matches the hash bucket of
+    # every key inside it
+    m = snap.read_manifest(ta, snap.latest_version(ta))
+    for rel in m["files"]:
+        bid = bkt._bucket_id_of(rel)
+        rows = spark.read.parquet(os.path.join(ta, rel)).select(
+            F.pmod(F.hash("k"), F.lit(8)).alias("_b")
+        ).distinct().collect()
+        assert {r._b for r in rows} <= {bid}
+
+
+def test_merge_bucketed_rejects_unbucketed_and_schema_drift(spark):
+    t = _tdir()
+    snap.write_snapshot(_facts(spark, 100), t, cluster_by=["k"], n_files=2)
+    with pytest.raises(ValueError, match="not a bucketed table"):
+        bkt.merge_bucketed(spark, t, _facts(spark, 10))
+    t2 = _tdir()
+    bkt.write_bucketed(_facts(spark, 100), t2, ["k"], 4)
+    bad = spark.createDataFrame([(1, 2, 3)], "k long, v long, extra long")
+    with pytest.raises(ValueError, match="bucketed tables do not evolve"):
+        bkt.merge_bucketed(spark, t2, bad)
