@@ -213,3 +213,21 @@ def test_merge_bucketed_rejects_unbucketed_and_schema_drift(spark):
     bad = spark.createDataFrame([(1, 2, 3)], "k long, v long, extra long")
     with pytest.raises(ValueError, match="bucketed tables do not evolve"):
         bkt.merge_bucketed(spark, t2, bad)
+
+
+def test_vacuum_after_merge_keeps_linked_carried_files(spark):
+    """merge_bucketed carries untouched buckets by HARD LINK into the
+    new commit dir: vacuuming away the pre-merge version unlinks only
+    the OLD paths — the carried files' content must stay readable
+    through the new version's links, and the post-vacuum table must
+    still join exchange-free."""
+    t = _tdir()
+    bkt.write_bucketed(_facts(spark, 2000), t, ["k"], 8)
+    bkt.merge_bucketed(
+        spark, t, spark.createDataFrame([(3, 333)], "k long, v long")
+    )
+    before = {r.k: r.v for r in bkt.read_bucketed(spark, t).collect()}
+    deleted = snap.vacuum(t, keep_last=1, orphan_ttl_seconds=0)
+    assert deleted  # the replaced bucket + the old dir's carried paths
+    after = {r.k: r.v for r in bkt.read_bucketed(spark, t).collect()}
+    assert after == before and after[3] == 333 and len(after) == 2000
