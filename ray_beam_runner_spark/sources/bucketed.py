@@ -302,7 +302,19 @@ def merge_bucketed(
     batch touching k distinct keys rewrites at most k buckets of n.
     After the merge the table joins/aggregates on the bucket key with
     zero exchanges, exactly as freshly written (plan-asserted in
-    tests/test_bucketed.py)."""
+    tests/test_bucketed.py).
+
+    Honest cost accounting at scale: the carry loop is O(n_buckets)
+    link syscalls per commit (~1-2 s at the 10^5 buckets a 100 TB
+    table wants) — the price of the single-LOCATION catalog
+    registration Spark's bucketing mechanism requires. An object-store
+    deployment replaces the loop with metadata references (Iceberg's
+    storage-partitioned joins report partitioning through DSv2 and
+    never move or link carried files); data BYTES are never copied
+    either way. Concurrency: a lost publish race raises
+    ConcurrentCommitError for the caller to re-run — the generic
+    rebase path does not apply because the carry re-keys every
+    untouched file's rel path per version."""
     base = snap.latest_version(table_dir)
     if base is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")

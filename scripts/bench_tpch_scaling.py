@@ -217,8 +217,31 @@ def time_spj(data_dir: str, shuffled_q5_s: float, duck_q5_s: float) -> dict:
         od = spark.read.parquet(ord_loc)
         return fact_agg(li.join(od, li.l_orderkey == od.o_orderkey))
 
+    # the family's #2 offender shape (q_order_exists, 18.1x at x100) is
+    # a semi-join of the same two tables — bucketing elides its
+    # exchange identically
+    def semi_agg(join_df):
+        return join_df.agg(F.count(F.lit(1)).alias("n"))
+
+    def fact_semi_bucketed():
+        return semi_agg(
+            bkt.storage_partitioned_join(
+                spark, ord_dir, li_dir, "o_orderkey", how="left_semi"
+            )
+        )
+
+    def fact_semi_plain():
+        li = spark.read.parquet(li_loc)
+        od = spark.read.parquet(ord_loc)
+        return semi_agg(od.join(li, od.o_orderkey == li.l_orderkey, "left_semi"))
+
     timings: dict[str, float] = {}
-    for label, fn in (("fact_bucketed_s", fact_bucketed), ("fact_plain_s", fact_plain)):
+    for label, fn in (
+        ("fact_bucketed_s", fact_bucketed),
+        ("fact_plain_s", fact_plain),
+        ("semi_bucketed_s", fact_semi_bucketed),
+        ("semi_plain_s", fact_semi_plain),
+    ):
         fn().collect()  # warm
         best = None
         for _ in range(2):
@@ -248,6 +271,9 @@ def time_spj(data_dir: str, shuffled_q5_s: float, duck_q5_s: float) -> dict:
         "fact_bucketed_s": timings["fact_bucketed_s"],
         "fact_plain_s": timings["fact_plain_s"],
         "fact_speedup": round(timings["fact_plain_s"] / timings["fact_bucketed_s"], 3),
+        "semi_bucketed_s": timings["semi_bucketed_s"],
+        "semi_plain_s": timings["semi_plain_s"],
+        "semi_speedup": round(timings["semi_plain_s"] / timings["semi_bucketed_s"], 3),
         "spj_q5_s": spj_s,
         "shuffled_q5_s": shuffled_q5_s,
         "duckdb_q5_s": duck_q5_s,
