@@ -51,10 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-13 window under that rule: leads with the three never-gated
+# Round-13 window under that rule: leads with the four never-gated
 # round-13 additions (q_spj_local_supplier_volume — storage-partitioned
-# TPC-H Q5; q_corpus_hybrid_search — epoch-pinned BM25+IVF-PQ RRF;
-# q_spj_merge — bucket-preserving incremental MERGE), then
+# TPC-H Q5; q_spj_merge — bucket-preserving incremental MERGE;
+# q_corpus_hybrid_search — epoch-pinned BM25+IVF-PQ RRF;
+# q_snapshot_point_in — batch point lookup via IN-list bloom probes),
+# then
 # the 28 rows last gated r9 the round-12 verdict's histogram names, then
 # the stalest r10 rows up to the 50-slot window. Everything displaced
 # stays sweep-green every round.
@@ -66,6 +68,7 @@ _GATE_ROUND = 13
 _GATE_FIRST = (
     "q_spj_local_supplier_volume",  # last gated never
     "q_spj_merge",  # last gated never
+    "q_snapshot_point_in",  # last gated never
     "q_corpus_hybrid_search",  # last gated never
     "q_snapshot_cdf_stream",  # last gated r9
     "q_triangle_count",  # last gated r9
@@ -113,7 +116,6 @@ _GATE_FIRST = (
     "q_approx_distinct",  # last gated r10
     "q_skewed_agg",  # last gated r10
     "q_returned_items",  # last gated r10
-    "q_promo_revenue",  # last gated r10
 )
 
 

@@ -3334,6 +3334,64 @@ def q_snapshot_meta_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_point_in",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, 'u' || CAST(o_orderkey AS VARCHAR) AS tag,
+             round(o_totalprice, 4) AS price
+      FROM orders),
+    sel AS (
+      SELECT tag FROM base WHERE o_orderkey % 7 = 1
+      ORDER BY o_orderkey LIMIT 3)
+    SELECT o_orderkey, tag, price FROM base
+    WHERE tag IN (SELECT tag FROM sel)
+    ORDER BY o_orderkey
+    """,
+)
+def q_snapshot_point_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH point lookup (round 13 — read_snapshot(point_in=): the
+    ``col IN (batch)`` plan a training-data join driver issues): a
+    format-2 snapshot table bloom-indexed on a high-cardinality
+    NON-clustered column is probed with a 3-key batch plus one absent
+    key. All values' bloom positions are computed in ONE job, the
+    candidates' bitsets are fetched via the rel-filtered selective
+    shard read (never a full bloom hydration), and the scan opens a
+    strict subset of the table's files — asserted in-query, so a
+    planner regression fails the gate. The oracle is the plain
+    relational IN; a bloom false NEGATIVE (a wrongly pruned file)
+    would drop rows and break the hash."""
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+    tdir = scratch_dir("rbrs_ptin_")
+    # bloom sized for the per-file key count at the gate's sf (sf0.01:
+    # ~1.9k keys/file; 16384 bits / k=3 -> FPR ~2% — a production table
+    # sizes its filters to its file row target the same way)
+    snap.write_snapshot(
+        base, tdir, cluster_by=["o_orderkey"], n_files=8,
+        bloom_for=["tag"], bloom_bits=16384, meta_inline_max=4,
+    )
+    keys = [
+        r.o_orderkey
+        for r in base.filter(F.col("o_orderkey") % 7 == 1)
+        .orderBy("o_orderkey")
+        .limit(3)
+        .collect()
+    ]
+    vals = [f"u{k}" for k in keys] + ["u-absent"]
+    df = snap.read_snapshot(spark, tdir, point_in=("tag", vals))
+    n_total = len(snap.read_manifest(tdir, 1)["files"])
+    assert len(df.inputFiles()) < n_total, (
+        "point_in batch lookup opened every file — bloom pruning regressed"
+    )
+    return df.select("o_orderkey", "tag", "price").orderBy("o_orderkey")
+
+
+@query(
     "q_snapshot_clone",
     oracle="""
     WITH base AS (

@@ -1205,6 +1205,37 @@ def _bloom_probe(spark: SparkSession, value, dtype: str, bits: int, k: int):
     ]
 
 
+def _bloom_probe_many(spark: SparkSession, values: list, dtype: str, bits: int, k: int):
+    """Per-value probe lists for an IN-list — ONE Spark job for the
+    whole list instead of one per value (an IN-list point read over a
+    1000-key batch must not schedule 1000 probe jobs). Entry i is the
+    (word, mask) list for values[i], or None when that value is
+    unrepresentable in ``dtype`` (same try_cast contract as
+    :func:`_bloom_probe` — such a value cannot be in any file whose
+    filter hashed that type)."""
+    exprs = []
+    for i, v in enumerate(values):
+        probe = F.lit(v).try_cast(dtype)
+        exprs.append(probe.isNull().alias(f"n{i}"))
+        exprs.extend(
+            p.alias(f"p{i}_{j}")
+            for j, p in enumerate(_bloom_positions(probe, bits, k))
+        )
+    row = spark.range(1).select(*exprs).first()
+    out = []
+    for i in range(len(values)):
+        if row[f"n{i}"]:
+            out.append(None)
+        else:
+            out.append(
+                [
+                    (row[f"p{i}_{j}"] // 64, 1 << (row[f"p{i}_{j}"] % 64))
+                    for j in range(k)
+                ]
+            )
+    return out
+
+
 def _zorder_key(df: DataFrame, cols: list[str], bits: int = 10):
     """Morton (Z-order) key as a pure column expression: min/max-scale
     each column to ``bits`` bits (one tiny agg for the bounds — 2×n_cols
@@ -1354,6 +1385,7 @@ def read_snapshot(
     key_range: tuple[str, object, object] | None = None,
     merge_schema: bool = False,
     point: tuple[str, object] | None = None,
+    point_in: tuple[str, list] | None = None,
     as_of_ts: float | None = None,
     tag: str | None = None,
 ) -> DataFrame:
@@ -1379,7 +1411,19 @@ def read_snapshot(
     and the equality filter is applied on top. This is the point-
     lookup plan for a column the table is NOT clustered by, where
     min/max stats prune nothing. A NULL value or a column without a
-    bloom skips pruning (filter only)."""
+    bloom skips pruning (filter only).
+
+    ``point_in=(col, values)`` is the BATCH point-lookup plan (the
+    ``col IN (...)`` pushdown a training-data join driver issues for a
+    key batch): a file survives if its [min, max] admits ANY value
+    (binary search per file over the sorted values) and, when a bloom
+    covers ``col``, if ANY value's probe passes — all values' probe
+    positions computed in ONE job (:func:`_bloom_probe_many`), blooms
+    fetched selectively for the stats-surviving candidates only. The
+    matching ``isin`` filter applies on top. NULL is rejected (a bloom
+    never indexes nulls, so a null could hide in any file — query it
+    with ``point=(col, None)``). Composes with ``key_range`` and
+    ``point``."""
     if sum(x is not None for x in (version, as_of_ts, tag)) > 1:
         raise ValueError("read_snapshot: pass only one of version/as_of_ts/tag")
     if tag is not None:
@@ -1473,6 +1517,70 @@ def read_snapshot(
                 return all(words[w] & m for w, m in probes)
 
             rel_files = [rel for rel in rel_files if _maybe(rel)]
+    if point_in is not None:
+        import bisect
+
+        icol, ivals_raw = point_in
+        if any(v is None for v in ivals_raw):
+            raise ValueError(
+                "read_snapshot: point_in values must be non-null "
+                "(query NULL with point=(col, None))"
+            )
+        ivals = sorted(set(ivals_raw))
+        if ivals:
+            def _keep_in(rel: str) -> bool:
+                s = _file_stat(manifest, events, rel, icol)
+                if not s or s[0] is None or s[1] is None:
+                    return True
+                try:
+                    i = bisect.bisect_left(ivals, s[0])
+                    return i < len(ivals) and ivals[i] <= s[1]
+                except TypeError:
+                    return True
+
+            rel_files = [rel for rel in rel_files if _keep_in(rel)]
+            conf_in = manifest.get("bloom_conf") or {}
+            if icol in conf_in.get("cols", ()):
+                blooms_in = (
+                    manifest.blooms_for(rel_files)
+                    if isinstance(manifest, _LazyManifest)
+                    else manifest.get("file_blooms", {})
+                )
+                struct0 = _schema_struct(manifest)
+                dtype_in = None
+                if struct0 is not None:
+                    dtype_in = next(
+                        (
+                            f.dataType.simpleString()
+                            for f in struct0.fields
+                            if f.name == icol
+                        ),
+                        None,
+                    )
+                bloom_types_in = manifest.get("bloom_types", {})
+                _in_cache: dict[str, list] = {}
+
+                def _probes_many_for(dt: str) -> list:
+                    if dt not in _in_cache:
+                        _in_cache[dt] = _bloom_probe_many(
+                            spark, ivals, dt, conf_in["bits"], conf_in["k"]
+                        )
+                    return _in_cache[dt]
+
+                def _maybe_in(rel: str) -> bool:
+                    phys = _phys_name(events, rel, icol) if events else icol
+                    words = blooms_in.get(rel, {}).get(phys)
+                    if not words:
+                        return True  # no filter recorded: must scan
+                    ft = bloom_types_in.get(rel, {}).get(phys) or dtype_in or "string"
+                    for probes in _probes_many_for(ft):
+                        if probes is not None and all(
+                            words[w] & mask for w, mask in probes
+                        ):
+                            return True  # some value may be present
+                    return False
+
+                rel_files = [rel for rel in rel_files if _maybe_in(rel)]
     # _SnapReader pins the scan to the manifest's typed schema (Delta's
     # log-owns-the-schema design: correct on mixed-generation tables
     # regardless of which file Spark would sample, no footer reads for
@@ -1487,7 +1595,7 @@ def read_snapshot(
             # legitimately empty table (or every file stats-pruned):
             # empty DataFrame with the recorded schema
             return spark.createDataFrame([], struct)
-        if key_range is not None or point is not None:
+        if key_range is not None or point is not None or point_in is not None:
             # every file pruned: empty result with the table's schema
             all_paths = [os.path.join(table_dir, r) for r in manifest["files"]]
             return reader.parquet(*all_paths).limit(0)
@@ -1503,6 +1611,9 @@ def read_snapshot(
         df = df.filter(
             F.col(pcol).isNull() if pval is None else F.col(pcol) == F.lit(pval)
         )
+    if point_in is not None:
+        icol, ivals_raw = point_in
+        df = df.filter(F.col(icol).isin(list(set(ivals_raw))))
     return df
 
 

@@ -2894,3 +2894,54 @@ def test_update_where_check_validates_when_set_changes_predicate_column(spark):
     d = snap.snapshot_diff(spark, t, 1, 2)
     ch = {(r.k, r.v, r._change) for r in d.collect()}
     assert ch == {(2, 10, "delete"), (2, 99, "insert")}
+
+
+def test_point_in_batch_lookup_prunes_and_matches(spark):
+    """point_in=(col, values): the batch point-lookup plan. Exactness
+    (never a false negative across stats + bloom pruning), file
+    pruning vs a full scan, null rejection, empty list, and the
+    one-probe-job contract (values probed together)."""
+    t = _tdir()
+    rows = [(i, f"tag-{i * 7 % 60}") for i in range(240)]
+    snap.write_snapshot(
+        spark.createDataFrame(rows, "k int, tag string"),
+        t, cluster_by=["k"], n_files=8, bloom_for=["tag"],
+    )
+    total = len(snap.read_manifest(t, 1)["files"])
+    vals = ["tag-3", "tag-17", "no-such-tag"]
+    df = snap.read_snapshot(spark, t, point_in=("tag", vals))
+    got = sorted(r.k for r in df.collect())
+    assert got == sorted(i for i in range(240) if f"tag-{i * 7 % 60}" in set(vals))
+    # all-absent values: (whp) zero files open, always zero rows
+    miss = snap.read_snapshot(spark, t, point_in=("tag", ["nope-1", "nope-2"]))
+    assert miss.count() == 0 and len(miss.inputFiles()) < total
+    # stats pruning on the CLUSTERED column: a narrow key batch reads a
+    # strict subset of files even without a bloom on k
+    kb = snap.read_snapshot(spark, t, point_in=("k", [2, 3, 5]))
+    assert sorted(r.k for r in kb.collect()) == [2, 3, 5]
+    assert len(kb.inputFiles()) < total
+    # empty list: empty result, schema intact
+    assert snap.read_snapshot(spark, t, point_in=("tag", [])).count() == 0
+    with pytest.raises(ValueError, match="non-null"):
+        snap.read_snapshot(spark, t, point_in=("tag", ["x", None]))
+
+
+def test_point_in_on_format2_is_selective(spark, monkeypatch):
+    """On a tiered-manifest table a point_in probe must use the
+    rel-filtered selective bloom read, never full hydration."""
+    t = _tdir()
+    rows = [(i, i * 10, f"s{i}") for i in range(240)]
+    snap.write_snapshot(
+        spark.createDataFrame(rows, "k int, v int, s string"),
+        t, cluster_by=["k"], n_files=24, stats_for=["k", "v"],
+        bloom_for=["v"], meta_inline_max=4,
+    )
+
+    def _boom(self):
+        raise AssertionError("point_in hydrated the FULL bloom column")
+
+    monkeypatch.setattr(snap._LazyManifest, "_hydrate_blooms", _boom)
+    got = sorted(
+        r.k for r in snap.read_snapshot(spark, t, point_in=("v", [70, 1550])).collect()
+    )
+    assert got == [7, 155]
