@@ -236,9 +236,27 @@ def storage_partitioned_join(
         if not s:
             raise ValueError(f"storage_partitioned_join: {side} table is not bucketed")
     if sl["n"] != sr["n"]:
-        raise ValueError(
-            f"storage_partitioned_join: bucket counts differ ({sl['n']} vs {sr['n']})"
+        # Spark can coalesce the larger side's buckets when one count
+        # divides the other (spark.sql.bucketing.coalesceBucketsInJoin,
+        # shipped off by default) — the join still plans with zero
+        # exchanges, the coarser side just reads n_big/n_small files
+        # per task. Anything else genuinely cannot co-locate.
+        a, b = int(sl["n"]), int(sr["n"])
+        coalesce_on = (
+            str(
+                spark.conf.get(
+                    "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false"
+                )
+            ).lower()
+            == "true"
         )
+        if not (coalesce_on and (a % b == 0 or b % a == 0)):
+            raise ValueError(
+                f"storage_partitioned_join: bucket counts differ ({a} vs {b});"
+                " co-locate with equal n_buckets, or — when one count divides"
+                " the other — enable"
+                " spark.sql.bucketing.coalesceBucketsInJoin.enabled"
+            )
     if len(sl["cols"]) != len(on_cols) or len(sr["cols"]) != len(on_cols):
         raise ValueError(
             "storage_partitioned_join: join keys must cover the full bucket "

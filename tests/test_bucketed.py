@@ -231,3 +231,23 @@ def test_vacuum_after_merge_keeps_linked_carried_files(spark):
     assert deleted  # the replaced bucket + the old dir's carried paths
     after = {r.k: r.v for r in bkt.read_bucketed(spark, t).collect()}
     assert after == before and after[3] == 333 and len(after) == 2000
+
+
+def test_coalesced_bucket_join_divisible_counts(spark, no_broadcast):
+    """8-bucket x 4-bucket join: with Spark's bucket coalescing enabled
+    the join still plans with ZERO exchanges (the 8-bucket side reads
+    2 files per task); with it disabled the helper refuses loudly."""
+    ta, tb = _tdir(), _tdir()
+    bkt.write_bucketed(_facts(spark, 2000), ta, ["k"], 8)
+    bkt.write_bucketed(
+        _facts(spark, 2000, seed=9).withColumnRenamed("v", "w"), tb, ["k"], 4
+    )
+    with pytest.raises(ValueError, match="coalesceBucketsInJoin"):
+        bkt.storage_partitioned_join(spark, ta, tb, "k")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    try:
+        j = bkt.storage_partitioned_join(spark, ta, tb, "k")
+        assert count_exchanges(j) == 0
+        assert j.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
