@@ -329,10 +329,11 @@ def merge_bucketed(
     deployment replaces the loop with metadata references (Iceberg's
     storage-partitioned joins report partitioning through DSv2 and
     never move or link carried files); data BYTES are never copied
-    either way. Concurrency: a lost publish race raises
-    ConcurrentCommitError for the caller to re-run — the generic
-    rebase path does not apply because the carry re-keys every
-    untouched file's rel path per version."""
+    either way. Concurrency: a lost publish race REBASES when the
+    interloper is provably bucket-disjoint (see the inode-keyed check
+    at the publish site — two merges over disjoint key batches both
+    commit in one pass each) and raises ConcurrentCommitError for the
+    caller to re-run otherwise."""
     base = snap.latest_version(table_dir)
     if base is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -431,5 +432,105 @@ def merge_bucketed(
     }
     if rows_map:
         manifest["file_rows"] = rows_map
-    snap._publish(table_dir, version, manifest)
-    return version
+
+    # Lost-race rebase keyed by BUCKET ID (round 13; the snapshot
+    # layer's generic rel-path rebase cannot apply here because the
+    # carry re-keys every untouched file's rel per version). Legal iff
+    # the head is still a bucketed version with the same spec and
+    # schema AND every bucket whose pre-image this merge consumed is
+    # CONTENT-unchanged at the head — checked by inode identity
+    # (os.path.samefile): carried buckets are hard links, so an
+    # untouched bucket keeps its inode across any number of interloper
+    # commits, while a rewritten bucket always gets a fresh file. The
+    # rebase then takes, per bucket id, OUR new file for the buckets we
+    # rewrote and the HEAD's file otherwise (linked into our commit dir
+    # so the version stays one self-contained directory). Two bucketed
+    # merges over disjoint key batches therefore both commit in one
+    # pass each; anything unprovable re-raises and the caller re-runs.
+    def _by_bucket(rels: list[str]) -> dict[int, str]:
+        out: dict[int, str] = {}
+        for r in rels:
+            b = _bucket_id_of(r)
+            if b is not None:
+                out[b] = r
+        return out
+
+    base_by_b = _by_bucket(rel_files)
+    for _ in range(5):
+        try:
+            snap._publish(table_dir, version, manifest)
+            return version
+        except snap.ConcurrentCommitError:
+            pass
+        head = snap.latest_version(table_dir)
+        cur = snap.read_manifest(table_dir, head)
+        conflict = snap.ConcurrentCommitError(
+            f"version {version} of {table_dir} was committed concurrently"
+            " (interloper not provably bucket-disjoint: merge re-runs)"
+        )
+        cspec = cur.get("bucket_spec")
+        if (
+            not cspec
+            or list(cspec.get("cols", ())) != cols
+            or int(cspec.get("n", -1)) != n
+            or cur.get("schema_json") != m.get("schema_json")
+        ):
+            raise conflict
+        head_by_b = _by_bucket(cur["files"])
+        for b in affected:
+            hb, bb = head_by_b.get(b), base_by_b.get(b)
+            if (hb is None) != (bb is None):
+                raise conflict  # interloper created/dropped one of our buckets
+            if hb is not None:
+                try:
+                    same = os.path.samefile(
+                        os.path.join(table_dir, hb), os.path.join(table_dir, bb)
+                    )
+                except OSError:
+                    raise conflict
+                if not same:
+                    raise conflict  # interloper rewrote a bucket we consumed
+        carried2: list[str] = []
+        rows2: dict[str, int] = {r: rows_map[r] for r in new_files if r in rows_map}
+        cur_rows = cur.get("file_rows", {})
+        for b, hb in sorted(head_by_b.items()):
+            if b in affected:
+                continue
+            dst_rel = os.path.join(commit_rel, os.path.basename(hb))
+            dst = os.path.join(table_dir, dst_rel)
+            if not os.path.exists(dst):
+                try:
+                    os.link(os.path.join(table_dir, hb), dst)
+                except OSError:
+                    import shutil
+
+                    shutil.copyfile(os.path.join(table_dir, hb), dst)
+            carried2.append(dst_rel)
+            if hb in cur_rows:
+                rows2[dst_rel] = cur_rows[hb]
+        # The catalog registration reads the commit DIRECTORY, so it
+        # must contain exactly the rebased file set: drop the base-
+        # generation links the interloper's files superseded (and any
+        # leftovers of an earlier rebase attempt).
+        keep_base = {os.path.basename(r) for r in (*carried2, *new_files)}
+        for name in os.listdir(out_dir):
+            if name.endswith(".parquet") and name not in keep_base:
+                try:
+                    os.unlink(os.path.join(out_dir, name))
+                except OSError:
+                    pass
+        manifest = {
+            **manifest,
+            "version": head + 1,
+            "parent": head,
+            "files": [*carried2, *new_files],
+            "rebased_from": version,
+        }
+        if rows2:
+            manifest["file_rows"] = rows2
+        else:
+            manifest.pop("file_rows", None)
+        version = head + 1
+    raise snap.ConcurrentCommitError(
+        f"bucketed rebase of {table_dir} lost 5 consecutive publish races"
+    )

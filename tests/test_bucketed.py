@@ -251,3 +251,81 @@ def test_coalesced_bucket_join_divisible_counts(spark, no_broadcast):
         assert j.count() == 2000
     finally:
         spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
+
+
+def _race_bucketed(spark, monkeypatch, t, theirs, fn):
+    """While `fn`'s merge is about to publish, `theirs` merges first."""
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest.get("op") == "merge":
+            fired["done"] = True
+            bkt.merge_bucketed(spark, t, theirs)
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    try:
+        return fn()
+    finally:
+        monkeypatch.setattr(snap, "_publish", real_publish)
+
+
+def test_bucket_disjoint_merges_both_commit(spark, monkeypatch, no_broadcast):
+    """Two merge_bucketed writers over key batches hashing into
+    DISJOINT buckets: the loser rebases by bucket id (no re-run — no
+    retry loop exists), both batches land, and the table still joins
+    exchange-free."""
+    t = _tdir()
+    bkt.write_bucketed(_facts(spark, 2000), t, ["k"], 8)
+    # pick keys in provably different buckets of 8
+    import pyspark.sql.functions as _F
+    bucket_of = {
+        r.k: r._b
+        for r in spark.createDataFrame([(k,) for k in range(20)], "k long")
+        .select("k", _F.pmod(_F.hash("k"), _F.lit(8)).alias("_b")).collect()
+    }
+    k_mine = next(k for k in range(20) if bucket_of[k] == 0)
+    k_theirs = next(k for k in range(20) if bucket_of[k] == 5)
+    v = _race_bucketed(
+        spark, monkeypatch, t,
+        theirs=spark.createDataFrame([(k_theirs, 555)], "k long, v long"),
+        fn=lambda: bkt.merge_bucketed(
+            spark, t, spark.createDataFrame([(k_mine, 111)], "k long, v long")
+        ),
+    )
+    m = snap.read_manifest(t, v)
+    assert m.get("rebased_from") == 2 and v == 3
+    got = {r.k: r.v for r in bkt.read_bucketed(spark, t).collect()}
+    assert got[k_mine] == 111 and got[k_theirs] == 555 and len(got) == 2000
+    # layout invariant survives the rebase
+    tb = _tdir()
+    bkt.write_bucketed(
+        _facts(spark, 2000, seed=9).withColumnRenamed("v", "w"), tb, ["k"], 8
+    )
+    j = bkt.storage_partitioned_join(spark, t, tb, "k")
+    assert count_exchanges(j) == 0
+
+
+def test_bucket_overlapping_merges_conflict(spark, monkeypatch):
+    """Racers whose key batches hash into the SAME bucket: the loser
+    must NOT rebase (its rewrite consumed a pre-image the interloper
+    replaced) — it raises for the caller to re-run."""
+    t = _tdir()
+    bkt.write_bucketed(_facts(spark, 2000), t, ["k"], 8)
+    import pyspark.sql.functions as _F
+    bucket_of = {
+        r.k: r._b
+        for r in spark.createDataFrame([(k,) for k in range(20)], "k long")
+        .select("k", _F.pmod(_F.hash("k"), _F.lit(8)).alias("_b")).collect()
+    }
+    k1 = next(k for k in range(20) if bucket_of[k] == 3)
+    k2 = next(k for k in range(20) if bucket_of[k] == 3 and k != k1)
+    with pytest.raises(snap.ConcurrentCommitError):
+        _race_bucketed(
+            spark, monkeypatch, t,
+            theirs=spark.createDataFrame([(k2, 555)], "k long, v long"),
+            fn=lambda: bkt.merge_bucketed(
+                spark, t, spark.createDataFrame([(k1, 111)], "k long, v long")
+            ),
+        )
