@@ -224,14 +224,21 @@ def storage_partitioned_join(
     right_dir: str,
     on: list[str] | str,
     how: str = "inner",
+    left_version: int | None = None,
+    right_version: int | None = None,
 ) -> DataFrame:
     """Equi-join two co-bucketed snapshot tables WITHOUT an exchange.
     Validates the layouts actually co-locate (same bucket columns
     positionally matching ``on``, same n) — a silent mismatch would
     still be correct but would quietly reintroduce the shuffle this
-    layout exists to avoid, so it errors loudly instead."""
+    layout exists to avoid, so it errors loudly instead.
+    ``left_version``/``right_version`` time-travel either side (each
+    version is its own self-contained bucketed directory, so a pinned
+    join is exchange-free exactly like a latest-latest join — the
+    epoch-consistent read for bucketed fact tables)."""
     on_cols = [on] if isinstance(on, str) else list(on)
-    sl, sr = bucket_spec(left_dir), bucket_spec(right_dir)
+    sl = bucket_spec(left_dir, version=left_version)
+    sr = bucket_spec(right_dir, version=right_version)
     for side, s in (("left", sl), ("right", sr)):
         if not s:
             raise ValueError(f"storage_partitioned_join: {side} table is not bucketed")
@@ -262,8 +269,8 @@ def storage_partitioned_join(
             "storage_partitioned_join: join keys must cover the full bucket "
             f"spec (left {sl['cols']}, right {sr['cols']}, on {on_cols})"
         )
-    left = read_bucketed(spark, left_dir)
-    right = read_bucketed(spark, right_dir)
+    left = read_bucketed(spark, left_dir, version=left_version)
+    right = read_bucketed(spark, right_dir, version=right_version)
     cond = None
     for k, (lc, rc) in zip(on_cols, zip(sl["cols"], sr["cols"])):
         # `on` names the LEFT side's columns (or pass the shared name)

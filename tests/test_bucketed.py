@@ -329,3 +329,23 @@ def test_bucket_overlapping_merges_conflict(spark, monkeypatch):
                 spark, t, spark.createDataFrame([(k1, 111)], "k long, v long")
             ),
         )
+
+
+def test_time_travel_spj_is_exchange_free(spark, no_broadcast):
+    """A version-pinned storage-partitioned join (read a bucketed fact
+    as of BEFORE a merge) is exchange-free like a latest join and sees
+    the pinned content — the epoch-consistent read for bucketed facts."""
+    ta, tb = _tdir(), _tdir()
+    bkt.write_bucketed(_facts(spark, 1500), ta, ["k"], 8)
+    bkt.write_bucketed(
+        _facts(spark, 1500, seed=9).withColumnRenamed("v", "w"), tb, ["k"], 8
+    )
+    bkt.merge_bucketed(
+        spark, ta, spark.createDataFrame([(10, 999)], "k long, v long")
+    )
+    pinned = bkt.storage_partitioned_join(spark, ta, tb, "k", left_version=1)
+    assert count_exchanges(pinned) == 0
+    got = {r.k: r.v for r in pinned.collect()}
+    assert got[10] != 999  # v1 content, pre-merge
+    latest = bkt.storage_partitioned_join(spark, ta, tb, "k")
+    assert {r.k: r.v for r in latest.collect()}[10] == 999
