@@ -51,71 +51,68 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-13 window under that rule: leads with the four never-gated
-# round-13 additions (q_spj_local_supplier_volume — storage-partitioned
-# TPC-H Q5; q_spj_merge — bucket-preserving incremental MERGE;
-# q_corpus_hybrid_search — epoch-pinned BM25+IVF-PQ RRF;
-# q_snapshot_point_in — batch point lookup via IN-list bloom probes),
-# then
-# the 28 rows last gated r9 the round-12 verdict's histogram names, then
-# the stalest r10 rows up to the 50-slot window. Everything displaced
+# Round-14 window under that rule (rule amended round 14: a FAILED gate
+# row now counts as never-gated — staleness keys on the last PASSING
+# round, so q_spj_merge, red in r13, leads this window instead of
+# silently rotating out for ~3 rounds): q_spj_merge first, then the
+# stalest r10/r11 rows up to the 50-slot window. Everything displaced
 # stays sweep-green every round.
 # _GATE_ROUND = the round this window was computed FOR (from
 # CORRECTNESS_r*.json history strictly before it). Bump when
 # regenerating via scripts/gate_rotation.py; tests/test_entry.py
 # checks the lockstep.
-_GATE_ROUND = 13
+_GATE_ROUND = 14
 _GATE_FIRST = (
-    "q_spj_local_supplier_volume",  # last gated never
     "q_spj_merge",  # last gated never
-    "q_snapshot_point_in",  # last gated never
-    "q_corpus_hybrid_search",  # last gated never
-    "q_snapshot_cdf_stream",  # last gated r9
-    "q_triangle_count",  # last gated r9
-    "q_snapshot_delete_dv",  # last gated r9
-    "q_snapshot_merge_dv",  # last gated r9
-    "q_dedup_exact",  # last gated r9
-    "q_dedup_ngram_jaccard",  # last gated r9
-    "q_dedup_minhash_lsh",  # last gated r9
-    "q_split_leakage_safe",  # last gated r9
-    "q_dedup_phash",  # last gated r9
-    "q_ivfpq_incremental",  # last gated r9
-    "q_quality_classifier",  # last gated r9
-    "q_audio_frames",  # last gated r9
-    "q_multimodal_jpeg",  # last gated r9
-    "q_sample_mix",  # last gated r9
-    "q_chunk_documents",  # last gated r9
-    "q_chunk_cdc",  # last gated r9
-    "q_stratified_sample",  # last gated r9
-    "q_dedup_semantic",  # last gated r9
-    "q_collapse_repeats",  # last gated r9
-    "q_vocab_topk",  # last gated r9
-    "q_token_entropy",  # last gated r9
-    "q_tfidf_keywords",  # last gated r9
-    "q_unigram_logppl",  # last gated r9
-    "q_decayed_engagement",  # last gated r9
-    "q_trigram_kn_logppl",  # last gated r9
-    "q_sketch_quantiles",  # last gated r9
-    "q_streaming_cdc",  # last gated r9
-    "q_array_funcs",  # last gated r9
-    "q_gbk",  # last gated r10
-    "q_combine_global",  # last gated r10
-    "q_cogroup",  # last gated r10
-    "q_flatten",  # last gated r10
-    "q_setops",  # last gated r10
-    "q_semi_anti",  # last gated r10
-    "q_topk",  # last gated r10
-    "q_window_analytics",  # last gated r10
-    "q_rollup",  # last gated r10
-    "q_pivot",  # last gated r10
-    "q_subquery",  # last gated r10
-    "q_shipping_priority",  # last gated r10
-    "q_local_supplier_volume",  # last gated r10
-    "q_priority_counts",  # last gated r10
-    "q_percentiles",  # last gated r10
-    "q_approx_distinct",  # last gated r10
-    "q_skewed_agg",  # last gated r10
-    "q_returned_items",  # last gated r10
+    "q_promo_revenue",  # last gated r10
+    "q_volume_shipping",  # last gated r10
+    "q_order_exists",  # last gated r10
+    "q_top_supplier",  # last gated r10
+    "q_idle_rich_customers",  # last gated r10
+    "q_cube",  # last gated r10
+    "q_forecast_revenue",  # last gated r10
+    "q_market_share",  # last gated r10
+    "q_product_profit",  # last gated r10
+    "q_late_shipments",  # last gated r10
+    "q_order_count_dist",  # last gated r10
+    "q_small_qty_revenue",  # last gated r10
+    "q_large_volume_customer",  # last gated r10
+    "q_disjunctive_revenue",  # last gated r10
+    "q_snapshot_upsert",  # last gated r10
+    "q_pagerank",  # last gated r10
+    "q_snapshot_zorder",  # last gated r10
+    "q_snapshot_rename",  # last gated r10
+    "q_snapshot_delete",  # last gated r10
+    "q_scd2",  # last gated r10
+    "q_snapshot_ivm",  # last gated r10
+    "q_multimodal_audio",  # last gated r10
+    "q_multimodal_video",  # last gated r10
+    "q_hybrid_search_rrf",  # last gated r10
+    "q_fuzzy_pairs",  # last gated r10
+    "q_fuzzy_join",  # last gated r10
+    "q_sequence_pack",  # last gated r10
+    "q_corpus_shuffle",  # last gated r10
+    "q_bigram_kn_logppl",  # last gated r10
+    "q_corpus_ivm",  # last gated r10
+    "q_streaming_outer_join",  # last gated r10
+    "q_streaming_full_outer",  # last gated r10
+    "q_grouping_sets",  # last gated r11
+    "q_interval_join",  # last gated r11
+    "q_peak_concurrency",  # last gated r11
+    "q_concurrency_global",  # last gated r11
+    "q_open_at_purchase",  # last gated r11
+    "q_active_time",  # last gated r11
+    "q_active_time_global",  # last gated r11
+    "q_cumulative_uniques",  # last gated r11
+    "q_activity_streaks",  # last gated r11
+    "q_bfs_layers",  # last gated r11
+    "q_shortest_paths",  # last gated r11
+    "q_snapshot_widen",  # last gated r11
+    "q_snapshot_sync",  # last gated r11
+    "q_snapshot_update",  # last gated r11
+    "q_snapshot_clone",  # last gated r11
+    "q_scd2_asof_enrich",  # last gated r11
+    "q_snapshot_join_ivm",  # last gated r11
 )
 
 

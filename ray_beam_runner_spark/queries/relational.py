@@ -15,6 +15,45 @@ from pyspark.sql import functions as F
 from ray_beam_runner_spark.queries import query, scratch_dir, t
 
 # ---------------------------------------------------------------------------
+# Exact money arithmetic (round-13 verdict ask 1b). SUM(double) is not
+# order-independent, and the r13 red gate row (q_spj_merge) sat 1.2e-11
+# relative from its 9-significant-digit hash boundary — an unusual
+# summation tree in the driver's session could cross it. Every price
+# column in the corpus is a 2-decimal value stored as a double; casting
+# to DECIMAL recovers it EXACTLY in both engines (Spark casts through
+# the shortest decimal repr, DuckDB scales-and-rounds — identical on
+# 2-decimal values; verified bit-equal at sf0.01), so DECIMAL sums are
+# exact whatever the partial-aggregation order, and the single final
+# cast back to DOUBLE rounds the same exact rational on both sides.
+# The oracles mirror with CAST(... AS DECIMAL)/CAST(sum AS DOUBLE).
+# ---------------------------------------------------------------------------
+
+
+def _dec_sum(col: str, alias: str):
+    """Exact order-independent sum of a 2-decimal money column."""
+    return F.sum(F.col(col).cast("decimal(14,2)")).cast("double").alias(alias)
+
+
+def _revenue_sum(alias: str = "revenue"):
+    """Exact order-independent sum(l_extendedprice * (1 - l_discount))."""
+    return (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias(alias)
+    )
+
+
+# the oracle-side spelling of _revenue_sum (DuckDB mirrors Spark's exact
+# decimal arithmetic; both cast the same exact sum to double)
+_REVENUE_SQL = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)"
+)
+
+# ---------------------------------------------------------------------------
 # Aggregation (GroupByKey / CombinePerKey / packed combiners —
 # ray_runner_test.py:821-829, 857-864, 1133-1185)
 # ---------------------------------------------------------------------------
@@ -25,8 +64,11 @@ from ray_beam_runner_spark.queries import query, scratch_dir, t
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                        AS sum_qty,
-           sum(l_extendedprice)                   AS sum_base_price,
-           sum(l_extendedprice*(1-l_discount))    AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                                                  AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                                                  AS sum_disc_price,
            avg(l_quantity)                        AS avg_qty,
            count(*)                               AS cnt
     FROM lineitem
@@ -45,8 +87,8 @@ def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            _revenue_sum("sum_disc_price"),
             F.avg("l_quantity").alias("avg_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -57,7 +99,8 @@ def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join",
     oracle="""
-    SELECT n_name, count(*) AS cnt, sum(o_totalprice) AS rev
+    SELECT n_name, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -79,7 +122,7 @@ def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("rev"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _dec_sum("o_totalprice", "rev"))
         .orderBy(F.col("rev").desc())
     )
 
@@ -111,7 +154,8 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_events_window",
     oracle="""
     SELECT date_trunc('hour', ts) AS w_start, event_type,
-           count(*) AS cnt, sum(value) AS sum_value
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY w_start, event_type
     ORDER BY w_start, event_type
@@ -124,7 +168,7 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), _dec_sum("value", "sum_value"))
         .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "sum_value")
         .orderBy("w_start", "event_type")
     )
@@ -181,8 +225,11 @@ def q_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_combine_global",
     oracle="""
     SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-           avg(l_discount) AS avg_disc, count(*) AS cnt,
-           sum(l_extendedprice) AS sum_price
+           CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*)
+               AS avg_disc,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price
     FROM lineitem
     """,
 )
@@ -193,9 +240,14 @@ def q_combine_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").agg(
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.avg("l_discount").alias("avg_disc"),
+        # avg over non-representable 2-dec values: exact decimal sum,
+        # THEN one double division — order-independent on both engines
+        (
+            F.sum(F.col("l_discount").cast("decimal(3,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc"),
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("l_extendedprice").alias("sum_price"),
+        _dec_sum("l_extendedprice", "sum_price"),
     )
 
 
@@ -508,7 +560,8 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM marks)
     SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
-           count(*) AS n_events, sum(value) AS sum_value
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -523,7 +576,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("s_start"),
             F.max("ts").alias("s_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            _dec_sum("value", "sum_value"),
         )
         .select("user_id", "s_start", "s_end", "n_events", "sum_value")
     )
@@ -651,7 +704,9 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shipping_priority",
     oracle="""
     SELECT o_orderkey, o_orderdate,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -678,7 +733,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_revenue_sum())
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
@@ -687,7 +742,10 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_local_supplier_volume",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
     JOIN lineitem ON l_orderkey  = o_orderkey
@@ -722,7 +780,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_revenue_sum())
         .orderBy(F.col("revenue").desc())
     )
 
@@ -730,7 +788,10 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_spj_local_supplier_volume",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
     JOIN lineitem ON l_orderkey  = o_orderkey
@@ -796,7 +857,7 @@ def q_spj_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_revenue_sum())
         .orderBy(F.col("revenue").desc())
     )
 
@@ -814,7 +875,9 @@ def q_spj_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM kept UNION ALL SELECT * FROM upd)
     SELECT o_custkey % 13 AS grp,
            count(*) AS n_li,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
     FROM merged JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY grp ORDER BY grp
     """,
@@ -831,7 +894,11 @@ def q_spj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintenance must not cost the layout its exchange-freedom. The
     oracle replays the merge semantics relationally — a lost delete, a
     double-applied update, or a bucket written with the wrong hash all
-    change the aggregate."""
+    change the aggregate. Revenue is an exact DECIMAL sum cast to double
+    on BOTH engines (round 14): r13's red gate row was a hash mismatch
+    this query's own 18-run reproduction attempts never reproduced, and
+    its grp-7 revenue sat 1.2e-11 relative from the 9-sig hash boundary —
+    order-independent arithmetic removes that entire failure class."""
     import os as _os
 
     from ray_beam_runner_spark.plans.explain import count_exchanges
@@ -865,12 +932,7 @@ def q_spj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return (
         lo.groupBy((F.col("o_custkey") % 13).alias("grp"))
-        .agg(
-            F.count(F.lit(1)).alias("n_li"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n_li"), _revenue_sum())
         .orderBy("grp")
     )
 
@@ -1062,7 +1124,9 @@ def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON c_custkey  = o_custkey
@@ -1091,11 +1155,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
-                "revenue"
-            )
-        )
+        .agg(_revenue_sum())
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -1139,11 +1199,13 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 6) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate)::INT AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -1186,11 +1248,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
-        )
+        .agg(_revenue_sum())
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1234,14 +1292,16 @@ def q_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_top_supplier",
     oracle="""
     WITH rev AS (
-      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, round(total_rev, 6) AS total_rev
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
     FROM supplier JOIN rev ON s_suppkey = l_suppkey
-    WHERE round(total_rev, 6) = (SELECT max(round(total_rev, 6)) FROM rev)
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
     ORDER BY s_suppkey
     """,
 )
@@ -1250,25 +1310,29 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar max is a 1-row broadcast joined onto the aggregated revenue —
     no window over a single global partition (which would serialize all
     suppliers through one task at scale). The max comparison is on the
-    ROUNDED revenue: rev and its max are independently recomputed
-    subtrees, and double summation is not bitwise deterministic across
-    shuffle fetch orders — exact float equality between two evaluations
-    of the 'same' sum can miss."""
+    EXACT DECIMAL revenue (round 14): rev and its max are independently
+    recomputed subtrees, and double summation is not bitwise
+    deterministic across shuffle fetch orders — exact decimal sums make
+    the equality (and the output) order-independent, stronger than the
+    previous round-to-6 which does not protect values above ~100."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-        ).alias("total_rev")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+        ).alias("_rev_dec")
     )
-    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    mx = rev.agg(F.max("_rev_dec").alias("_max_rev"))
     s = t(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("_max_rev"))
+        rev.join(F.broadcast(mx), F.col("_rev_dec") == F.col("_max_rev"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev")
+        .select(
+            "s_suppkey", "s_name", F.col("_rev_dec").cast("double").alias("total_rev")
+        )
         .orderBy("s_suppkey")
     )
 
@@ -1276,9 +1340,13 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_idle_rich_customers",
     oracle="""
-    SELECT c_nationkey, count(*)::BIGINT AS n_cust, round(sum(c_acctbal), 6) AS total_bal
-    FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WITH pos AS (
+      SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(14,2))) AS sum_pos
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey, count(*)::BIGINT AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+    FROM customer, pos
+    WHERE CAST(c_acctbal AS DECIMAL(14,2)) * n_pos > sum_pos
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -1290,20 +1358,27 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average-balance customers with no RECENT
     orders. The scalar AVG subquery is a 1-row broadcast cross join; NOT
     EXISTS decorrelates to a left-anti join keyed on custkey, with the
-    date filter pushed to the orders scan before the anti join."""
+    date filter pushed to the orders scan before the anti join. The
+    threshold is the multiplied-out EXACT form (round 14):
+    bal * n_pos > sum_pos in DECIMAL — a float avg differs between
+    engines by an ulp, and a customer sitting within that ulp of the
+    average would flip the row set."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    bal = F.col("c_acctbal").cast("decimal(14,2)")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("_n_pos"), F.sum(bal).alias("_sum_pos")
+    )
     return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("_n_pos") > F.col("_sum_pos"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 6).alias("total_bal"),
+            _dec_sum("c_acctbal", "total_bal"),
         )
         .orderBy("c_nationkey")
     )
@@ -1440,11 +1515,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_product_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 6) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - 0.1 * p_retailprice * l_quantity AS amount
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(3,2)))
+               - CAST(0.1 AS DECIMAL(2,1))
+                 * CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(4,0)) AS amount
       FROM lineitem
       JOIN part     ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -1465,9 +1543,14 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    # exact decimal profit: every term is a 2-dec money value, an
+    # integer-valued quantity, or the exact literal 0.1 — so the
+    # subtraction and sum are order-independent on both engines
+    amount = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    ) - F.lit("0.1").cast("decimal(2,1)") * F.col("p_retailprice").cast(
+        "decimal(12,2)"
+    ) * F.col("l_quantity").cast("decimal(4,0)")
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1479,7 +1562,7 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 6).alias("sum_profit"))
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 

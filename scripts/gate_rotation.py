@@ -24,8 +24,22 @@ import sys
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _row_passed(row: dict) -> bool:
+    """A gate row counts as 'gated' only when it PASSED — a FAILED row
+    must re-enter the window immediately (round-13 verdict: q_spj_merge
+    failed r13's gate and the old any-row rule would have rotated it OUT
+    for ~3 rounds, leaving the fix unverifiable by the hard signal)."""
+    return (
+        not row.get("err")
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
+
+
 def last_gate_rounds(root: str = _ROOT, before_round: int | None = None) -> dict[str, int]:
-    """query name -> latest round with a CORRECTNESS_r*.json row (0 = never).
+    """query name -> latest round with a PASSING CORRECTNESS_r*.json row
+    (0 = never gated green; failed-only history counts as never).
 
     ``before_round``: only count history strictly before this round —
     the window for round N is computed from rounds < N, so the check
@@ -40,8 +54,9 @@ def last_gate_rounds(root: str = _ROOT, before_round: int | None = None) -> dict
             rows = json.load(open(p))
         except (OSError, ValueError):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in rows.items():
+            if isinstance(row, dict) and _row_passed(row):
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

@@ -51,6 +51,25 @@ def test_registry_and_oracle_consistency():
     assert set(queries) - set(oracles) == _ROWS_ONLY
 
 
+def test_failed_gate_rows_count_as_never_gated():
+    """A FAILED driver gate row must NOT advance a query's staleness —
+    otherwise a red row rotates out of the window for ~3 rounds and the
+    fix is never re-checked by the hard signal (round-13 verdict
+    'What's wrong' #2: q_spj_merge failed r13's hash gate and must lead
+    the r14 window)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(_ROOT, "scripts"))
+    from gate_rotation import last_gate_rounds, rotation_window
+
+    # q_spj_merge's only gate row (r13) failed its hash check, so its
+    # last PASSING round is 0 = never gated green...
+    last = last_gate_rounds(_ROOT, before_round=14)
+    assert last.get("q_spj_merge", 0) == 0
+    # ...and never-gated queries lead the window.
+    assert rotation_window(50, _ROOT, before_round=14)[0] == "q_spj_merge"
+
+
 def test_gate_window_is_stalest_first():
     """_GATE_FIRST must equal the stalest-first rotation recomputed
     from the CORRECTNESS_r*.json history strictly before _GATE_ROUND —
