@@ -1206,33 +1206,43 @@ def _bloom_probe(spark: SparkSession, value, dtype: str, bits: int, k: int):
 
 
 def _bloom_probe_many(spark: SparkSession, values: list, dtype: str, bits: int, k: int):
-    """Per-value probe lists for an IN-list — ONE Spark job for the
-    whole list instead of one per value (an IN-list point read over a
+    """Per-value probe lists for an IN-list — O(len/256) bounded Spark
+    jobs instead of one per value (an IN-list point read over a
     1000-key batch must not schedule 1000 probe jobs). Entry i is the
     (word, mask) list for values[i], or None when that value is
     unrepresentable in ``dtype`` (same try_cast contract as
     :func:`_bloom_probe` — such a value cannot be in any file whose
-    filter hashed that type)."""
-    exprs = []
-    for i, v in enumerate(values):
-        probe = F.lit(v).try_cast(dtype)
-        exprs.append(probe.isNull().alias(f"n{i}"))
-        exprs.extend(
-            p.alias(f"p{i}_{j}")
-            for j, p in enumerate(_bloom_positions(probe, bits, k))
-        )
-    row = spark.range(1).select(*exprs).first()
+    filter hashed that type).
+
+    The projection is built in bounded chunks (256 values → ~1k
+    expressions per job): a 10^5-key batch in ONE projection would emit
+    len(values)*(k+1) literal expressions and blow past codegen /
+    constant-pool limits (round-13 ADVICE). A few hundred expressions
+    per driver-local job keeps each plan trivial while still amortizing
+    job overhead ~256x over the one-job-per-value naive form."""
     out = []
-    for i in range(len(values)):
-        if row[f"n{i}"]:
-            out.append(None)
-        else:
-            out.append(
-                [
-                    (row[f"p{i}_{j}"] // 64, 1 << (row[f"p{i}_{j}"] % 64))
-                    for j in range(k)
-                ]
+    chunk = 256
+    for lo in range(0, len(values), chunk):
+        batch = values[lo : lo + chunk]
+        exprs = []
+        for i, v in enumerate(batch):
+            probe = F.lit(v).try_cast(dtype)
+            exprs.append(probe.isNull().alias(f"n{i}"))
+            exprs.extend(
+                p.alias(f"p{i}_{j}")
+                for j, p in enumerate(_bloom_positions(probe, bits, k))
             )
+        row = spark.range(1).select(*exprs).first()
+        for i in range(len(batch)):
+            if row[f"n{i}"]:
+                out.append(None)
+            else:
+                out.append(
+                    [
+                        (row[f"p{i}_{j}"] // 64, 1 << (row[f"p{i}_{j}"] % 64))
+                        for j in range(k)
+                    ]
+                )
     return out
 
 

@@ -2945,3 +2945,25 @@ def test_point_in_on_format2_is_selective(spark, monkeypatch):
         r.k for r in snap.read_snapshot(spark, t, point_in=("v", [70, 1550])).collect()
     )
     assert got == [7, 155]
+
+
+def test_point_in_large_batch_bounded_plans(spark):
+    """A 2000-key point_in batch must still resolve correctly — the
+    probe projection is built in bounded 256-value chunks so a huge
+    IN-list cannot emit a len(values)*(k+1)-expression plan that blows
+    codegen / constant-pool limits (round-13 ADVICE)."""
+    t = _tdir()
+    rows = [(i, f"tag-{i}") for i in range(300)]
+    snap.write_snapshot(
+        spark.createDataFrame(rows, "k int, tag string"),
+        t, cluster_by=["k"], n_files=8, bloom_for=["tag"],
+    )
+    # 2000 probes: 290 present, 1710 absent -> 8 bounded probe jobs
+    vals = [f"tag-{i}" for i in range(10, 2000)]
+    df = snap.read_snapshot(spark, t, point_in=("tag", vals))
+    assert sorted(r.k for r in df.collect()) == list(range(10, 300))
+    # the chunker itself: per-value probes line up with one-at-a-time
+    many = snap._bloom_probe_many(spark, vals[:600], "string", 1024, 3)
+    assert len(many) == 600
+    assert many[0] == snap._bloom_probe(spark, vals[0], "string", 1024, 3)
+    assert many[599] == snap._bloom_probe(spark, vals[599], "string", 1024, 3)
