@@ -54,6 +54,26 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
+# Storage-layout routing (round-14): map (sf_dir, table) -> a BUCKETED
+# snapshot table dir. When registered, t() serves the table through
+# read_bucketed, whose scan REPORTS its HashPartitioning — every query
+# in the registry then plans its joins/aggregates on that key without
+# an exchange, with zero per-query changes. This is the deployment
+# story: a 100 TB cluster buckets lineitem/orders ONCE (one layout per
+# table — orders cannot co-locate on two keys at once) and routes every
+# orderkey join through the layout. bench_tpch_scaling's routed leg
+# uses this; gates/sweeps run with no registrations.
+LAYOUTS: dict[tuple[str, str], str] = {}
+
+
+def register_layout(sf_dir: str, table: str, table_dir: str) -> None:
+    LAYOUTS[(os.path.abspath(sf_dir), table)] = table_dir
+
+
+def clear_layouts() -> None:
+    LAYOUTS.clear()
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table. The (immutable) DataFrame handle is cached
     ON the session object: repeated reads re-open parquet footers through
@@ -61,16 +81,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cache on the session (not a module global) lets it die with the
     session instead of pinning stopped sessions for process lifetime.
     The test tables are static/read-only; if a path's files were ever
-    regenerated in place, clear ``spark._rbrs_tables``."""
+    regenerated in place, clear ``spark._rbrs_tables``.
+
+    A registered storage layout (``register_layout``) overrides the
+    plain parquet read: the table is served through its bucketed
+    snapshot dir, same rows and schema, scan-reported partitioning."""
     from ray_beam_runner_spark.session import read_parquet_normalized
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    override = LAYOUTS.get((os.path.abspath(sf_dir), name))
+    path = override or os.path.join(sf_dir, f"{name}.parquet")
     cache = getattr(spark, "_rbrs_tables", None)
     if cache is None:
         cache = {}
         spark._rbrs_tables = cache  # noqa: SLF001
     if path not in cache:
-        cache[path] = read_parquet_normalized(spark, path)
+        if override:
+            from ray_beam_runner_spark.sources.bucketed import read_bucketed
+
+            cache[path] = read_bucketed(spark, override)
+        else:
+            cache[path] = read_parquet_normalized(spark, path)
     return cache[path]
 
 

@@ -8,6 +8,8 @@ DuckDB SQL over the same parquet.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -815,34 +817,12 @@ def q_spj_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_local_supplier_volume (nation/region broadcast, customer/supplier
     left to AQE). Same oracle SQL as the shuffled variant: bucketing is
     layout, never semantics."""
-    import os as _os
-
-    from ray_beam_runner_spark.plans.explain import count_exchanges
     from ray_beam_runner_spark.sources import bucketed as bkt
 
-    base = scratch_dir("rbrs_spj_")
-    li_dir = _os.path.join(base, "lineitem")
-    ord_dir = _os.path.join(base, "orders")
-    n_buckets = 8  # sized for the test SFs; ~10^5 at 100 TB (module doc)
-    bkt.write_bucketed(
-        t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-        ),
-        li_dir, ["l_orderkey"], n_buckets,
-    )
-    bkt.write_bucketed(
-        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
-        ord_dir, ["o_orderkey"], n_buckets,
-    )
+    li_dir = spj_layout(spark, sf_dir, "lineitem", ["l_orderkey"])
+    ord_dir = spj_layout(spark, sf_dir, "orders", ["o_orderkey"])
     lo = bkt.storage_partitioned_join(spark, li_dir, ord_dir, "l_orderkey")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        assert count_exchanges(lo) == 0, (
-            "storage-partitioned join reintroduced a shuffle exchange"
-        )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    _assert_exchange_free(spark, lo, "storage-partitioned join")
     cust = t(spark, sf_dir, "customer")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
@@ -934,6 +914,130 @@ def q_spj_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.groupBy((F.col("o_custkey") % 13).alias("grp"))
         .agg(F.count(F.lit(1)).alias("n_li"), _revenue_sum())
         .orderBy("grp")
+    )
+
+
+_SPJ_LAYOUTS: dict[tuple, str] = {}
+
+
+def spj_layout(
+    spark: SparkSession, sf_dir: str, table: str, bucket_by: list[str],
+    n_buckets: int = 8,
+) -> str:
+    """Full-column bucketed layout of a synthetic table, built ONCE per
+    (sf_dir, table, key) per process and shared by every SPJ query —
+    the deployment model: a fact table is bucketed once and the layout
+    cost amortizes across all subsequent joins (sources/bucketed.py
+    module doc; n_buckets ~10^5 at 100 TB, 8 at the test SFs)."""
+    key = (os.path.abspath(sf_dir), table, tuple(bucket_by), n_buckets)
+    d = _SPJ_LAYOUTS.get(key)
+    if d is None:
+        from ray_beam_runner_spark.sources import bucketed as bkt
+
+        d = scratch_dir(f"rbrs_spjl_{table}_")
+        bkt.write_bucketed(t(spark, sf_dir, table), d, bucket_by, n_buckets)
+        _SPJ_LAYOUTS[key] = d
+    return d
+
+
+def _assert_exchange_free(spark: SparkSession, df: DataFrame, what: str) -> None:
+    """In-query plan assert under a disabled broadcast threshold: a
+    silent layout mismatch must fail the gate, not quietly reintroduce
+    the exchange."""
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert count_exchanges(df) == 0, f"{what} reintroduced a shuffle exchange"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
+    "q_spj_order_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_spj_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 over STORAGE-PARTITIONED fact tables — the x100
+    family's #2 offender (12.9x DuckDB; the isolated semi-join shape
+    measured 2.39x faster bucketed). orders and lineitem share the
+    orderkey layout, so the EXISTS decorrelates to a left-semi
+    SortMergeJoin with the non-equi residual (l_shipdate > o_orderdate)
+    and ZERO shuffle exchanges, asserted in-query. Same oracle as
+    q_order_exists: the layout is never semantics."""
+    from ray_beam_runner_spark.sources import bucketed as bkt
+
+    ord_dir = spj_layout(spark, sf_dir, "orders", ["o_orderkey"])
+    li_dir = spj_layout(spark, sf_dir, "lineitem", ["l_orderkey"])
+    semi = bkt.storage_partitioned_join(
+        spark, ord_dir, li_dir, "o_orderkey", how="left_semi",
+        residual=lambda o, li: li["l_shipdate"] > o["o_orderdate"],
+    )
+    _assert_exchange_free(spark, semi, "storage-partitioned semi-join")
+    return (
+        semi.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_spj_order_count_dist",
+    oracle="""
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_spj_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 over the CUSTOMER-side storage-partitioned layout
+    (round-13 verdict ask #3's second shape, 12.1x DuckDB shuffled):
+    customer and a custkey-bucketed orders layout co-locate, so BOTH
+    the left-outer join and the per-customer count aggregate plan with
+    ZERO exchanges (the join preserves the left side's partitioning and
+    the groupBy key IS the bucket key) — two elided shuffles, asserted
+    in-query as one plan. Only the final tiny count-of-counts
+    redistributes. A deployment keeps ONE layout per physical table;
+    this custkey copy of orders is the secondary-layout pattern
+    (Iceberg: a second sort-order / projection) for custkey-heavy
+    workloads. Same oracle as q_order_count_dist."""
+    from ray_beam_runner_spark.sources import bucketed as bkt
+
+    cust_dir = spj_layout(spark, sf_dir, "customer", ["c_custkey"])
+    ord_dir = spj_layout(spark, sf_dir, "orders", ["o_custkey"])
+    j = bkt.storage_partitioned_join(
+        spark, cust_dir, ord_dir, "c_custkey", how="left",
+        residual=lambda c, o: o["o_orderpriority"] != F.lit("1-URGENT"),
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    _assert_exchange_free(
+        spark, per_cust, "custkey-co-located join + per-key aggregate"
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
 

@@ -250,6 +250,8 @@ def storage_partitioned_join(
     how: str = "inner",
     left_version: int | None = None,
     right_version: int | None = None,
+    residual=None,
+    skew_fallback_rows: int | None = None,
 ) -> DataFrame:
     """Equi-join two co-bucketed snapshot tables WITHOUT an exchange.
     Validates the layouts actually co-locate (same bucket columns
@@ -259,7 +261,28 @@ def storage_partitioned_join(
     ``left_version``/``right_version`` time-travel either side (each
     version is its own self-contained bucketed directory, so a pinned
     join is exchange-free exactly like a latest-latest join — the
-    epoch-consistent read for bucketed fact tables)."""
+    epoch-consistent read for bucketed fact tables).
+
+    ``residual``: callable ``(left_df, right_df) -> Column`` ANDed onto
+    the equi condition — what a semi/anti join with a non-equi guard
+    needs (TPC-H Q4's ``l_shipdate > o_orderdate`` EXISTS cannot be a
+    post-join filter: a left-semi output has no right columns). The
+    residual never affects co-location — the equi keys alone drive the
+    bucket alignment.
+
+    ``skew_fallback_rows``: the HOT-BUCKET escape hatch. AQE's
+    skew-join splitting re-plans the EXCHANGE; an exchange-free SPJ has
+    nothing to split, so one hot key melts its bucket's single task —
+    the one skew class this layout makes WORSE, not better. When any
+    bucket on either side exceeds this row count (per the manifests'
+    ``file_rows``; unknown counts never trigger), the join reads both
+    sides as PLAIN snapshots instead — the scan stops reporting its
+    partitioning, the planner shuffles, and AQE's skew splitting
+    applies as usual. Same rows either way; pick the threshold as a
+    small multiple of the expected rows-per-bucket (e.g. 10x). The
+    full fix at cluster scale is sub-bucket task splitting over the
+    sorted files (Iceberg splits partition tasks on sorted-file ranges);
+    this heuristic bounds the damage without custom scan code."""
     on_cols = [on] if isinstance(on, str) else list(on)
     sl = bucket_spec(left_dir, version=left_version)
     sr = bucket_spec(right_dir, version=right_version)
@@ -310,8 +333,18 @@ def storage_partitioned_join(
             "storage_partitioned_join: join keys must cover the full bucket "
             f"spec (left {sl['cols']}, right {sr['cols']}, on {on_cols})"
         )
-    left = read_bucketed(spark, left_dir, version=left_version)
-    right = read_bucketed(spark, right_dir, version=right_version)
+    fallback = skew_fallback_rows is not None and any(
+        (mb := _max_bucket_rows(d, v)) is not None and mb > skew_fallback_rows
+        for d, v in ((left_dir, left_version), (right_dir, right_version))
+    )
+    if fallback:
+        # hot bucket detected: plain snapshot reads — shuffle join, AQE
+        # skew splitting applies (see skew_fallback_rows in the doc)
+        left = snap.read_snapshot(spark, left_dir, version=left_version)
+        right = snap.read_snapshot(spark, right_dir, version=right_version)
+    else:
+        left = read_bucketed(spark, left_dir, version=left_version)
+        right = read_bucketed(spark, right_dir, version=right_version)
     cond = None
     for k, (lc, rc) in zip(on_cols, zip(sl["cols"], sr["cols"])):
         # `on` names the LEFT side's columns (or pass the shared name)
@@ -321,7 +354,23 @@ def storage_partitioned_join(
             )
         term = left[lc] == right[rc]
         cond = term if cond is None else (cond & term)
+    if residual is not None:
+        cond = cond & residual(left, right)
     return left.join(right, cond, how)
+
+
+def _max_bucket_rows(table_dir: str, version: int | None = None) -> int | None:
+    """Largest per-bucket row count recorded in the version's manifest
+    (bucket files are 1:1 with buckets), or None when the manifest has
+    no row accounting — the signal skew_fallback_rows keys on."""
+    if version is None:
+        version = snap.latest_version(table_dir)
+    m = snap.read_manifest(table_dir, version)
+    rows = m.get("file_rows") or {}
+    counts = [rows[r] for r in m["files"] if r in rows]
+    if len(counts) != len(m["files"]):
+        return None
+    return max(counts) if counts else None
 
 
 _BUCKET_ID_RE = None

@@ -203,6 +203,98 @@ def time_spark(data_dir: str, skew_join: bool) -> tuple[float, bool, dict]:
     return elapsed, "skew=true" in plan, spread
 
 
+def time_spj_skew(data_dir: str) -> dict:
+    """Hot-key BUCKETED-layout leg (round-13 verdict ask #4). AQE's
+    skew-join splitting re-plans the exchange; an exchange-free
+    storage-partitioned join has no exchange to re-plan, so the hot
+    key's bucket is ONE unsplittable task — the single skew class the
+    layout makes worse. This measures that cost on the same skewed
+    x1000 data as the shuffle legs, then the escape hatch:
+    ``skew_fallback_rows`` reads the manifests' per-bucket row counts,
+    detects the hot bucket, and reverts to the shuffle+AQE path. The
+    per-task duration spread is the cluster-relevant evidence (module
+    doc: a stage ends when its LONGEST task does)."""
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark import get_spark
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+    from ray_beam_runner_spark.sources import bucketed as bkt
+
+    spark = get_spark("bench-skew", extra_conf={"spark.ui.enabled": "true"})
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    base = os.path.join(SKEW_DIR, "_spj")
+    li_dir = os.path.join(base, "lineitem")
+    ord_dir = os.path.join(base, "orders")
+    n_buckets = 64
+    t0 = time.perf_counter()
+    if not os.path.exists(li_dir):
+        bkt.write_bucketed(
+            spark.read.parquet(f"{data_dir}/lineitem.parquet").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            li_dir, ["l_orderkey"], n_buckets,
+        )
+        bkt.write_bucketed(
+            spark.read.parquet(f"{data_dir}/orders.parquet").select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            ord_dir, ["o_orderkey"], n_buckets,
+        )
+    build_s = round(time.perf_counter() - t0, 3)
+    from ray_beam_runner_spark.sources import snapshots as snap
+
+    m = snap.read_manifest(li_dir, 1)
+    rows_map = m.get("file_rows") or {}
+    avg_rows = int(sum(rows_map.values()) / max(len(rows_map), 1))
+    hot_rows = bkt._max_bucket_rows(li_dir)
+    threshold = 4 * avg_rows  # a bucket 4x the mean is a straggler
+
+    def q(**kw):
+        j = bkt.storage_partitioned_join(
+            spark, li_dir, ord_dir, "l_orderkey", **kw
+        )
+        return (
+            j.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("rev"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+    legs: dict[str, dict] = {}
+    for label, kw in (
+        ("spj_hot_bucket", {}),
+        ("spj_skew_fallback", {"skew_fallback_rows": threshold}),
+    ):
+        before = {s["stageId"] for s in _rest(spark, "/stages")}
+        df = q(**kw)
+        n_exch = count_exchanges(df)
+        t0 = time.perf_counter()
+        df.toPandas()
+        elapsed = round(time.perf_counter() - t0, 4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        legs[label] = {
+            "elapsed_s": elapsed,
+            "plan_exchanges": n_exch,
+            "aqe_marked_skew": "skew=true" in plan,
+            "tasks": _task_spread(spark, before),
+        }
+        print(f"[spj-skew] {label} {elapsed}s", file=sys.stderr)
+    return {
+        "n_buckets": n_buckets,
+        "bucketed_build_s": build_s,
+        "avg_bucket_rows": avg_rows,
+        "hot_bucket_rows": hot_rows,
+        "fallback_threshold_rows": threshold,
+        **legs,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_SKEW.json")
@@ -215,6 +307,7 @@ def main() -> None:
     # repeating it risks filling the disk for no protocol value)
     with_skew, fired, spread_on = time_spark(data_dir, skew_join=True)
     without_skew, _, spread_off = time_spark(data_dir, skew_join=False)
+    spj = time_spj_skew(data_dir)
     out = {
         "leg": "x1000_skew",
         "rows_lineitem": "~600M",
@@ -229,6 +322,8 @@ def main() -> None:
         # across all 32 threads and cannot show it (see module doc)
         "tasks_skewjoin_on": spread_on,
         "tasks_skewjoin_off": spread_off,
+        # hot-key bucketed layout vs its fallback heuristic (round-14)
+        "bucketed_spj": spj,
     }
     print(json.dumps(out), flush=True)
     with open(args.out, "w") as f:

@@ -117,6 +117,85 @@ def time_spark(data_dir: str, mult: int) -> dict[str, float]:
     return out
 
 
+def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
+    """Layout-ROUTED family sweep (round-13 verdict ask #3): build the
+    deployment layouts ONCE — lineitem+orders co-bucketed on the order
+    key, customer on its custkey (one layout per physical table) —
+    register them as table overrides (queries.register_layout), and
+    re-time the SAME 22 query functions. Zero per-query changes: the
+    override serves each table through its bucketed catalog
+    registration, whose scan reports HashPartitioning, and the planner
+    drops the exchanges wherever the keys line up. Returns (timings,
+    per-query initial-plan exchange counts routed vs plain, build
+    seconds per table)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ray_beam_runner_spark import get_spark
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+    from ray_beam_runner_spark.sources import bucketed as bkt
+
+    spark = get_spark(
+        "bench-tpch-scaling", extra_conf={"spark.driver.maxResultSize": "8g"}
+    )
+    base = os.path.join(data_dir, "_spj_family")
+    n_buckets = 32
+    # FACT tables only. A first x100 run also routed customer through a
+    # custkey layout: aggregate still improved, but the anti-join /
+    # broadcast-friendly customer shapes regressed (q_idle_rich_customers
+    # 1.35->2.79s, q_returned_items 2.87->4.01s) — bucketing a dim-sized
+    # side buys no exchange worth having (its joins broadcast or shuffle
+    # cheaply) and constrains the planner. The custkey co-location win
+    # for cust x orders itself is demonstrated (and plan-asserted) by
+    # the registry's q_spj_order_count_dist.
+    layout_keys = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+    }
+    build: dict[str, float] = {}
+    for tbl, keys in layout_keys.items():
+        d = os.path.join(base, tbl)
+        t0 = time.perf_counter()
+        if not os.path.exists(d):
+            bkt.write_bucketed(
+                spark.read.parquet(os.path.join(data_dir, f"{tbl}.parquet")),
+                d, keys, n_buckets,
+            )
+        build[tbl] = round(time.perf_counter() - t0, 3)
+
+    def _clear_table_cache():
+        if hasattr(spark, "_rbrs_tables"):
+            spark._rbrs_tables.clear()
+
+    exchanges: dict[str, dict[str, int]] = {}
+    for name in TPCH_SET:  # plain-plan exchange counts first
+        exchanges[name] = {"plain": count_exchanges(Q.QUERIES[name](spark, data_dir))}
+
+    out: dict[str, float] = {}
+    for tbl in layout_keys:
+        Q.register_layout(data_dir, tbl, os.path.join(base, tbl))
+    _clear_table_cache()
+    try:
+        for name in TPCH_SET:
+            exchanges[name]["routed"] = count_exchanges(
+                Q.QUERIES[name](spark, data_dir)
+            )
+        for name in TPCH_SET:  # warm
+            len(Q.QUERIES[name](spark, data_dir).toPandas())
+        for _ in range(2):
+            for name in TPCH_SET:
+                t0 = time.perf_counter()
+                len(Q.QUERIES[name](spark, data_dir).toPandas())
+                dt = round(time.perf_counter() - t0, 4)
+                if name not in out or dt < out[name]:
+                    out[name] = dt
+            print("[spark-routed] sweep done", file=sys.stderr)
+    finally:
+        Q.clear_layouts()
+        _clear_table_cache()
+    return out, exchanges, build
+
+
 def time_spj(data_dir: str, shuffled_q5_s: float, duck_q5_s: float) -> dict:
     """Storage-partitioned-join leg (round-12 verdict ask #2): write
     lineitem/orders ONCE as co-bucketed snapshot tables on the order
@@ -291,13 +370,26 @@ def main():
     ensure_dims(data_dir)
     duck = time_duckdb(data_dir)
     spark = time_spark(data_dir, args.mult)
+    routed, exchanges, layout_build = time_spark_routed(data_dir, args.mult)
     rows = []
     for name in TPCH_SET:
         ratio = round(spark[name] / duck[name], 3) if duck[name] else None
         rows.append(
-            {"query": name, "duckdb_s": duck[name], "spark_s": spark[name], "ratio": ratio}
+            {
+                "query": name,
+                "duckdb_s": duck[name],
+                "spark_s": spark[name],
+                "ratio": ratio,
+                "spark_routed_s": routed[name],
+                "ratio_routed": round(routed[name] / duck[name], 3) if duck[name] else None,
+                "exchanges_plain": exchanges[name]["plain"],
+                "exchanges_routed": exchanges[name]["routed"],
+            }
         )
     flagged = [r["query"] for r in rows if r["ratio"] and r["ratio"] > 2.0]
+    flagged_routed = [
+        r["query"] for r in rows if r["ratio_routed"] and r["ratio_routed"] > 2.0
+    ]
     spj = time_spj(
         data_dir, spark["q_local_supplier_volume"], duck["q_local_supplier_volume"]
     )
@@ -307,14 +399,20 @@ def main():
         "unit": "sec",
         "rows": rows,
         "spark_total_s": round(sum(spark.values()), 3),
+        "spark_total_routed_s": round(sum(routed.values()), 3),
         "duckdb_total_s": round(sum(duck.values()), 3),
+        "layout_build_s": layout_build,
         "flagged_over_2x": flagged,
+        "flagged_over_2x_routed": flagged_routed,
         "storage_partitioned_join": spj,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, args.out), "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({k: out[k] for k in ("metric", "mult", "spark_total_s", "duckdb_total_s", "flagged_over_2x")}))
+    print(json.dumps({k: out[k] for k in (
+        "metric", "mult", "spark_total_s", "spark_total_routed_s",
+        "duckdb_total_s", "flagged_over_2x", "flagged_over_2x_routed",
+    )}))
 
 
 if __name__ == "__main__":

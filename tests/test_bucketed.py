@@ -505,3 +505,56 @@ def test_bloom_carry_survives_rebase(spark, monkeypatch, no_broadcast):
         if want_v is not None:
             assert rows[0].v == want_v
         assert len(got.inputFiles()) < total
+
+
+def test_spj_residual_condition(spark, no_broadcast):
+    """residual=(left,right)->Column joins non-equi guards INTO the
+    exchange-free SMJ condition — the semi-join-with-guard shape
+    (TPC-H Q4) that cannot be a post-join filter."""
+    ta, tb = _tdir(), _tdir()
+    bkt.write_bucketed(_facts(spark, 2000, seed=1), ta, ["k"], 8)
+    bkt.write_bucketed(
+        _facts(spark, 2000, seed=2).withColumnRenamed("v", "w"), tb, ["k"], 8
+    )
+    j = bkt.storage_partitioned_join(
+        spark, ta, tb, "k", how="left_semi",
+        residual=lambda left, right: right["w"] > left["v"],
+    )
+    assert count_exchanges(j) == 0
+    a = {(r.k, r.v) for r in spark.read.parquet(
+        os.path.join(ta, bkt.bucket_spec(ta)["dir"])).collect()}
+    b = {(r.k, r.w) for r in spark.read.parquet(
+        os.path.join(tb, bkt.bucket_spec(tb)["dir"])).collect()}
+    bw = dict(b)
+    want = sorted(k for k, v in a if k in bw and bw[k] > v)
+    assert sorted(r.k for r in j.collect()) == want
+
+
+def test_skew_fallback_reverts_to_shuffle_join(spark, no_broadcast):
+    """skew_fallback_rows: a hot bucket (exchange-free SPJ's one bad
+    skew class — AQE cannot split a join that has no exchange) makes
+    the join fall back to plain snapshot reads, where the planner
+    shuffles and AQE skew splitting applies. Below the threshold the
+    zero-exchange plan is kept. Results identical either way."""
+    ta, tb = _tdir(), _tdir()
+    # 4000 rows, 3000 of them on ONE key -> one bucket ~6x the others
+    hot = spark.range(0, 3000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    rest = spark.range(0, 1000).select(
+        (F.col("id") + 100).alias("k"), F.col("id").alias("v")
+    )
+    bkt.write_bucketed(hot.unionByName(rest), ta, ["k"], 8)
+    bkt.write_bucketed(
+        spark.range(0, 1200).select(F.col("id").alias("k"), F.lit(1).alias("w")),
+        tb, ["k"], 8,
+    )
+    assert bkt._max_bucket_rows(ta) >= 3000
+    spj = bkt.storage_partitioned_join(spark, ta, tb, "k")
+    assert count_exchanges(spj) == 0
+    fb = bkt.storage_partitioned_join(spark, ta, tb, "k", skew_fallback_rows=1000)
+    assert count_exchanges(fb) > 0  # shuffle join: AQE can split it
+    assert sorted(map(tuple, fb.collect())) == sorted(map(tuple, spj.collect()))
+    # threshold above the hot bucket: stays exchange-free
+    keep = bkt.storage_partitioned_join(
+        spark, ta, tb, "k", skew_fallback_rows=10_000
+    )
+    assert count_exchanges(keep) == 0
