@@ -54,9 +54,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-14 window under that rule (rule amended round 14: a FAILED gate
 # row now counts as never-gated — staleness keys on the last PASSING
 # round, so q_spj_merge, red in r13, leads this window instead of
-# silently rotating out for ~3 rounds): q_spj_merge first, then the
-# stalest r10/r11 rows up to the 50-slot window. Everything displaced
-# stays sweep-green every round.
+# silently rotating out for ~3 rounds): q_spj_merge first, then the two
+# never-gated round-14 additions (q_spj_order_exists,
+# q_spj_order_count_dist — the family-wide SPJ routing shapes), then
+# the stalest r10/r11 rows up to the 50-slot window. Everything
+# displaced stays sweep-green every round.
 # _GATE_ROUND = the round this window was computed FOR (from
 # CORRECTNESS_r*.json history strictly before it). Bump when
 # regenerating via scripts/gate_rotation.py; tests/test_entry.py
@@ -64,6 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ROUND = 14
 _GATE_FIRST = (
     "q_spj_merge",  # last gated never
+    "q_spj_order_exists",  # last gated never
+    "q_spj_order_count_dist",  # last gated never
     "q_promo_revenue",  # last gated r10
     "q_volume_shipping",  # last gated r10
     "q_order_exists",  # last gated r10
@@ -111,8 +115,6 @@ _GATE_FIRST = (
     "q_snapshot_sync",  # last gated r11
     "q_snapshot_update",  # last gated r11
     "q_snapshot_clone",  # last gated r11
-    "q_scd2_asof_enrich",  # last gated r11
-    "q_snapshot_join_ivm",  # last gated r11
 )
 
 
