@@ -558,3 +558,36 @@ def test_skew_fallback_reverts_to_shuffle_join(spark, no_broadcast):
         spark, ta, tb, "k", skew_fallback_rows=10_000
     )
     assert count_exchanges(keep) == 0
+
+
+def test_layout_override_routes_t_reads(spark, no_broadcast):
+    """queries.register_layout: t() transparently serves a registered
+    table through its bucketed snapshot (same rows, scan-reported
+    partitioning — the engine-level routing bench_tpch_scaling's routed
+    leg uses); clear_layouts() restores the plain parquet read."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+
+    sf = _tdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", os.path.join(sf, "orders.parquet")
+    )
+    plain = Q.t(spark, sf, "orders")
+    t = _tdir()
+    bkt.write_bucketed(plain, t, ["o_orderkey"], 4)
+    Q.register_layout(sf, "orders", t)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        routed = Q.t(spark, sf, "orders")
+        # same rows, and a groupBy on the bucket key is exchange-free
+        assert routed.count() == plain.count()
+        agg = routed.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        assert count_exchanges(agg) == 0
+    finally:
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
+    back = Q.t(spark, sf, "orders")
+    agg2 = back.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    assert count_exchanges(agg2) == 1  # plain scan shuffles again
