@@ -252,6 +252,7 @@ def storage_partitioned_join(
     right_version: int | None = None,
     residual=None,
     skew_fallback_rows: int | None = None,
+    skew_mode: str = "hybrid",
 ) -> DataFrame:
     """Equi-join two co-bucketed snapshot tables WITHOUT an exchange.
     Validates the layouts actually co-locate (same bucket columns
@@ -275,14 +276,28 @@ def storage_partitioned_join(
     nothing to split, so one hot key melts its bucket's single task —
     the one skew class this layout makes WORSE, not better. When any
     bucket on either side exceeds this row count (per the manifests'
-    ``file_rows``; unknown counts never trigger), the join reads both
-    sides as PLAIN snapshots instead — the scan stops reporting its
-    partitioning, the planner shuffles, and AQE's skew splitting
-    applies as usual. Same rows either way; pick the threshold as a
-    small multiple of the expected rows-per-bucket (e.g. 10x). The
-    full fix at cluster scale is sub-bucket task splitting over the
-    sorted files (Iceberg splits partition tasks on sorted-file ranges);
-    this heuristic bounds the damage without custom scan code."""
+    ``file_rows``; unknown counts never trigger), ``skew_mode`` picks
+    the remedy. Same rows either way; pick the threshold as a small
+    multiple of the expected rows-per-bucket (e.g. 10x).
+
+    ``skew_mode="hybrid"`` (default): bucket b only ever joins bucket
+    b, so the join SPLITS by bucket subset exactly — the COLD buckets
+    join exchange-free through a subset catalog registration (absent
+    bucket ids read as empty buckets), while ONLY the hot buckets'
+    files are read as plain splittable parquet and shuffle-joined,
+    where AQE's skew split applies; the two legs union positionally.
+    Valid for every join type ``how`` supports, since the bucket hash
+    partitions both inputs identically. This is the relational form of
+    Iceberg's sub-partition task splitting: the straggler gets AQE's
+    bound while n-1 buckets keep the layout win, at one hot-bucket
+    shuffle instead of a full-table one (measured in BENCH_SKEW
+    ``bucketed_spj``: the full fallback pays ~1.8x the CPU).
+
+    ``skew_mode="fallback"``: the blunt remedy — read BOTH sides as
+    plain snapshots; the whole join shuffles and AQE handles the skew.
+    Requires equal bucket counts for "hybrid" (the bucket-subset split
+    needs 1:1 bucket alignment); differing-but-divisible counts get
+    "fallback" behavior instead."""
     on_cols = [on] if isinstance(on, str) else list(on)
     sl = bucket_spec(left_dir, version=left_version)
     sr = bucket_spec(right_dir, version=right_version)
@@ -333,44 +348,147 @@ def storage_partitioned_join(
             "storage_partitioned_join: join keys must cover the full bucket "
             f"spec (left {sl['cols']}, right {sr['cols']}, on {on_cols})"
         )
-    fallback = skew_fallback_rows is not None and any(
-        (mb := _max_bucket_rows(d, v)) is not None and mb > skew_fallback_rows
-        for d, v in ((left_dir, left_version), (right_dir, right_version))
-    )
-    if fallback:
-        # hot bucket detected: plain snapshot reads — shuffle join, AQE
-        # skew splitting applies (see skew_fallback_rows in the doc)
-        left = snap.read_snapshot(spark, left_dir, version=left_version)
-        right = snap.read_snapshot(spark, right_dir, version=right_version)
-    else:
-        left = read_bucketed(spark, left_dir, version=left_version)
-        right = read_bucketed(spark, right_dir, version=right_version)
-    cond = None
     for k, (lc, rc) in zip(on_cols, zip(sl["cols"], sr["cols"])):
         # `on` names the LEFT side's columns (or pass the shared name)
         if k != lc and k != rc:
             raise ValueError(
                 f"storage_partitioned_join: key {k!r} is not a bucket column"
             )
-        term = left[lc] == right[rc]
-        cond = term if cond is None else (cond & term)
-    if residual is not None:
-        cond = cond & residual(left, right)
-    return left.join(right, cond, how)
+
+    def _cond(ldf: DataFrame, rdf: DataFrame):
+        c = None
+        for lc, rc in zip(sl["cols"], sr["cols"]):
+            term = ldf[lc] == rdf[rc]
+            c = term if c is None else (c & term)
+        if residual is not None:
+            c = c & residual(ldf, rdf)
+        return c
+
+    hot: set[int] = set()
+    if skew_fallback_rows is not None:
+        if skew_mode not in ("hybrid", "fallback"):
+            raise ValueError(f"skew_mode must be 'hybrid' or 'fallback', got {skew_mode!r}")
+        for d, v in ((left_dir, left_version), (right_dir, right_version)):
+            by_b = _bucket_rows(d, v)
+            if by_b:
+                hot |= {b for b, r in by_b.items() if r > skew_fallback_rows}
+    if hot and skew_mode == "hybrid" and sl["n"] == sr["n"]:
+        # bucket-subset split (see the docstring): cold buckets keep the
+        # exchange-free plan, only the hot buckets' files shuffle
+        drop = frozenset(hot)
+        cold_l = _subset_bucketed(spark, left_dir, left_version, drop)
+        cold_r = _subset_bucketed(spark, right_dir, right_version, drop)
+        cold = cold_l.join(cold_r, _cond(cold_l, cold_r), how)
+        hot_l = _bucket_files_plain(spark, left_dir, left_version, drop)
+        hot_r = _bucket_files_plain(spark, right_dir, right_version, drop)
+        hot_j = hot_l.join(hot_r, _cond(hot_l, hot_r), how)
+        # positional union: both legs carry identical column order by
+        # construction (and a semi/anti join may duplicate key NAMES
+        # across sides, which unionByName cannot address)
+        return cold.union(hot_j)
+    if hot:
+        # blunt fallback: plain snapshot reads — the whole join
+        # shuffles and AQE's skew splitting applies
+        left = snap.read_snapshot(spark, left_dir, version=left_version)
+        right = snap.read_snapshot(spark, right_dir, version=right_version)
+    else:
+        left = read_bucketed(spark, left_dir, version=left_version)
+        right = read_bucketed(spark, right_dir, version=right_version)
+    return left.join(right, _cond(left, right), how)
 
 
-def _max_bucket_rows(table_dir: str, version: int | None = None) -> int | None:
-    """Largest per-bucket row count recorded in the version's manifest
-    (bucket files are 1:1 with buckets), or None when the manifest has
-    no row accounting — the signal skew_fallback_rows keys on."""
+def _bucket_rows(table_dir: str, version: int | None = None) -> dict[int, int] | None:
+    """Per-bucket row counts from the version's manifest (bucket files
+    are 1:1 with buckets), or None when any file lacks row accounting —
+    the signal the skew handling keys on."""
     if version is None:
         version = snap.latest_version(table_dir)
     m = snap.read_manifest(table_dir, version)
     rows = m.get("file_rows") or {}
-    counts = [rows[r] for r in m["files"] if r in rows]
-    if len(counts) != len(m["files"]):
-        return None
-    return max(counts) if counts else None
+    out: dict[int, int] = {}
+    for r in m["files"]:
+        if r not in rows:
+            return None
+        b = _bucket_id_of(r)
+        if b is not None:
+            out[b] = out.get(b, 0) + rows[r]
+    return out
+
+
+def _max_bucket_rows(table_dir: str, version: int | None = None) -> int | None:
+    by_b = _bucket_rows(table_dir, version)
+    return max(by_b.values()) if by_b else None
+
+
+_HYBRID_SUBSETS: dict[tuple, str] = {}
+
+
+def _subset_bucketed(
+    spark: SparkSession, table_dir: str, version: int | None, drop: frozenset
+) -> DataFrame:
+    """The version read as a bucketed table MINUS the given bucket ids:
+    the kept files hard-linked into a process-scoped dir (links die
+    with the process — never under the table's data/, so vacuum
+    accounting is untouched) and registered with the same CLUSTERED BY
+    spec. Spark treats an absent bucket id exactly like a bucket whose
+    write produced no rows, so the subset scan keeps the full
+    partitioning guarantee."""
+    if version is None:
+        version = snap.latest_version(table_dir)
+    m = snap.read_manifest(table_dir, version)
+    spec = m["bucket_spec"]
+    key = (os.path.abspath(table_dir), version, drop)
+    loc = _HYBRID_SUBSETS.get(key)
+    if loc is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        loc = tempfile.mkdtemp(prefix="rbrs_hybrid_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        for rel in m["files"]:
+            if _bucket_id_of(rel) in drop:
+                continue
+            src = os.path.join(table_dir, rel)
+            dst = os.path.join(loc, os.path.basename(rel))
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copyfile(src, dst)
+        _HYBRID_SUBSETS[key] = loc
+    name = f"rbrs_hyb_{hashlib.md5(loc.encode()).hexdigest()[:12]}"
+    if not spark.catalog.tableExists(name):
+        struct = StructType.fromJson(json.loads(m["schema_json"]))
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in struct.fields
+        )
+        cols = ", ".join(f"`{c}`" for c in spec["cols"])
+        sorted_cols = ", ".join(f"`{c}`" for c in spec.get("sorted", spec["cols"]))
+        spark.sql(
+            f"CREATE TABLE `{name}` ({ddl}) USING parquet "
+            f"CLUSTERED BY ({cols}) SORTED BY ({sorted_cols}) "
+            f"INTO {int(spec['n'])} BUCKETS LOCATION '{loc}'"
+        )
+    return spark.table(name)
+
+
+def _bucket_files_plain(
+    spark: SparkSession, table_dir: str, version: int | None, buckets: frozenset
+) -> DataFrame:
+    """ONLY the given buckets' files, read as plain (splittable,
+    partitioning-unreported) parquet — the hot side of a hybrid join."""
+    if version is None:
+        version = snap.latest_version(table_dir)
+    m = snap.read_manifest(table_dir, version)
+    struct = StructType.fromJson(json.loads(m["schema_json"]))
+    paths = [
+        os.path.join(table_dir, r)
+        for r in m["files"]
+        if _bucket_id_of(r) in buckets
+    ]
+    if not paths:
+        return spark.createDataFrame([], struct)
+    return spark.read.schema(struct).parquet(*paths)
 
 
 _BUCKET_ID_RE = None

@@ -269,7 +269,10 @@ def time_spj_skew(data_dir: str) -> dict:
     legs: dict[str, dict] = {}
     for label, kw in (
         ("spj_hot_bucket", {}),
-        ("spj_skew_fallback", {"skew_fallback_rows": threshold}),
+        ("spj_skew_fallback", {"skew_fallback_rows": threshold, "skew_mode": "fallback"}),
+        # bucket-subset split: cold buckets stay exchange-free, only the
+        # hot bucket's files shuffle (AQE splits that one partition)
+        ("spj_hybrid", {"skew_fallback_rows": threshold, "skew_mode": "hybrid"}),
     ):
         before = {s["stageId"] for s in _rest(spark, "/stages")}
         df = q(**kw)

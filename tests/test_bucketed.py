@@ -550,7 +550,9 @@ def test_skew_fallback_reverts_to_shuffle_join(spark, no_broadcast):
     assert bkt._max_bucket_rows(ta) >= 3000
     spj = bkt.storage_partitioned_join(spark, ta, tb, "k")
     assert count_exchanges(spj) == 0
-    fb = bkt.storage_partitioned_join(spark, ta, tb, "k", skew_fallback_rows=1000)
+    fb = bkt.storage_partitioned_join(
+        spark, ta, tb, "k", skew_fallback_rows=1000, skew_mode="fallback"
+    )
     assert count_exchanges(fb) > 0  # shuffle join: AQE can split it
     assert sorted(map(tuple, fb.collect())) == sorted(map(tuple, spj.collect()))
     # threshold above the hot bucket: stays exchange-free
@@ -558,6 +560,28 @@ def test_skew_fallback_reverts_to_shuffle_join(spark, no_broadcast):
         spark, ta, tb, "k", skew_fallback_rows=10_000
     )
     assert count_exchanges(keep) == 0
+    # hybrid (default mode): cold buckets keep the exchange-free SMJ
+    # through a subset registration, ONLY the hot bucket's files
+    # shuffle, and the union matches the plain SPJ row-for-row
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    hy = bkt.storage_partitioned_join(spark, ta, tb, "k", skew_fallback_rows=1000)
+    plan = formatted_plan(hy)
+    assert "rbrs_hyb_" in plan, plan[:2000]  # cold-subset catalog scan
+    assert "Union" in plan
+    hy_rows = sorted(map(tuple, hy.collect()))
+    assert hy_rows == sorted(map(tuple, spj.collect()))
+    # hot rows really are in the result (key 7 = the hot key; the join
+    # keeps k from both sides, so count on the collected tuples)
+    assert sum(1 for r in hy_rows if r[0] == 7) == 3000
+    # semi-join through the hybrid split is exact too
+    semi_plain = bkt.storage_partitioned_join(spark, ta, tb, "k", how="left_semi")
+    semi_hy = bkt.storage_partitioned_join(
+        spark, ta, tb, "k", how="left_semi", skew_fallback_rows=1000
+    )
+    assert sorted(map(tuple, semi_hy.collect())) == sorted(
+        map(tuple, semi_plain.collect())
+    )
 
 
 def test_layout_override_routes_t_reads(spark, no_broadcast):
