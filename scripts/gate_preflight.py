@@ -40,10 +40,15 @@ def main() -> int:
 
     from ray_beam_runner_spark.plans.differential import compare
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
     queries = mod.queries()
     oracles = mod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name in list(queries)[:50]:
         t0 = time.time()
         try:
@@ -55,8 +60,17 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
         print(f"[{'PASS' if ok else 'FAIL'}] {name:28s} {time.time() - t0:6.2f}s  {msg}")
+        # msg carries the differing columns + both sides' values on a
+        # mismatch (round-13 verdict ask 1c) — persist it so a red row
+        # is diagnosable from the artifact alone
+        results[name] = {"ok": ok, "sec": round(time.time() - t0, 2), "msg": msg}
         failures += 0 if ok else 1
     print(f"\ngate pre-flight: 50 queries, {failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     return 1 if failures else 0
 
 
