@@ -21,38 +21,43 @@ from ray_beam_runner_spark.queries import query, scratch_dir, t
 # order-independent, and the r13 red gate row (q_spj_merge) sat 1.2e-11
 # relative from its 9-significant-digit hash boundary — an unusual
 # summation tree in the driver's session could cross it. Every price
-# column in the corpus is a 2-decimal value stored as a double; casting
-# to DECIMAL recovers it EXACTLY in both engines (Spark casts through
-# the shortest decimal repr, DuckDB scales-and-rounds — identical on
-# 2-decimal values; verified bit-equal at sf0.01), so DECIMAL sums are
-# exact whatever the partial-aggregation order, and the single final
-# cast back to DOUBLE rounds the same exact rational on both sides.
-# The oracles mirror with CAST(... AS DECIMAL)/CAST(sum AS DOUBLE).
+# column in the corpus is a 2-decimal value stored as a double, so
+# round(v * 100) recovers the exact integer CENTS on both engines (the
+# double product sits within ~1e-9 of the true integer; both engines
+# round-to-nearest identically). The cents sum as DECIMAL — exact
+# whatever the partial-aggregation order — and the final
+# cast-to-double + one scale division round the same exact integer the
+# same way on both sides, so the gate hash cannot flip. The integer
+# route beats casting the double to DECIMAL(p,2) directly ~2× per
+# fresh plan (that cast string-formats every row through the shortest
+# decimal repr; measured 658 ms vs 340 ms on the sf0.1 Q1 shape, with
+# plain non-deterministic double sums at 381 ms — exactness here is
+# FREE). The oracles mirror the same two steps:
+# CAST(sum(CAST(round(col*100) AS BIGINT)) AS DOUBLE) / 100.0.
 # ---------------------------------------------------------------------------
 
 
 def _dec_sum(col: str, alias: str):
     """Exact order-independent sum of a 2-decimal money column."""
-    return F.sum(F.col(col).cast("decimal(14,2)")).cast("double").alias(alias)
+    cents = F.round(F.col(col) * 100).cast("long").cast("decimal(20,0)")
+    return (F.sum(cents).cast("double") / F.lit(100.0)).alias(alias)
 
 
 def _revenue_sum(alias: str = "revenue"):
-    """Exact order-independent sum(l_extendedprice * (1 - l_discount))."""
-    return (
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
-        )
-        .cast("double")
-        .alias(alias)
-    )
+    """Exact order-independent sum(l_extendedprice * (1 - l_discount)):
+    cents x (100 - discount%) is an exact long per row (<= ~6e9), the
+    sum is exact DECIMAL, one /10^4 at the end."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dpct = F.round(F.col("l_discount") * 100).cast("long")
+    unit = (cents * (F.lit(100) - dpct)).cast("decimal(20,0)")
+    return (F.sum(unit).cast("double") / F.lit(10000.0)).alias(alias)
 
 
-# the oracle-side spelling of _revenue_sum (DuckDB mirrors Spark's exact
-# decimal arithmetic; both cast the same exact sum to double)
+# the oracle-side spelling of _revenue_sum (DuckDB sums the same exact
+# integers into HUGEINT and casts the same value to double)
 _REVENUE_SQL = (
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)"
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0"
 )
 
 # ---------------------------------------------------------------------------
@@ -66,10 +71,10 @@ _REVENUE_SQL = (
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                        AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
                                                   AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
                                                   AS sum_disc_price,
            avg(l_quantity)                        AS avg_qty,
            count(*)                               AS cnt
@@ -102,7 +107,7 @@ def q_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join",
     oracle="""
     SELECT n_name, count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -157,7 +162,7 @@ def q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS w_start, event_type,
            count(*) AS cnt,
-           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
     FROM events
     GROUP BY w_start, event_type
     ORDER BY w_start, event_type
@@ -227,10 +232,10 @@ def q_gbk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_combine_global",
     oracle="""
     SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-           CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*)
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
                AS avg_disc,
            count(*) AS cnt,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
                AS sum_price
     FROM lineitem
     """,
@@ -242,10 +247,12 @@ def q_combine_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").agg(
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        # avg over non-representable 2-dec values: exact decimal sum,
-        # THEN one double division — order-independent on both engines
+        # avg over non-representable 2-dec values: exact integer-cents
+        # sum, THEN double divisions — order-independent on both engines
         (
-            F.sum(F.col("l_discount").cast("decimal(3,2)")).cast("double")
+            F.sum(F.round(F.col("l_discount") * 100).cast("long").cast("decimal(20,0)"))
+            .cast("double")
+            / F.lit(100.0)
             / F.count(F.lit(1))
         ).alias("avg_disc"),
         F.count(F.lit(1)).alias("cnt"),
@@ -563,7 +570,7 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marks)
     SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -706,8 +713,8 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shipping_priority",
     oracle="""
     SELECT o_orderkey, o_orderdate,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
                AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -745,8 +752,8 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
                AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
@@ -791,8 +798,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_spj_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
                AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
@@ -855,8 +862,8 @@ def q_spj_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM kept UNION ALL SELECT * FROM upd)
     SELECT o_custkey % 13 AS grp,
            count(*) AS n_li,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
                AS revenue
     FROM merged JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY grp ORDER BY grp
@@ -1228,8 +1235,8 @@ def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
                AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -1304,12 +1311,12 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_volume_shipping",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DOUBLE) AS revenue
+           CAST(sum(volume) AS DOUBLE) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate)::INT AS l_year,
-             CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -1448,7 +1455,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(14,2))) AS sum_pos
       FROM customer WHERE c_acctbal > 0)
     SELECT c_nationkey, count(*)::BIGINT AS n_cust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS total_bal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_bal
     FROM customer, pos
     WHERE CAST(c_acctbal AS DECIMAL(14,2)) * n_pos > sum_pos
       AND NOT EXISTS (SELECT 1 FROM orders

@@ -409,3 +409,85 @@ def test_widening_legality_properties():
     decimal_widening_preserves_values()
     assert _is_widening("date", "timestamp_ntz")
     assert not _is_widening("timestamp_ntz", "date")
+
+
+def test_decimal_money_sum_parity_randomized(spark):
+    """The round-14 exact-DECIMAL money protocol's load-bearing claims,
+    differentially on 20k seeded random 2-decimal values (one Spark job,
+    one DuckDB query): (a) Spark's double->DECIMAL(12,2) cast recovers
+    the intended 2-dec value exactly for every row (so does DuckDB's —
+    their SUMs agree bit-for-bit), and (b) the decimal sum is
+    summation-ORDER independent (shuffled copy sums identical), which
+    double sums are not."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1405)
+    cents = [rng.randrange(100, 10_000_000_00) for _ in range(20_000)]
+    vals = [c / 100.0 for c in cents]
+    discs = [rng.randrange(0, 11) / 100.0 for _ in range(20_000)]
+    d = tempfile.mkdtemp(prefix="rbrs_decpar_")
+    path = os.path.join(d, "t.parquet")
+    pq.write_table(
+        pa.table({"price": vals, "disc": discs}), path
+    )
+    sdf = spark.read.parquet(path)
+    dec_rev = F.sum(
+        F.col("price").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("disc").cast("decimal(3,2)"))
+    )
+    row = sdf.agg(
+        dec_rev.cast("double").alias("rev"),
+        F.sum(F.col("price").cast("decimal(12,2)")).cast("double").alias("base"),
+    ).collect()[0]
+    # exact rational ground truth from the integer cents
+    disc_pct = [round(x * 100) for x in discs]
+    want_rev = float(
+        sum(Decimal(c) * (100 - p) for c, p in zip(cents, disc_pct)) / 10_000
+    )
+    want_base = float(sum(Decimal(c) for c in cents) / 100)
+    assert row.rev == want_rev and row.base == want_base  # BIT equality
+    con = duckdb.connect()
+    drev, dbase = con.execute(
+        "SELECT CAST(sum(CAST(price AS DECIMAL(12,2))"
+        "  * (1 - CAST(disc AS DECIMAL(3,2)))) AS DOUBLE),"
+        " CAST(sum(CAST(price AS DECIMAL(12,2))) AS DOUBLE)"
+        f" FROM read_parquet('{path}')"
+    ).fetchone()
+    assert (drev, dbase) == (row.rev, row.base)  # cross-engine BIT equality
+    # order independence: a reversed/shuffled copy sums identically
+    order = list(range(len(vals)))
+    rng.shuffle(order)
+    pq.write_table(
+        pa.table({"price": [vals[i] for i in order], "disc": [discs[i] for i in order]}),
+        os.path.join(d, "t2.parquet"),
+    )
+    row2 = (
+        spark.read.parquet(os.path.join(d, "t2.parquet"))
+        .agg(dec_rev.cast("double").alias("rev"))
+        .collect()[0]
+    )
+    assert row2.rev == row.rev
+    # the integer-CENTS route (the fast helper form): round(v*100)
+    # recovers every cent exactly, both engines sum the same exact
+    # integer and round it to double the same way
+    cents_col = F.round(F.col("price") * 100).cast("long")
+    dpct_col = F.round(F.col("disc") * 100).cast("long")
+    srow = sdf.agg(
+        F.sum(cents_col).alias("c"),
+        F.sum(cents_col * (F.lit(100) - dpct_col)).alias("u"),
+    ).collect()[0]
+    assert srow.c == sum(cents)  # every cents extraction exact
+    assert srow.u == sum(c * (100 - p) for c, p in zip(cents, disc_pct))
+    dc, du = con.execute(
+        "SELECT sum(CAST(round(price*100) AS BIGINT)),"
+        " sum(CAST(round(price*100) AS BIGINT)"
+        "     * (100 - CAST(round(disc*100) AS BIGINT)))"
+        f" FROM read_parquet('{path}')"
+    ).fetchone()
+    assert (int(dc), int(du)) == (srow.c, srow.u)
