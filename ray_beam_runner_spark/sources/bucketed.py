@@ -299,6 +299,14 @@ def storage_partitioned_join(
     needs 1:1 bucket alignment); differing-but-divisible counts get
     "fallback" behavior instead."""
     on_cols = [on] if isinstance(on, str) else list(on)
+    # pin BOTH versions up front: every later read (spec validation,
+    # skew accounting, cold subset, hot files, the scans themselves)
+    # must see the same version per side — a concurrent merge committing
+    # mid-call must not split one join across two table states
+    if left_version is None:
+        left_version = snap.latest_version(left_dir)
+    if right_version is None:
+        right_version = snap.latest_version(right_dir)
     sl = bucket_spec(left_dir, version=left_version)
     sr = bucket_spec(right_dir, version=right_version)
     for side, s in (("left", sl), ("right", sr)):
