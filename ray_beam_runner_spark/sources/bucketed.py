@@ -278,7 +278,10 @@ def storage_partitioned_join(
     bucket on either side exceeds this row count (per the manifests'
     ``file_rows``; unknown counts never trigger), ``skew_mode`` picks
     the remedy. Same rows either way; pick the threshold as a small
-    multiple of the expected rows-per-bucket (e.g. 10x).
+    multiple of the expected rows-per-bucket (e.g. 10x), or pass
+    ``"auto"``: each side flags buckets above 4x ITS OWN mean
+    rows-per-bucket — no caller-side statistics needed, and a uniform
+    table never trips it.
 
     ``skew_mode="hybrid"`` (default): bucket b only ever joins bucket
     b, so the join SPLITS by bucket subset exactly — the COLD buckets
@@ -376,10 +379,20 @@ def storage_partitioned_join(
     if skew_fallback_rows is not None:
         if skew_mode not in ("hybrid", "fallback"):
             raise ValueError(f"skew_mode must be 'hybrid' or 'fallback', got {skew_mode!r}")
+        if skew_fallback_rows != "auto" and not isinstance(skew_fallback_rows, int):
+            raise ValueError(
+                "skew_fallback_rows must be an int row count or 'auto',"
+                f" got {skew_fallback_rows!r}"
+            )
         for d, v in ((left_dir, left_version), (right_dir, right_version)):
             by_b = _bucket_rows(d, v)
             if by_b:
-                hot |= {b for b, r in by_b.items() if r > skew_fallback_rows}
+                thr = (
+                    4 * sum(by_b.values()) // max(len(by_b), 1)
+                    if skew_fallback_rows == "auto"
+                    else skew_fallback_rows
+                )
+                hot |= {b for b, r in by_b.items() if r > thr}
     if hot and skew_mode == "hybrid" and sl["n"] == sr["n"]:
         # bucket-subset split (see the docstring): cold buckets keep the
         # exchange-free plan, only the hot buckets' files shuffle

@@ -615,3 +615,35 @@ def test_layout_override_routes_t_reads(spark, no_broadcast):
     back = Q.t(spark, sf, "orders")
     agg2 = back.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     assert count_exchanges(agg2) == 1  # plain scan shuffles again
+
+
+def test_skew_fallback_auto_threshold(spark, no_broadcast):
+    """skew_fallback_rows="auto": each side flags buckets above 4x its
+    own mean rows-per-bucket from the manifest — the hot table trips it
+    (hybrid plan: subset scan + union), a uniform table never does."""
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    ta, tb = _tdir(), _tdir()
+    hot = spark.range(0, 3000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    rest = spark.range(0, 1000).select(
+        (F.col("id") + 100).alias("k"), F.col("id").alias("v")
+    )
+    bkt.write_bucketed(hot.unionByName(rest), ta, ["k"], 8)
+    bkt.write_bucketed(
+        spark.range(0, 1200).select(F.col("id").alias("k"), F.lit(1).alias("w")),
+        tb, ["k"], 8,
+    )
+    auto = bkt.storage_partitioned_join(spark, ta, tb, "k", skew_fallback_rows="auto")
+    assert "Union" in formatted_plan(auto)  # the hybrid split engaged
+    plain = bkt.storage_partitioned_join(spark, ta, tb, "k")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
+    # two uniform tables: auto never trips, plan stays exchange-free
+    tc, td = _tdir(), _tdir()
+    bkt.write_bucketed(_facts(spark, 2000, seed=1), tc, ["k"], 8)
+    bkt.write_bucketed(
+        _facts(spark, 2000, seed=2).withColumnRenamed("v", "w"), td, ["k"], 8
+    )
+    uni = bkt.storage_partitioned_join(spark, tc, td, "k", skew_fallback_rows="auto")
+    assert count_exchanges(uni) == 0
+    with pytest.raises(ValueError, match="auto"):
+        bkt.storage_partitioned_join(spark, tc, td, "k", skew_fallback_rows="4x")
