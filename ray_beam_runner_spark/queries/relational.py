@@ -17,40 +17,77 @@ from pyspark.sql import functions as F
 from ray_beam_runner_spark.queries import query, scratch_dir, t
 
 # ---------------------------------------------------------------------------
-# Exact money arithmetic (round-13 verdict ask 1b). SUM(double) is not
-# order-independent, and the r13 red gate row (q_spj_merge) sat 1.2e-11
-# relative from its 9-significant-digit hash boundary — an unusual
-# summation tree in the driver's session could cross it. Every price
-# column in the corpus is a 2-decimal value stored as a double, so
-# round(v * 100) recovers the exact integer CENTS on both engines (the
-# double product sits within ~1e-9 of the true integer; both engines
-# round-to-nearest identically). The cents sum as DECIMAL — exact
-# whatever the partial-aggregation order — and the final
-# cast-to-double + one scale division round the same exact integer the
-# same way on both sides, so the gate hash cannot flip. The integer
-# route beats casting the double to DECIMAL(p,2) directly ~2× per
-# fresh plan (that cast string-formats every row through the shortest
-# decimal repr; measured 658 ms vs 340 ms on the sf0.1 Q1 shape, with
-# plain non-deterministic double sums at 381 ms — exactness here is
-# FREE). The oracles mirror the same two steps:
+# Exact money arithmetic (round-13 verdict ask 1b; re-tuned round 15).
+# SUM(double) is not order-independent, and the r13 red gate row
+# (q_spj_merge) sat 1.2e-11 relative from its 9-significant-digit hash
+# boundary — an unusual summation tree in the driver's session could
+# cross it. Every price column in the corpus is a 2-decimal value
+# stored as a double, so its integer CENTS are recoverable exactly on
+# both engines (the double product sits within ~1e-9 of the true
+# integer — never at an exact .5 — so ANY round-to-nearest agrees).
+#
+# The round-14 spelling summed per-row DECIMAL(20,0) cents. Exact, but
+# measured ~66% slower than plain double sums on the sf0.1 Q1 shape:
+# phase-split profiling (scripts/profile_cents*.py, r15) showed the
+# cost is EXECUTION, not plan compile (janino codegen-cache hits — 0
+# recompiles across fresh plans): (a) Spark's Round-on-double goes
+# through BigDecimal.setScale per row, and (b) a >18-digit decimal
+# aggregation buffer disqualifies the codegen'd fast hash map. Both
+# are avoided without giving up exactness:
+#   * cents = floor(v*100 + 0.5): same integer as round() under the
+#     near-integer contract above (both signs — floor(n±1e-9+0.5)=n),
+#     pure double math + one cast, no BigDecimal;
+#   * the sum splits into TWO overflow-proof LONG sums,
+#     hi = cents >> 15 and lo = cents & 32767 (two's complement
+#     identity x == (x>>15)*2^15 + (x&32767) for all signed x), each
+#     a primitive long accumulator the vectorized hash map takes;
+#   * the exact total rebuilds as DECIMAL(20,0) on the FINAL handful
+#     of group rows: hi_sum*2^15 + lo_sum, then one cast-to-double +
+#     scale division — the same exact integer, rounded the same way,
+#     on both engines, so the gate hash cannot flip.
+# Overflow headroom: per-row hi <= max_unit/2^15 (~3.1e4 for revenue
+# units <= 1e9, ~1.5e3 for cents <= 5e7), lo < 2^15; a single group
+# can therefore hold ~2^63/3.3e4 ≈ 2.8e14 rows before either long sum
+# wraps — ~500x a 100 TB TPC-H lineitem. Measured on the sf0.1 Q1
+# shape (min fresh-call, isolated): double 0.25-0.31 s, r14 decimal
+# cents 0.37-0.50 s, this split-long form 0.27 s — exactness back to
+# double-sum cost. The oracles keep DuckDB's native spelling
+# (HUGEINT sum of the same integers):
 # CAST(sum(CAST(round(col*100) AS BIGINT)) AS DOUBLE) / 100.0.
 # ---------------------------------------------------------------------------
+
+_SPLIT_BITS = 15
+_SPLIT = 1 << _SPLIT_BITS
+_SPLIT_MASK = _SPLIT - 1
+
+
+def _cents(col: str):
+    """Exact integer cents of a 2-decimal money double, as a LONG
+    (floor(x+0.5) == round-to-nearest under the near-integer contract;
+    avoids Round-on-double's per-row BigDecimal path)."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5))
+
+
+def _split_sum(unit, scale_div: float, alias: str):
+    """Exact order-independent SUM of an integer-long column as two
+    primitive long sums (hi/lo split), recombined into DECIMAL(20,0)
+    on the final group rows and scaled back to a double."""
+    hi = F.sum(F.shiftright(unit, _SPLIT_BITS)).cast("decimal(20,0)")
+    lo = F.sum(unit.bitwiseAND(F.lit(_SPLIT_MASK))).cast("decimal(20,0)")
+    return ((hi * _SPLIT + lo).cast("double") / F.lit(scale_div)).alias(alias)
 
 
 def _dec_sum(col: str, alias: str):
     """Exact order-independent sum of a 2-decimal money column."""
-    cents = F.round(F.col(col) * 100).cast("long").cast("decimal(20,0)")
-    return (F.sum(cents).cast("double") / F.lit(100.0)).alias(alias)
+    return _split_sum(_cents(col), 100.0, alias)
 
 
 def _revenue_sum(alias: str = "revenue"):
     """Exact order-independent sum(l_extendedprice * (1 - l_discount)):
-    cents x (100 - discount%) is an exact long per row (<= ~6e9), the
-    sum is exact DECIMAL, one /10^4 at the end."""
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    dpct = F.round(F.col("l_discount") * 100).cast("long")
-    unit = (cents * (F.lit(100) - dpct)).cast("decimal(20,0)")
-    return (F.sum(unit).cast("double") / F.lit(10000.0)).alias(alias)
+    cents x (100 - discount%) is an exact long per row (<= ~1e9), split
+    hi/lo-summed, one /10^4 at the end."""
+    unit = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    return _split_sum(unit, 10000.0, alias)
 
 
 # the oracle-side spelling of _revenue_sum (DuckDB sums the same exact
@@ -248,10 +285,14 @@ def q_combine_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
         # avg over non-representable 2-dec values: exact integer-cents
-        # sum, THEN double divisions — order-independent on both engines
+        # sum (split-long form, see _split_sum), THEN double divisions —
+        # order-independent on both engines
         (
-            F.sum(F.round(F.col("l_discount") * 100).cast("long").cast("decimal(20,0)"))
-            .cast("double")
+            (
+                F.sum(F.shiftright(_cents("l_discount"), _SPLIT_BITS)).cast("decimal(20,0)")
+                * _SPLIT
+                + F.sum(_cents("l_discount").bitwiseAND(F.lit(_SPLIT_MASK))).cast("decimal(20,0)")
+            ).cast("double")
             / F.lit(100.0)
             / F.count(F.lit(1))
         ).alias("avg_disc"),

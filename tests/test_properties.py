@@ -491,3 +491,100 @@ def test_decimal_money_sum_parity_randomized(spark):
         f" FROM read_parquet('{path}')"
     ).fetchone()
     assert (int(dc), int(du)) == (srow.c, srow.u)
+
+
+def test_split_long_money_sum_exact_randomized(spark):
+    """The round-15 split-LONG money helpers (_cents/_split_sum in
+    queries/relational.py): on 20k seeded random 2-decimal values —
+    including NEGATIVE money (acctbal-like) — the helpers' result is
+    bit-identical to the exact Decimal ground truth AND to DuckDB's
+    round()-based HUGEINT oracle spelling, and summation order never
+    matters. Pins the two load-bearing identities:
+      * floor(x*100 + 0.5) == round-to-nearest for near-integer x of
+        either sign;
+      * x == (x >> 15)*2^15 + (x & 32767) for all signed longs, so the
+        two primitive long sums recombine to the exact total."""
+    import os
+    import random
+    import tempfile
+    from decimal import Decimal
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ray_beam_runner_spark.queries.relational import (
+        _cents,
+        _dec_sum,
+        _revenue_sum,
+    )
+
+    rng = random.Random(1501)
+    # prices positive (lineitem-like), bal signed (acctbal-like)
+    price_c = [rng.randrange(100, 10_000_000_00) for _ in range(20_000)]
+    bal_c = [rng.randrange(-99_999, 999_999_99) for _ in range(20_000)]
+    disc_pct = [rng.randrange(0, 11) for _ in range(20_000)]
+    d = tempfile.mkdtemp(prefix="rbrs_splitsum_")
+    path = os.path.join(d, "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "l_extendedprice": [c / 100.0 for c in price_c],
+                "l_discount": [p / 100.0 for p in disc_pct],
+                "bal": [c / 100.0 for c in bal_c],
+            }
+        ),
+        path,
+    )
+    sdf = spark.read.parquet(path)
+    # per-row cents extraction exact for BOTH signs
+    n_bad = sdf.filter(
+        (_cents("l_extendedprice") != F.round(F.col("l_extendedprice") * 100))
+        | (_cents("bal") != F.round(F.col("bal") * 100))
+    ).count()
+    assert n_bad == 0
+    row = sdf.agg(
+        _dec_sum("l_extendedprice", "base"),
+        _dec_sum("bal", "balsum"),
+        _revenue_sum("rev"),
+    ).collect()[0]
+    want_base = float(Decimal(sum(price_c)) / 100)
+    want_bal = float(Decimal(sum(bal_c)) / 100)
+    want_rev = float(
+        Decimal(sum(c * (100 - p) for c, p in zip(price_c, disc_pct))) / 10_000
+    )
+    assert (row.base, row.balsum, row.rev) == (want_base, want_bal, want_rev)
+    # cross-engine bit equality with the oracle spelling
+    con = duckdb.connect()
+    db, dbal, dr = con.execute(
+        "SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0,"
+        " CAST(sum(CAST(round(bal*100) AS BIGINT)) AS DOUBLE)/100.0,"
+        " CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+        "     * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0"
+        f" FROM read_parquet('{path}')"
+    ).fetchone()
+    assert (db, dbal, dr) == (row.base, row.balsum, row.rev)
+    # order independence: a shuffled copy sums bit-identically
+    order = list(range(len(price_c)))
+    rng.shuffle(order)
+    pq.write_table(
+        pa.table(
+            {
+                "l_extendedprice": [price_c[i] / 100.0 for i in order],
+                "l_discount": [disc_pct[i] / 100.0 for i in order],
+                "bal": [bal_c[i] / 100.0 for i in order],
+            }
+        ),
+        os.path.join(d, "t2.parquet"),
+    )
+    row2 = (
+        spark.read.parquet(os.path.join(d, "t2.parquet"))
+        .agg(
+            _dec_sum("l_extendedprice", "base"),
+            _dec_sum("bal", "balsum"),
+            _revenue_sum("rev"),
+        )
+        .collect()[0]
+    )
+    assert tuple(row2) == tuple(row)
