@@ -84,3 +84,38 @@ def count_exchanges(df: DataFrame) -> int:
     reused exchanges excluded."""
     plan = formatted_plan(df)
     return len(_re.findall(r"\(\d+\) Exchange$", plan, flags=_re.MULTILINE))
+
+
+def optimized_logical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+
+
+def shuffle_key_columns(df: DataFrame) -> set[str]:
+    """Column names that participate in the plan's repartitioning
+    operators — Join conditions, Aggregate grouping expressions, Window
+    partition specs — read from the OPTIMIZED logical plan (post
+    pushdown/pruning/decorrelation, pre physical planning, so the
+    answer is the same whatever layout the tables were scanned from).
+
+    This is the signal shape-aware layout routing keys on
+    (queries.route_query): a table's bucketed layout only pays off when
+    the query joins or aggregates on the bucket column; a scan-bound
+    query over the same table LOSES row-group pruning to the
+    hash-scattered layout (BASELINE.md §17). Heuristic by design:
+    an aliased/derived key column won't match (routes plain — the safe
+    direction), and a grouping on an EXPRESSION of the key matches
+    even though bucketing can't serve it (routes bucketed — the cost
+    is one scan trade, never correctness)."""
+    cols: set[str] = set()
+    for ln in optimized_logical_plan(df).splitlines():
+        s = ln.lstrip(" +-:|")
+        if s.startswith("Join "):
+            frag = s  # head line carries only type + condition
+        elif s.startswith("Aggregate ["):
+            frag = s[len("Aggregate ") :].split("]", 1)[0]  # grouping list
+        elif s.startswith("Window ["):
+            frag = s  # partition spec is inside windowspecdefinition(...)
+        else:
+            continue
+        cols.update(_re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", frag))
+    return cols

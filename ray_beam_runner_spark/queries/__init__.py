@@ -54,24 +54,90 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
-# Storage-layout routing (round-14): map (sf_dir, table) -> a BUCKETED
-# snapshot table dir. When registered, t() serves the table through
-# read_bucketed, whose scan REPORTS its HashPartitioning — every query
-# in the registry then plans its joins/aggregates on that key without
-# an exchange, with zero per-query changes. This is the deployment
-# story: a 100 TB cluster buckets lineitem/orders ONCE (one layout per
-# table — orders cannot co-locate on two keys at once) and routes every
-# orderkey join through the layout. bench_tpch_scaling's routed leg
-# uses this; gates/sweeps run with no registrations.
-LAYOUTS: dict[tuple[str, str], str] = {}
+# Storage-layout routing (round-14, SHAPE-AWARE since round-15): map
+# (sf_dir, table) -> one or more BUCKETED snapshot table dirs. When
+# registered, t() can serve the table through read_bucketed, whose scan
+# REPORTS its HashPartitioning — a query then plans its joins/
+# aggregates on that key without an exchange, with zero per-query
+# changes. This is the deployment story: a 100 TB cluster buckets
+# lineitem/orders ONCE and routes every orderkey join through the
+# layout; a custkey-heavy workload adds a SECONDARY orders layout
+# bucketed on o_custkey (Iceberg's second-sort-order pattern — a
+# deliberate storage x2 the registration makes explicit).
+#
+# Round-14 routing was all-or-nothing per table: once registered,
+# EVERY query read the bucketed dir, including scan-bound shapes that
+# get no join benefit and LOSE row-group pruning to hash-scattered
+# keys (measured: q_priority_counts 9.0x -> 10.8x vs DuckDB routed,
+# BASELINE.md §17). route_query() is the shape-aware entry: it builds
+# the plain plan first, reads WHICH columns the plan shuffles on
+# (plans.explain.shuffle_key_columns — join conditions, grouping keys,
+# window partitions), and rebuilds through the layouts whose bucket
+# keys the plan actually uses — per table, per query, picking among
+# multiple layouts of one table by key match. bench_tpch_scaling's
+# routed leg uses this; gates/sweeps run with no registrations.
+LAYOUTS: dict[tuple[str, str], list[str]] = {}
+
+# thread-local routing context: None -> legacy behavior (first
+# registered layout serves every read); a dict -> ONLY the selected
+# (sf_dir, table) entries read bucketed, everything else plain. An
+# EMPTY dict is how route_query builds its plain probe plan.
+import threading as _threading
+
+_ROUTE_CTX = _threading.local()
 
 
 def register_layout(sf_dir: str, table: str, table_dir: str) -> None:
-    LAYOUTS[(os.path.abspath(sf_dir), table)] = table_dir
+    LAYOUTS.setdefault((os.path.abspath(sf_dir), table), []).append(table_dir)
 
 
 def clear_layouts() -> None:
     LAYOUTS.clear()
+
+
+def _layout_for(sf_abs: str, table: str) -> str | None:
+    sel = getattr(_ROUTE_CTX, "selection", None)
+    if sel is not None:
+        return sel.get((sf_abs, table))
+    dirs = LAYOUTS.get((sf_abs, table))
+    return dirs[0] if dirs else None
+
+
+def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shape-aware layout routing: run QUERIES[name], serving each
+    registered table through the bucketed layout whose bucket key the
+    query's own optimized plan joins/aggregates on — plain parquet
+    otherwise. Builds the plan twice when a layout matches (probe +
+    routed); plan-build cost is noise next to the exchange it saves,
+    and a no-match query returns the probe plan unchanged."""
+    fn = QUERIES[name]
+    sf_abs = os.path.abspath(sf_dir)
+    tables = {tb: ds for (sd, tb), ds in LAYOUTS.items() if sd == sf_abs}
+    if not tables:
+        return fn(spark, sf_dir)
+    _ROUTE_CTX.selection = {}
+    try:
+        plain = fn(spark, sf_dir)
+    finally:
+        _ROUTE_CTX.selection = None
+    from ray_beam_runner_spark.plans.explain import shuffle_key_columns
+    from ray_beam_runner_spark.sources.bucketed import bucket_spec
+
+    keys_used = shuffle_key_columns(plain)
+    selection: dict[tuple[str, str], str] = {}
+    for tb, dirs in tables.items():
+        for d in dirs:
+            spec = bucket_spec(d)
+            if spec and all(c in keys_used for c in spec["cols"]):
+                selection[(sf_abs, tb)] = d
+                break
+    if not selection:
+        return plain
+    _ROUTE_CTX.selection = selection
+    try:
+        return fn(spark, sf_dir)
+    finally:
+        _ROUTE_CTX.selection = None
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -85,10 +151,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     A registered storage layout (``register_layout``) overrides the
     plain parquet read: the table is served through its bucketed
-    snapshot dir, same rows and schema, scan-reported partitioning."""
+    snapshot dir, same rows and schema, scan-reported partitioning.
+    Under route_query's selection context, only the tables the current
+    query's plan shuffles on read bucketed (see route_query)."""
     from ray_beam_runner_spark.session import read_parquet_normalized
 
-    override = LAYOUTS.get((os.path.abspath(sf_dir), name))
+    override = _layout_for(os.path.abspath(sf_dir), name)
     path = override or os.path.join(sf_dir, f"{name}.parquet")
     cache = getattr(spark, "_rbrs_tables", None)
     if cache is None:

@@ -548,8 +548,14 @@ def test_skew_fallback_reverts_to_shuffle_join(spark, no_broadcast):
         tb, ["k"], 8,
     )
     assert bkt._max_bucket_rows(ta) >= 3000
-    spj = bkt.storage_partitioned_join(spark, ta, tb, "k")
+    # None pins the as-is exchange-free plan (the pre-r15 default);
+    # the r15 DEFAULT is "auto", which engages the hybrid split on
+    # this hot table without any caller opt-in
+    spj = bkt.storage_partitioned_join(spark, ta, tb, "k", skew_fallback_rows=None)
     assert count_exchanges(spj) == 0
+    from ray_beam_runner_spark.plans.explain import formatted_plan as _fp
+
+    assert "Union" in _fp(bkt.storage_partitioned_join(spark, ta, tb, "k"))
     fb = bkt.storage_partitioned_join(
         spark, ta, tb, "k", skew_fallback_rows=1000, skew_mode="fallback"
     )
@@ -575,7 +581,9 @@ def test_skew_fallback_reverts_to_shuffle_join(spark, no_broadcast):
     # keeps k from both sides, so count on the collected tuples)
     assert sum(1 for r in hy_rows if r[0] == 7) == 3000
     # semi-join through the hybrid split is exact too
-    semi_plain = bkt.storage_partitioned_join(spark, ta, tb, "k", how="left_semi")
+    semi_plain = bkt.storage_partitioned_join(
+        spark, ta, tb, "k", how="left_semi", skew_fallback_rows=None
+    )
     semi_hy = bkt.storage_partitioned_join(
         spark, ta, tb, "k", how="left_semi", skew_fallback_rows=1000
     )
@@ -635,7 +643,7 @@ def test_skew_fallback_auto_threshold(spark, no_broadcast):
     )
     auto = bkt.storage_partitioned_join(spark, ta, tb, "k", skew_fallback_rows="auto")
     assert "Union" in formatted_plan(auto)  # the hybrid split engaged
-    plain = bkt.storage_partitioned_join(spark, ta, tb, "k")
+    plain = bkt.storage_partitioned_join(spark, ta, tb, "k", skew_fallback_rows=None)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
     # two uniform tables: auto never trips, plan stays exchange-free
     tc, td = _tdir(), _tdir()
@@ -647,3 +655,71 @@ def test_skew_fallback_auto_threshold(spark, no_broadcast):
     assert count_exchanges(uni) == 0
     with pytest.raises(ValueError, match="auto"):
         bkt.storage_partitioned_join(spark, tc, td, "k", skew_fallback_rows="4x")
+    with pytest.raises(ValueError, match="True"):
+        # bool is-an-int in Python; True-as-threshold-1 must not pass
+        bkt.storage_partitioned_join(spark, tc, td, "k", skew_fallback_rows=True)
+
+
+def test_route_query_is_shape_aware(spark, no_broadcast):
+    """queries.route_query (round-15): with layouts registered for
+    lineitem@l_orderkey, orders@o_orderkey AND a secondary
+    orders@o_custkey, the router serves the bucketed read ONLY to
+    queries whose optimized plan joins/aggregates on a bucket key —
+    and picks the matching layout among several for one table:
+      * q_priority_counts (scan-bound orders agg on o_orderpriority)
+        -> plain parquet, NO bucketed scan in the plan;
+      * q_order_exists (orders x lineitem EXISTS on the order key)
+        -> both orderkey layouts, fewer exchanges than plain;
+      * q_order_count_dist (customer x orders on CUSTKEY, TPC-H Q13)
+        -> the SECONDARY custkey layout of orders, not the orderkey one."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import count_exchanges, formatted_plan
+
+    sf = _tdir()
+    for tbl in ("orders", "lineitem", "customer"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{tbl}.parquet",
+            os.path.join(sf, f"{tbl}.parquet"),
+        )
+    li_dir, ord_ok_dir, ord_ck_dir = _tdir(), _tdir(), _tdir()
+    bkt.write_bucketed(Q.t(spark, sf, "lineitem"), li_dir, ["l_orderkey"], 4)
+    bkt.write_bucketed(Q.t(spark, sf, "orders"), ord_ok_dir, ["o_orderkey"], 4)
+    bkt.write_bucketed(Q.t(spark, sf, "orders"), ord_ck_dir, ["o_custkey"], 4)
+    plain_exch = {
+        n: count_exchanges(Q.QUERIES[n](spark, sf))
+        for n in ("q_priority_counts", "q_order_exists", "q_order_count_dist")
+    }
+    Q.register_layout(sf, "lineitem", li_dir)
+    Q.register_layout(sf, "orders", ord_ok_dir)
+    Q.register_layout(sf, "orders", ord_ck_dir)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        # scan-bound query: routed plan IS the plain plan (no bucketed
+        # CATALOG scan — match registration names, not the "rbrs_bkt_"
+        # substring, which also appears in _tdir()'s tmp paths)
+        scan_q = Q.route_query(spark, sf, "q_priority_counts")
+        pl = formatted_plan(scan_q)
+        assert not any(
+            bkt._reg_name(d, 1) in pl for d in (li_dir, ord_ok_dir, ord_ck_dir)
+        )
+        # orderkey join: both fact layouts serve, exchanges drop
+        okj = Q.route_query(spark, sf, "q_order_exists")
+        pl = formatted_plan(okj)
+        assert bkt._reg_name(li_dir, 1) in pl and bkt._reg_name(ord_ok_dir, 1) in pl
+        assert count_exchanges(okj) < plain_exch["q_order_exists"]
+        # custkey join: the SECONDARY orders layout is chosen
+        ckj = Q.route_query(spark, sf, "q_order_count_dist")
+        pl = formatted_plan(ckj)
+        assert bkt._reg_name(ord_ck_dir, 1) in pl
+        assert bkt._reg_name(ord_ok_dir, 1) not in pl
+        assert count_exchanges(ckj) < plain_exch["q_order_count_dist"]
+        # routing never changes results
+        assert sorted(map(tuple, ckj.collect())) == sorted(
+            map(tuple, Q.QUERIES["q_order_count_dist"](spark, sf).collect())
+        )
+    finally:
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
