@@ -87,12 +87,20 @@ import threading as _threading
 _ROUTE_CTX = _threading.local()
 
 
+# route_query's per-(sf_dir, query) layout selection, memoized so
+# repeated calls pay the probe plan once (any registration change
+# invalidates it)
+_ROUTE_MEMO: dict[tuple[str, str], dict[tuple[str, str], str]] = {}
+
+
 def register_layout(sf_dir: str, table: str, table_dir: str) -> None:
     LAYOUTS.setdefault((os.path.abspath(sf_dir), table), []).append(table_dir)
+    _ROUTE_MEMO.clear()
 
 
 def clear_layouts() -> None:
     LAYOUTS.clear()
+    _ROUTE_MEMO.clear()
 
 
 def _layout_for(sf_abs: str, table: str) -> str | None:
@@ -115,24 +123,29 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tables = {tb: ds for (sd, tb), ds in LAYOUTS.items() if sd == sf_abs}
     if not tables:
         return fn(spark, sf_dir)
-    _ROUTE_CTX.selection = {}
-    try:
-        plain = fn(spark, sf_dir)
-    finally:
-        _ROUTE_CTX.selection = None
-    from ray_beam_runner_spark.plans.explain import shuffle_key_columns
-    from ray_beam_runner_spark.sources.bucketed import bucket_spec
+    selection = _ROUTE_MEMO.get((sf_abs, name))
+    if selection is None:
+        _ROUTE_CTX.selection = {}
+        try:
+            plain = fn(spark, sf_dir)
+        finally:
+            _ROUTE_CTX.selection = None
+        from ray_beam_runner_spark.plans.explain import shuffle_key_columns
+        from ray_beam_runner_spark.sources.bucketed import bucket_spec
 
-    keys_used = shuffle_key_columns(plain)
-    selection: dict[tuple[str, str], str] = {}
-    for tb, dirs in tables.items():
-        for d in dirs:
-            spec = bucket_spec(d)
-            if spec and all(c in keys_used for c in spec["cols"]):
-                selection[(sf_abs, tb)] = d
-                break
+        keys_used = shuffle_key_columns(plain)
+        selection = {}
+        for tb, dirs in tables.items():
+            for d in dirs:
+                spec = bucket_spec(d)
+                if spec and all(c in keys_used for c in spec["cols"]):
+                    selection[(sf_abs, tb)] = d
+                    break
+        _ROUTE_MEMO[(sf_abs, name)] = selection
+        if not selection:
+            return plain
     if not selection:
-        return plain
+        return fn(spark, sf_dir)
     _ROUTE_CTX.selection = selection
     try:
         return fn(spark, sf_dir)

@@ -118,21 +118,28 @@ def time_spark(data_dir: str, mult: int) -> dict[str, float]:
 
 
 def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
-    """Layout-ROUTED family sweep (round-13 verdict ask #3): build the
-    deployment layouts ONCE — lineitem+orders co-bucketed on the order
-    key, customer on its custkey (one layout per physical table) —
-    register them as table overrides (queries.register_layout), and
-    re-time the SAME 22 query functions. Zero per-query changes: the
-    override serves each table through its bucketed catalog
-    registration, whose scan reports HashPartitioning, and the planner
-    drops the exchanges wherever the keys line up. Returns (timings,
+    """Layout-ROUTED family sweep (round-13 verdict ask #3; SHAPE-AWARE
+    since round-15): build the deployment layouts ONCE — lineitem +
+    orders co-bucketed on the order key, plus a SECONDARY orders layout
+    on o_custkey (the Iceberg second-sort-order pattern; a deliberate
+    storage x2 for the custkey-join family, recorded in the build
+    seconds) — register them (queries.register_layout) and re-time the
+    SAME 22 query functions through queries.route_query. Zero per-query
+    changes: the router probes each query's optimized plan and serves a
+    bucketed layout ONLY where the plan joins/aggregates on its bucket
+    key, so scan-bound shapes keep plain parquet and its row-group
+    pruning (the r14 routed leg lost 1.2-1.6x on those — BASELINE §17).
+    Customer stays unbucketed: an r14 x100 run measured the custkey
+    layout of CUSTOMER regressing anti-join shapes (q_idle_rich_customers
+    1.35->2.79s) — dims broadcast or shuffle cheaply. Returns (timings,
     per-query initial-plan exchange counts routed vs plain, build
-    seconds per table)."""
+    seconds per layout)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     from ray_beam_runner_spark import get_spark
     from ray_beam_runner_spark import queries as Q
     from ray_beam_runner_spark.plans.explain import count_exchanges
+    from ray_beam_runner_spark.session import read_parquet_normalized
     from ray_beam_runner_spark.sources import bucketed as bkt
 
     spark = get_spark(
@@ -140,28 +147,27 @@ def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
     )
     base = os.path.join(data_dir, "_spj_family")
     n_buckets = 32
-    # FACT tables only. A first x100 run also routed customer through a
-    # custkey layout: aggregate still improved, but the anti-join /
-    # broadcast-friendly customer shapes regressed (q_idle_rich_customers
-    # 1.35->2.79s, q_returned_items 2.87->4.01s) — bucketing a dim-sized
-    # side buys no exchange worth having (its joins broadcast or shuffle
-    # cheaply) and constrains the planner. The custkey co-location win
-    # for cust x orders itself is demonstrated (and plan-asserted) by
-    # the registry's q_spj_order_count_dist.
-    layout_keys = {
-        "lineitem": ["l_orderkey"],
-        "orders": ["o_orderkey"],
-    }
+    layouts = (
+        ("lineitem", ["l_orderkey"], "lineitem"),
+        ("orders", ["o_orderkey"], "orders"),
+        ("orders", ["o_custkey"], "orders_by_custkey"),
+    )
     build: dict[str, float] = {}
-    for tbl, keys in layout_keys.items():
-        d = os.path.join(base, tbl)
+    for tbl, keys, sub in layouts:
+        d = os.path.join(base, sub)
         t0 = time.perf_counter()
         if not os.path.exists(d):
+            # one schema-normalization path for BOTH legs (r14 ADVICE
+            # #1): a ns-timestamp/NTZ column must not be served as
+            # LONG/NTZ through the layout while the plain leg reads it
+            # normalized
             bkt.write_bucketed(
-                spark.read.parquet(os.path.join(data_dir, f"{tbl}.parquet")),
+                read_parquet_normalized(
+                    spark, os.path.join(data_dir, f"{tbl}.parquet")
+                ),
                 d, keys, n_buckets,
             )
-        build[tbl] = round(time.perf_counter() - t0, 3)
+        build[sub] = round(time.perf_counter() - t0, 3)
 
     def _clear_table_cache():
         if hasattr(spark, "_rbrs_tables"):
@@ -172,20 +178,20 @@ def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
         exchanges[name] = {"plain": count_exchanges(Q.QUERIES[name](spark, data_dir))}
 
     out: dict[str, float] = {}
-    for tbl in layout_keys:
-        Q.register_layout(data_dir, tbl, os.path.join(base, tbl))
+    for tbl, _keys, sub in layouts:
+        Q.register_layout(data_dir, tbl, os.path.join(base, sub))
     _clear_table_cache()
     try:
         for name in TPCH_SET:
             exchanges[name]["routed"] = count_exchanges(
-                Q.QUERIES[name](spark, data_dir)
+                Q.route_query(spark, data_dir, name)
             )
         for name in TPCH_SET:  # warm
-            len(Q.QUERIES[name](spark, data_dir).toPandas())
+            len(Q.route_query(spark, data_dir, name).toPandas())
         for _ in range(2):
             for name in TPCH_SET:
                 t0 = time.perf_counter()
-                len(Q.QUERIES[name](spark, data_dir).toPandas())
+                len(Q.route_query(spark, data_dir, name).toPandas())
                 dt = round(time.perf_counter() - t0, 4)
                 if name not in out or dt < out[name]:
                     out[name] = dt
