@@ -88,8 +88,11 @@ def _boundary_margin(pdf: pd.DataFrame, sig: int = 9) -> float | None:
     import numpy as np
 
     worst: float | None = None
-    for col in pdf.columns:
-        s = pdf[col]
+    # iterate POSITIONALLY: with duplicated column labels pdf[col]
+    # returns a DataFrame and to_numpy(dtype=float) raises, turning a
+    # green compare into a sweep exception (r14 ADVICE #5)
+    for i in range(pdf.shape[1]):
+        s = pdf.iloc[:, i]
         if not pd.api.types.is_float_dtype(s):
             continue
         a = s.to_numpy(dtype=float)

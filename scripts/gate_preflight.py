@@ -40,11 +40,17 @@ def main() -> int:
 
     from ray_beam_runner_spark.plans.differential import compare
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+    # first non --* arg is the data dir WHEREVER it sits in argv —
+    # `gate_preflight.py --json=out.json /path/sf` must not silently run
+    # against the default (r14 ADVICE #4)
+    sf_dir = "/root/testdata/sf0.01"
     json_out = None
+    positional_seen = False
     for a in sys.argv[1:]:
         if a.startswith("--json="):
             json_out = a.split("=", 1)[1]
+        elif not a.startswith("--") and not positional_seen:
+            sf_dir, positional_seen = a, True
     queries = mod.queries()
     oracles = mod.oracle_sql()
     failures = 0
