@@ -53,70 +53,68 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-14 window under that rule (rule amended round 14: a FAILED gate
-# row now counts as never-gated — staleness keys on the last PASSING
-# round, so q_spj_merge, red in r13, leads this window instead of
-# silently rotating out for ~3 rounds): q_spj_merge first, then the two
-# never-gated round-14 additions (q_spj_order_exists,
-# q_spj_order_count_dist — the family-wide SPJ routing shapes), then
-# the stalest r10/r11 rows up to the 50-slot window. Everything
-# displaced stays sweep-green every round.
+# Round-15 window under that rule (no new queries this round — the
+# r15 work re-tuned the exact-money arithmetic and made layout routing
+# shape-aware): the stalest r11 rows lead, followed by the r12 block —
+# which includes q_agg and q_join, the two queries whose money sums
+# were rewritten this round, so the driver's own gate re-verifies them
+# by hash. Everything displaced stays sweep-green every round.
 # _GATE_ROUND = the round this window was computed FOR (from
 # CORRECTNESS_r*.json history strictly before it). Bump when
 # regenerating via scripts/gate_rotation.py; tests/test_entry.py
 # checks the lockstep.
-_GATE_ROUND = 14
+_GATE_ROUND = 15
 _GATE_FIRST = (
-    "q_spj_merge",  # last gated never
-    "q_spj_order_exists",  # last gated never
-    "q_spj_order_count_dist",  # last gated never
-    "q_promo_revenue",  # last gated r10
-    "q_volume_shipping",  # last gated r10
-    "q_order_exists",  # last gated r10
-    "q_top_supplier",  # last gated r10
-    "q_idle_rich_customers",  # last gated r10
-    "q_cube",  # last gated r10
-    "q_forecast_revenue",  # last gated r10
-    "q_market_share",  # last gated r10
-    "q_product_profit",  # last gated r10
-    "q_late_shipments",  # last gated r10
-    "q_order_count_dist",  # last gated r10
-    "q_small_qty_revenue",  # last gated r10
-    "q_large_volume_customer",  # last gated r10
-    "q_disjunctive_revenue",  # last gated r10
-    "q_snapshot_upsert",  # last gated r10
-    "q_pagerank",  # last gated r10
-    "q_snapshot_zorder",  # last gated r10
-    "q_snapshot_rename",  # last gated r10
-    "q_snapshot_delete",  # last gated r10
-    "q_scd2",  # last gated r10
-    "q_snapshot_ivm",  # last gated r10
-    "q_multimodal_audio",  # last gated r10
-    "q_multimodal_video",  # last gated r10
-    "q_hybrid_search_rrf",  # last gated r10
-    "q_fuzzy_pairs",  # last gated r10
-    "q_fuzzy_join",  # last gated r10
-    "q_sequence_pack",  # last gated r10
-    "q_corpus_shuffle",  # last gated r10
-    "q_bigram_kn_logppl",  # last gated r10
-    "q_corpus_ivm",  # last gated r10
-    "q_streaming_outer_join",  # last gated r10
-    "q_streaming_full_outer",  # last gated r10
-    "q_grouping_sets",  # last gated r11
-    "q_interval_join",  # last gated r11
-    "q_peak_concurrency",  # last gated r11
-    "q_concurrency_global",  # last gated r11
-    "q_open_at_purchase",  # last gated r11
-    "q_active_time",  # last gated r11
-    "q_active_time_global",  # last gated r11
-    "q_cumulative_uniques",  # last gated r11
-    "q_activity_streaks",  # last gated r11
-    "q_bfs_layers",  # last gated r11
-    "q_shortest_paths",  # last gated r11
-    "q_snapshot_widen",  # last gated r11
-    "q_snapshot_sync",  # last gated r11
-    "q_snapshot_update",  # last gated r11
-    "q_snapshot_clone",  # last gated r11
+    "q_scd2_asof_enrich",  # last gated r11
+    "q_snapshot_join_ivm",  # last gated r11
+    "q_snapshot_merge_when",  # last gated r11
+    "q_dedup_clusters",  # last gated r11
+    "q_dedup_simhash",  # last gated r11
+    "q_dedup_phash_clusters",  # last gated r11
+    "q_dedup_embedding",  # last gated r11
+    "q_similarity_topk",  # last gated r11
+    "q_hard_negatives",  # last gated r11
+    "q_similarity_ivf",  # last gated r11
+    "q_ann_refit",  # last gated r11
+    "q_embedding_stats",  # last gated r11
+    "q_text_stats",  # last gated r11
+    "q_lang_id",  # last gated r11
+    "q_quality_filter",  # last gated r11
+    "q_repetition",  # last gated r11
+    "q_fingerprint",  # last gated r11
+    "q_multimodal",  # last gated r11
+    "q_multimodal_image",  # last gated r11
+    "q_wordcount",  # last gated r11
+    "q_decontaminate",  # last gated r11
+    "q_temperature_mix",  # last gated r11
+    "q_chunk_shared",  # last gated r11
+    "q_text_search",  # last gated r11
+    "q_text_bm25",  # last gated r11
+    "q_text_phrase",  # last gated r11
+    "q_incremental_minhash",  # last gated r11
+    "q_fuzzy_clusters",  # last gated r11
+    "q_incremental_fuzzy",  # last gated r11
+    "q_weighted_sample",  # last gated r11
+    "q_robust_outliers",  # last gated r11
+    "q_sketch_freq",  # last gated r11
+    "q_sketch_overlap",  # last gated r11
+    "q_streaming_scd2_enrich",  # last gated r11
+    "q_streaming_quantiles",  # last gated r11
+    "q_agg",  # last gated r12
+    "q_join",  # last gated r12
+    "q_window",  # last gated r12
+    "q_events_window",  # last gated r12
+    "q_distinct",  # last gated r12
+    "q_session_window",  # last gated r12
+    "q_asof_join",  # last gated r12
+    "q_scalar_string",  # last gated r12
+    "q_scalar_mathdate",  # last gated r12
+    "q_json",  # last gated r12
+    "q_moving_agg",  # last gated r12
+    "q_waiting_supplier",  # last gated r12
+    "q_min_cost_supplier",  # last gated r12
+    "q_important_stock",  # last gated r12
+    "q_supplier_relationship",  # last gated r12
 )
 
 
