@@ -90,32 +90,50 @@ def optimized_logical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
 
 
-def shuffle_key_columns(df: DataFrame) -> set[str]:
-    """Column names that participate in the plan's repartitioning
-    operators — Join conditions, Aggregate grouping expressions, Window
-    partition specs — read from the OPTIMIZED logical plan (post
-    pushdown/pruning/decorrelation, pre physical planning, so the
-    answer is the same whatever layout the tables were scanned from).
+def shuffle_key_structure(df: DataFrame) -> dict:
+    """The plan's repartitioning structure, read from the OPTIMIZED
+    logical plan (post pushdown/pruning/decorrelation, pre physical
+    planning, so the answer is the same whatever layout the tables were
+    scanned from):
 
-    This is the signal shape-aware layout routing keys on
-    (queries.route_query): a table's bucketed layout only pays off when
-    the query joins or aggregates on the bucket column; a scan-bound
-    query over the same table LOSES row-group pruning to the
-    hash-scattered layout (BASELINE.md §17). Heuristic by design:
-    an aliased/derived key column won't match (routes plain — the safe
-    direction), and a grouping on an EXPRESSION of the key matches
-    even though bucketing can't serve it (routes bucketed — the cost
-    is one scan trade, never correctness)."""
-    cols: set[str] = set()
+    - ``groupings``: column names in Aggregate grouping lists and
+      Window partition specs — a bucketed layout on such a column
+      elides that exchange with no partner table needed;
+    - ``join_pairs``: the {left, right} column-name pairs of Join
+      equality conditions — an exchange-free join needs BOTH sides
+      served with the same partitioning, which is what
+      queries.route_query's pairing rule checks (measured x100: a
+      ONE-sided bucketed join drops its exchange but nets a LOSS —
+      q_order_count_dist 2.14 -> 3.72 s routed through a lone custkey
+      layout — because the hash-scattered scan costs more than the one
+      exchange saved; the co-located two-sided form wins 2-3x).
+
+    Heuristic by design: an aliased/derived key column won't match
+    (routes plain — the safe direction), and a grouping on an
+    EXPRESSION of the key matches even though bucketing can't serve it
+    (routes bucketed — the cost is one scan trade, never
+    correctness)."""
+    groupings: set[str] = set()
+    pairs: set[frozenset] = set()
+    attr = r"([A-Za-z_][A-Za-z0-9_]*)#\d+"
     for ln in optimized_logical_plan(df).splitlines():
         s = ln.lstrip(" +-:|")
         if s.startswith("Join "):
-            frag = s  # head line carries only type + condition
+            for a, b in _re.findall(rf"\({attr}L? = {attr}L?\)", s):
+                pairs.add(frozenset((a, b)))
         elif s.startswith("Aggregate ["):
             frag = s[len("Aggregate ") :].split("]", 1)[0]  # grouping list
+            groupings.update(_re.findall(attr, frag))
         elif s.startswith("Window ["):
-            frag = s  # partition spec is inside windowspecdefinition(...)
-        else:
-            continue
-        cols.update(_re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", frag))
+            groupings.update(_re.findall(attr, s))
+    return {"groupings": groupings, "join_pairs": pairs}
+
+
+def shuffle_key_columns(df: DataFrame) -> set[str]:
+    """Flat union of shuffle_key_structure's columns (grouping keys +
+    both sides of every join-equality pair)."""
+    st = shuffle_key_structure(df)
+    cols = set(st["groupings"])
+    for p in st["join_pairs"]:
+        cols |= p
     return cols

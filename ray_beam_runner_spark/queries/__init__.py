@@ -113,11 +113,15 @@ def _layout_for(sf_abs: str, table: str) -> str | None:
 
 def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shape-aware layout routing: run QUERIES[name], serving each
-    registered table through the bucketed layout whose bucket key the
-    query's own optimized plan joins/aggregates on — plain parquet
-    otherwise. Builds the plan twice when a layout matches (probe +
-    routed); plan-build cost is noise next to the exchange it saves,
-    and a no-match query returns the probe plan unchanged."""
+    registered table through the bucketed layout its own optimized plan
+    EARNS — plain parquet otherwise. A layout is selected when its
+    bucket key is a grouping/window key (single-table exchange elision)
+    or when it joins another selected layout with the same bucket count
+    on the paired columns (co-located join; a ONE-sided bucketed join
+    is refused — it drops an exchange but nets a measured x100 loss to
+    the hash-scattered scan). Builds the plan twice when a layout
+    matches (probe + routed), memoized per (sf_dir, query); a no-match
+    query returns the probe plan unchanged."""
     fn = QUERIES[name]
     sf_abs = os.path.abspath(sf_dir)
     tables = {tb: ds for (sd, tb), ds in LAYOUTS.items() if sd == sf_abs}
@@ -130,17 +134,54 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             plain = fn(spark, sf_dir)
         finally:
             _ROUTE_CTX.selection = None
-        from ray_beam_runner_spark.plans.explain import shuffle_key_columns
+        from ray_beam_runner_spark.plans.explain import shuffle_key_structure
         from ray_beam_runner_spark.sources.bucketed import bucket_spec
 
-        keys_used = shuffle_key_columns(plain)
-        selection = {}
+        st = shuffle_key_structure(plain)
+        keys_used = set(st["groupings"])
+        for p in st["join_pairs"]:
+            keys_used |= p
+        # candidates: every layout whose bucket key the plan shuffles on
+        cand: list[tuple[str, str, dict]] = []
         for tb, dirs in tables.items():
             for d in dirs:
                 spec = bucket_spec(d)
                 if spec and all(c in keys_used for c in spec["cols"]):
-                    selection[(sf_abs, tb)] = d
+                    cand.append((tb, d, spec))
                     break
+        # pairing rule (x100-measured, plans/explain.shuffle_key_structure
+        # doc): a layout earns its scan trade-off only when (a) its key
+        # is a GROUPING/WINDOW key — single-table exchange elision — or
+        # (b) it joins another CANDIDATE layout with the same bucket
+        # count on the paired columns, so BOTH sides skip the exchange.
+        # One-sided join elision measured a net loss; iterate to a
+        # fixpoint since dropping one candidate can orphan its partner.
+        while True:
+            keep: list[tuple[str, str, dict]] = []
+            for tb, d, spec in cand:
+                cols = set(spec["cols"])
+                if cols & st["groupings"]:
+                    keep.append((tb, d, spec))
+                    continue
+                partnered = False
+                for pair in st["join_pairs"]:
+                    if not (cols & pair):
+                        continue
+                    other = set(pair) - cols
+                    for tb2, d2, spec2 in cand:
+                        if d2 != d and spec2["n"] == spec["n"] and (
+                            other & set(spec2["cols"])
+                        ):
+                            partnered = True
+                            break
+                    if partnered:
+                        break
+                if partnered:
+                    keep.append((tb, d, spec))
+            if len(keep) == len(cand):
+                break
+            cand = keep
+        selection = {(sf_abs, tb): d for tb, d, _ in cand}
         _ROUTE_MEMO[(sf_abs, name)] = selection
         if not selection:
             return plain

@@ -147,10 +147,17 @@ def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
     )
     base = os.path.join(data_dir, "_spj_family")
     n_buckets = 32
+    # customer@c_custkey is SAFE under shape-aware routing where r14's
+    # all-or-nothing routing measured it regressing (q_idle_rich_customers
+    # 1.35->2.79 s): that loss was the ONE-SIDED layout serving shapes
+    # with no custkey partner, which route_query's pairing rule now
+    # refuses — the layout only serves joins where orders@o_custkey (or
+    # another custkey layout) co-locates the other side.
     layouts = (
         ("lineitem", ["l_orderkey"], "lineitem"),
         ("orders", ["o_orderkey"], "orders"),
         ("orders", ["o_custkey"], "orders_by_custkey"),
+        ("customer", ["c_custkey"], "customer_by_custkey"),
     )
     build: dict[str, float] = {}
     for tbl, keys, sub in layouts:
@@ -185,6 +192,11 @@ def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
         for name in TPCH_SET:
             exchanges[name]["routed"] = count_exchanges(
                 Q.route_query(spark, data_dir, name)
+            )
+            # record the router's decision alongside the exchange counts
+            sel = Q._ROUTE_MEMO.get((os.path.abspath(data_dir), name), {})
+            exchanges[name]["layouts"] = sorted(
+                os.path.basename(d) for d in sel.values()
             )
         for name in TPCH_SET:  # warm
             len(Q.route_query(spark, data_dir, name).toPandas())
@@ -390,6 +402,7 @@ def main():
                 "ratio_routed": round(routed[name] / duck[name], 3) if duck[name] else None,
                 "exchanges_plain": exchanges[name]["plain"],
                 "exchanges_routed": exchanges[name]["routed"],
+                "routed_layouts": exchanges[name].get("layouts", []),
             }
         )
     flagged = [r["query"] for r in rows if r["ratio"] and r["ratio"] > 2.0]

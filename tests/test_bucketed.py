@@ -661,17 +661,21 @@ def test_skew_fallback_auto_threshold(spark, no_broadcast):
 
 
 def test_route_query_is_shape_aware(spark, no_broadcast):
-    """queries.route_query (round-15): with layouts registered for
-    lineitem@l_orderkey, orders@o_orderkey AND a secondary
-    orders@o_custkey, the router serves the bucketed read ONLY to
-    queries whose optimized plan joins/aggregates on a bucket key —
-    and picks the matching layout among several for one table:
+    """queries.route_query (round-15): the router serves the bucketed
+    read ONLY where the query's optimized plan earns it —
       * q_priority_counts (scan-bound orders agg on o_orderpriority)
         -> plain parquet, NO bucketed scan in the plan;
       * q_order_exists (orders x lineitem EXISTS on the order key)
-        -> both orderkey layouts, fewer exchanges than plain;
+        -> both orderkey layouts (partnered co-located join), fewer
+        exchanges than plain;
       * q_order_count_dist (customer x orders on CUSTKEY, TPC-H Q13)
-        -> the SECONDARY custkey layout of orders, not the orderkey one."""
+        with only the ONE-SIDED orders@o_custkey layout registered
+        -> routes PLAIN: a lone bucketed side drops its exchange but
+        nets a measured x100 LOSS (2.14 -> 3.72 s) to the
+        hash-scattered scan, so the pairing rule refuses it;
+      * the same query once customer@c_custkey is ALSO registered
+        -> both custkey layouts serve (the SECONDARY orders layout is
+        picked over the orderkey one), exchanges drop."""
     import shutil
 
     from ray_beam_runner_spark import queries as Q
@@ -683,10 +687,12 @@ def test_route_query_is_shape_aware(spark, no_broadcast):
             f"/root/testdata/sf0.001/{tbl}.parquet",
             os.path.join(sf, f"{tbl}.parquet"),
         )
-    li_dir, ord_ok_dir, ord_ck_dir = _tdir(), _tdir(), _tdir()
+    li_dir, ord_ok_dir, ord_ck_dir, cust_dir = _tdir(), _tdir(), _tdir(), _tdir()
     bkt.write_bucketed(Q.t(spark, sf, "lineitem"), li_dir, ["l_orderkey"], 4)
     bkt.write_bucketed(Q.t(spark, sf, "orders"), ord_ok_dir, ["o_orderkey"], 4)
     bkt.write_bucketed(Q.t(spark, sf, "orders"), ord_ck_dir, ["o_custkey"], 4)
+    bkt.write_bucketed(Q.t(spark, sf, "customer"), cust_dir, ["c_custkey"], 4)
+    all_dirs = (li_dir, ord_ok_dir, ord_ck_dir, cust_dir)
     plain_exch = {
         n: count_exchanges(Q.QUERIES[n](spark, sf))
         for n in ("q_priority_counts", "q_order_exists", "q_order_count_dist")
@@ -702,18 +708,25 @@ def test_route_query_is_shape_aware(spark, no_broadcast):
         # substring, which also appears in _tdir()'s tmp paths)
         scan_q = Q.route_query(spark, sf, "q_priority_counts")
         pl = formatted_plan(scan_q)
-        assert not any(
-            bkt._reg_name(d, 1) in pl for d in (li_dir, ord_ok_dir, ord_ck_dir)
-        )
+        assert not any(bkt._reg_name(d, 1) in pl for d in all_dirs)
         # orderkey join: both fact layouts serve, exchanges drop
         okj = Q.route_query(spark, sf, "q_order_exists")
         pl = formatted_plan(okj)
         assert bkt._reg_name(li_dir, 1) in pl and bkt._reg_name(ord_ok_dir, 1) in pl
         assert count_exchanges(okj) < plain_exch["q_order_exists"]
-        # custkey join: the SECONDARY orders layout is chosen
+        # custkey join with NO bucketed partner: the pairing rule
+        # refuses the one-sided layout — fully plain
+        ckj_lone = Q.route_query(spark, sf, "q_order_count_dist")
+        pl = formatted_plan(ckj_lone)
+        assert not any(bkt._reg_name(d, 1) in pl for d in all_dirs)
+        # register the customer side too: now both custkey layouts
+        # serve, and the SECONDARY orders layout wins over orderkey
+        Q.register_layout(sf, "customer", cust_dir)
+        spark._rbrs_tables.clear()
         ckj = Q.route_query(spark, sf, "q_order_count_dist")
         pl = formatted_plan(ckj)
         assert bkt._reg_name(ord_ck_dir, 1) in pl
+        assert bkt._reg_name(cust_dir, 1) in pl
         assert bkt._reg_name(ord_ok_dir, 1) not in pl
         assert count_exchanges(ckj) < plain_exch["q_order_count_dist"]
         # routing never changes results
