@@ -70,12 +70,14 @@ def scratch_dir(prefix: str) -> str:
 # get no join benefit and LOSE row-group pruning to hash-scattered
 # keys (measured: q_priority_counts 9.0x -> 10.8x vs DuckDB routed,
 # BASELINE.md §17). route_query() is the shape-aware entry: it builds
-# the plain plan first, reads WHICH columns the plan shuffles on
-# (plans.explain.shuffle_key_columns — join conditions, grouping keys,
-# window partitions), and rebuilds through the layouts whose bucket
-# keys the plan actually uses — per table, per query, picking among
-# multiple layouts of one table by key match. bench_tpch_scaling's
-# routed leg uses this; gates/sweeps run with no registrations.
+# the plain plan first, reads the plan's shuffle structure
+# (plans.explain.shuffle_key_structure — join-equality pairs, grouping
+# keys, window partitions), pairs CO-LOCATED layouts (a one-sided
+# bucketed join is refused — it drops an exchange but measured a net
+# x100 loss to the hash-scattered scan), and keeps the routed plan
+# only when its PHYSICAL plan drops at least one shuffle exchange vs
+# plain. bench_tpch_scaling's routed leg uses this; gates/sweeps run
+# with no registrations.
 LAYOUTS: dict[tuple[str, str], list[str]] = {}
 
 # thread-local routing context: None -> legacy behavior (first
@@ -182,6 +184,24 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 break
             cand = keep
         selection = {(sf_abs, tb): d for tb, d, _ in cand}
+        if selection:
+            # verify on the PHYSICAL plan: the layout must actually
+            # drop a shuffle exchange, else the query pays the
+            # hash-scattered scan for nothing (x100-measured:
+            # q_idle_rich_customers routed with equal exchange counts
+            # ran 1.5x slower) — fall back to plain and memoize that.
+            from ray_beam_runner_spark.plans.explain import count_exchanges
+
+            _ROUTE_CTX.selection = selection
+            try:
+                routed = fn(spark, sf_dir)
+            finally:
+                _ROUTE_CTX.selection = None
+            if count_exchanges(routed) >= count_exchanges(plain):
+                selection = {}
+            else:
+                _ROUTE_MEMO[(sf_abs, name)] = selection
+                return routed
         _ROUTE_MEMO[(sf_abs, name)] = selection
         if not selection:
             return plain

@@ -75,9 +75,8 @@ def time_duckdb(data_dir: str) -> dict[str, float]:
     return out
 
 
-def time_spark(data_dir: str, mult: int) -> dict[str, float]:
+def _tuned_session(data_dir: str, mult: int):
     from ray_beam_runner_spark import get_spark
-    from ray_beam_runner_spark.queries import QUERIES
 
     spark = get_spark(
         "bench-tpch-scaling", extra_conf={"spark.driver.maxResultSize": "8g"}
@@ -103,56 +102,36 @@ def time_spark(data_dir: str, mult: int) -> dict[str, float]:
     # join on q_local_supplier_volume (22.4s vs 9.9s min-of-2). On a
     # real cluster the deploy-default threshold makes the same call.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
-    out: dict[str, float] = {}
-    for name in TPCH_SET:  # warm: JIT + page cache + plan cache
-        len(QUERIES[name](spark, data_dir).toPandas())
-    for _ in range(2):
-        for name in TPCH_SET:
-            t0 = time.perf_counter()
-            len(QUERIES[name](spark, data_dir).toPandas())
-            dt = round(time.perf_counter() - t0, 4)
-            if name not in out or dt < out[name]:
-                out[name] = dt
-        print(f"[spark] sweep done", file=sys.stderr)
-    return out
+    return spark
 
 
-def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
-    """Layout-ROUTED family sweep (round-13 verdict ask #3; SHAPE-AWARE
-    since round-15): build the deployment layouts ONCE — lineitem +
-    orders co-bucketed on the order key, plus a SECONDARY orders layout
-    on o_custkey (the Iceberg second-sort-order pattern; a deliberate
-    storage x2 for the custkey-join family, recorded in the build
-    seconds) — register them (queries.register_layout) and re-time the
-    SAME 22 query functions through queries.route_query. Zero per-query
-    changes: the router probes each query's optimized plan and serves a
-    bucketed layout ONLY where the plan joins/aggregates on its bucket
-    key, so scan-bound shapes keep plain parquet and its row-group
-    pruning (the r14 routed leg lost 1.2-1.6x on those — BASELINE §17).
-    Customer stays unbucketed: an r14 x100 run measured the custkey
-    layout of CUSTOMER regressing anti-join shapes (q_idle_rich_customers
-    1.35->2.79s) — dims broadcast or shuffle cheaply. Returns (timings,
-    per-query initial-plan exchange counts routed vs plain, build
-    seconds per layout)."""
-    from pyspark.sql import functions as F  # noqa: F401
+def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
+    """Plain AND layout-ROUTED family sweeps, INTERLEAVED (round-15):
+    sweep k times the plain set then the routed set in the same
+    session, min per leg. The r14/early-r15 protocol timed the whole
+    plain leg before the whole routed leg; on this shared 32-core box
+    the legs drift 10-30% between their time slots, which painted the
+    co-located custkey routes as 2x LOSSES that isolated re-measures
+    flip to wins (q_order_count_dist routed 0.66 s vs plain 1.12 s,
+    q_idle_rich_customers 0.75 vs 0.93). Interleaving pairs each
+    plain/routed sample in time so drift hits both legs alike.
 
-    from ray_beam_runner_spark import get_spark
+    Layouts: lineitem+orders co-bucketed on the order key, plus a
+    SECONDARY orders layout on o_custkey and customer@c_custkey (the
+    Iceberg second-sort-order pattern; the storage x2 is explicit in
+    the recorded build seconds). route_query serves a layout only
+    where the query plan earns it: key match + co-location pairing +
+    the physical plan must drop an exchange (queries.route_query).
+    Returns (plain timings, routed timings, per-query exchange counts
+    + routed layout decisions, build seconds per layout)."""
     from ray_beam_runner_spark import queries as Q
     from ray_beam_runner_spark.plans.explain import count_exchanges
     from ray_beam_runner_spark.session import read_parquet_normalized
     from ray_beam_runner_spark.sources import bucketed as bkt
 
-    spark = get_spark(
-        "bench-tpch-scaling", extra_conf={"spark.driver.maxResultSize": "8g"}
-    )
+    spark = _tuned_session(data_dir, mult)
     base = os.path.join(data_dir, "_spj_family")
     n_buckets = 32
-    # customer@c_custkey is SAFE under shape-aware routing where r14's
-    # all-or-nothing routing measured it regressing (q_idle_rich_customers
-    # 1.35->2.79 s): that loss was the ONE-SIDED layout serving shapes
-    # with no custkey partner, which route_query's pairing rule now
-    # refuses — the layout only serves joins where orders@o_custkey (or
-    # another custkey layout) co-locates the other side.
     layouts = (
         ("lineitem", ["l_orderkey"], "lineitem"),
         ("orders", ["o_orderkey"], "orders"),
@@ -180,38 +159,58 @@ def time_spark_routed(data_dir: str, mult: int) -> tuple[dict, dict, dict]:
         if hasattr(spark, "_rbrs_tables"):
             spark._rbrs_tables.clear()
 
-    exchanges: dict[str, dict[str, int]] = {}
+    def _register():
+        for tbl, _keys, sub in layouts:
+            Q.register_layout(data_dir, tbl, os.path.join(base, sub))
+        _clear_table_cache()
+
+    def _unregister():
+        Q.clear_layouts()
+        _clear_table_cache()
+
+    exchanges: dict[str, dict] = {}
     for name in TPCH_SET:  # plain-plan exchange counts first
         exchanges[name] = {"plain": count_exchanges(Q.QUERIES[name](spark, data_dir))}
-
-    out: dict[str, float] = {}
-    for tbl, _keys, sub in layouts:
-        Q.register_layout(data_dir, tbl, os.path.join(base, sub))
-    _clear_table_cache()
+    _register()
     try:
+        # routing decisions + routed exchange counts; route_query
+        # memoizes, but registration churn below clears the memo, so
+        # capture the decisions now
+        decisions: dict[str, dict] = {}
         for name in TPCH_SET:
             exchanges[name]["routed"] = count_exchanges(
                 Q.route_query(spark, data_dir, name)
             )
-            # record the router's decision alongside the exchange counts
             sel = Q._ROUTE_MEMO.get((os.path.abspath(data_dir), name), {})
+            decisions[name] = dict(sel)
             exchanges[name]["layouts"] = sorted(
                 os.path.basename(d) for d in sel.values()
             )
-        for name in TPCH_SET:  # warm
-            len(Q.route_query(spark, data_dir, name).toPandas())
-        for _ in range(2):
+        plain_t: dict[str, float] = {}
+        routed_t: dict[str, float] = {}
+        for sweep in range(3):  # sweep 0 = warm-up (untimed)
+            _unregister()
+            for name in TPCH_SET:
+                t0 = time.perf_counter()
+                len(Q.QUERIES[name](spark, data_dir).toPandas())
+                dt = round(time.perf_counter() - t0, 4)
+                if sweep and (name not in plain_t or dt < plain_t[name]):
+                    plain_t[name] = dt
+            _register()
+            # restore the memoized decisions so routed samples never
+            # re-pay the probe plans
+            for name in TPCH_SET:
+                Q._ROUTE_MEMO[(os.path.abspath(data_dir), name)] = decisions[name]
             for name in TPCH_SET:
                 t0 = time.perf_counter()
                 len(Q.route_query(spark, data_dir, name).toPandas())
                 dt = round(time.perf_counter() - t0, 4)
-                if name not in out or dt < out[name]:
-                    out[name] = dt
-            print("[spark-routed] sweep done", file=sys.stderr)
+                if sweep and (name not in routed_t or dt < routed_t[name]):
+                    routed_t[name] = dt
+            print(f"[spark-both] sweep {sweep} done", file=sys.stderr)
     finally:
-        Q.clear_layouts()
-        _clear_table_cache()
-    return out, exchanges, build
+        _unregister()
+    return plain_t, routed_t, exchanges, build
 
 
 def time_spj(data_dir: str, shuffled_q5_s: float, duck_q5_s: float) -> dict:
@@ -222,8 +221,8 @@ def time_spj(data_dir: str, shuffled_q5_s: float, duck_q5_s: float) -> dict:
     over the bucketed layout, where the lineitem x orders join runs
     with ZERO shuffle exchanges. Compared against the same session's
     shuffled plan (q_local_supplier_volume, the family's worst x100
-    ratio) and DuckDB on the same logical data. Session confs are
-    whatever time_spark left (identical engine setup)."""
+    ratio) and DuckDB on the same logical data. Session confs come from
+    _tuned_session (identical engine setup)."""
     from pyspark.sql import functions as F
 
     from ray_beam_runner_spark import get_spark
@@ -387,8 +386,7 @@ def main():
     data_dir = build_scaled(args.mult)
     ensure_dims(data_dir)
     duck = time_duckdb(data_dir)
-    spark = time_spark(data_dir, args.mult)
-    routed, exchanges, layout_build = time_spark_routed(data_dir, args.mult)
+    spark, routed, exchanges, layout_build = time_spark_both(data_dir, args.mult)
     rows = []
     for name in TPCH_SET:
         ratio = round(spark[name] / duck[name], 3) if duck[name] else None
