@@ -755,3 +755,51 @@ def test_spj_layout_carries_bloom_point_reads(spark):
     hit = snap.read_snapshot(spark, d, point=("o_orderkey", some_key))
     assert hit.count() >= 1
     assert len(hit.inputFiles()) < total  # pruned, not a full-bucket scan
+
+
+def test_route_query_falls_back_without_exchange_win(spark, no_broadcast):
+    """route_query's physical-plan check: a grouping on an EXPRESSION
+    of the bucket key matches the key heuristically (the optimized
+    plan's Aggregate bracket references the column), but bucketing
+    cannot serve hash(k % 7) — the routed plan keeps its exchange, so
+    the router must fall back to plain rather than pay the
+    hash-scattered scan for nothing."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    sf = _tdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.001/orders.parquet", os.path.join(sf, "orders.parquet")
+    )
+    d = _tdir()
+    bkt.write_bucketed(Q.t(spark, sf, "orders"), d, ["o_orderkey"], 4)
+    qname = "_test_expr_group_route"
+    Q.QUERIES[qname] = lambda s, sfd: (
+        Q.t(s, sfd, "orders")
+        .groupBy((F.col("o_orderkey") % 7).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    Q.register_layout(sf, "orders", d)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        df = Q.route_query(spark, sf, qname)
+        assert bkt._reg_name(d, 1) not in formatted_plan(df)  # plain
+        assert Q._ROUTE_MEMO[(os.path.abspath(sf), qname)] == {}
+        # the direct bucket-key grouping DOES route (exchange dropped)
+        qname2 = "_test_key_group_route"
+        Q.QUERIES[qname2] = lambda s, sfd: (
+            Q.t(s, sfd, "orders")
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df2 = Q.route_query(spark, sf, qname2)
+        assert bkt._reg_name(d, 1) in formatted_plan(df2)
+        assert count_exchanges(df2) == 0
+    finally:
+        Q.QUERIES.pop(qname, None)
+        Q.QUERIES.pop("_test_key_group_route", None)
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
