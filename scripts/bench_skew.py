@@ -268,11 +268,17 @@ def time_spj_skew(data_dir: str) -> dict:
 
     legs: dict[str, dict] = {}
     for label, kw in (
-        ("spj_hot_bucket", {}),
+        # as-is = the layout with skew handling PINNED OFF (r15 made
+        # "auto" the default, so the unprotected plan needs explicit None)
+        ("spj_hot_bucket", {"skew_fallback_rows": None}),
         ("spj_skew_fallback", {"skew_fallback_rows": threshold, "skew_mode": "fallback"}),
         # bucket-subset split: cold buckets stay exchange-free, only the
         # hot bucket's files shuffle (AQE splits that one partition)
         ("spj_hybrid", {"skew_fallback_rows": threshold, "skew_mode": "hybrid"}),
+        # the r15 DEFAULT: skew_fallback_rows="auto" derives the
+        # threshold from the manifests (4x each side's own mean) — a
+        # deployment gets the hybrid remedy with zero call-site opt-in
+        ("spj_default_auto", {}),
     ):
         before = {s["stageId"] for s in _rest(spark, "/stages")}
         df = q(**kw)
