@@ -803,3 +803,38 @@ def test_route_query_falls_back_without_exchange_win(spark, no_broadcast):
         Q.QUERIES.pop("_test_key_group_route", None)
         Q.clear_layouts()
         spark._rbrs_tables.clear()
+
+
+def test_merge_wiping_a_bucket_keeps_row_accounting(spark, no_broadcast):
+    """r14 ADVICE #2 end-to-end: a merge whose deletes wipe a bucket's
+    every row must not blank the table's row accounting — one
+    zero-row (or absent) bucket file previously made _bucket_rows
+    return None for the WHOLE table, silently disabling the default
+    skew protection. After the wipe, accounting still covers every
+    manifest file and the auto-skew path still sees per-bucket rows."""
+    t = _tdir()
+    # keys 0..199; bucket count 4 — find all keys of ONE bucket and
+    # delete every one of them
+    bkt.write_bucketed(_facts(spark, 200), t, ["k"], 4)
+    by_bucket = {
+        r._b: r.ks
+        for r in spark.range(0, 200)
+        .select(F.col("id").alias("k"))
+        .groupBy(F.pmod(F.hash("k"), F.lit(4)).alias("_b"))
+        .agg(F.collect_list("k").alias("ks"))
+        .collect()
+    }
+    victim_keys = by_bucket[0]
+    dels = spark.createDataFrame([(int(k),) for k in victim_keys], "k long")
+    v = bkt.merge_bucketed(spark, t, dels.limit(0).select("k", F.lit(0).alias("v")), delete_keys_df=dels)
+    m = snap.read_manifest(t, v)
+    rows = m.get("file_rows") or {}
+    assert set(rows) == set(m["files"])  # every file accounted, incl. empty
+    by_b = bkt._bucket_rows(t, v)
+    assert by_b is not None  # accounting NOT blanked
+    assert bkt.read_bucketed(spark, t).count() == 200 - len(victim_keys)
+    # the default (auto) SPJ path still works over the wiped-bucket table
+    other = _tdir()
+    bkt.write_bucketed(_facts(spark, 200, seed=3).withColumnRenamed("v", "w"), other, ["k"], 4)
+    j = bkt.storage_partitioned_join(spark, t, other, "k")
+    assert j.count() == 200 - len(victim_keys)
