@@ -1096,6 +1096,110 @@ def q_spj_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_routed(spark: SparkSession, sf_dir: str, name: str, layouts) -> DataFrame:
+    """Register the given (table, key) layouts, run a registry query
+    through the SHAPE-AWARE router (queries.route_query), assert the
+    routed plan really dropped an exchange vs plain, and restore the
+    registry's global state before returning — the pattern the routed
+    gate queries below share.
+
+    The whole comparison runs under a DISABLED broadcast threshold: at
+    the gate's tiny sf the fact tables broadcast, every plan has zero
+    shuffle exchanges, and the router (whose own physical check needs a
+    strict drop) would correctly fall back — there would be nothing to
+    gate. Disabling the threshold is the standard small-SF stand-in for
+    the at-scale plan (same dance as _assert_exchange_free);
+    count_exchanges materializes each DataFrame's executedPlan while
+    the threshold is off, and QueryExecution caches it, so the plans
+    the driver collects are the ones asserted here. Clearing the
+    registrations afterwards never affects the returned DataFrame (its
+    plan is bound); clearing is what keeps one gate query's layouts
+    from leaking into the next query of the same driver session."""
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = Q.QUERIES[name](spark, sf_dir)
+        n_plain = count_exchanges(plain)
+        for tbl, key in layouts:
+            Q.register_layout(sf_dir, tbl, spj_layout(spark, sf_dir, tbl, [key]))
+        try:
+            df = Q.route_query(spark, sf_dir, name)
+        finally:
+            Q.clear_layouts()
+            if hasattr(spark, "_rbrs_tables"):
+                spark._rbrs_tables.clear()
+        assert count_exchanges(df) < n_plain, (
+            f"router fell back to plain for {name} despite co-located layouts"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return df
+
+
+@query(
+    "q_routed_order_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_routed_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHAPE-AWARE ROUTER itself under the driver's oracle gate
+    (round 15): q_order_exists — untouched registry code — served
+    through registered orderkey layouts by queries.route_query. The
+    router must (a) pick BOTH fact layouts (the co-location pairing
+    rule), (b) produce a physical plan with fewer exchanges than plain
+    (asserted inside _run_routed — pins that routing HAPPENED rather
+    than silently falling back), and (c) change nothing about the
+    result — same oracle as q_order_exists."""
+    return _run_routed(
+        spark, sf_dir, "q_order_exists",
+        [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    )
+
+
+@query(
+    "q_routed_order_count_dist",
+    oracle="""
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_routed_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router's SECONDARY-LAYOUT + pairing path under the driver's
+    gate: q_order_count_dist (TPC-H Q13, untouched) with THREE layouts
+    registered — orders@o_orderkey (the primary, which must NOT be
+    picked: Q13 has no orderkey join), orders@o_custkey (the
+    secondary) and customer@c_custkey (its co-location partner). Q13
+    has no orderkey join, so the exchange drop _run_routed asserts can
+    only come from the custkey PAIR — the primary layout being picked
+    instead is structurally impossible; same oracle as
+    q_order_count_dist."""
+    return _run_routed(
+        spark, sf_dir, "q_order_count_dist",
+        [
+            ("orders", "o_orderkey"),
+            ("orders", "o_custkey"),
+            ("customer", "c_custkey"),
+        ],
+    )
+
+
 @query(
     "q_priority_counts",
     oracle="""
