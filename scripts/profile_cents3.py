@@ -94,15 +94,6 @@ def phases4(spark, fn, n=8):
     }
 
 
-def codegen_src(spark, fn):
-    qe = fn(spark)._jdf.queryExecution()
-    debug = spark._jvm.org.apache.spark.sql.execution.debug.package__  # noqa
-    # use the simpler route: codegenString
-    return spark._jvm.org.apache.spark.sql.execution.debug.__getattr__(
-        "package$"
-    )
-
-
 def main():
     spark = get_spark(app_name="profile_cents3")
     for _ in range(3):
