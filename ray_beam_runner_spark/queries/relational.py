@@ -809,26 +809,53 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-way join with a same-nation co-location
-    predicate. The BOUNDED dims (nation, region) broadcast; customer
-    and supplier are corpus-proportional, so their joins are left to
-    AQE — broadcast while they fit, shuffle at scale (forcing a
-    broadcast of a scaled customer was this family's one measured
-    x100 plan regression, 33x DuckDB before the fix)."""
+    predicate. Declared join ORDER pushes the bounded-dim restriction
+    (region='ASIA' -> <=25 nations) through supplier and customer
+    BEFORE any fact join — Catalyst cannot reorder joins without CBO
+    stats, and DuckDB's optimizer does exactly this reorder, so a
+    dims-last declaration pays a full lineitem x orders x customer
+    materialization it never needs (measured 18.7x DuckDB at x100
+    routed; the round-14 family's worst ratio). nation x region
+    broadcasts (bounded); the pruned supplier and customer joins are
+    left to AQE — broadcast while they fit, shuffle at scale (forcing
+    a broadcast of a scaled customer was this family's one measured
+    x100 plan regression, 33x DuckDB before the fix). The supplier
+    join is declared first so that when it DOES broadcast it prunes
+    lineitem ~5x before the fact-fact shuffle while preserving the
+    scan partitioning — on a routed bucketed layout the
+    lineitem x orders join stays exchange-free."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    # customers outside ASIA can never satisfy c_nationkey = s_nationkey
+    # against an ASIA supplier: semi-prune customer before its shuffle
+    cust_a = cust.join(
+        F.broadcast(n_asia.select("n_nationkey")),
+        cust.c_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    # join the RAW supplier scan (file-size estimate -> the planner
+    # broadcasts while it's dim-sized, shuffles when it isn't), THEN
+    # broadcast n_asia onto the result: a supplier-join-nation build
+    # side is a join OUTPUT, whose non-CBO size estimate is inflated
+    # enough to force a static SMJ — a full lineitem shuffle on
+    # l_suppkey that AQE only converts after materializing (measured:
+    # the whole x100 residual of the first round-15 rewrite)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_asia), supp.s_nationkey == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+            cust_a,
+            (orders.o_custkey == cust_a.c_custkey)
+            & (cust_a.c_nationkey == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(_revenue_sum())
         .orderBy(F.col("revenue").desc())
@@ -1484,8 +1511,16 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume by year. Two broadcast
-    nation joins (aliased) restrict BOTH fact sides before the fact-fact
-    shuffle; supplier is broadcast-sized."""
+    nation joins (aliased) restrict BOTH corpus-proportional inputs
+    BEFORE the fact-fact shuffle: supplier (-> lineitem side) AND
+    customer (-> orders side) each shrink to the 2 traded nations
+    (2/25) ahead of the orderkey join, so the wide shuffle moves ~8%
+    of each fact. A dims-last customer join (the pre-round-15 form)
+    shuffled the FULL customer table and pruned after — the reorder
+    Catalyst can't make without CBO stats. The pruned customer join is
+    left to AQE (broadcast when it fits post-prune, shuffle at scale);
+    a broadcast preserves the orders scan partitioning, so a routed
+    bucketed layout keeps the fact join exchange-free."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
@@ -1501,12 +1536,12 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin(*nations))
         .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     return (
         li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(o.join(c2, F.col("c_custkey") == F.col("o_custkey")),
+              F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
@@ -1740,8 +1775,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's market by year.
     part/supplier/nation/region are genuine dims → explicit broadcast (the
     p_type filter shrinks part before the build side ships); the only wide
-    shuffle is lineitem x orders; customer is left to the planner because
-    at 100 TB it is NOT broadcastable and must shuffle on custkey."""
+    shuffle is lineitem x orders. The region='AMERICA' restriction reaches
+    customer BEFORE its join (n1 x r is a bounded broadcast; the pruned
+    customer — 1/5 of the table — is then left to the planner because at
+    100 TB even the pruned form is NOT broadcastable and must shuffle on
+    custkey). Pre-round-15 this joined the FULL customer to the fact and
+    filtered after — the reorder Catalyst can't make without CBO stats."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     s = t(spark, sf_dir, "supplier")
@@ -1755,14 +1794,18 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    c_am = c.join(
+        F.broadcast(
+            n1.join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        ),
+        F.col("c_nationkey") == F.col("n1_key"),
+    )
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(c_am, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
