@@ -129,6 +129,27 @@ def shuffle_key_structure(df: DataFrame) -> dict:
     return {"groupings": groupings, "join_pairs": pairs}
 
 
+def scan_range_predicates(df: DataFrame) -> dict[str, list[tuple[str, str]]]:
+    """Pushable comparisons on base columns, read from the optimized
+    plan's Filter nodes: ``{column: [(op, literal_string), ...]}``.
+    Only simple ``col OP literal`` conjuncts are collected — the forms
+    parquet row-group min/max stats can act on; ``isnotnull`` guards
+    and expression-wrapped columns are ignored. queries.route_query
+    uses this to prefer a layout SORTED WITHIN buckets by a filtered
+    column; sources.bucketed.rowgroup_survival turns the predicates
+    into an estimated surviving-row-group fraction from parquet
+    footers."""
+    preds: dict[str, list[tuple[str, str]]] = {}
+    attr = r"([A-Za-z_][A-Za-z0-9_]*)#\d+L?"
+    for ln in optimized_logical_plan(df).splitlines():
+        s = ln.lstrip(" +-:|")
+        if not s.startswith("Filter "):
+            continue
+        for col, op, lit in _re.findall(rf"\({attr} (>=|<=|=|>|<) ([^()]+)\)", s):
+            preds.setdefault(col, []).append((op, lit.strip()))
+    return preds
+
+
 def shuffle_key_columns(df: DataFrame) -> set[str]:
     """Flat union of shuffle_key_structure's columns (grouping keys +
     both sides of every join-equality pair)."""

@@ -136,21 +136,59 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             plain = fn(spark, sf_dir)
         finally:
             _ROUTE_CTX.selection = None
-        from ray_beam_runner_spark.plans.explain import shuffle_key_structure
-        from ray_beam_runner_spark.sources.bucketed import bucket_spec
+        from ray_beam_runner_spark.plans.explain import (
+            scan_range_predicates,
+            shuffle_key_structure,
+        )
+        from ray_beam_runner_spark.sources.bucketed import (
+            bucket_spec,
+            rowgroup_survival,
+        )
 
         st = shuffle_key_structure(plain)
         keys_used = set(st["groupings"])
         for p in st["join_pairs"]:
             keys_used |= p
-        # candidates: every layout whose bucket key the plan shuffles on
+        preds = scan_range_predicates(plain)
+        # candidates: every layout whose bucket key the plan shuffles
+        # on. When a table registers SEVERAL layouts on the same key
+        # with different SORT orders (Iceberg sort-order pattern),
+        # prefer one sorted within buckets by a column this plan
+        # filters on — but only when the parquet FOOTER probe estimates
+        # the filter actually prunes row groups (survival <= 60%); the
+        # key-sorted layout keeps SortMergeJoin's sort elision
+        # otherwise. The probe is metadata-only and O(1) per decision
+        # (rowgroup_survival doc), and route decisions stay memoized.
         cand: list[tuple[str, str, dict]] = []
         for tb, dirs in tables.items():
+            matches: list[tuple[str, dict]] = []
             for d in dirs:
                 spec = bucket_spec(d)
                 if spec and all(c in keys_used for c in spec["cols"]):
-                    cand.append((tb, d, spec))
+                    matches.append((d, spec))
+            if not matches:
+                continue
+            choice = None
+            for d, spec in matches:
+                scols = [
+                    c for c in spec.get("sorted", [])
+                    if c not in spec["cols"] and c in preds
+                ]
+                if not scols:
+                    continue
+                surv = rowgroup_survival(d, scols[0], preds[scols[0]])
+                if surv is not None and surv <= 0.6:
+                    choice = (d, spec)
                     break
+            if choice is None:
+                choice = next(
+                    (
+                        (d, s) for d, s in matches
+                        if s.get("sorted", s["cols"]) == s["cols"]
+                    ),
+                    matches[0],
+                )
+            cand.append((tb, choice[0], choice[1]))
         # pairing rule (x100-measured, plans/explain.shuffle_key_structure
         # doc): a layout earns its scan trade-off only when (a) its key
         # is a GROUPING/WINDOW key — single-table exchange elision — or

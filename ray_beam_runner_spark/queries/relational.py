@@ -998,6 +998,8 @@ _SPJ_LAYOUTS: dict[tuple, str] = {}
 def spj_layout(
     spark: SparkSession, sf_dir: str, table: str, bucket_by: list[str],
     n_buckets: int = 8,
+    sort_within: list[str] | None = None,
+    parquet_block_size: int | None = None,
 ) -> str:
     """Full-column bucketed layout of a synthetic table, built ONCE per
     (sf_dir, table, key) per process and shared by every SPJ query —
@@ -1007,8 +1009,19 @@ def spj_layout(
     bucket columns carry per-file BLOOM filters (round-14 verdict
     'What's missing' #4): hash-scattered keys defeat min/max stats, so
     the bloom is what narrows a read_snapshot(point=...) probe on the
-    routed layout to ~1 file instead of the key's whole bucket."""
-    key = (os.path.abspath(sf_dir), table, tuple(bucket_by), n_buckets)
+    routed layout to ~1 file instead of the key's whole bucket.
+
+    ``sort_within`` orders each bucket file by NON-key columns (the
+    Iceberg sort-order pattern, round 15): the layout keeps its
+    exchange-free bucketing, but row-group min/max stats on the sort
+    column become tight ranges parquet's pushed filters can prune —
+    what hash-scattered key order loses (BASELINE.md §17's documented
+    trade). ``parquet_block_size`` gives bench-scale bucket files
+    enough row groups for that pruning to have granularity."""
+    key = (
+        os.path.abspath(sf_dir), table, tuple(bucket_by), n_buckets,
+        tuple(sort_within or ()), parquet_block_size,
+    )
     d = _SPJ_LAYOUTS.get(key)
     if d is None:
         from ray_beam_runner_spark.sources import bucketed as bkt
@@ -1016,7 +1029,9 @@ def spj_layout(
         d = scratch_dir(f"rbrs_spjl_{table}_")
         bkt.write_bucketed(
             t(spark, sf_dir, table), d, bucket_by, n_buckets,
+            sort_by=(list(sort_within) if sort_within else None),
             bloom_for=list(bucket_by),
+            parquet_block_size=parquet_block_size,
         )
         _SPJ_LAYOUTS[key] = d
     return d
@@ -1225,6 +1240,91 @@ def q_routed_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("customer", "c_custkey"),
         ],
     )
+
+
+_RECENT_SHIP_SQL = f"""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_items,
+           {_REVENUE_SQL} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > TIMESTAMP '2000-06-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@query("q_recent_ship_priority", oracle=_RECENT_SHIP_SQL)
+def q_recent_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recent-shipments rollup by order priority: a SELECTIVE time-range
+    scan (the last ~20% of l_shipdate) feeding an orderkey fact join —
+    the shape a shipdate SORT ORDER on the lineitem layout serves best
+    (q_routed_sorted_scan gates exactly that routing)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-06-01 00:00:00").cast("timestamp")
+    )
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), _revenue_sum())
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q_routed_sorted_scan", oracle=_RECENT_SHIP_SQL)
+def q_routed_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-ORDER-AWARE routing under the driver's gate (round 15):
+    q_recent_ship_priority (untouched registry code) with THREE layouts
+    registered — lineitem@l_orderkey key-sorted (the decoy: its
+    hash-scattered files cannot prune the shipdate range), lineitem@
+    l_orderkey SORTED WITHIN buckets by l_shipdate (the Iceberg
+    sort-order pattern; written with a small parquet block size so the
+    test-SF bucket files hold enough row groups for pruning granularity
+    — a 100 TB bucket has hundreds at the 128 MB default), and
+    orders@o_orderkey (the co-location partner). The router's footer
+    probe (sources.bucketed.rowgroup_survival) must see the ~80%
+    row-group kill of the l_shipdate > 2000-06-01 predicate and pick
+    the SORTED layout over the decoy; the plan must still drop
+    exchanges (the sorted layout keeps its bucketing — SortMergeJoin
+    re-adds only an in-bucket sort); and the result must hash-match the
+    plain oracle — sort order is layout, never semantics."""
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import count_exchanges, formatted_plan
+    from ray_beam_runner_spark.sources.bucketed import _reg_name
+
+    name = "q_recent_ship_priority"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n_plain = count_exchanges(Q.QUERIES[name](spark, sf_dir))
+        li_key = spj_layout(spark, sf_dir, "lineitem", ["l_orderkey"])
+        li_sorted = spj_layout(
+            spark, sf_dir, "lineitem", ["l_orderkey"],
+            sort_within=["l_shipdate"], parquet_block_size=8 * 1024,
+        )
+        ord_dir = spj_layout(spark, sf_dir, "orders", ["o_orderkey"])
+        Q.register_layout(sf_dir, "lineitem", li_key)
+        Q.register_layout(sf_dir, "lineitem", li_sorted)
+        Q.register_layout(sf_dir, "orders", ord_dir)
+        try:
+            df = Q.route_query(spark, sf_dir, name)
+        finally:
+            Q.clear_layouts()
+            if hasattr(spark, "_rbrs_tables"):
+                spark._rbrs_tables.clear()
+        pl = formatted_plan(df)
+        assert _reg_name(li_sorted, 1) in pl, (
+            "router did not pick the shipdate-sorted layout"
+        )
+        assert _reg_name(li_key, 1) not in pl, (
+            "router picked the key-sorted decoy over the sorted layout"
+        )
+        assert count_exchanges(df) < n_plain, (
+            "sorted-layout route failed to drop an exchange"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return df
 
 
 @query(

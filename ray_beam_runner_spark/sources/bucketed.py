@@ -70,6 +70,7 @@ __all__ = [
     "merge_bucketed",
     "read_bucketed",
     "bucket_spec",
+    "rowgroup_survival",
     "storage_partitioned_join",
 ]
 
@@ -89,6 +90,7 @@ def write_bucketed(
     bloom_for: list[str] | None = None,
     bloom_bits: int = 1024,
     bloom_k: int = 3,
+    parquet_block_size: int | None = None,
 ) -> int:
     """Create or fully replace the table as one bucketed snapshot;
     returns the published version. ``sort_by`` defaults to the bucket
@@ -103,7 +105,17 @@ def write_bucketed(
     themselves: hash-scattered keys defeat min/max stats, and the bloom
     is what narrows a ``read_snapshot(point=...)`` probe to ~1 file.
     ``merge_bucketed`` maintains the filters incrementally (recomputed
-    for rewritten buckets only, carried for untouched ones)."""
+    for rewritten buckets only, carried for untouched ones).
+
+    ``sort_by`` on a NON-key column is the Iceberg sort-order pattern:
+    the layout keeps its exchange-free bucketing, SortMergeJoin re-adds
+    an in-memory sort (CPU), and in exchange every row group's min/max
+    on the sort column becomes a tight range — parquet's pushed filters
+    then prune row groups a hash-scattered key-sorted file never could.
+    ``parquet_block_size`` caps the row-group size (bytes) so a bucket
+    file holds ENOUGH row groups for that pruning to have granularity
+    (a 100 TB bucket has hundreds at the 128 MB default; a small bench
+    bucket is ONE row group unless capped)."""
     if not bucket_by or n_buckets < 1:
         raise ValueError("write_bucketed: bucket_by non-empty and n_buckets >= 1")
     spark = df.sparkSession
@@ -111,14 +123,26 @@ def write_bucketed(
     commit_rel = os.path.join(snap._DATA_DIR, f"bucketed-{uuid.uuid4().hex}")
     out_dir = os.path.join(table_dir, commit_rel)
     tmp = f"rbrs_bktw_{uuid.uuid4().hex[:12]}"
-    (
+    writer = (
         df.repartition(n_buckets, *[F.col(c) for c in bucket_by])
         .write.format("parquet")
         .bucketBy(n_buckets, *bucket_by)
         .sortBy(*sort_cols)
         .option("path", out_dir)
-        .saveAsTable(tmp)
     )
+    if parquet_block_size is not None:
+        writer = writer.option("parquet.block.size", str(int(parquet_block_size)))
+    # Spark's default timestamp encoding is legacy INT96, which parquet
+    # writes WITHOUT min/max statistics — that silently blinds both
+    # row-group pruning on a sort_by timestamp column and the manifest's
+    # stats_for ranges. Pin the modern micros encoding for layout writes
+    # (what Iceberg/Delta write; any reader of this decade understands it).
+    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        writer.saveAsTable(tmp)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
     # the catalog entry was only the write vehicle; the manifest owns
     # the table. DROP on an external table keeps the data files.
     spark.sql(f"DROP TABLE `{tmp}`")
@@ -244,6 +268,106 @@ def read_bucketed(
             f"INTO {int(spec['n'])} BUCKETS LOCATION '{loc}'"
         )
     return spark.table(name)
+
+
+def rowgroup_survival(
+    table_dir: str,
+    col: str,
+    preds: list[tuple[str, str]],
+    version: int | None = None,
+    max_files: int = 2,
+) -> float | None:
+    """Estimated fraction of parquet row groups a conjunction of
+    ``(op, literal)`` predicates on ``col`` leaves alive, probed from
+    the footer min/max stats of up to ``max_files`` bucket files.
+    Driver-side and METADATA-only — one footer read per probed file
+    regardless of table size, so the probe is O(1) at 100 TB (buckets
+    are hash-scattered on the key, so any bucket's row-group profile on
+    a non-key sort column is representative of all of them). Returns
+    ``None`` when the probe cannot decide (column absent, stats
+    missing, unparseable literal): callers must treat None as 'no
+    pruning evidence', never as 'prunes everything'. Literals arrive as
+    the optimized plan prints them (plans.explain.scan_range_predicates)
+    — numerics and ``yyyy-MM-dd HH:mm:ss`` timestamps are understood."""
+    import pyarrow.parquet as pq
+
+    if version is None:
+        version = snap.latest_version(table_dir)
+        if version is None:
+            return None
+    m = snap.read_manifest(table_dir, version)
+    spec = m.get("bucket_spec")
+    if not spec:
+        return None
+    loc = os.path.join(os.path.abspath(table_dir), spec["dir"])
+    try:
+        files = sorted(
+            f for f in os.listdir(loc) if f.endswith(".parquet")
+        )[:max_files]
+    except OSError:
+        return None
+
+    def _coerce(lit: str, like):
+        import datetime
+
+        try:
+            if isinstance(like, (int, float)):
+                return float(lit)
+            if isinstance(like, datetime.datetime):
+                v = datetime.datetime.fromisoformat(lit)
+                # plan literals print naive in the session timezone
+                # (pinned UTC, session.py); UTC-adjusted parquet stats
+                # come back tz-aware — align them
+                if like.tzinfo is not None and v.tzinfo is None:
+                    v = v.replace(tzinfo=like.tzinfo)
+                return v
+            if isinstance(like, datetime.date):
+                return datetime.date.fromisoformat(lit.split(" ")[0])
+            if isinstance(like, bytes):
+                return lit.encode()
+            return lit
+        except (ValueError, TypeError):
+            return None
+
+    alive = total = 0
+    for fname in files:
+        try:
+            meta = pq.ParquetFile(os.path.join(loc, fname)).metadata
+        except Exception:
+            return None
+        try:
+            idx = meta.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, (int,)) and not isinstance(mn, bool):
+                mn, mx = float(mn), float(mx)
+            total += 1
+            ok = True
+            for op, lit in preds:
+                v = _coerce(lit, mn)
+                if v is None:
+                    return None
+                if op == ">":
+                    ok = mx > v
+                elif op == ">=":
+                    ok = mx >= v
+                elif op == "<":
+                    ok = mn < v
+                elif op == "<=":
+                    ok = mn <= v
+                elif op == "=":
+                    ok = mn <= v <= mx
+                else:
+                    return None
+                if not ok:
+                    break
+            alive += ok
+    return (alive / total) if total else None
 
 
 def storage_partitioned_join(
@@ -670,14 +794,21 @@ def merge_bucketed(
 
     sort_cols = list(spec.get("sorted", cols))
     tmp = f"rbrs_bktm_{uuid.uuid4().hex[:12]}"
-    (
-        merged.repartition(n, *[F.col(c) for c in cols])
-        .write.format("parquet")
-        .bucketBy(n, *cols)
-        .sortBy(*sort_cols)
-        .option("path", out_dir)
-        .saveAsTable(tmp)
-    )
+    # same micros pin as write_bucketed: rewritten buckets must carry
+    # the same stats-bearing timestamp encoding as the original commit
+    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            merged.repartition(n, *[F.col(c) for c in cols])
+            .write.format("parquet")
+            .bucketBy(n, *cols)
+            .sortBy(*sort_cols)
+            .option("path", out_dir)
+            .saveAsTable(tmp)
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
     spark.sql(f"DROP TABLE `{tmp}`")
     new_files = [
         os.path.join(commit_rel, name)

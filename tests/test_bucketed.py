@@ -838,3 +838,136 @@ def test_merge_wiping_a_bucket_keeps_row_accounting(spark, no_broadcast):
     bkt.write_bucketed(_facts(spark, 200, seed=3).withColumnRenamed("v", "w"), other, ["k"], 4)
     j = bkt.storage_partitioned_join(spark, t, other, "k")
     assert j.count() == 200 - len(victim_keys)
+
+
+def test_sort_within_layout_rowgroup_pruning(spark):
+    """Iceberg sort-order pattern (round 15): a bucketed layout SORTED
+    WITHIN buckets by a non-key column keeps its exchange-free
+    bucketing but turns row-group min/max stats on the sort column
+    into tight ranges — rowgroup_survival (the router's footer probe)
+    must see real pruning on the sorted layout and NONE on the
+    key-sorted one, and the sorted layout's bucket-key aggregate must
+    still plan zero exchanges."""
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        # hash-scattered vs the key: sorting by ts is a REAL reorder,
+        # and the key-sorted control's row groups all span ~[0, n)
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("ts"),
+        F.xxhash64("id").alias("pad"),
+    )
+    d_sorted, d_key = _tdir(), _tdir()
+    bkt.write_bucketed(
+        df, d_sorted, ["k"], 2, sort_by=["ts"], parquet_block_size=64 * 1024
+    )
+    bkt.write_bucketed(df, d_key, ["k"], 2, parquet_block_size=64 * 1024)
+    cutoff = str(int(n * 0.9))
+    surv_sorted = bkt.rowgroup_survival(d_sorted, "ts", [(">", cutoff)])
+    surv_key = bkt.rowgroup_survival(d_key, "ts", [(">", cutoff)])
+    assert surv_sorted is not None and surv_sorted <= 0.3
+    assert surv_key == 1.0  # key-scatter: every row group spans ts
+    # unknown column / unparseable literal -> None, never "prunes all"
+    assert bkt.rowgroup_survival(d_sorted, "nope", [(">", "1")]) is None
+    assert bkt.rowgroup_survival(d_sorted, "ts", [(">", "not-a-number")]) is None
+    # the sorted layout still reports its bucketing: key agg, 0 exchanges
+    agg = bkt.read_bucketed(spark, d_sorted).groupBy("k").count()
+    assert count_exchanges(agg) == 0
+    # and the filtered read returns exactly the plain answer
+    expect = df.filter(F.col("ts") > int(cutoff)).count()
+    got = (
+        bkt.read_bucketed(spark, d_sorted)
+        .filter(F.col("ts") > int(cutoff))
+        .count()
+    )
+    assert got == expect
+
+
+def test_router_prefers_sorted_layout_when_filter_prunes(spark, no_broadcast):
+    """Sort-order-aware routing (round 15): with TWO lineitem layouts
+    registered on the same bucket key — key-sorted and
+    shipdate-sorted — the router serves the shipdate-sorted one to a
+    query whose plan carries a selective l_shipdate range predicate
+    (footer probe <= 0.6 survival), and the key-sorted one to the same
+    join without the filter (sort elision wins when nothing prunes).
+    Both routes must still drop exchanges vs plain and match the plain
+    results."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    sf = _tdir()
+    for tbl in ("lineitem", "orders"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.01/{tbl}.parquet",
+            os.path.join(sf, f"{tbl}.parquet"),
+        )
+    li_key, li_date, ord_dir = _tdir(), _tdir(), _tdir()
+    bkt.write_bucketed(
+        Q.t(spark, sf, "lineitem"), li_key, ["l_orderkey"], 4,
+        parquet_block_size=64 * 1024,
+    )
+    bkt.write_bucketed(
+        Q.t(spark, sf, "lineitem"), li_date, ["l_orderkey"], 4,
+        sort_by=["l_shipdate"], parquet_block_size=64 * 1024,
+    )
+    bkt.write_bucketed(Q.t(spark, sf, "orders"), ord_dir, ["o_orderkey"], 4)
+    # a cutoff late enough that most row groups die on the sorted layout
+    mx = Q.t(spark, sf, "lineitem").agg(F.max("l_shipdate")).head()[0]
+    cutoff = (mx - __import__("datetime").timedelta(days=30)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    surv = bkt.rowgroup_survival(
+        li_date, "l_shipdate", [(">", cutoff)]
+    )
+    assert surv is not None and surv <= 0.6  # test precondition
+
+    def _filtered(s, sfd):
+        li = Q.t(s, sfd, "lineitem").filter(
+            F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+        )
+        o = Q.t(s, sfd, "orders")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _unfiltered(s, sfd):
+        li = Q.t(s, sfd, "lineitem")
+        o = Q.t(s, sfd, "orders")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    qf, qu = "_test_sorted_route_f", "_test_sorted_route_u"
+    Q.QUERIES[qf], Q.QUERIES[qu] = _filtered, _unfiltered
+    # plain baseline BEFORE registration (a registered layout serves
+    # legacy un-routed reads too)
+    plain_f = Q.QUERIES[qf](spark, sf)
+    plain_exch = count_exchanges(plain_f)
+    plain_rows = sorted(map(tuple, plain_f.collect()))
+    Q.register_layout(sf, "lineitem", li_key)
+    Q.register_layout(sf, "lineitem", li_date)
+    Q.register_layout(sf, "orders", ord_dir)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        routed_f = Q.route_query(spark, sf, qf)
+        pl = formatted_plan(routed_f)
+        assert bkt._reg_name(li_date, 1) in pl
+        assert bkt._reg_name(li_key, 1) not in pl
+        assert count_exchanges(routed_f) < plain_exch
+        routed_u = Q.route_query(spark, sf, qu)
+        pl = formatted_plan(routed_u)
+        assert bkt._reg_name(li_key, 1) in pl
+        assert bkt._reg_name(li_date, 1) not in pl
+        # routing never changes results
+        assert sorted(map(tuple, routed_f.collect())) == plain_rows
+    finally:
+        Q.QUERIES.pop(qf, None)
+        Q.QUERIES.pop(qu, None)
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
