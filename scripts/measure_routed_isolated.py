@@ -28,6 +28,7 @@ from scripts.bench_tpch_scaling import _tuned_session  # noqa: E402
 DEFAULT = ("q_order_count_dist", "q_idle_rich_customers")
 LAYOUT_SUBS = (
     ("lineitem", "lineitem"),
+    ("lineitem", "lineitem_by_shipdate"),
     ("orders", "orders"),
     ("orders", "orders_by_custkey"),
     ("customer", "customer_by_custkey"),
