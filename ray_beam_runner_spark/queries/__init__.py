@@ -91,18 +91,22 @@ _ROUTE_CTX = _threading.local()
 
 # route_query's per-(sf_dir, query) layout selection, memoized so
 # repeated calls pay the probe plan once (any registration change
-# invalidates it)
+# invalidates it); _ROUTE_TRACE records WHY each decision landed
+# (route_explain's backing store, same lifecycle)
 _ROUTE_MEMO: dict[tuple[str, str], dict[tuple[str, str], str]] = {}
+_ROUTE_TRACE: dict[tuple[str, str], dict] = {}
 
 
 def register_layout(sf_dir: str, table: str, table_dir: str) -> None:
     LAYOUTS.setdefault((os.path.abspath(sf_dir), table), []).append(table_dir)
     _ROUTE_MEMO.clear()
+    _ROUTE_TRACE.clear()
 
 
 def clear_layouts() -> None:
     LAYOUTS.clear()
     _ROUTE_MEMO.clear()
+    _ROUTE_TRACE.clear()
 
 
 def _layout_for(sf_abs: str, table: str) -> str | None:
@@ -150,6 +154,12 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for p in st["join_pairs"]:
             keys_used |= p
         preds = scan_range_predicates(plain)
+        trace: dict = {
+            "groupings": sorted(st["groupings"]),
+            "join_pairs": sorted(sorted(p) for p in st["join_pairs"]),
+            "predicates": {c: list(ps) for c, ps in preds.items()},
+            "tables": {},
+        }
         # candidates: every layout whose bucket key the plan shuffles
         # on. When a table registers SEVERAL layouts on the same key
         # with different SORT orders (Iceberg sort-order pattern),
@@ -161,11 +171,15 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (rowgroup_survival doc), and route decisions stay memoized.
         cand: list[tuple[str, str, dict]] = []
         for tb, dirs in tables.items():
+            ttr = trace["tables"].setdefault(
+                tb, {"key_match": [], "survival": {}, "decision": "no key match"}
+            )
             matches: list[tuple[str, dict]] = []
             for d in dirs:
                 spec = bucket_spec(d)
                 if spec and all(c in keys_used for c in spec["cols"]):
                     matches.append((d, spec))
+                    ttr["key_match"].append(os.path.basename(d))
             if not matches:
                 continue
             choice = None
@@ -177,8 +191,12 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 if not scols:
                     continue
                 surv = rowgroup_survival(d, scols[0], preds[scols[0]])
+                ttr["survival"][os.path.basename(d)] = surv
                 if surv is not None and surv <= 0.6:
                     choice = (d, spec)
+                    ttr["decision"] = (
+                        f"sort-order layout ({scols[0]} survival {surv:.2f})"
+                    )
                     break
             if choice is None:
                 choice = next(
@@ -188,6 +206,7 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     ),
                     matches[0],
                 )
+                ttr["decision"] = "key-sorted layout (sort elision)"
             cand.append((tb, choice[0], choice[1]))
         # pairing rule (x100-measured, plans/explain.shuffle_key_structure
         # doc): a layout earns its scan trade-off only when (a) its key
@@ -221,6 +240,10 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             if len(keep) == len(cand):
                 break
             cand = keep
+        kept_tables = {tb for tb, _d, _s in cand}
+        for tb, ttr in trace["tables"].items():
+            if ttr["key_match"] and tb not in kept_tables:
+                ttr["decision"] = "refused: no co-located partner"
         selection = {(sf_abs, tb): d for tb, d, _ in cand}
         if selection:
             # verify on the PHYSICAL plan: the layout must actually
@@ -235,11 +258,20 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 routed = fn(spark, sf_dir)
             finally:
                 _ROUTE_CTX.selection = None
-            if count_exchanges(routed) >= count_exchanges(plain):
+            n_routed, n_plain = count_exchanges(routed), count_exchanges(plain)
+            trace["exchanges"] = {"plain": n_plain, "routed": n_routed}
+            if n_routed >= n_plain:
                 selection = {}
+                trace["outcome"] = "fell back: no exchange drop"
+                _ROUTE_TRACE[(sf_abs, name)] = trace
             else:
+                trace["outcome"] = "routed"
                 _ROUTE_MEMO[(sf_abs, name)] = selection
+                _ROUTE_TRACE[(sf_abs, name)] = trace
                 return routed
+        else:
+            trace["outcome"] = "plain: no layout earned"
+            _ROUTE_TRACE[(sf_abs, name)] = trace
         _ROUTE_MEMO[(sf_abs, name)] = selection
         if not selection:
             return plain
@@ -250,6 +282,38 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return fn(spark, sf_dir)
     finally:
         _ROUTE_CTX.selection = None
+
+
+def route_explain(spark: SparkSession, sf_dir: str, name: str) -> dict:
+    """EXPLAIN for the router: why each registered table was (not)
+    served a layout for this query. Runs the routing decision if it
+    isn't memoized yet, then returns a JSON-friendly trace:
+
+    - ``selection``: {table: layout dir basename} actually served;
+    - ``outcome``: "routed" | "plain: no layout earned" |
+      "fell back: no exchange drop" | "no layouts registered";
+    - ``groupings`` / ``join_pairs`` / ``predicates``: what the
+      optimized plan's shuffle structure and Filter nodes exposed;
+    - per table: which layouts key-matched, each sort-order
+      candidate's footer-probe survival, and the decision taken
+      ("sort-order layout (col survival 0.29)", "key-sorted layout
+      (sort elision)", "refused: no co-located partner", ...);
+    - ``exchanges``: plain vs routed physical counts (present when the
+      physical check ran).
+
+    The deployment story: a 100 TB operator asks WHY a query reads
+    plain parquet before paying for another layout — this is that
+    answer, from the same decision path the router actually took."""
+    sf_abs = os.path.abspath(sf_dir)
+    if not any(sd == sf_abs for (sd, _tb) in LAYOUTS):
+        return {"outcome": "no layouts registered", "selection": {}}
+    route_query(spark, sf_dir, name)
+    sel = _ROUTE_MEMO.get((sf_abs, name), {})
+    out = dict(_ROUTE_TRACE.get((sf_abs, name), {}))
+    out["selection"] = {
+        tb: os.path.basename(d) for (_sd, tb), d in sel.items()
+    }
+    return out
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -202,6 +202,11 @@ def write_bucketed(
             "dir": commit_rel,
         },
     }
+    if parquet_block_size is not None:
+        # recorded so merge_bucketed rewrites affected buckets with the
+        # SAME row-group granularity — otherwise a few merges would
+        # quietly degrade the sort-order layout's pruning resolution
+        manifest["bucket_spec"]["block_size"] = int(parquet_block_size)
     if stats:
         manifest["file_stats"] = stats
     if rows_map:
@@ -799,14 +804,18 @@ def merge_bucketed(
     prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        (
+        w = (
             merged.repartition(n, *[F.col(c) for c in cols])
             .write.format("parquet")
             .bucketBy(n, *cols)
             .sortBy(*sort_cols)
             .option("path", out_dir)
-            .saveAsTable(tmp)
         )
+        if spec.get("block_size"):
+            # rewritten buckets keep the layout's recorded row-group
+            # granularity (sort-order layouts rely on it for pruning)
+            w = w.option("parquet.block.size", str(int(spec["block_size"])))
+        w.saveAsTable(tmp)
     finally:
         spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
     spark.sql(f"DROP TABLE `{tmp}`")

@@ -971,3 +971,90 @@ def test_router_prefers_sorted_layout_when_filter_prunes(spark, no_broadcast):
         Q.QUERIES.pop(qu, None)
         Q.clear_layouts()
         spark._rbrs_tables.clear()
+
+
+def test_merge_preserves_sort_order_and_block_size(spark, no_broadcast):
+    """merge_bucketed on a SORT-ORDER layout: rewritten buckets must
+    come back sorted by the layout's recorded sort column at the
+    recorded row-group granularity (bucket_spec.block_size) — without
+    it, a few merges would quietly degrade the layout's pruning
+    resolution — and the footer probe must still see pruning on the
+    post-merge table."""
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("ts"),
+    )
+    d = _tdir()
+    bkt.write_bucketed(df, d, ["k"], 2, sort_by=["ts"], parquet_block_size=64 * 1024)
+    assert bkt.bucket_spec(d)["block_size"] == 64 * 1024
+    # touch BOTH buckets so every file is a rewrite, not a carry
+    upd = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("ts")
+    )
+    v = bkt.merge_bucketed(spark, d, upd)
+    assert bkt.bucket_spec(d, version=v)["block_size"] == 64 * 1024
+    cutoff = str(int(n * 0.9))
+    surv = bkt.rowgroup_survival(d, "ts", [(">", cutoff)], version=v)
+    assert surv is not None and surv <= 0.3  # granularity survived the merge
+    # and the merge applied: updated keys carry their new ts
+    got = (
+        bkt.read_bucketed(spark, d, version=v)
+        .filter(F.col("k") < 200)
+        .agg(F.max("ts"))
+        .head()[0]
+    )
+    assert got == 200
+
+
+def test_route_explain_reports_decisions(spark, no_broadcast):
+    """route_explain: the JSON trace must carry the decision each table
+    actually got — the sort-order pick with its survival number, the
+    key-sorted default, and the no-registration outcome."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+
+    sf = _tdir()
+    for tbl in ("lineitem", "orders"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.01/{tbl}.parquet",
+            os.path.join(sf, f"{tbl}.parquet"),
+        )
+    assert Q.route_explain(spark, sf, "q_recent_ship_priority") == {
+        "outcome": "no layouts registered", "selection": {},
+    }
+    li_key, li_date, ord_dir = _tdir(), _tdir(), _tdir()
+    bkt.write_bucketed(
+        Q.t(spark, sf, "lineitem"), li_key, ["l_orderkey"], 4,
+        parquet_block_size=64 * 1024,
+    )
+    bkt.write_bucketed(
+        Q.t(spark, sf, "lineitem"), li_date, ["l_orderkey"], 4,
+        sort_by=["l_shipdate"], parquet_block_size=8 * 1024,
+    )
+    bkt.write_bucketed(Q.t(spark, sf, "orders"), ord_dir, ["o_orderkey"], 4)
+    Q.register_layout(sf, "lineitem", li_key)
+    Q.register_layout(sf, "lineitem", li_date)
+    Q.register_layout(sf, "orders", ord_dir)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        ex = Q.route_explain(spark, sf, "q_recent_ship_priority")
+        assert ex["outcome"] == "routed"
+        assert ex["selection"]["lineitem"] == os.path.basename(li_date)
+        assert ex["selection"]["orders"] == os.path.basename(ord_dir)
+        li_tr = ex["tables"]["lineitem"]
+        assert li_tr["decision"].startswith("sort-order layout (l_shipdate")
+        surv = li_tr["survival"][os.path.basename(li_date)]
+        assert surv is not None and surv <= 0.6
+        assert "l_shipdate" in ex["predicates"]
+        assert ex["exchanges"]["routed"] < ex["exchanges"]["plain"]
+        assert ex["tables"]["orders"]["decision"].startswith("key-sorted")
+        # JSON-friendly end to end
+        import json as _json
+
+        _json.dumps(ex)
+    finally:
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
