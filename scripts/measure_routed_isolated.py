@@ -39,8 +39,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=100)
     ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument(
+        "--subs", default=None,
+        help="comma-separated layout SUBDIR names to register (default: all "
+        "of LAYOUT_SUBS); lets one run compare e.g. the key-sorted "
+        "lineitem layout against the shipdate-sorted one",
+    )
     ap.add_argument("queries", nargs="*", default=list(DEFAULT))
     args = ap.parse_args()
+    subs = (
+        [(t, s) for t, s in LAYOUT_SUBS if s in set(args.subs.split(","))]
+        if args.subs else list(LAYOUT_SUBS)
+    )
 
     from ray_beam_runner_spark import queries as Q
     from ray_beam_runner_spark.plans.explain import count_exchanges
@@ -48,7 +58,7 @@ def main():
     data_dir = build_scaled(args.mult)
     spark = _tuned_session(data_dir, args.mult)
     base = os.path.join(data_dir, "_spj_family")
-    missing = [s for _t, s in LAYOUT_SUBS if not os.path.exists(os.path.join(base, s))]
+    missing = [s for _t, s in subs if not os.path.exists(os.path.join(base, s))]
     if missing:
         raise SystemExit(
             f"layouts missing under {base}: {missing} — run "
@@ -69,7 +79,7 @@ def main():
     for name in args.queries:
         plain = lambda: Q.QUERIES[name](spark, data_dir)  # noqa: B023
         res = {"plain_exch": count_exchanges(plain()), "plain_s": timed(plain)}
-        for tbl, sub in LAYOUT_SUBS:
+        for tbl, sub in subs:
             Q.register_layout(data_dir, tbl, os.path.join(base, sub))
         if hasattr(spark, "_rbrs_tables"):
             spark._rbrs_tables.clear()
@@ -77,6 +87,12 @@ def main():
             routed = lambda: Q.route_query(spark, data_dir, name)  # noqa: B023
             res["routed_exch"] = count_exchanges(routed())
             res["routed_s"] = timed(routed)
+            # the layouts the router actually served (decision record;
+            # read BEFORE clear_layouts wipes the memo)
+            sel = Q._ROUTE_MEMO.get((os.path.abspath(data_dir), name), {})
+            res["routed_layouts"] = sorted(
+                os.path.basename(d) for d in sel.values()
+            )
         finally:
             Q.clear_layouts()
             spark._rbrs_tables.clear()
