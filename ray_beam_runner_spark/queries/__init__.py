@@ -340,9 +340,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark._rbrs_tables = cache  # noqa: SLF001
     if path not in cache:
         if override:
-            from ray_beam_runner_spark.sources.bucketed import read_bucketed
+            from ray_beam_runner_spark.sources.bucketed import (
+                bucket_spec,
+                read_bucketed,
+            )
 
-            cache[path] = read_bucketed(spark, override)
+            df = read_bucketed(spark, override)
+            spec = bucket_spec(override)
+            if spec and spec.get("sorted", spec["cols"]) != spec["cols"]:
+                # a SORT-ORDER layout (sorted within buckets by a
+                # non-key column) cannot give SortMergeJoin its sort
+                # elision — but a SHUFFLED HASH join needs NO sort and,
+                # over a bucketed scan's reported HashPartitioning, NO
+                # exchange either. The router only serves this layout
+                # under the footer probe's <=60% row-group survival, so
+                # the hinted (filtered) side is the naturally small
+                # build side. Measured x1000 (q_late_shipments shape):
+                # SHJ 4.92 s vs SMJ 5.51 s on the same sorted layout,
+                # plan-verified 0-exchange, 4 fewer Sort nodes.
+                df = df.hint("shuffle_hash")
+            cache[path] = df
         else:
             cache[path] = read_parquet_normalized(spark, path)
     return cache[path]
