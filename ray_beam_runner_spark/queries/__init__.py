@@ -180,25 +180,45 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 if spec and all(c in keys_used for c in spec["cols"]):
                     matches.append((d, spec))
                     ttr["key_match"].append(os.path.basename(d))
+            def _survival_pick(pool):
+                for d, spec in pool:
+                    scols = [
+                        c for c in spec.get("sorted", [])
+                        if c not in spec["cols"] and c in preds
+                    ]
+                    if not scols:
+                        continue
+                    surv = rowgroup_survival(d, scols[0], preds[scols[0]])
+                    ttr["survival"][os.path.basename(d)] = surv  # noqa: B023
+                    if surv is not None and surv <= 0.6:
+                        return (d, spec), scols[0], surv
+                return None, None, None
             if not matches:
-                continue
-            choice = None
-            for d, spec in matches:
-                scols = [
-                    c for c in spec.get("sorted", [])
-                    if c not in spec["cols"] and c in preds
-                ]
-                if not scols:
-                    continue
-                surv = rowgroup_survival(d, scols[0], preds[scols[0]])
-                ttr["survival"][os.path.basename(d)] = surv
-                if surv is not None and surv <= 0.6:
-                    choice = (d, spec)
+                # SCAN-ONLY route (round 15, second block): no join/
+                # grouping uses this table's bucket key, but a layout
+                # sorted by a column the plan RANGE-FILTERS still wins
+                # on pure row-group pruning (measured x1000: a one-year
+                # shipdate scan-agg is 5.5x faster on the sorted layout
+                # than on plain parquet, whose unsorted row groups
+                # cannot prune). Admitted purely on survival evidence;
+                # the pairing rule and the exchange-drop gate don't
+                # apply (there is no exchange to drop — the gain is IO),
+                # so these carry a 'scan' kind through selection.
+                choice, scol, surv = _survival_pick(
+                    [(d, s) for d in dirs if (s := bucket_spec(d))]
+                )
+                if choice is not None:
                     ttr["decision"] = (
-                        f"sort-order layout ({scols[0]} survival {surv:.2f})"
+                        f"scan-only sort-order route ({scol} survival {surv:.2f})"
                     )
-                    break
-            if choice is None:
+                    cand.append((tb, choice[0], {**choice[1], "_kind": "scan"}))
+                continue
+            choice, scol, surv = _survival_pick(matches)
+            if choice is not None:
+                ttr["decision"] = (
+                    f"sort-order layout ({scol} survival {surv:.2f})"
+                )
+            else:
                 choice = next(
                     (
                         (d, s) for d, s in matches
@@ -218,6 +238,10 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         while True:
             keep: list[tuple[str, str, dict]] = []
             for tb, d, spec in cand:
+                if spec.get("_kind") == "scan":
+                    # scan-only routes stand on survival evidence alone
+                    keep.append((tb, d, spec))
+                    continue
                 cols = set(spec["cols"])
                 if cols & st["groupings"]:
                     keep.append((tb, d, spec))
@@ -244,6 +268,7 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for tb, ttr in trace["tables"].items():
             if ttr["key_match"] and tb not in kept_tables:
                 ttr["decision"] = "refused: no co-located partner"
+        scan_route = any(s.get("_kind") == "scan" for _tb, _d, s in cand)
         selection = {(sf_abs, tb): d for tb, d, _ in cand}
         if selection:
             # verify on the PHYSICAL plan: the layout must actually
@@ -260,12 +285,37 @@ def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 _ROUTE_CTX.selection = None
             n_routed, n_plain = count_exchanges(routed), count_exchanges(plain)
             trace["exchanges"] = {"plain": n_plain, "routed": n_routed}
-            if n_routed >= n_plain:
+            # a scan-only route wins on row-group IO, not exchanges: it
+            # must merely not make the plan WORSE (equal counts ok);
+            # key routes still owe a strict drop
+            key_route = any(s.get("_kind") != "scan" for _t, _d, s in cand)
+            ok = (n_routed < n_plain) if key_route else (n_routed <= n_plain)
+            if not ok and key_route and scan_route:
+                # the key side failed its drop: retry serving ONLY the
+                # scan-evidence layouts before giving up entirely
+                selection = {
+                    (sf_abs, tb): d for tb, d, s in cand
+                    if s.get("_kind") == "scan"
+                }
+                _ROUTE_CTX.selection = selection
+                try:
+                    routed = fn(spark, sf_dir)
+                finally:
+                    _ROUTE_CTX.selection = None
+                n_routed = count_exchanges(routed)
+                trace["exchanges"]["routed"] = n_routed
+                trace["outcome"] = "key route refused; scan-only retry"
+                ok = n_routed <= n_plain
+            if not ok:
                 selection = {}
                 trace["outcome"] = "fell back: no exchange drop"
                 _ROUTE_TRACE[(sf_abs, name)] = trace
             else:
-                trace["outcome"] = "routed"
+                trace["outcome"] = (
+                    "routed (scan-only after key refusal)"
+                    if trace.get("outcome") == "key route refused; scan-only retry"
+                    else "routed"
+                )
                 _ROUTE_MEMO[(sf_abs, name)] = selection
                 _ROUTE_TRACE[(sf_abs, name)] = trace
                 return routed

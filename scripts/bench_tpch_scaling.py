@@ -145,6 +145,8 @@ def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
         ("lineitem", ["l_orderkey"], ["l_shipdate"], 4 * 1024 * 1024,
          "lineitem_by_shipdate"),
         ("orders", ["o_orderkey"], None, None, "orders"),
+        ("orders", ["o_orderkey"], ["o_orderdate"], 4 * 1024 * 1024,
+         "orders_by_orderdate"),
         ("orders", ["o_custkey"], None, None, "orders_by_custkey"),
         ("customer", ["c_custkey"], None, None, "customer_by_custkey"),
     )

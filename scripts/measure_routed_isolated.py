@@ -30,6 +30,7 @@ LAYOUT_SUBS = (
     ("lineitem", "lineitem"),
     ("lineitem", "lineitem_by_shipdate"),
     ("orders", "orders"),
+    ("orders", "orders_by_orderdate"),
     ("orders", "orders_by_custkey"),
     ("customer", "customer_by_custkey"),
 )

@@ -1058,3 +1058,50 @@ def test_route_explain_reports_decisions(spark, no_broadcast):
     finally:
         Q.clear_layouts()
         spark._rbrs_tables.clear()
+
+
+def test_router_scan_only_sort_order_route(spark, no_broadcast):
+    """SCAN-ONLY routing (round 15, second block): a query with no
+    join/grouping on any bucket key still routes to a layout sorted by
+    a column its plan range-filters, purely on footer-probe survival
+    evidence (measured x1000: 5.5x over plain parquet, whose unsorted
+    row groups cannot prune). A query with no pushable range predicate
+    on the sort column must stay plain."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    sf = _tdir()
+    shutil.copyfile(
+        "/root/testdata/sf0.01/orders.parquet", os.path.join(sf, "orders.parquet")
+    )
+    d = _tdir()
+    bkt.write_bucketed(
+        Q.t(spark, sf, "orders"), d, ["o_orderkey"], 4,
+        sort_by=["o_orderdate"], parquet_block_size=8 * 1024,
+    )
+    # q_priority_counts: orders scan, o_orderdate in [1996, 1999),
+    # grouped by priority — no bucket-key usage anywhere
+    plain = Q.QUERIES["q_priority_counts"](spark, sf)
+    plain_exch = count_exchanges(plain)
+    plain_rows = sorted(map(tuple, plain.collect()))
+    Q.register_layout(sf, "orders", d)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        df = Q.route_query(spark, sf, "q_priority_counts")
+        assert bkt._reg_name(d, 1) in formatted_plan(df)
+        assert count_exchanges(df) <= plain_exch
+        assert sorted(map(tuple, df.collect())) == plain_rows
+        ex = Q.route_explain(spark, sf, "q_priority_counts")
+        assert ex["outcome"].startswith("routed")
+        assert ex["tables"]["orders"]["decision"].startswith(
+            "scan-only sort-order route (o_orderdate"
+        )
+        # no range predicate on o_orderdate -> stays plain
+        df2 = Q.route_query(spark, sf, "q_percentiles")
+        assert bkt._reg_name(d, 1) not in formatted_plan(df2)
+    finally:
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
