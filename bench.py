@@ -54,6 +54,7 @@ EXTRA_SET = (
     "q_repetition",
     "q_forecast_revenue",
     "q_market_share",
+    "q_recent_ship_priority",
     "q_decontaminate",
     "q_pii_scrub",
     "q_chunk_documents",
