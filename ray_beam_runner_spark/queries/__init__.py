@@ -366,6 +366,123 @@ def route_explain(spark: SparkSession, sf_dir: str, name: str) -> dict:
     return out
 
 
+def advise_layouts(
+    spark: SparkSession, sf_dir: str, names: list[str], top: int = 8
+) -> list[dict]:
+    """Workload-driven LAYOUT ADVISOR — the design-time complement of
+    route_query: given a workload (registry query names), read each
+    query's optimized plan (no execution; plain-parquet probe plans)
+    and recommend which storage layouts would earn their build cost,
+    ranked by how many queries vote for them:
+
+    - a join-equality pair whose two columns resolve to two tables ->
+      a CO-LOCATED bucket pair recommendation (the only kind
+      route_query's pairing rule will serve to a join);
+    - a grouping/window key -> a single-table bucket recommendation
+      (exchange-free aggregation);
+    - a recurring range predicate on a column -> a SORT-WITHIN
+      recommendation attached to that table's bucket layout (row-group
+      pruning; served through the footer-probe survival gate).
+
+    Columns resolve to tables via the parquet footers' schemas (one
+    footer read per table; ambiguous/derived columns are dropped — the
+    safe direction, matching the router's own heuristic). Each
+    recommendation lists its voting queries, so the storage-times-N
+    cost of every layout is justified by named workload evidence.
+    Plan-only and driver-side: safe to run against a 100 TB catalog."""
+    import pyarrow.parquet as pq
+
+    col_table: dict[str, str] = {}
+    for f in sorted(os.listdir(sf_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        try:
+            sch = pq.read_schema(os.path.join(sf_dir, f))
+        except Exception:  # noqa: BLE001
+            continue
+        for c in sch.names:
+            col_table.setdefault(c, f[: -len(".parquet")])
+
+    from ray_beam_runner_spark.plans.explain import (
+        scan_range_predicates,
+        shuffle_key_structure,
+    )
+
+    join_votes: dict[frozenset, list[str]] = {}
+    group_votes: dict[tuple, list[str]] = {}
+    pred_votes: dict[tuple, list[str]] = {}
+    for name in names:
+        _ROUTE_CTX.selection = {}
+        try:
+            df = QUERIES[name](spark, sf_dir)
+        finally:
+            _ROUTE_CTX.selection = None
+        st = shuffle_key_structure(df)
+        for pair in st["join_pairs"]:
+            tcols = frozenset(
+                (col_table[c], c) for c in pair if c in col_table
+            )
+            if len(tcols) == 2 and len({t for t, _ in tcols}) == 2:
+                join_votes.setdefault(tcols, []).append(name)
+        for c in st["groupings"]:
+            if c in col_table:
+                group_votes.setdefault((col_table[c], c), []).append(name)
+        for c in scan_range_predicates(df):
+            if c in col_table:
+                pred_votes.setdefault((col_table[c], c), []).append(name)
+
+    recs: list[dict] = []
+    keyed: set[tuple] = set()  # (table, col) already covered by a pair
+    for pair, qs in sorted(join_votes.items(), key=lambda kv: -len(kv[1])):
+        (t1, c1), (t2, c2) = sorted(pair)
+        recs.append({
+            "kind": "co-located bucket pair",
+            "build": [{"table": t1, "bucket_by": [c1]},
+                      {"table": t2, "bucket_by": [c2]}],
+            "queries": sorted(set(qs)),
+            "votes": len(qs),
+        })
+        keyed.update([(t1, c1), (t2, c2)])
+    for (tb, c), qs in sorted(group_votes.items(), key=lambda kv: -len(kv[1])):
+        if (tb, c) in keyed:
+            continue
+        recs.append({
+            "kind": "bucket layout (grouping key)",
+            "build": [{"table": tb, "bucket_by": [c]}],
+            "queries": sorted(set(qs)),
+            "votes": len(qs),
+        })
+        keyed.add((tb, c))
+    # each table's best-voted bucket key (recs are appended in vote
+    # order, first mention wins) — sort-within layouts attach to it so
+    # they can PAIR with the already-recommended key layouts
+    best_key: dict[str, str] = {}
+    for r in recs:
+        for b in r["build"]:
+            best_key.setdefault(b["table"], b["bucket_by"][0])
+    for (tb, c), qs in sorted(pred_votes.items(), key=lambda kv: -len(kv[1])):
+        key = (tb, best_key[tb]) if tb in best_key else None
+        recs.append({
+            "kind": "sort-within layout (range predicates)",
+            "build": [{
+                "table": tb,
+                "bucket_by": [key[1]] if key else ["<any stable key>"],
+                "sort_within": [c],
+            }],
+            "queries": sorted(set(qs)),
+            "votes": len(qs),
+            "note": (
+                "served by route_query under the footer-probe survival "
+                "gate; pairs with the existing bucket key"
+                if key else
+                "no bucket key voted for this table: scan-only routes "
+                "still serve it — pick any stable id as the bucket key"
+            ),
+        })
+    recs.sort(key=lambda r: -r["votes"])
+    return recs[:top]
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table. The (immutable) DataFrame handle is cached
     ON the session object: repeated reads re-open parquet footers through

@@ -1105,3 +1105,44 @@ def test_router_scan_only_sort_order_route(spark, no_broadcast):
     finally:
         Q.clear_layouts()
         spark._rbrs_tables.clear()
+
+
+def test_advise_layouts_reproduces_family_layout_set(spark):
+    """The workload-driven layout advisor (queries.advise_layouts) must
+    recommend, from the 23-query TPC-H family's plans alone, exactly
+    the layout set three rounds of measurement converged on: the
+    orderkey co-location pair first (most-voted), the custkey pair,
+    and sort-within layouts on l_shipdate and o_orderdate ATTACHED to
+    each table's best-voted bucket key (so they pair). Advice is
+    plan-only — no data is written."""
+    from ray_beam_runner_spark import queries as Q
+    from scripts.bench_tpch_scaling import TPCH_SET
+
+    recs = Q.advise_layouts(spark, "/root/testdata/sf0.001", list(TPCH_SET), top=8)
+
+    def build_of(r):
+        return [
+            (b["table"], tuple(b["bucket_by"]), tuple(b.get("sort_within") or ()))
+            for b in r["build"]
+        ]
+
+    assert build_of(recs[0]) == [
+        ("lineitem", ("l_orderkey",), ()), ("orders", ("o_orderkey",), ()),
+    ]
+    assert recs[0]["kind"] == "co-located bucket pair"
+    assert len(recs[0]["queries"]) >= 8  # most of the family joins on it
+    assert build_of(recs[1]) == [
+        ("customer", ("c_custkey",), ()), ("orders", ("o_custkey",), ()),
+    ]
+    sorts = {
+        tuple(b for r2 in [r] for b in build_of(r2))
+        for r in recs if r["kind"].startswith("sort-within")
+    }
+    assert (("lineitem", ("l_orderkey",), ("l_shipdate",)),) in sorts
+    assert (("orders", ("o_orderkey",), ("o_orderdate",)),) in sorts
+    # votes are named evidence, monotonically ordered
+    votes = [r["votes"] for r in recs]
+    assert votes == sorted(votes, reverse=True)
+    for r in recs:
+        assert r["queries"]  # every layout justified by named queries
+        assert set(r["queries"]) <= set(TPCH_SET)
