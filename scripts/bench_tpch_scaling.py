@@ -190,12 +190,16 @@ def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
         # memoizes, but registration churn below clears the memo, so
         # capture the decisions now
         decisions: dict[str, dict] = {}
+        hint_memo: dict[str, set] = {}
         for name in TPCH_SET:
             exchanges[name]["routed"] = count_exchanges(
                 Q.route_query(spark, data_dir, name)
             )
             sel = Q._ROUTE_MEMO.get((os.path.abspath(data_dir), name), {})
             decisions[name] = dict(sel)
+            hint_memo[name] = set(
+                Q._ROUTE_HINTS.get((os.path.abspath(data_dir), name), set())
+            )
             exchanges[name]["layouts"] = sorted(
                 os.path.basename(d) for d in sel.values()
             )
@@ -214,6 +218,7 @@ def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
             # re-pay the probe plans
             for name in TPCH_SET:
                 Q._ROUTE_MEMO[(os.path.abspath(data_dir), name)] = decisions[name]
+                Q._ROUTE_HINTS[(os.path.abspath(data_dir), name)] = hint_memo[name]
             for name in TPCH_SET:
                 t0 = time.perf_counter()
                 len(Q.route_query(spark, data_dir, name).toPandas())

