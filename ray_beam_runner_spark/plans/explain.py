@@ -252,6 +252,61 @@ def relation_print_order(df: DataFrame) -> list[str]:
     return out
 
 
+def _relation_id(stripped_line: str) -> str:
+    """Relation identifier for a printed ``Relation ...`` plan line —
+    the catalog table name when present, else the first column name
+    (relation_print_order's scheme)."""
+    m = _re.match(r"Relation ([\w.]+)\[([A-Za-z_][A-Za-z0-9_]*)", stripped_line)
+    if m:
+        return m.group(1).rsplit(".", 1)[-1]
+    m = _re.match(r"Relation \[([A-Za-z_][A-Za-z0-9_]*)", stripped_line)
+    return m.group(1) if m else "?"
+
+
+def filtered_relations(df: DataFrame) -> list[str]:
+    """Base relations that carry a SELECTIVE filter in the optimized
+    plan — a Filter in their unary chain (Project/Filter nodes between
+    the relation leaf and its nearest multi-child ancestor) with any
+    conjunct beyond ``isnotnull`` null guards. Identifiers match
+    relation_print_order.
+
+    Consumer: queries.route_query's CBO-reorder acceptance gate.
+    Catalyst's FilterEstimation returns no estimate for non-sargable
+    predicates (``p_name LIKE '%red%'`` prints as ``Contains``), so
+    under stats its join reordering can DEMOTE a filtered dim the
+    declared order joins early — measured +40% on the Q9 shape at x100
+    (scripts/explore_bloom_cbo.py). A reorder that moves any of THESE
+    relations later than the author placed them is evidence the cost
+    model missed their reduction."""
+    lines: list[tuple[int, str]] = []
+    for ln in optimized_logical_plan(df).splitlines():
+        s = ln.lstrip(" +-:|")
+        lines.append((len(ln) - len(s), s))
+    out: list[str] = []
+    for i, (indent, s) in enumerate(lines):
+        if not s.startswith("Relation"):
+            continue
+        cur = indent
+        selective = False
+        for j in range(i - 1, -1, -1):
+            pj, sj = lines[j]
+            if pj >= cur:
+                continue  # a sibling subtree's node, not an ancestor
+            cur = pj
+            if sj.startswith("Filter "):
+                cond = sj[len("Filter ") :]
+                if any(
+                    not _re.fullmatch(r"isnotnull\([^()]*\)", c.strip())
+                    for c in _conjuncts(cond)
+                ):
+                    selective = True
+            elif not sj.startswith("Project"):
+                break  # Join/Aggregate/...: left the unary chain
+        if selective:
+            out.append(_relation_id(s))
+    return out
+
+
 def shuffle_key_columns(df: DataFrame) -> set[str]:
     """Flat union of shuffle_key_structure's columns (grouping keys +
     both sides of every join-equality pair)."""

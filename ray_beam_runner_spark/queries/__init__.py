@@ -98,6 +98,10 @@ _ROUTE_CTX = _threading.local()
 _ROUTE_MEMO: dict[tuple[str, str], dict[tuple[str, str], str]] = {}
 _ROUTE_TRACE: dict[tuple[str, str], dict] = {}
 _ROUTE_HINTS: dict[tuple[str, str], set[tuple[str, str]]] = {}
+# per-(sf_dir, query) CBO join-reorder acceptance trace — see
+# _reorder_decision; "accepted" False means the declared join order is
+# pinned for this query even though stats serving is on
+_ROUTE_REORDER: dict[tuple[str, str], dict] = {}
 
 
 def register_layout(sf_dir: str, table: str, table_dir: str) -> None:
@@ -105,6 +109,7 @@ def register_layout(sf_dir: str, table: str, table_dir: str) -> None:
     _ROUTE_MEMO.clear()
     _ROUTE_TRACE.clear()
     _ROUTE_HINTS.clear()
+    _ROUTE_REORDER.clear()
 
 
 def clear_layouts() -> None:
@@ -112,6 +117,7 @@ def clear_layouts() -> None:
     _ROUTE_MEMO.clear()
     _ROUTE_TRACE.clear()
     _ROUTE_HINTS.clear()
+    _ROUTE_REORDER.clear()
 
 
 # Catalog-statistics serving mode (round-16, r15 verdict ask #1):
@@ -208,6 +214,7 @@ def enable_stats(
     _ROUTE_MEMO.clear()
     _ROUTE_TRACE.clear()
     _ROUTE_HINTS.clear()
+    _ROUTE_REORDER.clear()
     return names
 
 
@@ -225,6 +232,7 @@ def disable_stats(spark: SparkSession | None = None, sf_dir: str | None = None) 
     _ROUTE_MEMO.clear()
     _ROUTE_TRACE.clear()
     _ROUTE_HINTS.clear()
+    _ROUTE_REORDER.clear()
 
 
 def _layout_for(sf_abs: str, table: str) -> str | None:
@@ -235,7 +243,137 @@ def _layout_for(sf_abs: str, table: str) -> str | None:
     return dirs[0] if dirs else None
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('10m', '64MB', '-1',
+    '10485760b', bare digits) to bytes; negative stays negative."""
+    s = str(conf_val).strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            s, mult = s[: -1], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return -1
+
+
+def _reorder_decision(
+    spark: SparkSession, sf_abs: str, sf_dir: str, name: str, fn
+) -> bool:
+    """Accept or reject CBO join reordering for ONE query (memoized).
+
+    Catalyst's cost model is blind to non-sargable predicates — LIKE
+    '%..%' / UDF filters return no FilterEstimation, so a dim the
+    author joins early BECAUSE its filter decimates it looks unfiltered
+    to the reorderer, which then demotes it (measured +40% on the Q9
+    shape, scripts/explore_bloom_cbo.py r16). The gate compares the
+    DECLARED join order (reorder off) against the CBO order and accepts
+    only when no SELECTIVELY FILTERED, NON-BROADCASTABLE relation moved
+    later: a promotion or a no-op keeps the evidence-backed reorder
+    (the dims-last Q5 clone still plans dim-first), a demotion of a
+    filtered fact pins the author's order; demoting a broadcast-sized
+    dim is exempt (its join is map-side pipelined wherever it lands).
+    Plan-only — two logical plan builds, no execution, memoized with
+    the route memos."""
+    key = (sf_abs, name)
+    if key in _ROUTE_REORDER:
+        return _ROUTE_REORDER[key]["accepted"]
+    from ray_beam_runner_spark.plans.explain import (
+        filtered_relations,
+        relation_print_order,
+    )
+
+    conf = "spark.sql.cbo.joinReorder.enabled"
+    prev = spark.conf.get(conf, "false")
+    _ROUTE_CTX.selection = {}
+    try:
+        spark.conf.set(conf, "false")
+        declared = fn(spark, sf_dir)
+        d_order = relation_print_order(declared)
+        sel = filtered_relations(declared)
+        spark.conf.set(conf, "true")
+        cbo = fn(spark, sf_dir)
+        c_order = relation_print_order(cbo)
+    finally:
+        spark.conf.set(conf, prev)
+        _ROUTE_CTX.selection = None
+    demoted: list[str] = []
+    for rid in set(sel):
+        d_pos = [i for i, r in enumerate(d_order) if r == rid]
+        c_pos = [i for i, r in enumerate(c_order) if r == rid]
+        # k-th occurrence pairs with k-th (duplicate relations, e.g. a
+        # dim joined twice, keep positional identity)
+        if any(c > d for d, c in zip(d_pos, c_pos)):
+            demoted.append(rid)
+    # BROADCAST EXEMPTION: demoting a relation small enough to
+    # broadcast is harmless — its join is map-side pipelined wherever
+    # it lands, no shuffle moves. Only a demoted NON-broadcastable
+    # relation (a filtered fact whose early reduction the declared
+    # order exploits, e.g. Q10's l_returnflag='R' lineitem) is
+    # evidence the cost model missed a reduction it cannot defer.
+    blocking = list(demoted)
+    thr = _size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    )
+    if blocking and thr > 0:
+        cats = set(STATS.get(sf_abs, {}).values())
+        kept = []
+        for rid in blocking:
+            sz = None
+            if rid in cats:
+                try:
+                    sz = int(
+                        str(
+                            spark.table(rid)
+                            ._jdf.queryExecution()  # noqa: SLF001
+                            .optimizedPlan()
+                            .stats()
+                            .sizeInBytes()
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — unknown size = big
+                    sz = None
+            if sz is None or sz > thr:
+                kept.append(rid)
+        blocking = kept
+    accepted = not blocking
+    _ROUTE_REORDER[key] = {
+        "accepted": accepted,
+        "demoted": demoted,
+        "blocking": blocking,
+        "filtered": sorted(set(sel)),
+        "declared_order": d_order,
+        "cbo_order": c_order,
+    }
+    return accepted
+
+
 def route_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Shape-aware routing entry: layout selection (_route_query_inner)
+    plus, when enable_stats serving is registered for ``sf_dir``, the
+    per-query CBO join-reorder acceptance gate (_reorder_decision). The
+    decided reorder conf is held for the whole plan build and the
+    returned DataFrame's OPTIMIZED plan is forced while it holds, so
+    the join order is pinned regardless of session confs at execution
+    time (logical plans are lazy vals — later conf flips can't re-order
+    a materialized plan)."""
+    sf_abs = os.path.abspath(sf_dir)
+    if not STATS.get(sf_abs):
+        return _route_query_inner(spark, sf_dir, name)
+    ok = _reorder_decision(spark, sf_abs, sf_dir, name, QUERIES[name])
+    conf = "spark.sql.cbo.joinReorder.enabled"
+    prev = spark.conf.get(conf, "false")
+    try:
+        spark.conf.set(conf, "true" if ok else "false")
+        df = _route_query_inner(spark, sf_dir, name)
+        df._jdf.queryExecution().optimizedPlan()  # noqa: SLF001 — pin
+        return df
+    finally:
+        spark.conf.set(conf, prev)
+
+
+def _route_query_inner(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Shape-aware layout routing: run QUERIES[name], serving each
     registered table through the bucketed layout its own optimized plan
     EARNS — plain parquet otherwise. A layout is selected when its
@@ -497,7 +635,7 @@ def route_explain(spark: SparkSession, sf_dir: str, name: str) -> dict:
     plain parquet before paying for another layout — this is that
     answer, from the same decision path the router actually took."""
     sf_abs = os.path.abspath(sf_dir)
-    if not any(sd == sf_abs for (sd, _tb) in LAYOUTS):
+    if not any(sd == sf_abs for (sd, _tb) in LAYOUTS) and not STATS.get(sf_abs):
         return {"outcome": "no layouts registered", "selection": {}}
     route_query(spark, sf_dir, name)
     sel = _ROUTE_MEMO.get((sf_abs, name), {})
@@ -505,6 +643,10 @@ def route_explain(spark: SparkSession, sf_dir: str, name: str) -> dict:
     out["selection"] = {
         tb: os.path.basename(d) for (_sd, tb), d in sel.items()
     }
+    if (sf_abs, name) in _ROUTE_REORDER:
+        out["cbo_reorder"] = dict(_ROUTE_REORDER[(sf_abs, name)])
+    if not out.get("outcome"):
+        out["outcome"] = "stats serving only (no layouts registered)"
     return out
 
 

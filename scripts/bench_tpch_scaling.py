@@ -175,10 +175,20 @@ def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
     def _register():
         for tbl, _keys, _sort, _blk, sub in layouts:
             Q.register_layout(data_dir, tbl, os.path.join(base, sub))
+        # the routed leg is "engine fully on": layouts AND catalog
+        # statistics (round 16) — layout-served tables read bucketed
+        # (path relations, reorder can't move them), router-plain
+        # queries get CBO join reordering under route_query's per-query
+        # acceptance gate (declared order pinned when a filtered
+        # non-broadcastable relation would demote)
+        t0 = time.perf_counter()
+        Q.enable_stats(spark, data_dir)
+        build.setdefault("stats_analyze", round(time.perf_counter() - t0, 3))
         _clear_table_cache()
 
     def _unregister():
         Q.clear_layouts()
+        Q.disable_stats(spark, data_dir)
         _clear_table_cache()
 
     exchanges: dict[str, dict] = {}
@@ -191,6 +201,7 @@ def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
         # capture the decisions now
         decisions: dict[str, dict] = {}
         hint_memo: dict[str, set] = {}
+        reorder_memo: dict[str, dict] = {}
         for name in TPCH_SET:
             exchanges[name]["routed"] = count_exchanges(
                 Q.route_query(spark, data_dir, name)
@@ -200,6 +211,12 @@ def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
             hint_memo[name] = set(
                 Q._ROUTE_HINTS.get((os.path.abspath(data_dir), name), set())
             )
+            rr = Q._ROUTE_REORDER.get((os.path.abspath(data_dir), name))
+            if rr is not None:
+                reorder_memo[name] = dict(rr)
+                exchanges[name]["cbo_reorder"] = (
+                    "accepted" if rr["accepted"] else "declared order pinned"
+                )
             exchanges[name]["layouts"] = sorted(
                 os.path.basename(d) for d in sel.values()
             )
@@ -219,6 +236,10 @@ def time_spark_both(data_dir: str, mult: int) -> tuple[dict, dict, dict, dict]:
             for name in TPCH_SET:
                 Q._ROUTE_MEMO[(os.path.abspath(data_dir), name)] = decisions[name]
                 Q._ROUTE_HINTS[(os.path.abspath(data_dir), name)] = hint_memo[name]
+                if name in reorder_memo:
+                    Q._ROUTE_REORDER[(os.path.abspath(data_dir), name)] = (
+                        reorder_memo[name]
+                    )
             for name in TPCH_SET:
                 t0 = time.perf_counter()
                 len(Q.route_query(spark, data_dir, name).toPandas())
@@ -419,6 +440,7 @@ def main():
                 "exchanges_plain": exchanges[name]["plain"],
                 "exchanges_routed": exchanges[name]["routed"],
                 "routed_layouts": exchanges[name].get("layouts", []),
+                "cbo_reorder": exchanges[name].get("cbo_reorder", "n/a"),
             }
         )
     flagged = [r["query"] for r in rows if r["ratio"] and r["ratio"] > 2.0]

@@ -128,3 +128,110 @@ def test_gate_query_q_cbo_star_join(spark, sf_dir):
     rows = df.collect()
     assert 0 < len(rows) <= 5
     assert [f.name for f in df.schema.fields] == ["n_name", "revenue"]
+
+
+# ---------------------------------------------------------------------------
+# Round-16: per-query CBO reorder acceptance gate (r15 verdict ask #2 —
+# the x100 measurement found Catalyst's reorder REGRESSES shapes whose
+# filtered relation carries a non-sargable predicate it cannot
+# estimate; route_query now probes declared vs CBO order and pins the
+# declared order when a filtered non-broadcastable relation demotes).
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_relations_plan_parse(spark, sf_dir):
+    """Selective filters are attributed to their base relation through
+    the Project/Filter unary chain; isnotnull guards alone don't count."""
+    from ray_beam_runner_spark.plans.explain import filtered_relations
+
+    # Q9: only part carries a selective filter (p_name LIKE '%red%')
+    fr = filtered_relations(Q.QUERIES["q_product_profit"](spark, sf_dir))
+    assert any(r.startswith("p_") or r.endswith("part") for r in fr), fr
+    assert not any(r.startswith("s_") for r in fr), fr
+    # Q10: lineitem (returnflag) AND orders (date range) both filtered
+    fr10 = filtered_relations(Q.QUERIES["q_returned_items"](spark, sf_dir))
+    assert len(fr10) >= 2, fr10
+
+
+def test_size_bytes_parse():
+    assert Q._size_bytes("10m") == 10 * 1024 * 1024
+    assert Q._size_bytes("64MB") == 64 * 1024 * 1024
+    assert Q._size_bytes("1k") == 1024
+    assert Q._size_bytes("-1") == -1
+    assert Q._size_bytes("1048576b") == 1048576
+
+
+def test_reorder_gate_accepts_promotion(spark, sf_dir, stats_scope):
+    """The dims-last Q5 clone promotes its filtered region dim under
+    CBO — the gate must accept, and route_query must serve the
+    REORDERED plan (dims before lineitem)."""
+    Q.enable_stats(spark, sf_dir, tables=TABLES)
+    spark._rbrs_tables.clear()
+    name = "q_local_supplier_volume"
+    df = Q.route_query(spark, sf_dir, name)
+    rr = Q._ROUTE_REORDER[(os.path.abspath(sf_dir), name)]
+    assert rr["accepted"], rr
+    assert rr["blocking"] == [], rr
+    ex = Q.route_explain(spark, sf_dir, name)
+    assert ex["cbo_reorder"]["accepted"] is True
+    assert df.count() > 0
+
+
+def test_reorder_gate_blocks_fact_demotion(spark, sf_dir, stats_scope):
+    """With the broadcast exemption disabled (threshold -1 makes every
+    relation non-broadcastable), ANY demoted filtered relation blocks —
+    route_query then pins the DECLARED order: the served plan's
+    relation order must equal the reorder-off order, not the CBO one."""
+    Q.enable_stats(spark, sf_dir, tables=TABLES + ["part"])
+    spark._rbrs_tables.clear()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        name = "q_product_profit"
+        df = Q.route_query(spark, sf_dir, name)
+        rr = Q._ROUTE_REORDER[(os.path.abspath(sf_dir), name)]
+        if rr["demoted"]:
+            # Catalyst demoted a filtered relation: gate must block and
+            # the served order must match the declared one
+            assert not rr["accepted"], rr
+            assert rr["blocking"] == rr["demoted"], rr
+            assert relation_print_order(df) == rr["declared_order"], (
+                relation_print_order(df),
+                rr,
+            )
+        else:
+            # stats at this SF produced no demotion — the gate is then
+            # a no-op accept by design
+            assert rr["accepted"], rr
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_reorder_gate_broadcast_exemption(spark, sf_dir, stats_scope):
+    """Same query, default (generous) broadcast threshold: a demoted
+    dim small enough to broadcast is exempt, so the reorder is accepted
+    even when Catalyst moved the filtered part dim later."""
+    Q.enable_stats(spark, sf_dir, tables=TABLES + ["part"])
+    spark._rbrs_tables.clear()
+    name = "q_product_profit"
+    Q.route_query(spark, sf_dir, name)
+    rr = Q._ROUTE_REORDER[(os.path.abspath(sf_dir), name)]
+    assert rr["accepted"], rr
+    assert rr["blocking"] == [], rr
+
+
+def test_reorder_pin_survives_conf_flip(spark, sf_dir, stats_scope):
+    """route_query pins the decided join order by forcing the optimized
+    plan while its conf holds — flipping the session conf afterwards
+    must not re-order the returned DataFrame."""
+    Q.enable_stats(spark, sf_dir, tables=TABLES)
+    spark._rbrs_tables.clear()
+    name = "q_local_supplier_volume"
+    df = Q.route_query(spark, sf_dir, name)
+    order_before = relation_print_order(df)
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    try:
+        assert relation_print_order(df) == order_before
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
