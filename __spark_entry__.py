@@ -34,16 +34,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # (observed: CORRECTNESS_r03.json == the first 50 of 84 in registry order).
 # Declaration order therefore rotates per round.
 #
-# THE CONTRACT (stated honestly for a 191-query registry — a round-10
+# THE CONTRACT (stated honestly for a 193-query registry — a round-10
 # judge finding: "gated within the last 3 rounds" is arithmetically
 # impossible past 150 queries with a 50-slot window; keep these counts
 # in lockstep with the registry, r14 judge housekeeping ask):
 #   * every query is ORACLE_SWEEP-verified EVERY round at the gate's own
 #     sf0.01 with the gate's own compare (plans/differential.py) —
 #     ORACLE_SWEEP_r{N}.json;
-#   * every hash-checkable query (188 = 191 minus the three rows-only)
+#   * every hash-checkable query (190 = 193 minus the three rows-only)
 #     gets a DRIVER-run gate row at least
-#     once every ceil(188/50) = 4 rounds, via stalest-first rotation:
+#     once every ceil(190/50) = 4 rounds, via stalest-first rotation:
 #     the window is the 50 queries whose last CORRECTNESS_r*.json
 #     appearance is oldest (never-gated first), ties broken by registry
 #     declaration order. scripts/gate_rotation.py recomputes this and
@@ -53,71 +53,71 @@ def entry(spark: SparkSession) -> DataFrame:
 #     window; their lane is ORACLE_SWEEP rows-check + differential
 #     pytest.
 #
-# Round-15 window under that rule: the four NEVER-GATED round-15
-# additions lead (q_routed_order_exists, q_routed_order_count_dist,
-# q_recent_ship_priority, q_routed_sorted_scan — the shape-aware and
-# sort-order-aware router run end-to-end under the driver's own oracle
-# gate), then the stalest r11 rows and the r12 block — which includes
-# q_agg and q_join, the two queries whose money sums were rewritten
-# this round, so the gate re-verifies them by hash. Everything
-# displaced stays sweep-green every round.
+# Round-16 window under that rule: the two NEVER-GATED round-16
+# additions lead (q_cbo_star_join — engine-level CBO join reordering
+# plan-asserted under the driver's own oracle gate — and
+# q_advised_route, the closed advisor loop), then the stalest r12
+# block (TPC-H third batch, snapshot/ANN/BPE rows, the streaming
+# suite) and the leading r13 rows. Everything displaced stays
+# sweep-green every round.
 # _GATE_ROUND = the round this window was computed FOR (from
 # CORRECTNESS_r*.json history strictly before it). Bump when
 # regenerating via scripts/gate_rotation.py; tests/test_entry.py
 # checks the lockstep.
-_GATE_ROUND = 15
+_GATE_ROUND = 16
 _GATE_FIRST = (
-    "q_routed_order_exists",  # last gated never
-    "q_routed_order_count_dist",  # last gated never
-    "q_recent_ship_priority",  # last gated never
-    "q_routed_sorted_scan",  # last gated never
-    "q_scd2_asof_enrich",  # last gated r11
-    "q_snapshot_join_ivm",  # last gated r11
-    "q_snapshot_merge_when",  # last gated r11
-    "q_dedup_clusters",  # last gated r11
-    "q_dedup_simhash",  # last gated r11
-    "q_dedup_phash_clusters",  # last gated r11
-    "q_dedup_embedding",  # last gated r11
-    "q_similarity_topk",  # last gated r11
-    "q_hard_negatives",  # last gated r11
-    "q_similarity_ivf",  # last gated r11
-    "q_ann_refit",  # last gated r11
-    "q_embedding_stats",  # last gated r11
-    "q_text_stats",  # last gated r11
-    "q_lang_id",  # last gated r11
-    "q_quality_filter",  # last gated r11
-    "q_repetition",  # last gated r11
-    "q_fingerprint",  # last gated r11
-    "q_multimodal",  # last gated r11
-    "q_multimodal_image",  # last gated r11
-    "q_wordcount",  # last gated r11
-    "q_decontaminate",  # last gated r11
-    "q_temperature_mix",  # last gated r11
-    "q_chunk_shared",  # last gated r11
-    "q_text_search",  # last gated r11
-    "q_text_bm25",  # last gated r11
-    "q_text_phrase",  # last gated r11
-    "q_incremental_minhash",  # last gated r11
-    "q_fuzzy_clusters",  # last gated r11
-    "q_incremental_fuzzy",  # last gated r11
-    "q_weighted_sample",  # last gated r11
-    "q_robust_outliers",  # last gated r11
-    "q_sketch_freq",  # last gated r11
-    "q_sketch_overlap",  # last gated r11
-    "q_streaming_scd2_enrich",  # last gated r11
-    "q_streaming_quantiles",  # last gated r11
-    "q_agg",  # last gated r12
-    "q_join",  # last gated r12
-    "q_window",  # last gated r12
-    "q_events_window",  # last gated r12
-    "q_distinct",  # last gated r12
-    "q_session_window",  # last gated r12
-    "q_asof_join",  # last gated r12
-    "q_scalar_string",  # last gated r12
-    "q_scalar_mathdate",  # last gated r12
-    "q_json",  # last gated r12
-    "q_moving_agg",  # last gated r12
+    "q_cbo_star_join",  # last gated never
+    "q_advised_route",  # last gated never
+    "q_waiting_supplier",  # last gated r12
+    "q_min_cost_supplier",  # last gated r12
+    "q_important_stock",  # last gated r12
+    "q_supplier_relationship",  # last gated r12
+    "q_excess_stock_supplier",  # last gated r12
+    "q_unpivot",  # last gated r12
+    "q_range_join",  # last gated r12
+    "q_funnel",  # last gated r12
+    "q_retention_cohorts",  # last gated r12
+    "q_data_quality",  # last gated r12
+    "q_snapshot_cdf",  # last gated r12
+    "q_snapshot_meta_shards",  # last gated r12
+    "q_kmeans",  # last gated r12
+    "q_pq_topk",  # last gated r12
+    "q_ivfpq_topk",  # last gated r12
+    "q_bpe_pair_counts",  # last gated r12
+    "q_pii_scrub",  # last gated r12
+    "q_train_val_split",  # last gated r12
+    "q_embedding_quantize",  # last gated r12
+    "q_incremental_dedup",  # last gated r12
+    "q_dedup_containment",  # last gated r12
+    "q_dedup_spans",  # last gated r12
+    "q_dedup_span_removal",  # last gated r12
+    "q_sequence_pack_sharded",  # last gated r12
+    "q_pmi_pairs",  # last gated r12
+    "q_bigram_logppl",  # last gated r12
+    "q_sketch_distinct",  # last gated r12
+    "q_corpus_epoch_read",  # last gated r12
+    "q_streaming_window",  # last gated r12
+    "q_streaming_stateful",  # last gated r12
+    "q_streaming_dedup",  # last gated r12
+    "q_streaming_join",  # last gated r12
+    "q_streaming_session",  # last gated r12
+    "q_streaming_enrich",  # last gated r12
+    "q_scalar_math2",  # last gated r12
+    "q_scalar_string2",  # last gated r12
+    "q_scalar_datetime2",  # last gated r12
+    "q_regex_funcs",  # last gated r12
+    "q_null_handling",  # last gated r12
+    "q_gbk",  # last gated r13
+    "q_combine_global",  # last gated r13
+    "q_cogroup",  # last gated r13
+    "q_flatten",  # last gated r13
+    "q_setops",  # last gated r13
+    "q_semi_anti",  # last gated r13
+    "q_topk",  # last gated r13
+    "q_window_analytics",  # last gated r13
+    "q_rollup",  # last gated r13
 )
+
 
 
 def _ordered(src: dict) -> dict:
