@@ -1477,8 +1477,14 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_features,
     )
 
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
     events = t(spark, sf_dir, "events")
-    users = events.select("user_id").distinct()
+    # the distinct leaves shuffle_partitions output partitions — fewer
+    # than cores in the tiny-input profile — and the pure-Python WAV
+    # codec kernel below it then serializes; rebalance the (tiny)
+    # user-id frame across cores. No-op at production partition counts.
+    users = ensure_min_parallelism(events.select("user_id").distinct())
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1559,8 +1565,14 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_frames,
     )
 
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
     events = t(spark, sf_dir, "events")
-    users = events.select("user_id").distinct()
+    # the distinct leaves shuffle_partitions output partitions — fewer
+    # than cores in the tiny-input profile — and the pure-Python WAV
+    # codec kernel below it then serializes; rebalance the (tiny)
+    # user-id frame across cores. No-op at production partition counts.
+    users = ensure_min_parallelism(events.select("user_id").distinct())
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1624,7 +1636,12 @@ def q_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
+    # single-row-group scan = ONE task; spread the doc_id frame across
+    # cores so the pure-Python codec kernel below parallelizes (same
+    # guard _phash_pairs documents; no-op at production partition counts)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1694,7 +1711,12 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_jpeg_features,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
+    # single-row-group scan = ONE task; spread the doc_id frame across
+    # cores so the pure-Python codec kernel below parallelizes (same
+    # guard _phash_pairs documents; no-op at production partition counts)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1813,7 +1835,12 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_video_features,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    from ray_beam_runner_spark.session import ensure_min_parallelism
+
+    # single-row-group scan = ONE task; spread the doc_id frame across
+    # cores so the pure-Python codec kernel below parallelizes (same
+    # guard _phash_pairs documents; no-op at production partition counts)
+    docs = ensure_min_parallelism(t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

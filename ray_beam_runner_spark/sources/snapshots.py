@@ -911,15 +911,26 @@ def _write_data_files(
 ) -> tuple[list[str], dict[str, dict], dict[str, int]]:
     """Write df as immutable parquet files under a fresh commit dir;
     return (table-relative paths, per-file stats). Executors stream
-    rows straight to the files — the driver touches only the file
-    listing and, when ``stats_for`` is set, one (n_files × n_cols)-sized
-    stats frame (never rows). Stats are the manifest-level pruning
+    rows straight to the files. Stats are the manifest-level pruning
     index Iceberg keeps in its manifests: MERGE uses them to skip files
     whose key range cannot contain an update. Every file additionally
     gets its ROW COUNT from the parquet footer (metadata read, no row
     data) into the manifest's ``file_rows`` — snapshot_rows() then
     answers COUNT(*) from the manifest alone, and accounting stays
-    per-commit-bounded (only the new files' footers are read)."""
+    per-commit-bounded (only the new files' footers are read).
+
+    Per-file min/max come from the PARQUET FOOTERS read for file_rows
+    whenever every stats column is a plain-integer/boolean physical
+    type (the commit keys throughout this repo — parquet stats are
+    exact for these, and Iceberg likewise lifts manifest stats from
+    footers): that makes the stats cost O(files) metadata instead of a
+    full O(committed-bytes) re-READ of the files just written — per
+    commit, at every scale. Columns whose stats the json-native filter
+    below would drop anyway (timestamps, dates, decimals) are skipped
+    outright; anything else (strings — possibly truncated in footers;
+    floats — NaN ordering differs from Spark's max) falls back to the
+    original one-job Spark aggregate so recorded values stay identical
+    in every case."""
     df = df.drop("_meta_file", "_meta_pos")
     commit = os.path.join(_DATA_DIR, f"commit-{uuid.uuid4().hex}")
     out_dir = os.path.join(table_dir, commit)
@@ -929,36 +940,108 @@ def _write_data_files(
         for name in sorted(os.listdir(out_dir))
         if name.endswith(".parquet")
     ]
-    stats: dict[str, dict] = {}
-    if stats_for and rel_files:
-        spark = df.sparkSession
-        aggs = []
-        for c in stats_for:
-            aggs.append(F.min(c).alias(f"min_{c}"))
-            aggs.append(F.max(c).alias(f"max_{c}"))
-        rows = (
-            spark.read.parquet(out_dir)
-            .groupBy(F.col("_metadata.file_path").alias("_f"))
-            .agg(*aggs)
-            .collect()
-        )
-        json_native = (int, float, str, bool, type(None))
-        for r in rows:
-            rel = _rel_of(r._f, rel_files, table_dir)
-            if rel is not None:
-                stats[rel] = {
-                    c: [r[f"min_{c}"], r[f"max_{c}"]]
-                    for c in stats_for
-                    if isinstance(r[f"min_{c}"], json_native)
-                    and isinstance(r[f"max_{c}"], json_native)
-                }
     import pyarrow.parquet as pq
 
-    rows_map = {
-        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
+    metas = {
+        rel: pq.ParquetFile(os.path.join(table_dir, rel)).metadata
         for rel in rel_files
     }
+    rows_map = {rel: md.num_rows for rel, md in metas.items()}
+    stats: dict[str, dict] = {}
+    if stats_for and rel_files:
+        footer_stats = _footer_stats(metas, stats_for)
+        if footer_stats is not None:
+            stats = footer_stats
+        else:
+            spark = df.sparkSession
+            aggs = []
+            for c in stats_for:
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+            rows = (
+                spark.read.parquet(out_dir)
+                .groupBy(F.col("_metadata.file_path").alias("_f"))
+                .agg(*aggs)
+                .collect()
+            )
+            json_native = (int, float, str, bool, type(None))
+            for r in rows:
+                rel = _rel_of(r._f, rel_files, table_dir)
+                if rel is not None:
+                    stats[rel] = {
+                        c: [r[f"min_{c}"], r[f"max_{c}"]]
+                        for c in stats_for
+                        if isinstance(r[f"min_{c}"], json_native)
+                        and isinstance(r[f"max_{c}"], json_native)
+                    }
     return rel_files, stats, rows_map
+
+
+def _footer_stats(metas: dict, stats_for: list[str]) -> dict[str, dict] | None:
+    """Per-file [min, max] for ``stats_for`` lifted from already-read
+    parquet footers, or None when any column/file needs the Spark
+    aggregate fallback (see _write_data_files docstring). Returns
+    exactly what the aggregate path would record: plain-integer and
+    boolean columns carry exact footer stats ([None, None] when
+    all-null); timestamp/date/decimal columns are omitted (their
+    non-json-native values are dropped by the aggregate path too);
+    empty files record no stats."""
+    # physical INT32/INT64/BOOLEAN with no logical annotation beyond
+    # plain ints — exact in footers by the parquet spec
+    exact_phys = {"INT32", "INT64", "BOOLEAN"}
+    # logical/converted types whose Spark-agg values the json-native
+    # filter drops: stats for these are omitted either way
+    dropped_logical = ("TIMESTAMP", "DATE", "DECIMAL", "INTERVAL", "TIME")
+    out: dict[str, dict] = {}
+    for rel, md in metas.items():
+        if md.num_rows == 0:
+            continue  # the aggregate path records nothing for empty files
+        # per-column eligibility from the file-level parquet schema
+        # (logical/converted annotations live there, not on the chunks)
+        kind: dict[int, tuple[str, str]] = {}
+        for i in range(md.num_columns):
+            cs = md.schema.column(i)
+            name = cs.path
+            if name not in stats_for:
+                continue
+            lt = str(cs.logical_type or "") + str(cs.converted_type or "")
+            if any(k in lt.upper() for k in dropped_logical):
+                kind[i] = (name, "drop")
+            elif str(cs.physical_type) in exact_phys:
+                kind[i] = (name, "exact")
+            else:
+                return None  # string/float/binary: Spark-agg fallback
+        cols: dict[str, tuple] = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i, (name, k) in kind.items():
+                if k == "drop":
+                    cols[name] = ("drop",)
+                    continue
+                st = rg.column(i).statistics
+                if st is None:
+                    return None
+                prev = cols.get(name)
+                if prev == ("drop",):
+                    continue
+                if st.has_min_max:
+                    lo, hi = st.min, st.max
+                elif st.num_values == 0:
+                    lo = hi = None  # all-null row group (num_values
+                    # counts NON-null values on the stats object)
+                else:
+                    return None  # stats disabled by the writer: fallback
+                if prev is None:
+                    cols[name] = (lo, hi)
+                else:
+                    plo, phi = prev
+                    lo = plo if lo is None else (lo if plo is None else min(lo, plo))
+                    hi = phi if hi is None else (hi if phi is None else max(hi, phi))
+                    cols[name] = (lo, hi)
+        out[rel] = {
+            c: [v[0], v[1]] for c, v in cols.items() if v != ("drop",)
+        }
+    return out
 
 
 def _validate_constraints(df: DataFrame | None, constraints: dict | None, op: str) -> None:
