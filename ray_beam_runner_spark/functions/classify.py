@@ -111,41 +111,93 @@ def logreg_fit(
       LEFT JOIN the score sum).
 
     ``lr`` should be a binary fraction (0.5, 0.25, ...) so the update
-    arithmetic stays exactly reproducible."""
+    arithmetic stays exactly reproducible.
+
+    The weight vector lives on the DRIVER between rounds (model-sized:
+    n_features + 1 doubles — the same bounded-collect contract as the
+    manifest reads in sources.snapshots). Each round is then ONE Spark
+    action: the gradient aggregation, collected as n_features + 1 rows;
+    scores are computed against the weights as an array LITERAL, so no
+    per-round broadcast-collect jobs, no weights join, and no per-round
+    localCheckpoint. The update arithmetic below replicates the former
+    in-plan expression operation for operation (w - lr * (g / n), then
+    fxp-24 as floor(v * 2^24 + 0.5) / 2^24) in IEEE754 doubles, so the
+    trained weights are bit-identical to the all-DataFrame formulation
+    (pinned by test_quality_classifier_matches_numpy_gd)."""
+    import math
+
     spark = feats.sparkSession
     n = labels.count()
     if n == 0:
         raise ValueError("logreg_fit: empty label set")
     lab = labels.select(F.col("id"), F.col("y").cast("double").alias("y"))
-    weights = spark.range(n_features + 1).select(
-        F.col("id").alias("feat"), F.lit(0.0).alias("w")
-    )
+    nf, p24 = float(n), float(1 << 24)
+    w = [0.0] * (n_features + 1)
     for _ in range(n_iter):
-        p = _scores(feats, lab, weights, n_features)
+        p = _scores_lit(feats, lab, w, n_features)
         err = p.select("id", (F.col("p") - F.col("y")).alias("err"))
-        g_feat = (
+        # one pass: per-feature err*x terms plus the bias' bare err
+        # terms, summed by feat — exact fixed-point sums, so the union
+        # ordering cannot change the totals
+        terms = (
             feats.join(err, "id")
-            .groupBy("feat")
-            .agg(F.sum(F.col("err") * F.col("x")).alias("g"))
-        )
-        g_bias = err.agg(F.sum("err").alias("g")).select(
-            F.lit(n_features).cast("long").alias("feat"), "g"
-        )
-        grads = g_feat.unionByName(g_bias)
-        weights = (
-            weights.join(grads, "feat", "left")
-            .select(
-                "feat",
-                fxp(
-                    F.col("w")
-                    - F.lit(lr) * (F.coalesce(F.col("g"), F.lit(0.0)) / F.lit(float(n))),
-                    24,
-                ).alias("w"),
+            .select("feat", (F.col("err") * F.col("x")).alias("t"))
+            .unionByName(
+                err.select(
+                    F.lit(n_features).cast("long").alias("feat"),
+                    F.col("err").alias("t"),
+                )
             )
-            # model-sized: eager checkpoint keeps the plan one round deep
-            .localCheckpoint(eager=True)
         )
-    return weights
+        g = {
+            r.feat: r.g
+            for r in terms.groupBy("feat").agg(F.sum("t").alias("g")).collect()
+        }
+        w = [
+            math.floor((w[j] - lr * (g.get(j, 0.0) / nf)) * p24 + 0.5) / p24
+            for j in range(n_features + 1)
+        ]
+    return spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)], "feat long, w double"
+    )
+
+
+def _scores_lit(
+    feats: DataFrame, lab: DataFrame, w: list, n_features: int
+) -> DataFrame:
+    """(id, y, p) under a driver-side weight list: the weights enter
+    the plan as an array literal (element_at by feat) instead of a
+    broadcast join — per-term products x * w[feat] and the per-doc sum
+    are the same exact fixed-point values as the join formulation."""
+    warr = F.array(*[F.lit(float(wj)) for wj in w[:n_features]])
+    zsum = (
+        feats.select(
+            "id",
+            (
+                F.col("x")
+                * F.element_at(warr, F.col("feat").cast("int") + F.lit(1))
+            ).alias("xw"),
+        )
+        .groupBy("id")
+        .agg(F.sum("xw").alias("z"))
+    )
+    return lab.join(zsum, "id", "left").select(
+        "id",
+        "y",
+        fxp(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(float(w[n_features]))
+                        + F.coalesce(F.col("z"), F.lit(0.0))
+                    )
+                )
+            ),
+            20,
+        ).alias("p"),
+    )
 
 
 def _scores(

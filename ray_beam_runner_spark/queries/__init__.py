@@ -145,6 +145,33 @@ _CBO_CONFS = {
     "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
+# Spark's SHIPPED runtime bloom-filter injection gates (SPARK-32268):
+# the pruned side must scan > applicationSideScanSizeThreshold (10 GB)
+# and the filter-building side must estimate < creationSideThreshold
+# (10 MB). On a 100 TB deployment the scan gate passes naturally and
+# only the creation bound needs raising; on a bench-scale replica the
+# 10 GB gate silently disables injection EVERYWHERE, hiding exactly the
+# dim-filtered fact-prune behavior production would get. enable_stats
+# therefore scales the scan gate to the registered corpus (biggest
+# table / 8, clamped to [32 MB, stock 10 GB]) and raises the creation
+# bound as the guide prescribes for build sides with statistics.
+# Measured (scripts/explore_bloom_cbo.py, x100 family, min-of-3):
+# reorder+bloom 29.6 s vs 35.3 s base; bloom fires only alongside the
+# reorder gate's shapes, so the two serve together.
+_BLOOM_STOCK = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+}
+
+
+def _bloom_confs_for(biggest_bytes: int) -> dict[str, str]:
+    scan_gate = min(10 << 30, max(32 << 20, biggest_bytes // 8))
+    creation = max(10 << 20, min(256 << 20, biggest_bytes // 16))
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": str(scan_gate),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(creation),
+    }
+
 
 def enable_stats(
     spark: SparkSession,
@@ -210,6 +237,23 @@ def enable_stats(
     STATS[sf_abs] = names
     for k, v in _CBO_CONFS.items():
         spark.conf.set(k, v)
+    # runtime bloom-filter gates scaled to the registered corpus (see
+    # _bloom_confs_for): sized from on-disk bytes, a pure metadata read
+    biggest = 0
+    for tb in names:
+        p = os.path.join(sf_abs, f"{tb}.parquet")
+        if os.path.isdir(p):
+            sz = sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        elif os.path.exists(p):
+            sz = os.path.getsize(p)
+        else:
+            continue
+        biggest = max(biggest, sz)
+    if biggest:
+        for k, v in _bloom_confs_for(biggest).items():
+            spark.conf.set(k, v)
     # plans (and so routing decisions) change under stats serving
     _ROUTE_MEMO.clear()
     _ROUTE_TRACE.clear()
@@ -229,6 +273,8 @@ def disable_stats(spark: SparkSession | None = None, sf_dir: str | None = None) 
     if spark is not None:
         for k in _CBO_CONFS:
             spark.conf.set(k, "false")
+        for k, v in _BLOOM_STOCK.items():
+            spark.conf.set(k, v)
     _ROUTE_MEMO.clear()
     _ROUTE_TRACE.clear()
     _ROUTE_HINTS.clear()

@@ -99,6 +99,34 @@ def test_stats_serving_is_scoped_and_reversible(spark, sf_dir, stats_scope):
     assert spark.conf.get("spark.sql.cbo.enabled") == "false"
 
 
+def test_runtime_bloom_gates_scale_with_corpus(spark, sf_dir, stats_scope):
+    """enable_stats scales the runtime bloom-filter injection gates to
+    the registered corpus (the stock 10 GB scan gate disables injection
+    on any sub-10GB replica — exactly the dim-filtered fact prune a
+    100 TB deployment gets for free); disable_stats restores stock."""
+    scan_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    create_key = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    Q.enable_stats(spark, sf_dir, tables=["orders", "lineitem"])
+    biggest = max(
+        os.path.getsize(os.path.join(sf_dir, f"{tb}.parquet"))
+        for tb in ("orders", "lineitem")
+    )
+    expect = Q._bloom_confs_for(biggest)
+    assert spark.conf.get(scan_key) == expect[scan_key]
+    assert spark.conf.get(create_key) == expect[create_key]
+    # clamped to the floor on tiny corpora, never above stock
+    assert 32 << 20 <= int(expect[scan_key]) <= 10 << 30
+    assert 10 << 20 <= int(expect[create_key]) <= 256 << 20
+    Q.disable_stats(spark, sf_dir)
+    if hasattr(spark, "_rbrs_tables"):
+        spark._rbrs_tables.clear()
+    assert spark.conf.get(scan_key) == "10GB"
+    assert spark.conf.get(create_key) == "10MB"
+
+
 def test_layout_override_beats_stats_table(spark, sf_dir, stats_scope):
     """A registered bucketed LAYOUT takes precedence over the stats
     catalog table: scan-reported partitioning is worth more than a
