@@ -587,8 +587,14 @@ def corpus_hybrid_search(
         spark, layout["state"], version=epoch["state"]
     ).filter(F.col("is_canon"))
     lengths = state.select("doc_id", F.col("n_tok").alias("dl"))
-    n_docs = lengths.count()
-    avgdl = lengths.agg(F.avg("dl")).first()[0] or 1.0
+    # N and avgdl stay IN-PLAN as one broadcast 1-row stat instead of
+    # two driver round-trips (same doubles — Spark computed them either
+    # way; nullif reproduces the old `or 1.0` None/0.0 guard): two
+    # fewer Spark actions per search call
+    stat = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("_ndocs"),
+        F.coalesce(F.nullif(F.avg("dl"), F.lit(0.0)), F.lit(1.0)).alias("_avgdl"),
+    )
     parts = [
         snap.read_snapshot(
             spark, layout["idx"], version=epoch["idx"], key_range=("token", t, t)
@@ -599,28 +605,30 @@ def corpus_hybrid_search(
     df_t = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("_ndocs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     k1, b = 1.2, 0.75
     contrib = idf * F.col("tf") / (
         F.col("tf")
-        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
     )
     scored = (
         post.join(df_t, "token")
         .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stat))
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
-    bm25 = (
-        scored.withColumn(
-            "rank",
-            F.row_number().over(
-                W.orderBy(F.col("score").desc(), F.col("doc_id"))
-            ).cast("int"),
-        )
-        .filter(F.col("rank") <= pool)
-        .select("doc_id", "rank")
+    # Top-pool via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps + driver merge), NOT an unpartitioned Window over the whole
+    # match set — the same scale fix search_bm25 carries (round-9
+    # verdict finding #1); the residual window ranks <= pool rows.
+    cut = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(pool)
+    bm25 = cut.select(
+        "doc_id",
+        F.row_number().over(
+            W.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ).cast("int").alias("rank"),
     )
     coarse, books, index = load_ivfpq(
         spark, layout["coarse"], layout["books"], layout["ann"],

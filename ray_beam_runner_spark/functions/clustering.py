@@ -117,9 +117,8 @@ def _lloyd_centroids(v: DataFrame, dim: int, k: int, n_iter: int) -> DataFrame:
             F.col("e").alias("c"),
         )
     )
-    spark = v.sparkSession
     for _ in range(n_iter):
-        rows = (
+        cent = (
             _assign(v, cent)
             .join(v, "vid")
             .groupBy("cell")
@@ -136,15 +135,9 @@ def _lloyd_centroids(v: DataFrame, dim: int, k: int, n_iter: int) -> DataFrame:
                     *[F.round(F.avg(F.element_at("e", i + 1)), 9) for i in range(dim)]
                 ).alias("c")
             )
-            # k x dim rows, MODEL-sized: collected to the driver (the
-            # bounded-collect contract) and re-injected as a
-            # LocalRelation — doubles round-trip bit-exactly, the next
-            # round's broadcast builds from driver memory with no
-            # executor job, and no checkpoint blocks accumulate
-            .collect()
-        )
-        cent = spark.createDataFrame(
-            [(r.cell, r.c) for r in rows], "cell long, c array<double>"
+            # k x dim rows: eager checkpoint is ~free and keeps the plan
+            # one round deep however large n_iter grows
+            .localCheckpoint(eager=True)
         )
     return cent
 
@@ -240,9 +233,8 @@ def _lloyd_centroids_keyed(v: DataFrame, d_sub: int, k: int, n_iter: int) -> Dat
         .filter(F.col("_r") <= k)
         .select("j", (F.col("_r") - 1).cast("long").alias("cell"), F.col("e").alias("c"))
     )
-    spark = v.sparkSession
     for _ in range(n_iter):
-        rows = (
+        cent = (
             _assign_keyed(v, cent)
             .join(v, ["j", "vid"])
             .groupBy("j", "cell")
@@ -251,14 +243,7 @@ def _lloyd_centroids_keyed(v: DataFrame, d_sub: int, k: int, n_iter: int) -> Dat
                     *[F.round(F.avg(F.element_at("e", i + 1)), 9) for i in range(d_sub)]
                 ).alias("c")
             )
-            # m x k x d_sub, MODEL-sized: same driver round-trip as
-            # _lloyd_centroids — bit-exact, broadcast from driver
-            # memory, no checkpoint blocks
-            .collect()
-        )
-        cent = spark.createDataFrame(
-            [(r.j, r.cell, r.c) for r in rows],
-            "j long, cell long, c array<double>",
+            .localCheckpoint(eager=True)
         )
     return cent
 

@@ -235,7 +235,14 @@ def search_bm25(
     if n_docs is None:
         n_docs = snap.read_snapshot(spark, lengths_dir).count()
     lengths = snap.read_snapshot(spark, lengths_dir)
-    avgdl = lengths.agg(F.avg("dl")).first()[0] or 1.0
+    # avgdl stays IN-PLAN as a broadcast 1-row stat instead of a driver
+    # round-trip: same double (Spark computed it either way; nullif
+    # reproduces the old `or 1.0` None/0.0 guard), one fewer Spark
+    # action per query — this scalar was the only per-call job besides
+    # the scoring plan itself
+    avgdl_stat = lengths.agg(
+        F.coalesce(F.nullif(F.avg("dl"), F.lit(0.0)), F.lit(1.0)).alias("_avgdl")
+    )
     parts = [
         snap.read_snapshot(spark, index_dir, key_range=("token", t, t)).filter(
             F.col("token") == t
@@ -251,6 +258,7 @@ def search_bm25(
     scored = (
         post.join(F.broadcast(df_t), "token")
         .join(lengths, id_col)
+        .crossJoin(F.broadcast(avgdl_stat))
         .select(
             F.col(id_col),
             (
@@ -259,7 +267,7 @@ def search_bm25(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
                 )
             ).alias("_s"),
         )

@@ -918,10 +918,9 @@ def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse, books, idx0 = ivfpq_index(
         initial, "vec_id", "embedding", n_cells=4, m=2, k=4, n_iter=1
     )
-    # quantizer freeze: the Lloyd cores now return driver-local frames
-    # (materialized values, identical in every batch by construction —
-    # functions.clustering round-16 change), so the former eager
-    # localCheckpoint pair here would be two pure-overhead jobs
+    # freeze the quantizer: materialized once, identical in every batch
+    coarse = coarse.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
     src = scratch_dir("rbrs_annsrc_")
     idx = scratch_dir("rbrs_annidx_")
     ckpt = scratch_dir("rbrs_annckpt_")
