@@ -174,18 +174,23 @@ def connected_components(
     ``max_rounds`` is a safety rail, not tuning. After convergence every
     edge is (root, child), so labels read directly off the edges.
 
-    Each round's frontier is localCheckpoint-ed (eager): without lineage
+    Each round's frontier is localCheckpoint-ed: without lineage
     truncation the plan doubles every round and Catalyst planning time
     dominates by round ~5 (measured: a 50-node path graph went from
-    timeout to seconds). localCheckpoint trades executor-loss tolerance
-    for speed — the right trade for an iterative refinement that can
-    simply be rerun; long-lived cluster jobs can switch to
+    timeout to seconds). The checkpoint is LAZY (eager=False) — the
+    plan is truncated immediately either way, and the signature
+    aggregate that follows unconditionally is a full-scan action, so it
+    materializes the checkpoint blocks in ITS job instead of paying a
+    separate count() job per round (one driver action per round, not
+    two). localCheckpoint trades executor-loss tolerance for speed —
+    the right trade for an iterative refinement that can simply be
+    rerun; long-lived cluster jobs can switch to
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``."""
-    edges = _canonical_edges(pairs, a, b).localCheckpoint(eager=True)
+    edges = _canonical_edges(pairs, a, b).localCheckpoint(eager=False)
     sig = _frontier_signature(edges)
     for _ in range(max_rounds):
         nxt = _star_round(edges, large=True)
-        nxt = _star_round(nxt, large=False).localCheckpoint(eager=True)
+        nxt = _star_round(nxt, large=False).localCheckpoint(eager=False)
         nsig = _frontier_signature(nxt)
         edges = nxt
         if nsig == sig:
@@ -307,9 +312,13 @@ def pagerank(
             )
         )
         if truncate:
-            # eager: also makes the convergence probe below read the
-            # materialized round instead of recomputing it
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # lazy: the plan is truncated immediately; in convergence
+            # mode the full-scan delta probe below materializes the
+            # blocks in its own job (no separate checkpoint job per
+            # round), and in long fixed-iteration runs the rounds chain
+            # into the consumer's single job with each round's blocks
+            # cached as they are first computed
+            new_ranks = new_ranks.localCheckpoint(eager=False)
         if tol is not None:
             old = ranks.select("node", F.col("rank").alias("_pr_old"))
             delta = (
@@ -345,10 +354,14 @@ def bfs_layers(
     (= minimum) depth and is never expanded twice. Round k's shuffle is
     proportional to the k-ring's edge boundary, never the graph; the
     visited set carries one row per reached node. Frontier and visited
-    are eagerly localCheckpoint-ed each round (the module's lineage
-    discipline — see connected_components) so the plan stays one round
-    deep. Early exit on an empty frontier costs one count() of an
-    already-materialized checkpoint per round."""
+    are localCheckpoint-ed each round (the module's lineage discipline
+    — see connected_components) so the plan stays one round deep; the
+    checkpoints are LAZY, so the frontier count() that decides the
+    early exit is the round's ONLY driver action — it materializes the
+    frontier blocks (and, through the anti-join lineage, the previous
+    round's visited union) in the same job, where the eager form paid
+    three jobs per round (frontier checkpoint, emptiness probe,
+    visited checkpoint)."""
     e = edges.select(F.col(src).alias("_bf_s"), F.col(dst).alias("_bf_d")).distinct()
     if undirected:
         e = e.unionByName(
@@ -360,7 +373,7 @@ def bfs_layers(
     visited = (
         seeds.select(F.col(node).alias("node")).distinct()
         .withColumn("hops", F.lit(0))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for k in range(1, max_depth + 1):
@@ -370,11 +383,13 @@ def bfs_layers(
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("hops", F.lit(k))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        # count() (not isEmpty/take(1)) so the lazy checkpoint is
+        # materialized in FULL by this round's one action
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     e.unpersist()
     return visited
@@ -403,8 +418,10 @@ def shortest_paths(
     preserved — a node settled at round j has its out-edges relaxed at
     round j+1 — while each round's shuffle is proportional to the
     improved frontier's edge boundary, never the graph. Parallel edges
-    pre-aggregate to their min weight; round frames are eagerly
-    localCheckpoint-ed (the module's lineage discipline). After
+    pre-aggregate to their min weight; round frames are lazily
+    localCheckpoint-ed (the module's lineage discipline; the frontier
+    count() that decides the early exit is the round's only driver
+    action and materializes the round's blocks). After
     ``max_iters`` rounds the result is exactly "min distance over paths
     of ≤ max_iters hops" — pass iters ≥ the graph's hop diameter for
     the true fixpoint (non-negative weights enforced, so the fixpoint
@@ -438,7 +455,7 @@ def shortest_paths(
     dist = (
         seeds.select(F.col(node).alias("node")).distinct()
         .withColumn("dist", F.lit(0.0))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = dist
     for _ in range(max_iters):
@@ -455,14 +472,16 @@ def shortest_paths(
             )
             .filter(F.col("_sp_old").isNull() | (F.col("dist") < F.col("_sp_old")))
             .select("node", "dist")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if improved.isEmpty():
+        # count() (not isEmpty/take(1)) so the lazy checkpoint is
+        # materialized in FULL by this round's one action
+        if improved.count() == 0:
             break
         dist = (
             dist.join(improved.select("node"), "node", "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     e.unpersist()

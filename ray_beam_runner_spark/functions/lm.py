@@ -153,7 +153,12 @@ def kn3_model(docs: DataFrame, id_col: str, text_col: str) -> dict:
             )
             / F.col("tot_cu"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: truncates the cross-join lineage immediately (what the
+        # checkpoint is for — the scoring plan would otherwise inline
+        # nine aggregate subtrees), while the broadcast build in
+        # kn3_score_triples materializes the one row in its own job
+        # instead of a dedicated count() job here
+        .localCheckpoint(eager=False)
     )
     return {
         "tg": tg, "lm123": lm123, "h12": h12, "cb23": cb23,

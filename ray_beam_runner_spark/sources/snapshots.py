@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -3656,7 +3657,9 @@ def scd2_upsert(
     ``ts_col`` strictly later than the key's current open row —
     monotone effective times, VALIDATED per batch (a violation raises
     ValueError before anything commits; silently merging it would put
-    two rows with one merge key into a batch and corrupt history).
+    two rows with one merge key into a batch and corrupt history). The
+    validation is an in-plan raise_error on the closed rows, evaluated
+    by the merge's own jobs — no dedicated validation job per batch.
     New keys simply append an open row.
 
     Concurrency: the close-and-append batch is REBUILT from a fresh
@@ -3681,23 +3684,39 @@ def scd2_upsert(
         # documenting it: an update at ts <= the key's current open-row
         # effective_from would put a closed row and a fresh row with
         # the SAME (keys, ts_col) merge key into one batch — silent
-        # history corruption. Loud error beats silent corruption.
-        bad = (
-            hit.filter(F.col("_scd2_new_from") <= F.col(ts_col))
-            .select(*keys, ts_col, "_scd2_new_from")
-            .limit(1)
-            .collect()
-        )
-        if bad:
-            r = bad[0]
-            raise ValueError(
-                "scd2_upsert: non-monotone effective time for key "
-                f"{tuple(r[k] for k in keys)}: update ts {r['_scd2_new_from']} "
-                f"<= current open row's {ts_col} {r[ts_col]}; each update "
-                "must be strictly later than the key's current version"
-            )
+        # history corruption. Loud error beats silent corruption. The
+        # check rides IN-PLAN on the closed rows' end_col expression
+        # (raise_error on a violating row) instead of a dedicated
+        # validation job per batch: the merge's own rewrite job
+        # evaluates it on every closed row before the manifest
+        # publishes, so a violation still fails the batch with nothing
+        # committed — at the cost of orphan files in an unpublished
+        # commit dir (vacuum reclaims them), which is the standard
+        # failed-write residue of any lakehouse commit protocol.
+        _marker = "scd2_upsert: non-monotone effective time"
         closed = (
-            hit.withColumn(end_col, F.col("_scd2_new_from"))
+            hit.withColumn(
+                end_col,
+                F.when(
+                    F.col("_scd2_new_from") <= F.col(ts_col),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(_marker + " for key ("),
+                            F.concat_ws(
+                                ", ", *[F.col(k).cast("string") for k in keys]
+                            ),
+                            F.lit("): update ts "),
+                            F.col("_scd2_new_from").cast("string"),
+                            F.lit(f" <= current open row's {ts_col} "),
+                            F.col(ts_col).cast("string"),
+                            F.lit(
+                                "; each update must be strictly later "
+                                "than the key's current version"
+                            ),
+                        )
+                    ).cast(cur.schema[end_col].dataType),
+                ).otherwise(F.col("_scd2_new_from")),
+            )
             .drop("_scd2_new_from")
         )
         table_cols = [f.name for f in cur.schema.fields]
@@ -3713,6 +3732,13 @@ def scd2_upsert(
         except ConcurrentCommitError:
             if attempt == 2:
                 raise
+        except Exception as e:  # noqa: BLE001 — surface the in-plan
+            # monotonicity violation as the documented ValueError (the
+            # raise_error fires inside a Spark job, arriving wrapped)
+            m = re.search(_marker + r"[^\n]*", str(e))
+            if m:
+                raise ValueError(m.group(0)) from None
+            raise
     raise AssertionError("unreachable")
 
 
@@ -4377,7 +4403,10 @@ def stream_maintain_aggregate(
                 )
             joined = joined.withColumn("_rescan", retract & (new_cnt > 0))
             if ext_cols:
-                joined = joined.localCheckpoint(eager=True)  # reused 2-3x below
+                # lazy: reused 2-3x below; the full-scan retraction
+                # probe (first action on it) materializes the blocks in
+                # its own job instead of a dedicated checkpoint job
+                joined = joined.localCheckpoint(eager=False)
             updates = joined.filter(~F.col("_rescan")).select(
                 *keys,
                 new_cnt.alias("cnt"),
