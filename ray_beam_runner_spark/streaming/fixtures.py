@@ -39,19 +39,53 @@ class FileDropStream:
         self.spark = spark
         self.dir = directory
 
+    def _write_sliced(self, df: DataFrame, ts_col: str, n_slices: int, base_idx: int):
+        """Shared slicer: ONE distributed write instead of a driver
+        collect + per-slice pickled re-upload (the old form collected
+        the whole source table to the driver — 22 s of the 27 s wall of
+        a sf0.1 streaming query, and a full-table driver transfer at
+        any scale). Rows get a ts-order row_number, slices are the same
+        ceil-division chunks as before ([per, per, ..., remainder] —
+        ntile would split differently), and one partitionBy write lands
+        each slice as its own directory, renamed to the slice_N layout
+        the reader and mtime stamping expect. The single-partition
+        window is the fixture's bounded-input contract (scripted-stream
+        testing), executor-side Tungsten sort instead of driver pickle."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        n = df.count()
+        self._schema = df.schema
+        if n == 0:
+            return self
+        per = max(1, (n + n_slices - 1) // n_slices)
+        rn = F.row_number().over(Window.orderBy(ts_col)) - 1
+        tmp = self.dir.rstrip("/") + "__fd_tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        (
+            df.withColumn("_fd_rn", rn)
+            .withColumn("_fd_slice", F.floor(F.col("_fd_rn") / per).cast("int"))
+            .sortWithinPartitions("_fd_slice", "_fd_rn")
+            .drop("_fd_rn")
+            .write.partitionBy("_fd_slice")
+            .parquet(tmp)
+        )
+        for entry in sorted(os.listdir(tmp)):
+            if not entry.startswith("_fd_slice="):
+                continue
+            k = int(entry.split("=", 1)[1])
+            path = os.path.join(self.dir, f"slice_{base_idx + k:05d}.parquet")
+            shutil.move(os.path.join(tmp, entry), path)
+            _stamp_mtime(path, base_idx + k)
+        shutil.rmtree(tmp)
+        return self
+
     def write_slices(self, df: DataFrame, ts_col: str, n_slices: int) -> "FileDropStream":
         if os.path.exists(self.dir):
             shutil.rmtree(self.dir)
         os.makedirs(self.dir)
-        rows = df.orderBy(ts_col).collect()
-        per = max(1, (len(rows) + n_slices - 1) // n_slices)
-        for i in range(0, len(rows), per):
-            chunk = self.spark.createDataFrame(rows[i : i + per], schema=df.schema)
-            path = os.path.join(self.dir, f"slice_{i // per:05d}.parquet")
-            chunk.coalesce(1).write.parquet(path)
-            _stamp_mtime(path, i // per)
-        self._schema = df.schema
-        return self
+        return self._write_sliced(df, ts_col, n_slices, base_idx=0)
 
     def append_slices(self, df: DataFrame, ts_col: str, n_slices: int) -> "FileDropStream":
         """Drop ADDITIONAL ts-ordered slices into the existing directory
@@ -61,17 +95,7 @@ class FileDropStream:
         existing = sorted(
             e for e in os.listdir(self.dir) if e.startswith("slice_")
         )
-        base_idx = len(existing)
-        rows = df.orderBy(ts_col).collect()
-        per = max(1, (len(rows) + n_slices - 1) // n_slices)
-        for i in range(0, len(rows), per):
-            idx = base_idx + i // per
-            path = os.path.join(self.dir, f"slice_{idx:05d}.parquet")
-            chunk = self.spark.createDataFrame(rows[i : i + per], schema=df.schema)
-            chunk.coalesce(1).write.parquet(path)
-            _stamp_mtime(path, idx)
-        self._schema = df.schema
-        return self
+        return self._write_sliced(df, ts_col, n_slices, base_idx=len(existing))
 
     @property
     def schema(self):
