@@ -267,3 +267,43 @@ def test_shortest_paths_equals_dijkstra(spark):
     neg = spark.createDataFrame([("a", "b", -1)], "src string, dst string, w long")
     with pytest.raises(ValueError, match="negative edge weight"):
         shortest_paths(neg, spark.createDataFrame([("a",)], "node string"))
+
+
+def test_iteration_rounds_pay_one_action(spark):
+    """r16 §10 regression pin: the iterative loops' lazy checkpoints mean
+    each round launches ONE Spark job (the round's probe materializes the
+    checkpoint) — the eager form paid 2 (CC) to 3 (BFS/SP) jobs/round."""
+    from ray_beam_runner_spark.functions.graph import bfs_layers
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    # 6-node path graph from seed 0: exactly 5 expansion rounds + the
+    # empty 6th round = 6 frontier counts; plus 2 setup jobs (the edge
+    # distinct persist materialization happens inside round-1's count,
+    # so the budget is rounds + final collect + small slack)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    group = "jobcount_bfs"
+    # AQE executes each exchange as its own job, which makes job counts
+    # measure AQE internals instead of driver actions — pin it off for
+    # the count (the bench/profile sessions run AQE off at this scale)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, group)
+    try:
+        got = {(r.node, r.hops) for r in bfs_layers(edges, seeds, max_depth=10).collect()}
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert got == {(i, i) for i in range(6)}
+    n_jobs = len(tracker.getJobIdsForGroup(group))
+    # Measured on the lazy-checkpoint form: 12 jobs = 6 per-round
+    # frontier counts (round 6 is the empty exit) + per-round broadcast
+    # builds at this tiny scale + the final collect. The eager form
+    # paid 3 driver actions per round (frontier checkpoint, emptiness
+    # probe, visited checkpoint) => ~23 jobs on this graph. 14 cleanly
+    # separates the two with headroom for engine-version drift.
+    assert n_jobs <= 14, f"bfs_layers launched {n_jobs} jobs for 6 rounds"

@@ -391,3 +391,46 @@ def test_full_outer_join_null_emission(spark, tmp_path):
     assert pairs == {(1, 1)}, rows
     assert left_nulls == {3}, rows
     assert right_nulls == {21}, rows
+
+
+def test_write_slices_distributed_boundaries_and_order(spark, tmp_path):
+    """r16 §14 regression pin: write_slices slices with ONE distributed
+    write (no whole-table driver collect) but must keep the original
+    contract exactly — ceil-division slice sizes [per, ..., remainder],
+    ts-ordered rows within and across slices, strictly increasing slice
+    mtimes, and append_slices continuing the index/mtime sequence."""
+    import os
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.lit(100) - F.col("id")).alias("ts")
+    )
+    d = str(tmp_path / "slices")
+    fds = FileDropStream(spark, d).write_slices(df, "ts", n_slices=3)
+
+    slices = sorted(e for e in os.listdir(d) if e.startswith("slice_"))
+    assert slices == ["slice_00000.parquet", "slice_00001.parquet", "slice_00002.parquet"]
+    # ceil(10/3)=4 -> sizes [4, 4, 2], split on ascending ts
+    sizes, all_ts, mtimes = [], [], []
+    for s in slices:
+        p = os.path.join(d, s)
+        rows = spark.read.parquet(p).collect()
+        sizes.append(len(rows))
+        ts = sorted(r.ts for r in rows)
+        all_ts.append(ts)
+        mtimes.append(os.stat(p).st_mtime)
+    assert sizes == [4, 4, 2]
+    # slices partition the ts-sorted stream: max(slice k) < min(slice k+1)
+    assert all_ts[0][-1] < all_ts[1][0] < all_ts[1][-1] < all_ts[2][0]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+    # schema survives for the streaming reader
+    assert [f.name for f in fds.schema.fields] == ["k", "ts"]
+
+    # append continues the sequence with strictly later mtimes
+    more = spark.range(3).select(
+        (F.col("id") + 50).alias("k"), (F.lit(200) + F.col("id")).alias("ts")
+    )
+    fds.append_slices(more, "ts", n_slices=2)
+    slices2 = sorted(e for e in os.listdir(d) if e.startswith("slice_"))
+    assert len(slices2) == 5
+    m4 = os.stat(os.path.join(d, slices2[-1])).st_mtime
+    assert m4 > mtimes[-1]
