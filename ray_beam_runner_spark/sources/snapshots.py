@@ -44,7 +44,7 @@ import re
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
@@ -151,6 +151,44 @@ def _write_meta_shard(table_dir: str, rows: list[dict]) -> dict:
 # FIFO — at 10^5 files the light columns are ~10 MB per table.
 _SHARD_CACHE: dict = {}
 _SHARD_CACHE_MAX = 64
+# MERGE phase 1 runs as one flag-per-file aggregate (no broadcast join)
+# while the manifest is at most this many ranged files; larger tables
+# use the broadcast range join whose cost is not expression-tree-shaped
+_RANGE_FLAG_MAX_FILES = 512
+# Fused detection+rewrite reads FULL rows of every candidate file (the
+# old dedicated detection read key/predicate columns only). On a
+# stats-clustered table candidates track touched files, so that is
+# change-proportional; without pruning it is only safe while the
+# candidate bytes are small. Above these bounds the two-action form is
+# the scalable one and is kept.
+_FUSE_MAX_FILES = 256
+_FUSE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _fuse_scan_ok(
+    table_dir: str, manifest: dict, candidates: list, pruned: bool
+) -> bool:
+    """May detection be fused into the rewrite action? Yes when the
+    candidate set was stats-pruned (change-proportional by clustering),
+    or when the candidates' total on-disk bytes are small enough that
+    the fused plan's full-row scan of them is trivially cheap."""
+    if pruned:
+        return True
+    if len(candidates) > _FUSE_MAX_FILES:
+        return False
+    sizes = manifest.get("file_sizes") or {}
+    total = 0
+    for rel in candidates:
+        s = sizes.get(rel)
+        if s is None:
+            try:
+                s = os.path.getsize(os.path.join(table_dir, rel))
+            except OSError:
+                return False
+        total += int(s)
+        if total > _FUSE_MAX_BYTES:
+            return False
+    return True
 
 
 def _read_shard_cols(table_dir: str, shards: list[dict], kind: str, columns: list[str]):
@@ -1943,7 +1981,29 @@ def _merge_phases(
         if s and s[0] is not None:
             ranged.append((rel, s[0], s[1]))
     candidates = [rel for rel in rel_files if rel not in {r[0] for r in ranged}]
-    if ranged:
+    if ranged and len(ranged) <= _RANGE_FLAG_MAX_FILES:
+        # ONE aggregate job: a per-file "∃ update key in [lo, hi]" flag
+        # column per ranged file — the exact same candidate set as the
+        # broadcast range join below (a file hits iff some key is inside
+        # its recorded range), minus the createDataFrame, the broadcast
+        # build job and the distinct shuffle. This action is also the
+        # first on the persisted key_set, so it materializes the cache
+        # the later phases reuse. Expression count is O(files), so only
+        # used while the manifest is small enough that planning stays
+        # trivial; big tables keep the join form, whose cost is not
+        # expression-tree-shaped.
+        flags = key_set.agg(
+            *[
+                F.max(F.when(F.col(k0).between(F.lit(lo), F.lit(hi)), 1)).alias(
+                    f"_f{i}"
+                )
+                for i, (_rel, lo, hi) in enumerate(ranged)
+            ]
+        ).first()
+        candidates += [
+            ranged[i][0] for i in range(len(ranged)) if flags[i] is not None
+        ]
+    elif ranged:
         ranges_df = spark.createDataFrame(ranged, ["_path", "_lo", "_hi"])
         hit = (
             key_set.select(F.col(k0).alias("_k"))
@@ -1975,51 +2035,35 @@ def _merge_phases(
             evolve_schema, cdc, candidates, pruned_by_stats,
         )
 
-    # Phase 2 — exact touched-file detection, scanning ONLY candidates:
-    # one _metadata.file_path semi-join finds the files that truly
-    # contain a matching key. The reader is pinned to the manifest's
-    # recorded schema: on a mixed-generation table (after a past
-    # evolve_schema merge) plain spark.read would sample an arbitrary
-    # file's footer and could miss the evolved column, making the
-    # unionByName below fail or null-backfill non-deterministically.
+    # Phases 2+3 FUSED into one action (guide §1.2/§5.3): the rewrite
+    # job's plan carries BOTH the exact touched-file detection (the
+    # candidates' key columns semi-joined to the update keys — the same
+    # column-pruned scan the old dedicated detection job ran) and the
+    # rewrite itself: candidate rows are kept iff their file contains a
+    # matching key (semi-join against the broadcast detection frame)
+    # and their own key does not match (anti-join), then unioned with
+    # the updates and written. The touched-file LIST — needed for the
+    # manifest's rewrote / untouched bookkeeping and the CDC pre-image
+    # scan — rides out of the same job through an Observation
+    # (CollectMetrics) on the detection branch, so the merge pays ONE
+    # driver action instead of a detection collect followed by a
+    # rewrite write. Rows from untouched candidate files are scanned
+    # and dropped by the semi-join (the old dedicated detection scanned
+    # their key columns instead) — on a range-clustered table
+    # candidates track touched files closely, so the extra full-row
+    # scan is change-proportional, never table-proportional. The reader
+    # is pinned to the manifest's recorded schema: on a
+    # mixed-generation table (after a past evolve_schema merge) plain
+    # spark.read would sample an arbitrary file's footer and could miss
+    # the evolved column, making the unionByName below fail or
+    # null-backfill non-deterministically.
     touched_rel: set[str] = set()
     reader = _manifest_reader(spark, manifest, table_dir)
-    if candidates:
-        # working column is _mrg_file, NOT a short name like "f": a user
-        # column (or merge key) named f would be silently replaced and
-        # the key semi-join would then compare file paths — corrupting
-        # touched-file detection (same reserved-prefix convention as
-        # _dv_key/_dv_pos)
-        cand_df = _apply_dvs(
-            spark,
-            reader.parquet(
-                *(os.path.join(table_dir, rel) for rel in candidates),
-                with_meta=True,
-            ),
-            manifest,
-            table_dir,
-            candidates,
-            keep_meta=True,
-        )
-        touched_abs = {
-            r._meta_file
-            for r in (
-                cand_df.join(key_set, keys, "left_semi")
-                .select("_meta_file")
-                .distinct()
-                .collect()
-            )
-        }
-        # file_path comes back URI-qualified (file://…, percent-encoded);
-        # decode and map exactly — a raw suffix match would miss every
-        # file on URI-encodable table paths and duplicate matched keys.
-        touched_rel = {
-            rel
-            for t in touched_abs
-            if (rel := _rel_of(t, candidates, table_dir)) is not None
-        }
-    untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
-    if updates is None and not touched_rel:
+    stats_for = None
+    if file_stats:
+        stats_for = _stats_cols(manifest)
+
+    def _delete_noop() -> int:
         # keyed DELETE matching nothing: metadata no-op unless a txn
         # watermark must be recorded (clean manifest — carrying the
         # parent's cdc_files would re-emit its deltas in the feed)
@@ -2042,39 +2086,139 @@ def _merge_phases(
         _publish(table_dir, base + 1, noop)
         return base + 1
 
-    # Phase 3 — rewrite only touched files, publish atomically. New
-    # files inherit the parent's stats columns so pruning keeps working
-    # across merge generations.
-    stats_for = None
-    if file_stats:
-        stats_for = _stats_cols(manifest)
-    if touched_rel:
-        touched_df = _apply_dvs(
+    obs = None
+    if candidates:
+        cand_df = _apply_dvs(
             spark,
             reader.parquet(
-                *(os.path.join(table_dir, rel) for rel in touched_rel),
+                *(os.path.join(table_dir, rel) for rel in candidates),
                 with_meta=True,
             ),
             manifest,
             table_dir,
-            sorted(touched_rel),
+            candidates,
+            keep_meta=True,
         )
-        keep = touched_df.join(key_set, keys, "left_anti")
-        # evolve_schema: new columns in updates null-backfill kept rows,
-        # dropped columns null-fill the updates (Delta mergeSchema);
-        # updates=None is the keyed-DELETE path (delete_keys)
-        rewritten = (
-            keep
-            if updates is None
-            else keep.unionByName(updates, allowMissingColumns=evolve_schema)
-        )
+        if _fuse_scan_ok(table_dir, manifest, candidates, bool(file_stats)):
+            det = (
+                cand_df.select(*keys, "_meta_file")
+                .join(key_set, keys, "left_semi")
+                .select("_meta_file")
+                .distinct()
+            )
+            # Sentinel row: when the detection comes up EMPTY (a pure
+            # append), AQE's empty-relation propagation would prune the
+            # whole observed subtree out of the broadcast build and the
+            # metrics would never be delivered (obs.get then fails on a
+            # schemaless row). One never-matching row keeps the branch
+            # alive; "" can never equal a URI-qualified file path and is
+            # dropped by the _rel_of mapping below.
+            det = det.unionAll(
+                spark.range(1).select(F.lit("").alias("_meta_file"))
+            )
+            obs = Observation(f"_mrg_touched_{uuid.uuid4().hex}")
+            det = det.observe(obs, F.collect_set("_meta_file").alias("_t"))
+            keep = (
+                cand_df.join(F.broadcast(det), "_meta_file", "left_semi")
+                .join(key_set, keys, "left_anti")
+                .drop("_meta_file", "_meta_pos")
+            )
+            # evolve_schema: new columns in updates null-backfill kept
+            # rows, dropped columns null-fill the updates (Delta
+            # mergeSchema); updates=None is the keyed-DELETE path
+            # (delete_keys) — kept rows only, nothing re-added
+            rewritten = (
+                keep
+                if updates is None
+                else keep.unionByName(updates, allowMissingColumns=evolve_schema)
+            )
+        else:
+            # Two-action form — the scalable shape when candidates were
+            # NOT stats-pruned and are large: detection reads only the
+            # key columns of every candidate; the rewrite then reads
+            # full rows of the TOUCHED files alone.
+            touched_rel = {
+                rel
+                for r in (
+                    cand_df.join(key_set, keys, "left_semi")
+                    .select("_meta_file")
+                    .distinct()
+                    .collect()
+                )
+                if (rel := _rel_of(r._meta_file, candidates, table_dir))
+                is not None
+            }
+            if updates is None and not touched_rel:
+                return _delete_noop()
+            if touched_rel:
+                keep = _apply_dvs(
+                    spark,
+                    reader.parquet(
+                        *(os.path.join(table_dir, rel) for rel in touched_rel),
+                        with_meta=True,
+                    ),
+                    manifest,
+                    table_dir,
+                    sorted(touched_rel),
+                ).join(key_set, keys, "left_anti")
+                rewritten = (
+                    keep
+                    if updates is None
+                    else keep.unionByName(
+                        updates, allowMissingColumns=evolve_schema
+                    )
+                )
+            else:
+                rewritten = updates
     else:
+        if updates is None:
+            # keyed DELETE with every file range-pruned: nothing can
+            # match — pure metadata no-op, nothing written at all
+            return _delete_noop()
         rewritten = updates
     if stats_for:
         rewritten = rewritten.repartitionByRange(*stats_for).sortWithinPartitions(
             *stats_for
         )
     new_files, new_stats, new_rows = _write_data_files(rewritten, table_dir, stats_for)
+    if obs is not None:
+        try:
+            touched_abs = set(obs.get["_t"])
+        except Exception:
+            # AQE empty-relation propagation can prune the observed
+            # subtree out of the executed plan when the PROBE side of
+            # the semi-join is runtime-empty (every candidate row
+            # DV-deleted, an empty batch, …) — the metrics row then
+            # arrives schemaless and obs.get fails. Detection is a
+            # deterministic function of immutable inputs (the
+            # manifest's files + the persisted key_set), so recomputing
+            # it as its own action yields exactly the set the write
+            # acted on; this costs the old dedicated detection job,
+            # only on these degenerate shapes.
+            touched_abs = {
+                r._meta_file
+                for r in (
+                    cand_df.join(key_set, keys, "left_semi")
+                    .select("_meta_file")
+                    .distinct()
+                    .collect()
+                )
+            }
+        # URI-qualified like the old collect (same decode mapping);
+        # the sentinel "" maps to no candidate and drops out here
+        touched_rel = {
+            rel
+            for t in touched_abs
+            if (rel := _rel_of(t, candidates, table_dir)) is not None
+        }
+    if updates is None and not touched_rel:
+        # keyed DELETE that matched nothing after all: publish the
+        # metadata no-op. The just-written commit dir holds no data
+        # (zero kept rows) and no manifest ever references it — the
+        # standard unpublished-commit residue, reclaimed by vacuum's
+        # orphan collection.
+        return _delete_noop()
+    untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
     # Record the merged TYPED schema: parent's fields (order and types
     # preserved) plus any columns the updates introduced. This — not any
     # file footer — is what every later read/merge/compact pins to.
@@ -3375,6 +3519,12 @@ def _delete_once(
         )
 
     touched_rel: set[str] = set()
+    stats_for = None
+    if file_stats:
+        stats_for = _stats_cols(manifest)
+    new_files: list[str] = []
+    new_stats: dict = {}
+    new_rows: dict = {}
     if candidates:
         # existing DVs anti-applied: a row already DV-deleted must not
         # flag its file, be counted as kept, or reappear in CDC
@@ -3389,44 +3539,96 @@ def _delete_once(
             candidates,
             keep_meta=True,
         )
-        hit = (
-            cand_df.filter(cond)
-            .select(F.col("_meta_file").alias("f"))
-            .distinct()
-            .collect()
-        )
-        touched_rel = {
-            rel
-            for r in hit
-            if (rel := _rel_of(r.f, candidates, table_dir)) is not None
-        }
+        # Detection fused into the rewrite action where the candidate
+        # scan is change-proportional (key_range-pruned) or small —
+        # same Observation/sentinel protocol as the MERGE path; the
+        # two-action form stays for big unhinted predicates (detection
+        # reads only the predicate columns there).
+        if _fuse_scan_ok(
+            table_dir, manifest, candidates,
+            key_range is not None and bool(file_stats),
+        ):
+            det = cand_df.filter(cond).select("_meta_file").distinct()
+            det = det.unionAll(
+                spark.range(1).select(F.lit("").alias("_meta_file"))
+            )
+            obs = Observation(f"_del_touched_{uuid.uuid4().hex}")
+            det = det.observe(obs, F.collect_set("_meta_file").alias("_t"))
+            # SQL DELETE keeps NULL-predicate rows: NOT(cond) alone
+            # would silently drop them
+            kept = (
+                cand_df.join(F.broadcast(det), "_meta_file", "left_semi")
+                .filter(~F.coalesce(cond, F.lit(False)))
+                .drop("_meta_file", "_meta_pos")
+            )
+            if stats_for:
+                kept = kept.repartitionByRange(*stats_for).sortWithinPartitions(
+                    *stats_for
+                )
+            new_files, new_stats, new_rows = _write_data_files(
+                kept, table_dir, stats_for
+            )
+            try:
+                touched_abs = set(obs.get["_t"])
+            except Exception:
+                # observed subtree pruned by AQE empty-relation
+                # propagation (runtime-empty candidates) — recompute;
+                # sound because dv=False already requires a
+                # deterministic predicate (see delete_where docstring)
+                touched_abs = {
+                    r._meta_file
+                    for r in cand_df.filter(cond)
+                    .select("_meta_file")
+                    .distinct()
+                    .collect()
+                }
+            touched_rel = {
+                rel
+                for t in touched_abs
+                if (rel := _rel_of(t, candidates, table_dir)) is not None
+            }
+            if not touched_rel:
+                # matched nothing after all: the just-written commit dir
+                # holds no data and is never referenced — unpublished
+                # residue, reclaimed by vacuum's orphan collection. The
+                # kept/new_files bookkeeping below then records nothing.
+                new_files, new_stats, new_rows = [], {}, {}
+        else:
+            hit = (
+                cand_df.filter(cond)
+                .select(F.col("_meta_file").alias("f"))
+                .distinct()
+                .collect()
+            )
+            touched_rel = {
+                rel
+                for r in hit
+                if (rel := _rel_of(r.f, candidates, table_dir)) is not None
+            }
+            if touched_rel:
+                touched_df = _apply_dvs(
+                    spark,
+                    reader.parquet(
+                        *(os.path.join(table_dir, rel) for rel in touched_rel),
+                        with_meta=True,
+                    ),
+                    manifest,
+                    table_dir,
+                    sorted(touched_rel),
+                )
+                # SQL DELETE keeps NULL-predicate rows: NOT(cond) alone
+                # would silently drop them
+                kept = touched_df.filter(~F.coalesce(cond, F.lit(False)))
+                if stats_for:
+                    kept = kept.repartitionByRange(
+                        *stats_for
+                    ).sortWithinPartitions(*stats_for)
+                new_files, new_stats, new_rows = _write_data_files(
+                    kept, table_dir, stats_for
+                )
     if not touched_rel and txn_app is None:
         return base  # nothing matched, nothing to record: no-op
     untouched_rel = [rel for rel in rel_files if rel not in touched_rel]
-
-    stats_for = None
-    if file_stats:
-        stats_for = _stats_cols(manifest)
-    new_files: list[str] = []
-    new_stats: dict = {}
-    new_rows: dict = {}
-    if touched_rel:
-        touched_df = _apply_dvs(
-            spark,
-            reader.parquet(
-                *(os.path.join(table_dir, rel) for rel in touched_rel),
-                with_meta=True,
-            ),
-            manifest,
-            table_dir,
-            sorted(touched_rel),
-        )
-        # SQL DELETE keeps NULL-predicate rows: NOT(cond) alone would
-        # silently drop them
-        kept = touched_df.filter(~F.coalesce(cond, F.lit(False)))
-        if stats_for:
-            kept = kept.repartitionByRange(*stats_for).sortWithinPartitions(*stats_for)
-        new_files, new_stats, new_rows = _write_data_files(kept, table_dir, stats_for)
     version = base + 1
     new_manifest = {
         "version": version,

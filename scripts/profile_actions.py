@@ -67,11 +67,21 @@ def main() -> int:
     )
     _spark = spark
     _tracker = spark.sparkContext.statusTracker()
+    # Spark 4: pyspark.sql.DataFrame is an ABC — instances are
+    # pyspark.sql.classic.dataframe.DataFrame, whose own method
+    # definitions shadow a wrapper installed on the base class. Wrap
+    # the CLASSIC class (falling back to the base for older Sparks) or
+    # every DataFrame action is silently missing from the profile.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+    except ImportError:
+        _ClassicDF = DataFrame
     for m in (
         "collect", "count", "first", "head", "toPandas", "foreach",
-        "foreachPartition", "localCheckpoint", "checkpoint",
+        "foreachPartition", "localCheckpoint", "checkpoint", "isEmpty",
+        "tail", "toLocalIterator",
     ):
-        _wrap(DataFrame, m)
+        _wrap(_ClassicDF, m)
     for m in ("parquet", "save", "csv", "text", "json"):
         _wrap(DataFrameWriter, m)
     from pyspark.sql.session import SparkSession as _S
