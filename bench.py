@@ -157,6 +157,21 @@ def run_query(fn, spark, sf_dir) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Effective core count, for the scaling knobs below and the output
+    # record: the driver re-runs this bench at a lower $SPARK_GRAFT_CPUS
+    # to measure core-count response, so the profile must derive from it
+    # and the JSON must state what was actually used (r16 verdict ask
+    # #2: without this the driver cannot distinguish "honored but
+    # floor-bound" from "ignored").
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    cpus = os.cpu_count() if cpus_env == "*" else int(cpus_env)
+    # Tiny-input knobs scale with the core count BY CHOICE (identical to
+    # the historical constants at cpus >= 8, so rounds stay comparable):
+    # ~8 scan tasks / 4 reduce tasks fit any core count >= 8 at this
+    # corpus size; below 8 cores both shrink so no stage exceeds the
+    # cores available.
+    shuffle_default = str(min(4, max(1, cpus)))
+    split_default = "2m" if cpus >= 8 else f"{max(2 * (8 // max(cpus, 1)), 2)}m"
     # Tiny-input profile (measured on this VM, headline set at sf0.1;
     # BASELINE.md §4): these knobs size the plan to a ~16 MB corpus the
     # same way shuffle partitions are sized to a cluster. Each is
@@ -173,14 +188,14 @@ def main() -> None:
     #   (16 MB < 128m split) leaving 31 cores idle (0.74s -> 0.63s).
     spark = get_spark(
         "bench",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4")),
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", shuffle_default)),
         extra_conf={
             "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
             "spark.sql.constraintPropagation.enabled": os.environ.get(
                 "SPARK_GRAFT_CONSTRAINT_PROP", "false"
             ),
             "spark.sql.files.maxPartitionBytes": os.environ.get(
-                "SPARK_GRAFT_SPLIT", "2m"
+                "SPARK_GRAFT_SPLIT", split_default
             ),
         },
     )
@@ -258,6 +273,14 @@ def main() -> None:
         "samples": samples_out,
         "min_gap": gaps_out,
         "sf": sf,
+        # Scaling-contract observability (r16 verdict ask #2): what the
+        # session ACTUALLY ran with, so a low-core re-run is
+        # distinguishable from an ignored $SPARK_GRAFT_CPUS.
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "max_partition_bytes": spark.conf.get("spark.sql.files.maxPartitionBytes"),
     }
     # Round-9 verdict ask #5: the one-line JSON outgrew the driver's 2 KB
     # stdout-tail capture (BENCH_r09 parsed: null). Emit the full record
@@ -287,6 +310,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: timings[n] for n in BENCH_SET if n in timings},
                 "sf": sf,
+                "cpus": cpus,
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "detail": detail_name,
             }
         )

@@ -275,6 +275,11 @@ def minhash_signatures(
         starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
         mins = np.empty((len(starts), len(a_vec)), dtype=np.int64)
         max_rows = max(1, (64 << 20) // (8 * len(a_vec)))
+        # one reused (max_rows x k) scratch buffer: the expression
+        # (h*a + b) % prime allocated three 64 MB temporaries per chunk
+        # — in-place ufuncs keep the chunk loop at one allocation total
+        # (the kernel is memory-bandwidth-sensitive at k ~ 300)
+        buf = np.empty((max_rows, len(a_vec)), dtype=np.int64)
         lo = 0
         while lo < len(starts):
             # Advance by whole groups, capping the row span at max_rows
@@ -283,7 +288,14 @@ def minhash_signatures(
             hi = max(hi, lo + 1)
             row_lo = starts[lo]
             row_hi = starts[hi] if hi < len(starts) else len(ids)
-            vals = (h[row_lo:row_hi, None] * a_vec[None, :] + b_vec[None, :]) % prime
+            nrows = row_hi - row_lo
+            if nrows <= max_rows:
+                vals = buf[:nrows]
+            else:  # single oversized group: one-off exact-size temp
+                vals = np.empty((nrows, len(a_vec)), dtype=np.int64)
+            np.multiply(h[row_lo:row_hi, None], a_vec[None, :], out=vals)
+            np.add(vals, b_vec[None, :], out=vals)
+            np.mod(vals, prime, out=vals)
             mins[lo:hi] = np.minimum.reduceat(vals, starts[lo:hi] - row_lo, axis=0)
             lo = hi
         sizes = np.diff(np.r_[starts, len(ids)])
@@ -291,7 +303,19 @@ def minhash_signatures(
             {"id": ids[starts], "sz": sizes, "sig": list(mins)}
         )
 
-    part = proj.repartition(F.col("id"))
+    # Hash-partition by id with a PARALLELISM FLOOR: the kernel is
+    # CPU-bound numpy (O(postings x k) int64 flops), and a keyless
+    # repartition(col) inherits spark.sql.shuffle.partitions — sized
+    # for shuffle overhead, not for a Python compute kernel (the bench
+    # profile's 4 reduce tasks left 28 cores idle here). At cluster
+    # scale shuffle_partitions >= cores and the floor is a no-op; the
+    # id-hash grouping the reduceat relies on holds for any count.
+    sc = proj.sparkSession.sparkContext
+    n_parts = max(
+        sc.defaultParallelism,
+        int(proj.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
+    part = proj.repartition(n_parts, F.col("id"))
     return part.mapInPandas(kernel, schema="id long, sz long, sig array<long>")
 
 
@@ -331,14 +355,19 @@ def minhash_lsh_candidates(
     Bucket-hash collisions only ADD candidates (removed by exact
     verification downstream), never drop a true pair.
 
-    The signature DataFrame is persisted (session cache registry) for
-    the duration of the self-join: both join sides derive from it, and
-    without the persist Spark computes the signature pass twice —
-    measured 2x the whole query's signature cost at sf0.1."""
+    The BANDED frame is persisted (session cache registry) for the
+    duration of the self-join: both join sides derive from it, and
+    without the persist Spark computes the whole signature + banding
+    pass twice — measured 2x at sf0.1. Persisting the bands (rather
+    than the r16 rounds' raw signatures) also runs the band-hash
+    explode ONCE instead of once per join side: the banding alone was
+    ~1.2 s of the 2.3 s candidate phase at sf0.1, and the cached rows
+    are (id, sz, bucket) — a fraction of the 312-long signature
+    arrays' footprint."""
     from ray_beam_runner_spark.caches import track
 
-    sigs = track(minhash_signatures(None, num_hashes=num_hashes, grams=grams))
-    bands = _band_buckets(sigs, num_hashes, rows_per_band)
+    sigs = minhash_signatures(None, num_hashes=num_hashes, grams=grams)
+    bands = track(_band_buckets(sigs, num_hashes, rows_per_band))
     a = bands.select(F.col("id").alias("d1"), F.col("sz").alias("n1"), "bucket")
     b = bands.select(F.col("id").alias("d2"), F.col("sz").alias("n2"), "bucket")
     return (

@@ -331,6 +331,15 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+    if tol is None and truncate:
+        # Fixed-iteration mode materialized nothing inside the loop (no
+        # convergence probe): finalize the chained lazy checkpoints with
+        # ONE full-scan action here. Without it, a caller whose first
+        # action is partial (first/show/limit) finalizes each round's
+        # checkpoint with follow-up jobs for the partitions the partial
+        # action skipped — a per-round job storm slower than the eager
+        # form this replaced (r16 advice).
+        ranks.count()
     return ranks
 
 

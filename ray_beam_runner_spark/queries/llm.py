@@ -1477,14 +1477,17 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_features,
     )
 
-    from ray_beam_runner_spark.session import ensure_min_parallelism
-
     events = t(spark, sf_dir, "events")
-    # the distinct leaves shuffle_partitions output partitions — fewer
-    # than cores in the tiny-input profile — and the pure-Python WAV
-    # codec kernel below it then serializes; rebalance the (tiny)
-    # user-id frame across cores. No-op at production partition counts.
-    users = ensure_min_parallelism(events.select("user_id").distinct())
+    # NO ensure_min_parallelism here (unlike the doc-id codec queries,
+    # whose single-row-group scans genuinely serialize): the distinct's
+    # output is post-shuffle — shuffle_partitions wide at every scale,
+    # never single-partition — and the r16 round's added RoundRobin
+    # exchange measured ~2x SLOWER on both user-frame audio queries in
+    # an interleaved min-of-7 A/B (q_audio_frames 0.54 vs 0.95 s,
+    # q_multimodal_audio 0.40 vs 0.99 s): the extra exchange + sort of
+    # the tiny user frame costs more than the small WAV kernel gains
+    # from extra local parallelism.
+    users = events.select("user_id").distinct()
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1565,14 +1568,17 @@ def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_frames,
     )
 
-    from ray_beam_runner_spark.session import ensure_min_parallelism
-
     events = t(spark, sf_dir, "events")
-    # the distinct leaves shuffle_partitions output partitions — fewer
-    # than cores in the tiny-input profile — and the pure-Python WAV
-    # codec kernel below it then serializes; rebalance the (tiny)
-    # user-id frame across cores. No-op at production partition counts.
-    users = ensure_min_parallelism(events.select("user_id").distinct())
+    # NO ensure_min_parallelism here (unlike the doc-id codec queries,
+    # whose single-row-group scans genuinely serialize): the distinct's
+    # output is post-shuffle — shuffle_partitions wide at every scale,
+    # never single-partition — and the r16 round's added RoundRobin
+    # exchange measured ~2x SLOWER on both user-frame audio queries in
+    # an interleaved min-of-7 A/B (q_audio_frames 0.54 vs 0.95 s,
+    # q_multimodal_audio 0.40 vs 0.99 s): the extra exchange + sort of
+    # the tiny user frame costs more than the small WAV kernel gains
+    # from extra local parallelism.
+    users = events.select("user_id").distinct()
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

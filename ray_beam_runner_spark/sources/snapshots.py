@@ -3836,6 +3836,53 @@ def delete_keys(
     raise AssertionError("unreachable")
 
 
+def _user_raised_error_text(e) -> str | None:
+    """Message text of a USER_RAISED_EXCEPTION (``raise_error``) found
+    STRUCTURALLY in a wrapped Spark job failure — the errorClass /
+    error-condition on the exception itself or any link of its Java
+    cause chain — so callers that translate an in-plan ``raise_error``
+    back to a typed Python error do not depend on ``str(e)`` carrying
+    the root-cause text (driver-side error strings can be truncated or
+    restructured, e.g. long stage-failure messages or reconstructed
+    remote exceptions). Returns None when no user-raised error is
+    present in the chain."""
+    def _cls(x) -> str | None:
+        for meth in ("getCondition", "getErrorClass"):
+            f = getattr(x, meth, None)
+            if f is None:
+                continue
+            try:
+                c = f()
+            except Exception:
+                continue
+            if c:
+                return str(c)
+        return None
+
+    node, hops = e, 0
+    while node is not None and hops < 16:  # cap: defensive vs cause cycles
+        hops += 1
+        if _cls(node) == "USER_RAISED_EXCEPTION":
+            f = getattr(node, "getMessage", None)
+            if f is not None:
+                try:
+                    return str(f())
+                except Exception:
+                    pass
+            return str(node)
+        nxt = getattr(node, "java_exception", None)  # Py4JJavaError
+        if nxt is None:
+            f = getattr(node, "getCause", None)  # JVM throwable chain
+            try:
+                nxt = f() if f is not None else None
+            except Exception:
+                nxt = None
+        if nxt is None:
+            nxt = getattr(node, "__cause__", None)
+        node = nxt
+    return None
+
+
 def scd2_upsert(
     spark: SparkSession,
     table_dir: str,
@@ -3936,10 +3983,15 @@ def scd2_upsert(
                 raise
         except Exception as e:  # noqa: BLE001 — surface the in-plan
             # monotonicity violation as the documented ValueError (the
-            # raise_error fires inside a Spark job, arriving wrapped)
-            m = re.search(_marker + r"[^\n]*", str(e))
-            if m:
-                raise ValueError(m.group(0)) from None
+            # raise_error fires inside a Spark job, arriving wrapped).
+            # Detection is structural FIRST — USER_RAISED_EXCEPTION in
+            # the errorClass/cause chain — so the contract survives
+            # runtimes that truncate or restructure str(e); the marker
+            # regex extracts the message text, with str(e) as fallback.
+            for src in (_user_raised_error_text(e), str(e)):
+                m = re.search(_marker + r"[^\n]*", src) if src else None
+                if m:
+                    raise ValueError(m.group(0)) from None
             raise
     raise AssertionError("unreachable")
 

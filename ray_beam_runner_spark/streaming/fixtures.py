@@ -54,12 +54,26 @@ class FileDropStream:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        n = df.count()
         self._schema = df.schema
-        if n == 0:
-            return self
-        per = max(1, (n + n_slices - 1) // n_slices)
-        rn = F.row_number().over(Window.orderBy(ts_col)) - 1
+        # Slice size is derived IN-PLAN from a window count over the
+        # same single pass (per = ceil(n / n_slices), the same ceil
+        # division as ever): the old dedicated df.count() both doubled
+        # the source computation and — for a non-deterministic upstream
+        # — could disagree with the rows actually written, shifting
+        # slice boundaries. One pass means the count and the rows are
+        # by construction the same ones. An empty source writes no
+        # slice directories and the rename loop below is a no-op, so no
+        # early-exit count is needed either.
+        w = Window.orderBy(ts_col)
+        rn = F.row_number().over(w) - 1
+        cnt = F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        # exact ceil division on integers: (n + k - 1) / k floored
+        per = F.greatest(
+            F.lit(1),
+            ((cnt + F.lit(n_slices - 1)) / F.lit(n_slices)).cast("long"),
+        )
         tmp = self.dir.rstrip("/") + "__fd_tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)

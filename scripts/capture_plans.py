@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for named declared queries into
-plans/r16/<query>_<tag>.txt — the optimization round's plan evidence
+plans/r17/<query>_<tag>.txt — the optimization round's plan evidence
 (guide §1: record the plan shape before and after every change).
 
 Usage: python scripts/capture_plans.py <tag> <query> [query ...]
@@ -29,7 +29,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r16",
+        "plans", "r17",
     )
     os.makedirs(out_dir, exist_ok=True)
     # bench.py's session confs so the captured plan is the benched plan

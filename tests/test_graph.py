@@ -304,6 +304,8 @@ def test_iteration_rounds_pay_one_action(spark):
     # frontier counts (round 6 is the empty exit) + per-round broadcast
     # builds at this tiny scale + the final collect. The eager form
     # paid 3 driver actions per round (frontier checkpoint, emptiness
-    # probe, visited checkpoint) => ~23 jobs on this graph. 14 cleanly
-    # separates the two with headroom for engine-version drift.
-    assert n_jobs <= 14, f"bfs_layers launched {n_jobs} jobs for 6 rounds"
+    # probe, visited checkpoint) => ~23 jobs on this graph. The bound
+    # sits midway: far above the lazy form's 12 (headroom for
+    # engine-version/broadcast-count drift, r16 advice), still clearly
+    # below the ~23 the eager regression would produce.
+    assert n_jobs <= 17, f"bfs_layers launched {n_jobs} jobs for 6 rounds"
