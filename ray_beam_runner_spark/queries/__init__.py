@@ -143,6 +143,18 @@ STATS: dict[str, dict[str, str]] = {}  # sf_abs -> {table: catalog name}
 _CBO_CONFS = {
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Bucketed scans stopped reporting their SORTED BY order by default
+    # in Spark 3.0 (planning must list files to prove one-file-per-
+    # bucket, expensive on arbitrary tables) — which silently re-adds
+    # BOTH SortMergeJoin sorts to every co-located layout join, and at
+    # x100 those sorts ARE the dominant cost (q_order_exists routed
+    # 3.6 s -> 0.65 s with reporting on, measured round 17). The
+    # engine's layouts are written one-file-per-bucket by construction
+    # (write_bucketed repartitions to n_buckets before bucketBy) and
+    # their file counts are manifest-bounded, so the planning-time
+    # listing is O(n_buckets) metadata — turned on only while layout/
+    # stats serving is registered, restored by disable_stats.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 # Spark's SHIPPED runtime bloom-filter injection gates (SPARK-32268):

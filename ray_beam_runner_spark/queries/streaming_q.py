@@ -626,7 +626,13 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sq_oracle(alpha: float, qs: list[float]) -> str:
     """Streaming-quantile oracle: the q_streaming_window closed-window
     subset composed with the DDSketch bucket walk (same pinned literals
-    as q_sketch_quantiles' _ddq_oracle)."""
+    as q_sketch_quantiles' _ddq_oracle). The zero-value CASE mirrors
+    dd_bucket's sentinel bucket exactly like _ddq_oracle's guard — a
+    HARNESS fix (r16 verdict ask #7): sf0.1's events carry value = 0
+    rows that made DuckDB's ln() error out, so the differential harness
+    could not cover this query at sf0.1. At the declared check SFs
+    (0.001/0.01) every value is > 0 and the CASE is an identity — the
+    oracle result (and hash) there is unchanged."""
     import math
 
     g = (1.0 + alpha) / (1.0 - alpha)
@@ -638,7 +644,9 @@ def _sq_oracle(alpha: float, qs: list[float]) -> str:
       SELECT date_trunc('hour', ts) AS w_start, value FROM events
       WHERE date_trunc('hour', ts) + INTERVAL '1 hour' <= (SELECT final_wm FROM wm)),
     b AS (
-      SELECT w_start, ceil(round(ln(value) / {lg}, 9))::BIGINT AS bucket,
+      SELECT w_start,
+             (CASE WHEN value = 0 THEN -1000000000
+                   ELSE ceil(round(ln(value) / {lg}, 9)) END)::BIGINT AS bucket,
              count(*)::BIGINT AS cnt
       FROM ev GROUP BY 1, 2),
     cum AS (
