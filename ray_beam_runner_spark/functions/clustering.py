@@ -135,9 +135,15 @@ def _lloyd_centroids(v: DataFrame, dim: int, k: int, n_iter: int) -> DataFrame:
                     *[F.round(F.avg(F.element_at("e", i + 1)), 9) for i in range(dim)]
                 ).alias("c")
             )
-            # k x dim rows: eager checkpoint is ~free and keeps the plan
-            # one round deep however large n_iter grows
-            .localCheckpoint(eager=True)
+            # k x dim rows: the checkpoint keeps the plan one round deep
+            # however large n_iter grows. LAZY since round 17: the next
+            # round's (or final assignment's) broadcast build is an
+            # unconditional action that materializes the blocks in ITS
+            # job — interleaved min-of-5 A/B read lazy equal-or-better
+            # on all four ANN queries (q_kmeans 1.16 -> 1.13,
+            # q_ivfpq_topk 2.02 -> 1.88), the round-16 eager/driver
+            # variants both measured worse
+            .localCheckpoint(eager=False)
         )
     return cent
 
@@ -243,7 +249,9 @@ def _lloyd_centroids_keyed(v: DataFrame, d_sub: int, k: int, n_iter: int) -> Dat
                     *[F.round(F.avg(F.element_at("e", i + 1)), 9) for i in range(d_sub)]
                 ).alias("c")
             )
-            .localCheckpoint(eager=True)
+            # lazy for the same reason as _lloyd_centroids: the next
+            # broadcast build materializes the blocks in its own job
+            .localCheckpoint(eager=False)
         )
     return cent
 
@@ -821,11 +829,16 @@ def ivfpq_topk(
     (q_id, vec_id, adc, rank), rank <= k (ties: adc then id)."""
     from pyspark.sql import Window as W
 
-    mrow = books.agg(F.max("j")).first()[0]
-    if mrow is None:
+    # ONE scalar probe for both codebook constants (m and d_sub were
+    # two separate driver actions — two scheduler round-trips for two
+    # numbers from the same model-sized frame)
+    mrow = books.agg(
+        F.max("j").alias("mj"), F.max(F.size("c")).alias("ds")
+    ).first()
+    if mrow.mj is None:
         raise ValueError("ivfpq_topk: empty codebooks")
-    m = int(mrow) + 1
-    d_sub = books.select(F.size("c")).first()[0]
+    m = int(mrow.mj) + 1
+    d_sub = mrow.ds
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("e"),
